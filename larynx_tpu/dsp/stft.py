@@ -1,0 +1,146 @@
+"""Batched STFT / ISTFT as jittable JAX functions.
+
+These reproduce the reference's exact (non-centered, Hann-windowed,
+window-on-both-sides, un-normalized overlap-add) framing semantics
+(larynx/audio.py:232-306) so the HiFi-GAN denoiser and Griffin-Lim produce
+the same waveforms — but run batched on TPU with static shapes instead of
+per-frame Python loops on the host.
+
+Conventions:
+  * signals are [B, T] float32
+  * spectra are [B, n_freq, n_frames] (n_freq = fft_size//2 + 1)
+  * n_frames = ceil((T - fft_size) / hop) (frames starting past T-fft_size
+    are dropped, matching ``range(0, len(x) - fft_size, hop)``)
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def hann_window(fft_size: int) -> np.ndarray:
+    """numpy.hanning-compatible periodic-ish Hann (N points, endpoints 0)."""
+    return np.hanning(fft_size).astype(np.float32)
+
+
+def num_frames(n_samples: int, fft_size: int, hop: int) -> int:
+    """Frame count for the reference's framing loop."""
+    span = n_samples - fft_size
+    if span <= 0:
+        return 0
+    return -(-span // hop)  # ceil
+
+
+def frame_signal(x: jnp.ndarray, fft_size: int, hop: int) -> jnp.ndarray:
+    """[B, T] -> [B, n_frames, fft_size] via gather of static frame offsets."""
+    n = num_frames(x.shape[-1], fft_size, hop)
+    starts = np.arange(n, dtype=np.int32) * hop
+    idx = starts[:, None] + np.arange(fft_size, dtype=np.int32)[None, :]
+    return x[..., idx]
+
+
+def stft(x: jnp.ndarray, fft_size: int = 1024, hop: int = 256) -> jnp.ndarray:
+    """Complex STFT: [B, T] -> [B, n_freq, n_frames]."""
+    window = jnp.asarray(hann_window(fft_size))
+    frames = frame_signal(x, fft_size, hop) * window
+    spec = jnp.fft.rfft(frames, axis=-1)  # [B, n_frames, n_freq]
+    return jnp.swapaxes(spec, -1, -2)
+
+
+def stft_magnitude_phase(x: jnp.ndarray, fft_size: int = 1024, hop: int = 256):
+    """Batch magnitude/phase, mirroring ``transform`` (larynx/audio.py:292)."""
+    spec = stft(x, fft_size, hop)
+    return jnp.abs(spec), jnp.angle(spec)
+
+
+def istft_overlap_add(
+    frames: jnp.ndarray, fft_size: int, hop: int, out_len: int
+) -> jnp.ndarray:
+    """Windowed overlap-add of time-domain frames [B, F, fft] -> [B, out_len].
+
+    Matches the reference's un-normalized synthesis (larynx/audio.py:252-269):
+    the Hann window is applied again at synthesis and no COLA normalization
+    is performed.
+    """
+    window = jnp.asarray(hann_window(fft_size))
+    frames = frames * window
+    b, n_frames, _ = frames.shape
+
+    if fft_size % hop == 0 and n_frames > 0:
+        # Stride trick: split each frame into fft//hop hop-sized segments and
+        # accumulate shifted contiguous streams — no scatter needed.
+        ratio = fft_size // hop
+        segs = frames.reshape(b, n_frames, ratio, hop)
+        out = jnp.zeros((b, out_len), dtype=frames.dtype)
+        stream_len = n_frames * hop
+        for j in range(ratio):
+            stream = segs[:, :, j, :].reshape(b, stream_len)
+            start = j * hop
+            seg_len = min(stream_len, max(0, out_len - start))
+            if seg_len <= 0:
+                continue
+            out = out.at[:, start : start + seg_len].add(stream[:, :seg_len])
+        return out
+
+    # General fallback: scatter-add
+    starts = np.arange(n_frames, dtype=np.int32) * hop
+    idx = starts[:, None] + np.arange(fft_size, dtype=np.int32)[None, :]
+    out = jnp.zeros((b, out_len), dtype=frames.dtype)
+    return out.at[:, idx].add(frames, mode="drop")
+
+
+def istft(
+    spec: jnp.ndarray, fft_size: int = 1024, hop: int = 256
+) -> jnp.ndarray:
+    """Inverse STFT: complex [B, n_freq, n_frames] -> [B, T].
+
+    Output length is ``n_frames * hop + fft_size`` with the same dropped-tail
+    behavior as the reference's per-frame loop.
+    """
+    frames = jnp.fft.irfft(jnp.swapaxes(spec, -1, -2), n=fft_size, axis=-1)
+    n_frames = frames.shape[1]
+    full_len = n_frames * hop + fft_size
+    # The reference writes frames at range(0, full_len - fft, hop): exactly
+    # n_frames' = ceil((full_len - fft)/hop) = n_frames slots — all frames.
+    return istft_overlap_add(frames.real, fft_size, hop, full_len)
+
+
+def inverse_magnitude_phase(
+    magnitude: jnp.ndarray, phase: jnp.ndarray, fft_size: int = 1024, hop: int = 256
+) -> jnp.ndarray:
+    """Rebuild a waveform from magnitude+phase (larynx/audio.py:272-289)."""
+    spec = magnitude * jnp.exp(1j * phase)
+    return istft(spec, fft_size, hop)
+
+
+@functools.partial(jax.jit, static_argnames=("fft_size", "hop", "n_iters"))
+def griffin_lim(
+    magnitudes: jnp.ndarray,
+    key: jax.Array,
+    fft_size: int = 1024,
+    hop: int = 256,
+    n_iters: int = 60,
+) -> jnp.ndarray:
+    """Griffin-Lim phase reconstruction, fully on device.
+
+    ``magnitudes``: [B, n_freq, n_frames] linear magnitude.  Matches
+    larynx/griffin_lim.py:66-76 (random initial phase, fixed iteration count)
+    but runs as one XLA program with ``lax.fori_loop``.
+    """
+    angles = (
+        2.0
+        * jnp.pi
+        * jax.random.uniform(key, magnitudes.shape, dtype=jnp.float32)
+    )
+    # angle(exp(2j*pi*u)) wraps into (-pi, pi]; equivalent up to 2*pi phase
+    signal = inverse_magnitude_phase(magnitudes, angles, fft_size, hop)
+
+    def body(_, sig):
+        spec = stft(sig, fft_size, hop)
+        return inverse_magnitude_phase(
+            magnitudes, jnp.angle(spec), fft_size, hop
+        )
+
+    return jax.lax.fori_loop(0, n_iters, body, signal)
