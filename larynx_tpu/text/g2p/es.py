@@ -1,0 +1,86 @@
+"""Spanish (Castilian) G2P — rule-based; Spanish orthography is phonemic.
+
+Inventory (local/es-es/*/phonemes.txt): a ai au b d e ei eu f g i ja je jo
+ju k l m n o oi ou p r s t t͡ʃ u wa we wi wo x ɲ ɾ ʎ ʝ θ + ˈ ˌ.
+Diphthongs are single symbols.
+"""
+
+import typing
+
+from larynx_tpu.text.g2p.rules import apply_rules, stress_nth_vowel_from_end
+
+VOWELS = {
+    "a", "e", "i", "o", "u",
+    "ai", "au", "ei", "eu", "oi", "ou",
+    "ja", "je", "jo", "ju", "wa", "we", "wi", "wo",
+}
+
+_ACCENTED = {"á": "a", "é": "e", "í": "i", "ó": "o", "ú": "u"}
+
+_RULES = [
+    # digraphs / context-free multigraphs
+    ("ch", "t͡ʃ"),
+    ("ll", "ʎ"),
+    ("rr", "r"),
+    ("qu", "k"),
+    ("gü", "ɡ w"),  # güe -> g w e (folded into diphthong below if possible)
+    # diphthongs (rising -> glide symbols, falling -> unit symbols)
+    ("ai", "ai"), ("ay", "ai"), ("au", "au"),
+    ("ei", "ei"), ("ey", "ei"), ("eu", "eu"),
+    ("oi", "oi"), ("oy", "oi"), ("ou", "ou"),
+    ("ia", "ja"), ("ie", "je"), ("io", "jo"), ("iu", "ju"),
+    ("ua", "wa"), ("ue", "we"), ("ui", "wi"), ("uo", "wo"),
+    # single letters
+    ("a", "a"), ("b", "b"), ("d", "d"), ("e", "e"), ("f", "f"),
+    ("h", ""),  # silent
+    ("i", "i"), ("j", "x"), ("k", "k"), ("l", "l"), ("m", "m"),
+    ("n", "n"), ("ñ", "ɲ"), ("o", "o"), ("p", "p"), ("r", "ɾ"),
+    ("s", "s"), ("t", "t"), ("u", "u"), ("v", "b"), ("w", "w"),
+    ("x", "k s"), ("y", "ʝ"), ("z", "θ"),
+]
+
+
+def _context(word: str, i: int):
+    ch = word[i]
+    nxt = word[i + 1] if i + 1 < len(word) else ""
+    if ch == "c":
+        if nxt in ("e", "i", "é", "í"):
+            return 1, ["θ"]
+        return 1, ["k"]
+    if ch == "g":
+        if nxt in ("e", "i", "é", "í"):
+            return 1, ["x"]
+        if word.startswith("gue", i) or word.startswith("gui", i):
+            return 2, ["ɡ"]  # silent u
+        return 1, ["ɡ"]
+    if ch == "r" and i == 0:
+        return 1, ["r"]  # initial r is trilled
+    if ch == "y" and i == len(word) - 1:
+        return 1, ["i"]  # final y is vocalic ("hoy" handled by oy rule)
+    return None
+
+
+def phonemize(word: str) -> typing.List[str]:
+    w = word.lower().strip()
+    if not w:
+        return []
+
+    # explicit accent marks the stressed vowel
+    accent_pos = next((i for i, c in enumerate(w) if c in _ACCENTED), None)
+    plain = "".join(_ACCENTED.get(c, c) for c in w)
+
+    if accent_pos is not None:
+        # phonemize in two halves so we know which symbol carries stress
+        before = apply_rules(plain[:accent_pos], _RULES, _context)
+        rest = apply_rules(plain[accent_pos:], _RULES, _context)
+        if rest:
+            for i, p in enumerate(rest):
+                if p in VOWELS:
+                    rest[i] = "ˈ" + p
+                    break
+        return before + rest
+
+    phonemes = apply_rules(plain, _RULES, _context)
+    # default stress: penultimate if word ends in vowel/n/s, else final
+    n = 2 if (plain[-1] in "aeiou" or plain[-1] in "ns") else 1
+    return stress_nth_vowel_from_end(phonemes, VOWELS, n=n)

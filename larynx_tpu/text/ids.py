@@ -118,11 +118,19 @@ def phonemes_to_ids(
         blank_id = phoneme_to_id.get(blank)
 
     ids: typing.List[int] = []
+    prev_was_major_break = False
     for word in word_phonemes:
         if not word:
             continue
-        if blank_id is not None:
+        # Blank precedes every word EXCEPT one directly following a major
+        # break — pinned against the multi-sentence golden fixtures
+        # (e.g. ljspeech samples/test_phonemes.csv: "... # ‖ ˈaɪ m # ...").
+        if blank_id is not None and not prev_was_major_break:
             ids.append(blank_id)
+        prev_was_major_break = word[-1] == MAJOR_BREAK or (
+            simple_punctuation
+            and SIMPLE_PUNCTUATION.get(word[-1]) == MAJOR_BREAK
+        )
         for phoneme in word:
             if not phoneme:
                 continue

@@ -1,0 +1,541 @@
+"""Text normalization: expand numbers, ordinals, years, and currency into
+words, per language.
+
+Replaces the verbalization gruut performed before phonemization (the
+reference delegates this entirely to the gruut dependency).  English covers
+cardinals/ordinals/years/decimals/currency; other languages cover cardinals
+and decimals.
+"""
+
+import re
+import typing
+
+# -----------------------------------------------------------------------------
+# English
+
+
+_EN_ONES = [
+    "zero", "one", "two", "three", "four", "five", "six", "seven", "eight",
+    "nine", "ten", "eleven", "twelve", "thirteen", "fourteen", "fifteen",
+    "sixteen", "seventeen", "eighteen", "nineteen",
+]
+_EN_TENS = [
+    "", "", "twenty", "thirty", "forty", "fifty", "sixty", "seventy",
+    "eighty", "ninety",
+]
+_EN_SCALE = [(10**9, "billion"), (10**6, "million"), (10**3, "thousand")]
+
+_EN_ORD_IRREG = {
+    "one": "first", "two": "second", "three": "third", "five": "fifth",
+    "eight": "eighth", "nine": "ninth", "twelve": "twelfth",
+}
+
+
+def en_number_to_words(n: int) -> str:
+    if n < 0:
+        return "minus " + en_number_to_words(-n)
+    if n < 20:
+        return _EN_ONES[n]
+    if n < 100:
+        tens, rest = divmod(n, 10)
+        word = _EN_TENS[tens]
+        return f"{word} {_EN_ONES[rest]}" if rest else word
+    if n < 1000:
+        hundreds, rest = divmod(n, 100)
+        word = f"{_EN_ONES[hundreds]} hundred"
+        return f"{word} {en_number_to_words(rest)}" if rest else word
+    for scale, name in _EN_SCALE:
+        if n >= scale:
+            major, rest = divmod(n, scale)
+            word = f"{en_number_to_words(major)} {name}"
+            return f"{word} {en_number_to_words(rest)}" if rest else word
+    return str(n)
+
+
+def en_ordinal_to_words(n: int) -> str:
+    words = en_number_to_words(n).split()
+    last = words[-1]
+    if last in _EN_ORD_IRREG:
+        words[-1] = _EN_ORD_IRREG[last]
+    elif last.endswith("y"):
+        words[-1] = last[:-1] + "ieth"
+    elif last in ("hundred", "thousand", "million", "billion"):
+        words[-1] = last + "th"
+    else:
+        words[-1] = last + "th"
+    return " ".join(words)
+
+
+def en_year_to_words(n: int) -> str:
+    """1963 -> nineteen sixty three; 2011 -> two thousand eleven."""
+    if 1000 <= n <= 1999 or (2100 <= n <= 9999 and (n % 100) != 0):
+        high, low = divmod(n, 100)
+        if low == 0:
+            return f"{en_number_to_words(high)} hundred"
+        if low < 10:
+            return f"{en_number_to_words(high)} oh {_EN_ONES[low]}"
+        return f"{en_number_to_words(high)} {en_number_to_words(low)}"
+    return en_number_to_words(n)
+
+
+# -----------------------------------------------------------------------------
+# German
+
+_DE_ONES = [
+    "null", "eins", "zwei", "drei", "vier", "fünf", "sechs", "sieben",
+    "acht", "neun", "zehn", "elf", "zwölf", "dreizehn", "vierzehn",
+    "fünfzehn", "sechzehn", "siebzehn", "achtzehn", "neunzehn",
+]
+_DE_TENS = [
+    "", "", "zwanzig", "dreißig", "vierzig", "fünfzig", "sechzig",
+    "siebzig", "achtzig", "neunzig",
+]
+_DE_UNIT = ["", "ein", "zwei", "drei", "vier", "fünf", "sechs", "sieben", "acht", "neun"]
+
+
+def de_number_to_words(n: int) -> str:
+    if n < 0:
+        return "minus " + de_number_to_words(-n)
+    if n < 20:
+        return _DE_ONES[n]
+    if n < 100:
+        tens, rest = divmod(n, 10)
+        if rest:
+            return f"{_DE_UNIT[rest]}und{_DE_TENS[tens]}"
+        return _DE_TENS[tens]
+    if n < 1000:
+        hundreds, rest = divmod(n, 100)
+        word = f"{_DE_UNIT[hundreds]}hundert"
+        return word + (de_number_to_words(rest) if rest else "")
+    if n < 10**6:
+        thousands, rest = divmod(n, 1000)
+        prefix = (
+            "eintausend"
+            if thousands == 1
+            else de_number_to_words(thousands) + "tausend"
+        )
+        return prefix + (de_number_to_words(rest) if rest else "")
+    millions, rest = divmod(n, 10**6)
+    word = (
+        "eine Million"
+        if millions == 1
+        else de_number_to_words(millions) + " Millionen"
+    )
+    return word + (" " + de_number_to_words(rest) if rest else "")
+
+
+# -----------------------------------------------------------------------------
+# Spanish
+
+_ES_ONES = [
+    "cero", "uno", "dos", "tres", "cuatro", "cinco", "seis", "siete",
+    "ocho", "nueve", "diez", "once", "doce", "trece", "catorce", "quince",
+    "dieciséis", "diecisiete", "dieciocho", "diecinueve", "veinte",
+    "veintiuno", "veintidós", "veintitrés", "veinticuatro", "veinticinco",
+    "veintiséis", "veintisiete", "veintiocho", "veintinueve",
+]
+_ES_TENS = [
+    "", "", "", "treinta", "cuarenta", "cincuenta", "sesenta", "setenta",
+    "ochenta", "noventa",
+]
+_ES_HUNDREDS = [
+    "", "ciento", "doscientos", "trescientos", "cuatrocientos",
+    "quinientos", "seiscientos", "setecientos", "ochocientos",
+    "novecientos",
+]
+
+
+def es_number_to_words(n: int) -> str:
+    if n < 0:
+        return "menos " + es_number_to_words(-n)
+    if n < 30:
+        return _ES_ONES[n]
+    if n < 100:
+        tens, rest = divmod(n, 10)
+        if rest:
+            return f"{_ES_TENS[tens]} y {_ES_ONES[rest]}"
+        return _ES_TENS[tens]
+    if n == 100:
+        return "cien"
+    if n < 1000:
+        hundreds, rest = divmod(n, 100)
+        word = _ES_HUNDREDS[hundreds]
+        return f"{word} {es_number_to_words(rest)}" if rest else word
+    if n < 10**6:
+        thousands, rest = divmod(n, 1000)
+        prefix = "mil" if thousands == 1 else es_number_to_words(thousands) + " mil"
+        return f"{prefix} {es_number_to_words(rest)}" if rest else prefix
+    millions, rest = divmod(n, 10**6)
+    word = "un millón" if millions == 1 else es_number_to_words(millions) + " millones"
+    return f"{word} {es_number_to_words(rest)}" if rest else word
+
+
+# -----------------------------------------------------------------------------
+# French
+
+_FR_ONES = [
+    "zéro", "un", "deux", "trois", "quatre", "cinq", "six", "sept", "huit",
+    "neuf", "dix", "onze", "douze", "treize", "quatorze", "quinze", "seize",
+    "dix-sept", "dix-huit", "dix-neuf",
+]
+_FR_TENS = [
+    "", "", "vingt", "trente", "quarante", "cinquante", "soixante",
+]
+
+
+def fr_number_to_words(n: int) -> str:
+    if n < 0:
+        return "moins " + fr_number_to_words(-n)
+    if n < 20:
+        return _FR_ONES[n]
+    if n < 70:
+        tens, rest = divmod(n, 10)
+        word = _FR_TENS[tens]
+        if rest == 1:
+            return f"{word} et un"
+        return f"{word}-{_FR_ONES[rest]}" if rest else word
+    if n < 80:
+        rest = n - 60
+        if rest == 11:
+            return "soixante et onze"
+        return f"soixante-{_FR_ONES[rest]}"
+    if n < 100:
+        rest = n - 80
+        if rest == 0:
+            return "quatre-vingts"
+        return f"quatre-vingt-{_FR_ONES[rest]}"
+    if n < 1000:
+        hundreds, rest = divmod(n, 100)
+        word = "cent" if hundreds == 1 else f"{_FR_ONES[hundreds]} cents"
+        if rest:
+            base = "cent" if hundreds == 1 else f"{_FR_ONES[hundreds]} cent"
+            return f"{base} {fr_number_to_words(rest)}"
+        return word
+    if n < 10**6:
+        thousands, rest = divmod(n, 1000)
+        prefix = "mille" if thousands == 1 else fr_number_to_words(thousands) + " mille"
+        return f"{prefix} {fr_number_to_words(rest)}" if rest else prefix
+    millions, rest = divmod(n, 10**6)
+    word = (
+        "un million" if millions == 1 else fr_number_to_words(millions) + " millions"
+    )
+    return f"{word} {fr_number_to_words(rest)}" if rest else word
+
+
+# -----------------------------------------------------------------------------
+# Italian
+
+_IT_ONES = [
+    "zero", "uno", "due", "tre", "quattro", "cinque", "sei", "sette",
+    "otto", "nove", "dieci", "undici", "dodici", "tredici", "quattordici",
+    "quindici", "sedici", "diciassette", "diciotto", "diciannove",
+]
+_IT_TENS = [
+    "", "", "venti", "trenta", "quaranta", "cinquanta", "sessanta",
+    "settanta", "ottanta", "novanta",
+]
+
+
+def it_number_to_words(n: int) -> str:
+    if n < 0:
+        return "meno " + it_number_to_words(-n)
+    if n < 20:
+        return _IT_ONES[n]
+    if n < 100:
+        tens, rest = divmod(n, 10)
+        word = _IT_TENS[tens]
+        if rest in (1, 8):  # elision before vowel
+            word = word[:-1]
+        return word + (_IT_ONES[rest] if rest else "")
+    if n < 1000:
+        hundreds, rest = divmod(n, 100)
+        word = "cento" if hundreds == 1 else _IT_ONES[hundreds] + "cento"
+        return word + (it_number_to_words(rest) if rest else "")
+    if n < 10**6:
+        thousands, rest = divmod(n, 1000)
+        prefix = "mille" if thousands == 1 else it_number_to_words(thousands) + "mila"
+        return prefix + (it_number_to_words(rest) if rest else "")
+    millions, rest = divmod(n, 10**6)
+    word = (
+        "un milione" if millions == 1 else it_number_to_words(millions) + " milioni"
+    )
+    return f"{word} {it_number_to_words(rest)}" if rest else word
+
+
+# -----------------------------------------------------------------------------
+# Dutch
+
+_NL_ONES = [
+    "nul", "een", "twee", "drie", "vier", "vijf", "zes", "zeven", "acht",
+    "negen", "tien", "elf", "twaalf", "dertien", "veertien", "vijftien",
+    "zestien", "zeventien", "achttien", "negentien",
+]
+_NL_TENS = [
+    "", "", "twintig", "dertig", "veertig", "vijftig", "zestig",
+    "zeventig", "tachtig", "negentig",
+]
+
+
+def nl_number_to_words(n: int) -> str:
+    if n < 0:
+        return "min " + nl_number_to_words(-n)
+    if n < 20:
+        return _NL_ONES[n]
+    if n < 100:
+        tens, rest = divmod(n, 10)
+        if rest:
+            joiner = "ën" if _NL_ONES[rest].endswith("e") else "en"
+            return f"{_NL_ONES[rest]}{joiner}{_NL_TENS[tens]}"
+        return _NL_TENS[tens]
+    if n < 1000:
+        hundreds, rest = divmod(n, 100)
+        word = "honderd" if hundreds == 1 else _NL_ONES[hundreds] + "honderd"
+        return word + (nl_number_to_words(rest) if rest else "")
+    if n < 10**6:
+        thousands, rest = divmod(n, 1000)
+        prefix = "duizend" if thousands == 1 else nl_number_to_words(thousands) + "duizend"
+        return prefix + (" " + nl_number_to_words(rest) if rest else "")
+    millions, rest = divmod(n, 10**6)
+    word = (
+        "een miljoen" if millions == 1 else nl_number_to_words(millions) + " miljoen"
+    )
+    return f"{word} {nl_number_to_words(rest)}" if rest else word
+
+
+# -----------------------------------------------------------------------------
+# Russian
+
+_RU_ONES = [
+    "ноль", "один", "два", "три", "четыре", "пять", "шесть", "семь",
+    "восемь", "девять", "десять", "одиннадцать", "двенадцать",
+    "тринадцать", "четырнадцать", "пятнадцать", "шестнадцать",
+    "семнадцать", "восемнадцать", "девятнадцать",
+]
+_RU_TENS = [
+    "", "", "двадцать", "тридцать", "сорок", "пятьдесят", "шестьдесят",
+    "семьдесят", "восемьдесят", "девяносто",
+]
+_RU_HUNDREDS = [
+    "", "сто", "двести", "триста", "четыреста", "пятьсот", "шестьсот",
+    "семьсот", "восемьсот", "девятьсот",
+]
+
+
+def ru_number_to_words(n: int) -> str:
+    if n < 0:
+        return "минус " + ru_number_to_words(-n)
+    if n < 20:
+        return _RU_ONES[n]
+    if n < 100:
+        tens, rest = divmod(n, 10)
+        word = _RU_TENS[tens]
+        return f"{word} {_RU_ONES[rest]}" if rest else word
+    if n < 1000:
+        hundreds, rest = divmod(n, 100)
+        word = _RU_HUNDREDS[hundreds]
+        return f"{word} {ru_number_to_words(rest)}" if rest else word
+    if n < 10**6:
+        thousands, rest = divmod(n, 1000)
+        last = thousands % 10
+        last2 = thousands % 100
+        if thousands == 1:
+            prefix = "одна тысяча"
+        elif last == 1 and last2 != 11:
+            prefix = ru_number_to_words(thousands - 1) + " одна тысяча"
+        elif 2 <= last <= 4 and not 12 <= last2 <= 14:
+            head = ru_number_to_words(thousands)
+            if last == 2:
+                head = head.rsplit(" ", 1)[0] + " две" if " " in head else "две"
+            prefix = head + " тысячи"
+        else:
+            prefix = ru_number_to_words(thousands) + " тысяч"
+        return f"{prefix} {ru_number_to_words(rest)}" if rest else prefix
+    millions, rest = divmod(n, 10**6)
+    word = ru_number_to_words(millions) + (
+        " миллион" if millions % 10 == 1 and millions % 100 != 11 else " миллионов"
+    )
+    return f"{word} {ru_number_to_words(rest)}" if rest else word
+
+
+# -----------------------------------------------------------------------------
+# Swedish
+
+_SV_ONES = [
+    "noll", "ett", "två", "tre", "fyra", "fem", "sex", "sju", "åtta",
+    "nio", "tio", "elva", "tolv", "tretton", "fjorton", "femton",
+    "sexton", "sjutton", "arton", "nitton",
+]
+_SV_TENS = [
+    "", "", "tjugo", "trettio", "fyrtio", "femtio", "sextio", "sjuttio",
+    "åttio", "nittio",
+]
+
+
+def sv_number_to_words(n: int) -> str:
+    if n < 0:
+        return "minus " + sv_number_to_words(-n)
+    if n < 20:
+        return _SV_ONES[n]
+    if n < 100:
+        tens, rest = divmod(n, 10)
+        return _SV_TENS[tens] + (_SV_ONES[rest] if rest else "")
+    if n < 1000:
+        hundreds, rest = divmod(n, 100)
+        word = ("ett" if hundreds == 1 else _SV_ONES[hundreds]) + "hundra"
+        return word + (sv_number_to_words(rest) if rest else "")
+    if n < 10**6:
+        thousands, rest = divmod(n, 1000)
+        prefix = ("ett" if thousands == 1 else sv_number_to_words(thousands)) + "tusen"
+        return prefix + (" " + sv_number_to_words(rest) if rest else "")
+    millions, rest = divmod(n, 10**6)
+    word = (
+        "en miljon" if millions == 1 else sv_number_to_words(millions) + " miljoner"
+    )
+    return f"{word} {sv_number_to_words(rest)}" if rest else word
+
+
+# -----------------------------------------------------------------------------
+# Swahili
+
+_SW_ONES = [
+    "sifuri", "moja", "mbili", "tatu", "nne", "tano", "sita", "saba",
+    "nane", "tisa",
+]
+_SW_TENS = [
+    "", "kumi", "ishirini", "thelathini", "arobaini", "hamsini",
+    "sitini", "sabini", "themanini", "tisini",
+]
+
+
+def sw_number_to_words(n: int) -> str:
+    if n < 0:
+        return "kasoro " + sw_number_to_words(-n)
+    if n < 10:
+        return _SW_ONES[n]
+    if n < 100:
+        tens, rest = divmod(n, 10)
+        word = _SW_TENS[tens]
+        return f"{word} na {_SW_ONES[rest]}" if rest else word
+    if n < 1000:
+        hundreds, rest = divmod(n, 100)
+        word = f"mia {_SW_ONES[hundreds]}"
+        return f"{word} na {sw_number_to_words(rest)}" if rest else word
+    if n < 10**6:
+        thousands, rest = divmod(n, 1000)
+        word = f"elfu {sw_number_to_words(thousands)}"
+        return f"{word} na {sw_number_to_words(rest)}" if rest else word
+    millions, rest = divmod(n, 10**6)
+    word = f"milioni {sw_number_to_words(millions)}"
+    return f"{word} na {sw_number_to_words(rest)}" if rest else word
+
+
+# -----------------------------------------------------------------------------
+
+NUMBER_TO_WORDS: typing.Dict[str, typing.Callable[[int], str]] = {
+    "en-us": en_number_to_words,
+    "de-de": de_number_to_words,
+    "es-es": es_number_to_words,
+    "fr-fr": fr_number_to_words,
+    "it-it": it_number_to_words,
+    "nl": nl_number_to_words,
+    "ru-ru": ru_number_to_words,
+    "sv-se": sv_number_to_words,
+    "sw": sw_number_to_words,
+}
+
+_DECIMAL_POINT = {
+    "en-us": "point",
+    "de-de": "Komma",
+    "es-es": "coma",
+    "fr-fr": "virgule",
+    "it-it": "virgola",
+    "nl": "komma",
+    "ru-ru": "запятая",
+    "sv-se": "komma",
+    "sw": "pointi",
+}
+
+_CURRENCY = {
+    "$": {"en-us": "dollars"},
+    "€": {
+        "en-us": "euros", "de-de": "Euro", "es-es": "euros",
+        "fr-fr": "euros", "it-it": "euro", "nl": "euro",
+    },
+    "£": {"en-us": "pounds"},
+}
+
+_ORDINAL_RE = re.compile(r"^(\d+)(st|nd|rd|th)$", re.IGNORECASE)
+_YEAR_RE = re.compile(r"^[12]\d{3}$")
+_NUMBER_RE = re.compile(r"^-?\d{1,3}(?:[,.]\d{3})*(?:[.,]\d+)?$|^-?\d+(?:[.,]\d+)?$")
+_CURRENCY_RE = re.compile(r"^([$€£])(\d+(?:[.,]\d+)?)$")
+_TIME_RE = re.compile(r"^(\d{1,2}):(\d{2})$")
+
+
+def _spell_number(token: str, lang: str) -> typing.Optional[str]:
+    to_words = NUMBER_TO_WORDS.get(lang, en_number_to_words)
+    decimal_word = _DECIMAL_POINT.get(lang, "point")
+
+    # Strip digit-group separators (1,000 / 1.000 heuristics)
+    clean = token
+    if re.match(r"^-?\d{1,3}(?:,\d{3})+(?:\.\d+)?$", token):
+        clean = token.replace(",", "")
+    elif re.match(r"^-?\d{1,3}(?:\.\d{3})+(?:,\d+)?$", token) and lang != "en-us":
+        clean = token.replace(".", "").replace(",", ".")
+    elif "," in token and lang != "en-us":
+        clean = token.replace(",", ".")
+
+    if re.match(r"^-?\d+$", clean):
+        return to_words(int(clean))
+    m = re.match(r"^(-?\d+)\.(\d+)$", clean)
+    if m:
+        whole = to_words(int(m.group(1)))
+        ones = NUMBER_TO_WORDS.get(lang, en_number_to_words)
+        digits = " ".join(ones(int(d)) for d in m.group(2))
+        return f"{whole} {decimal_word} {digits}"
+    return None
+
+
+def normalize_token(token: str, lang: str = "en-us") -> typing.Optional[str]:
+    """Expand one token into words if it is number-like; else None."""
+    if not any(ch.isdigit() for ch in token):
+        return None
+
+    # explicit interpretation markers ("22_ordinal", "1963_year") — the
+    # convention gruut supports and the reference fixtures use
+    # (local/en-us/*/samples/test_sentences.txt)
+    m = re.match(r"^(\d+)_(ordinal|year|cardinal)$", token)
+    if m:
+        value, hint = int(m.group(1)), m.group(2)
+        if lang == "en-us":
+            if hint == "ordinal":
+                return en_ordinal_to_words(value)
+            if hint == "year":
+                return en_year_to_words(value)
+        return _spell_number(str(value), lang)
+
+    if lang == "en-us":
+        m = _ORDINAL_RE.match(token)
+        if m:
+            return en_ordinal_to_words(int(m.group(1)))
+        if _YEAR_RE.match(token):
+            return en_year_to_words(int(token))
+
+    m = _CURRENCY_RE.match(token)
+    if m:
+        symbol, amount = m.groups()
+        unit = _CURRENCY.get(symbol, {}).get(lang)
+        spelled = _spell_number(amount, lang)
+        if spelled is not None:
+            return f"{spelled} {unit}" if unit else spelled
+
+    m = _TIME_RE.match(token)
+    if m and lang == "en-us":
+        hours, minutes = int(m.group(1)), int(m.group(2))
+        to_words = en_number_to_words
+        if minutes == 0:
+            return f"{to_words(hours)} o'clock"
+        if minutes < 10:
+            return f"{to_words(hours)} oh {to_words(minutes)}"
+        return f"{to_words(hours)} {to_words(minutes)}"
+
+    return _spell_number(token, lang)

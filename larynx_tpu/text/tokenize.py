@@ -1,0 +1,104 @@
+"""Sentence segmentation and word tokenization.
+
+Replaces gruut's tokenizer for the subset of behavior the pipeline needs:
+split raw text into sentences, split sentences into word tokens, classify
+punctuation into minor/major breaks, and expand number-like tokens through
+:mod:`larynx_tpu.text.normalize`.
+"""
+
+import re
+import typing
+
+from larynx_tpu.text.normalize import normalize_token
+
+# Sentence boundary: terminal punctuation followed by whitespace or EOT.
+_SENT_BOUNDARY = re.compile(r"(?<=[.!?…])[\)\]\"'”’]*\s+")
+
+# Common abbreviations that do not end a sentence (en-centric, harmless
+# elsewhere)
+_ABBREVIATIONS = {
+    "mr.", "mrs.", "ms.", "dr.", "prof.", "sr.", "jr.", "st.", "etc.",
+    "e.g.", "i.e.", "vs.", "inc.", "ltd.", "co.", "no.", "dept.", "est.",
+    "approx.", "jan.", "feb.", "mar.", "apr.", "jun.", "jul.", "aug.",
+    "sep.", "sept.", "oct.", "nov.", "dec.", "z.b.", "u.a.", "bzw.",
+    "ca.", "usw.", "d.h.",
+}
+
+MINOR_PUNCT = {",", ";", ":", "-", "—", "–", "(", ")", "[", "]", "…"}
+MAJOR_PUNCT = {".", "!", "?", "¡", "¿", "。"}
+
+# token = word-ish run (letters/digits/' - embedded), or single punctuation
+_TOKEN_RE = re.compile(
+    r"\d+_[a-z]+"  # interpretation markers: 22_ordinal, 1963_year
+    r"|[$€£]?\d+(?::\d{2})?(?:[.,]\d+)*(?:st|nd|rd|th)?"  # numbers/money/time
+    r"|[\w']+(?:[-'’][\w']+)*"  # words incl. apostrophes/hyphens
+    r"|[^\w\s]",  # any single punctuation char
+    re.UNICODE,
+)
+
+
+def split_sentences(text: str) -> typing.List[str]:
+    """Split text into sentences, keeping trailing punctuation."""
+    text = text.strip()
+    if not text:
+        return []
+    # Newlines always separate sentences (paragraph behavior)
+    parts: typing.List[str] = []
+    for chunk in re.split(r"\n+", text):
+        chunk = chunk.strip()
+        if not chunk:
+            continue
+        start = 0
+        for m in _SENT_BOUNDARY.finditer(chunk):
+            candidate = chunk[start : m.start() + 1].strip()
+            # Don't split after abbreviations / single initials
+            last_word = candidate.rsplit(" ", 1)[-1].lower()
+            if last_word in _ABBREVIATIONS or re.match(r"^\w\.$", last_word):
+                continue
+            if candidate:
+                parts.append(chunk[start : m.end()].rstrip())
+            start = m.end()
+        tail = chunk[start:].strip()
+        if tail:
+            parts.append(tail)
+    return parts
+
+
+def tokenize(sentence: str) -> typing.List[str]:
+    """Split one sentence into word/punctuation tokens."""
+    return _TOKEN_RE.findall(sentence)
+
+
+def classify_token(token: str) -> str:
+    """'word', 'minor' (short pause), 'major' (sentence break), 'skip'."""
+    if token in MINOR_PUNCT:
+        return "minor"
+    if token in MAJOR_PUNCT:
+        return "major"
+    if not any(ch.isalnum() for ch in token):
+        return "skip"  # quotes and other non-break punctuation
+    return "word"
+
+
+def words_of(
+    sentence: str, lang: str = "en-us"
+) -> typing.List[typing.Tuple[str, str]]:
+    """Tokenize + normalize: [(kind, token), ...] with numbers expanded.
+
+    ``kind`` is 'word'/'minor'/'major'.
+    """
+    out: typing.List[typing.Tuple[str, str]] = []
+    for token in tokenize(sentence):
+        kind = classify_token(token)
+        if kind == "skip":
+            continue
+        if kind != "word":
+            out.append((kind, token))
+            continue
+        expanded = normalize_token(token, lang)
+        if expanded is not None:
+            for word in expanded.split():
+                out.append(("word", word))
+        else:
+            out.append(("word", token))
+    return out

@@ -1,0 +1,216 @@
+"""Text frontend tests: golden phoneme-id parity, SSML, normalization."""
+
+import numpy as np
+import pytest
+
+from larynx_tpu.text.frontend import sentences
+from larynx_tpu.text.ids import load_phoneme_ids, phonemes_to_ids
+from larynx_tpu.text.langs import resolve_lang
+from larynx_tpu.text.normalize import (
+    en_number_to_words,
+    en_ordinal_to_words,
+    en_year_to_words,
+)
+
+
+def _text_to_ids(text, table, lang="en-us", ssml=False):
+    out = []
+    for sent in sentences(text, lang=lang, ssml=ssml):
+        word_phonemes = [w.phonemes for w in sent if w.phonemes]
+        out.append(phonemes_to_ids(word_phonemes, table))
+    return out
+
+
+@pytest.fixture(scope="module")
+def ljspeech_table(reference_dir):
+    with open(
+        reference_dir / "local/en-us/ljspeech-glow_tts/phonemes.txt",
+        encoding="utf-8",
+    ) as f:
+        return load_phoneme_ids(f)
+
+
+@pytest.fixture(scope="module")
+def golden(reference_dir):
+    out = {}
+    with open(
+        reference_dir / "local/en-us/ljspeech-glow_tts/samples/test_phonemes.csv",
+        encoding="utf-8",
+    ) as f:
+        for line in f:
+            name, ids = line.strip().split("|")
+            out[name] = [int(i) for i in ids.split()]
+    return out
+
+
+@pytest.fixture(scope="module")
+def golden_texts(reference_dir):
+    out = {}
+    with open(
+        reference_dir
+        / "local/en-us/ljspeech-glow_tts/samples/test_sentences.txt",
+        encoding="utf-8",
+    ) as f:
+        for line in f:
+            name, text = line.strip().split("|")
+            out[name] = text
+    return out
+
+
+GOLDEN_NAMES = [
+    "be_a_voice_not_an_echo",
+    "it_took_me_quite_a_long_time_to_develop_a_voice",
+    "im_sorry_dave",
+    "this_cake_is_great",
+    "prior_to_november",
+]
+
+
+@pytest.mark.parametrize("name", GOLDEN_NAMES)
+def test_golden_phoneme_ids(ljspeech_table, golden, golden_texts, name):
+    """Full text->ids parity with the committed gruut outputs.
+
+    The fixtures were generated with one phonemes2ids call over the whole
+    text (visible in the missing blank after a mid-text ‖), so we
+    concatenate sentence word lists before the id conversion.
+    """
+    all_words = []
+    for sent in sentences(golden_texts[name], lang="en-us"):
+        all_words.extend(w.phonemes for w in sent if w.phonemes)
+    ids = phonemes_to_ids(all_words, ljspeech_table)
+    assert ids == golden[name]
+
+
+def test_sentence_splitting():
+    sents = list(sentences("Hello world. How are you? Fine!", lang="en"))
+    assert len(sents) == 3
+    assert sents[0].text.startswith("Hello")
+    assert sents[2].text.startswith("Fine")
+
+
+def test_abbreviations_do_not_split():
+    sents = list(sentences("Dr. Smith lives on St. James St. nearby.", lang="en"))
+    assert len(sents) == 1
+
+
+def test_number_normalization():
+    assert en_number_to_words(1963) == "one thousand nine hundred sixty three"
+    assert en_year_to_words(1963) == "nineteen sixty three"
+    assert en_year_to_words(2011) == "two thousand eleven"
+    assert en_ordinal_to_words(2) == "second"
+    assert en_ordinal_to_words(23) == "twenty third"
+    assert en_ordinal_to_words(30) == "thirtieth"
+
+
+def test_numbers_in_sentences():
+    sents = list(sentences("I have 2 cats.", lang="en"))
+    texts = [w.text for w in sents[0] if not w.is_break]
+    assert "two" in texts
+
+
+def test_multilang_phonemizers_produce_output():
+    cases = {
+        "de": "Falsches Üben von Xylophonmusik quält jeden größeren Zwerg.",
+        "es": "Benjamín pidió una bebida de kiwi y fresa.",
+        "fr": "Buvez de ce whisky que le patron juge fameux.",
+        "it": "Ma la volpe, col suo balzo, ha raggiunto il quieto Fido.",
+        "nl": "Pa's wijze lynx bezag vroom het fikse aquaduct.",
+        "ru": "Широкая электрификация южных губерний даст мощный толчок.",
+        "sv": "Yxskaftbud, ge vår WC-zonmö IQ-hjälp.",
+        "sw": "Gari langu linaloangama limejaa na mikunga.",
+    }
+    for lang, text in cases.items():
+        sents = list(sentences(text, lang=lang))
+        assert sents, lang
+        word_count = sum(1 for w in sents[0] if not w.is_break and w.phonemes)
+        assert word_count >= 3, (lang, sents[0].words)
+
+
+def test_multilang_ids_against_voice_inventories(reference_dir):
+    """Phonemizer output must map into each language's voice inventory with
+    low drop rate."""
+    voices = {
+        "de-de": "de-de/thorsten-glow_tts",
+        "es-es": "es-es/carlfm-glow_tts",
+        "fr-fr": "fr-fr/siwis-glow_tts",
+        "it-it": "it-it/riccardo_fasol-glow_tts",
+        "nl": "nl/rdh-glow_tts",
+        "ru-ru": "ru-ru/nikolaev-glow_tts",
+        "sv-se": "sv-se/talesyntese-glow_tts",
+        "sw": "sw/biblia_takatifu-glow_tts",
+    }
+    pangrams = {}
+    with open(reference_dir / "etc/pangrams.txt", encoding="utf-8") as f:
+        for line in f:
+            lang, text = line.strip().split("|", 1)
+            pangrams[lang] = text
+
+    for lang, voice_dir in voices.items():
+        path = reference_dir / "local" / voice_dir / "phonemes.txt"
+        with open(path, encoding="utf-8") as f:
+            table = load_phoneme_ids(f)
+        text = pangrams[lang]
+        total_phonemes = 0
+        total_ids = 0
+        for sent in sentences(text, lang=lang):
+            word_phonemes = [w.phonemes for w in sent if w.phonemes]
+            flat = [p for w in word_phonemes for p in w]
+            total_phonemes += len(flat)
+            ids = phonemes_to_ids(word_phonemes, table)
+            total_ids += len(ids)
+        assert total_phonemes > 0, lang
+        # ids include blanks (one per word); require that we didn't drop
+        # more than 20% of emitted symbols
+        assert total_ids >= 0.8 * total_phonemes, (
+            lang,
+            total_ids,
+            total_phonemes,
+        )
+
+
+def test_ssml_voice_switching():
+    markup = """
+    <speak>
+      <voice name="harvard">Hello there.</voice>
+      <voice name="thorsten"><s lang="de">Guten Tag.</s></voice>
+    </speak>
+    """
+    sents = list(sentences(markup, lang="en", ssml=True))
+    assert len(sents) == 2
+    assert sents[0].voice == "harvard"
+    assert sents[1].voice == "thorsten"
+    assert resolve_lang(sents[1].lang) == "de-de"
+
+
+def test_ssml_break_and_mark():
+    markup = (
+        '<speak>First part. <mark name="m1"/><break time="750ms"/>'
+        "Second part.</speak>"
+    )
+    sents = list(sentences(markup, lang="en", ssml=True))
+    assert len(sents) == 2
+    assert sents[0].marks_after == ["m1"]
+    assert sents[1].pause_before_ms == 750
+
+
+def test_ssml_say_as_spell_out():
+    markup = '<speak><say-as interpret-as="spell-out">TTS</say-as></speak>'
+    sents = list(sentences(markup, lang="en", ssml=True))
+    assert len(sents) == 1
+    non_break = [w for w in sents[0] if not w.is_break]
+    assert len(non_break) == 3  # T T S spelled out
+
+
+def test_ssml_sub():
+    markup = '<speak><sub alias="World Wide Web">WWW</sub> rocks.</speak>'
+    sents = list(sentences(markup, lang="en", ssml=True))
+    words = [w.text.lower() for w in sents[0] if not w.is_break]
+    assert "world" in words
+    assert "www" not in words
+
+
+def test_ssml_phoneme_tag():
+    markup = '<speak><phoneme ph="t ˈɛ s t">test</phoneme></speak>'
+    sents = list(sentences(markup, lang="en", ssml=True))
+    non_break = [w for w in sents[0] if not w.is_break]
+    assert non_break[0].phonemes == ["t", "ˈɛ", "s", "t"]
