@@ -1,0 +1,536 @@
+"""larynx_tpu — TPU-native neural text-to-speech.
+
+A from-scratch JAX/XLA rebuild of the Larynx TTS pipeline: text -> IPA
+phonemes -> ids -> mel spectrograms (GlowTTS) -> waveform (HiFi-GAN or
+Griffin-Lim).  Public surface mirrors the reference package
+(larynx/__init__.py): ``text_to_speech()``, ``get_tts_model()``,
+``get_vocoder_model()``, ``load_tts_model()``, ``load_vocoder_model()``.
+
+Unlike the reference — which runs ONNX Runtime per sentence at batch 1 —
+sentences are batched into bucketed static-shape XLA programs and the whole
+mel->audio path stays on device (see larynx_tpu.runtime.engine).
+"""
+
+import logging
+import time
+import typing
+from concurrent.futures import Executor, Future, ThreadPoolExecutor
+from pathlib import Path
+
+import numpy as np
+
+from larynx_tpu.audio import AudioSettings
+from larynx_tpu.constants import (
+    InferenceBackend,
+    TextToSpeechModel,
+    TextToSpeechModelConfig,
+    TextToSpeechResult,
+    TextToSpeechType,
+    VocoderModel,
+    VocoderModelConfig,
+    VocoderQuality,
+    VocoderType,
+)
+from larynx_tpu.text.frontend import sentences as frontend_sentences
+from larynx_tpu.text.ids import load_phoneme_ids, phonemes_to_ids
+from larynx_tpu.text.langs import resolve_lang
+from larynx_tpu.voices import (
+    DEFAULT_VOICE_URL_FORMAT,
+    VOCODER_QUALITY,
+    download_voice,
+    get_voice_download_name,
+    get_voices_dirs,
+    resolve_voice_name,
+    split_voice_name,
+    valid_voice_dir,
+)
+
+_LOGGER = logging.getLogger("larynx_tpu")
+
+__version__ = "1.0.0"
+
+_DEFAULT_AUDIO_SETTINGS = AudioSettings()
+
+# -----------------------------------------------------------------------------
+
+
+def text_to_speech(
+    text: str,
+    voice_or_lang: str = "en-us",
+    vocoder_or_quality: typing.Union[str, VocoderQuality] = VocoderQuality.HIGH,
+    ssml: bool = False,
+    backend: typing.Optional[InferenceBackend] = None,
+    tts_settings: typing.Optional[typing.Dict[str, typing.Any]] = None,
+    vocoder_settings: typing.Optional[typing.Dict[str, typing.Any]] = None,
+    denoiser_strength: float = 0.0,
+    use_cuda: bool = False,  # accepted for API parity; TPU is the device
+    half: bool = False,
+    executor: typing.Optional[Executor] = None,
+    custom_voices_dir: typing.Optional[typing.Union[str, Path]] = None,
+    url_format: str = DEFAULT_VOICE_URL_FORMAT,
+    max_batch: int = 8,
+    seed: typing.Optional[int] = None,
+) -> typing.Iterable[TextToSpeechResult]:
+    """Synthesize text into per-sentence audio results.
+
+    Parity surface: larynx/__init__.py:47-190.  Sentences sharing a voice
+    are batched through bucketed XLA programs instead of fanning out to a
+    thread pool at batch 1.
+    """
+    resolved_name = resolve_voice_name(voice_or_lang)
+    try:
+        voice_lang, _voice_name, _voice_type = split_voice_name(resolved_name)
+    except ValueError:
+        voice_lang = voice_or_lang
+    voice_lang = resolve_lang(voice_lang)
+
+    # Collect sentences with per-sentence voice resolution (SSML multi-voice)
+    jobs: typing.List[typing.Dict[str, typing.Any]] = []
+    for sentence in frontend_sentences(
+        text, lang=voice_lang, ssml=ssml, explicit_lang=False
+    ):
+        tts_model = None
+        tts_model_names = []
+        if sentence.voice:
+            tts_model_names.append(sentence.voice)
+        if sentence.lang:
+            if resolve_lang(sentence.lang) == voice_lang:
+                tts_model_names.append(resolved_name)
+            else:
+                tts_model_names.append(sentence.lang)
+        tts_model_names.append(resolved_name)
+        tts_model_names.append(voice_or_lang)
+
+        for tts_voice_name in filter(None, tts_model_names):
+            tts_model = get_tts_model(
+                tts_voice_name,
+                backend=backend,
+                half=half,
+                custom_voices_dir=custom_voices_dir,
+                url_format=url_format,
+            )
+            if tts_model is not None:
+                break
+        assert tts_model is not None, "Failed to load voice"
+
+        vocoder_model = get_vocoder_model(
+            vocoder_or_quality,
+            backend=backend,
+            half=half,
+            denoiser_strength=denoiser_strength,
+            custom_voices_dir=custom_voices_dir,
+            url_format=url_format,
+        )
+        assert vocoder_model is not None, "Failed to load vocoder"
+
+        phoneme_to_id = getattr(tts_model, "phoneme_to_id", {})
+        audio_settings = getattr(tts_model, "audio_settings", None)
+        if audio_settings is None:
+            audio_settings = _DEFAULT_AUDIO_SETTINGS
+
+        sent_phonemes = [w.phonemes for w in sentence if w.phonemes]
+        sent_phoneme_ids = phonemes_to_ids(sent_phonemes, phoneme_to_id)
+        _LOGGER.debug("%s %s %s", sentence.text, sent_phonemes, sent_phoneme_ids)
+
+        pause_before_ms = sentence.pause_before_ms
+        pause_after_ms = sentence.pause_after_ms
+        if sentence.words:
+            pause_before_ms += sentence.words[0].pause_before_ms
+            pause_after_ms += sentence.words[-1].pause_after_ms
+
+        marks_before = list(sentence.marks_before)
+        marks_after = list(sentence.marks_after)
+        for word_idx, word in enumerate(sentence):
+            if word.marks_before:
+                if word_idx == 0:
+                    marks_before.extend(word.marks_before)
+                else:
+                    marks_after.extend(word.marks_before)
+            if word.marks_after:
+                marks_after.extend(word.marks_after)
+
+        jobs.append(
+            {
+                "ids": np.asarray(sent_phoneme_ids, dtype=np.int64),
+                "tts_model": tts_model,
+                "vocoder_model": vocoder_model,
+                "audio_settings": audio_settings,
+                "pause_before_ms": pause_before_ms,
+                "pause_after_ms": pause_after_ms,
+                "result": TextToSpeechResult(
+                    text=sentence.text_with_ws,
+                    audio=None,
+                    sample_rate=audio_settings.sample_rate,
+                    marks_before=marks_before,
+                    marks_after=marks_after,
+                ),
+            }
+        )
+
+    if not jobs:
+        return
+
+    # Fused fast path: group consecutive same-(voice,vocoder) sentences and
+    # run them batched through one SynthesisEngine.
+    yield from _run_jobs(
+        jobs,
+        tts_settings=tts_settings,
+        vocoder_settings=vocoder_settings,
+        denoiser_strength=denoiser_strength,
+        max_batch=max_batch,
+        seed=seed,
+        half=half,
+    )
+
+
+def _run_jobs(
+    jobs,
+    tts_settings,
+    vocoder_settings,
+    denoiser_strength,
+    max_batch,
+    seed,
+    half,
+):
+    from larynx_tpu.runtime.buckets import BucketPolicy
+
+    noise_scale = 0.667
+    length_scale = 1.0
+    if tts_settings:
+        noise_scale = float(tts_settings.get("noise_scale", noise_scale))
+        length_scale = float(tts_settings.get("length_scale", length_scale))
+    if vocoder_settings:
+        denoiser_strength = float(
+            vocoder_settings.get("denoiser_strength", denoiser_strength)
+        )
+
+    # Group consecutive jobs by (tts_model, vocoder_model)
+    groups: typing.List[typing.List[int]] = []
+    for i, job in enumerate(jobs):
+        if groups and (
+            jobs[groups[-1][0]]["tts_model"] is job["tts_model"]
+            and jobs[groups[-1][0]]["vocoder_model"] is job["vocoder_model"]
+        ):
+            groups[-1].append(i)
+        else:
+            groups.append([i])
+
+    batch_counter = 0
+    for group in groups:
+        tts_model = jobs[group[0]]["tts_model"]
+        vocoder_model = jobs[group[0]]["vocoder_model"]
+        engine = _get_engine(tts_model, vocoder_model, half=half)
+
+        lengths = [len(jobs[i]["ids"]) for i in group]
+        policy = engine.policy if engine is not None else BucketPolicy()
+        batches = policy.group_by_text_bucket(lengths, max_batch)
+
+        for batch in batches:
+            indices = [group[k] for k in batch]
+            id_seqs = [jobs[i]["ids"] for i in indices]
+            start = time.perf_counter()
+            if engine is not None:
+                audios = engine.synthesize_batch(
+                    id_seqs,
+                    noise_scale=noise_scale,
+                    length_scale=length_scale,
+                    seed=seed,
+                    denoiser_strength=denoiser_strength,
+                    batch_index=batch_counter,
+                )
+            else:
+                audios = [
+                    _sentence_task_fallback(
+                        jobs[i], tts_settings, vocoder_settings
+                    )
+                    for i in indices
+                ]
+            elapsed = time.perf_counter() - start
+            batch_counter += 1
+
+            for i, audio in zip(indices, audios):
+                job = jobs[i]
+                settings = job["audio_settings"]
+                audio_sec = audio.shape[-1] / settings.sample_rate
+                rtf = elapsed / max(audio_sec, 1e-9) / len(indices)
+                _LOGGER.debug(
+                    "Real-time factor: %0.2f (infer=%0.2f sec, audio=%0.2f sec)",
+                    rtf,
+                    elapsed / len(indices),
+                    audio_sec,
+                )
+                before = max(
+                    0, (job["pause_before_ms"] * settings.sample_rate) // 1000
+                )
+                after = max(
+                    0, (job["pause_after_ms"] * settings.sample_rate) // 1000
+                )
+                if before > 0 or after > 0:
+                    audio = np.pad(
+                        audio, pad_width=(before, after), constant_values=0
+                    )
+                job["result"].audio = audio
+                yield job["result"]
+
+
+def _sentence_task_fallback(job, tts_settings, vocoder_settings) -> np.ndarray:
+    """Unfused path through the public model interfaces (kept for parity
+    and for custom model classes; mirrors larynx/__init__.py:214-285)."""
+    from larynx_tpu.audio import audio_float_to_int16
+
+    tts_model = job["tts_model"]
+    vocoder_model = job["vocoder_model"]
+    settings = job["audio_settings"]
+
+    mels = tts_model.phonemes_to_mels(job["ids"], settings=tts_settings)
+    if settings.signal_norm:
+        mels = settings.denormalize(mels)
+    if settings.convert_db_to_amp:
+        mels = settings.db_to_amp(mels)
+    if settings.do_dynamic_range_compression:
+        mels = settings.dynamic_range_compression(mels)
+    audio = vocoder_model.mels_to_audio(mels, settings=vocoder_settings)
+    if audio.dtype != np.int16:
+        audio = audio_float_to_int16(audio)
+    return audio
+
+
+# -----------------------------------------------------------------------------
+# Engine cache: one fused engine per (voice params, vocoder params) pair
+
+_ENGINE_CACHE: typing.Dict[typing.Tuple[int, int, bool], typing.Any] = {}
+
+
+def _get_engine(tts_model, vocoder_model, half: bool = False):
+    """Build/cache a fused SynthesisEngine when both models are native."""
+    from larynx_tpu.glow_tts import GlowTextToSpeech
+    from larynx_tpu.hifi_gan import HiFiGanVocoder
+    from larynx_tpu.griffin_lim import GriffinLimVocoder
+    from larynx_tpu.runtime.engine import SynthesisEngine
+
+    key = (id(tts_model), id(vocoder_model), half)
+    if key in _ENGINE_CACHE:
+        return _ENGINE_CACHE[key]
+
+    engine = None
+    if isinstance(tts_model, GlowTextToSpeech):
+        settings = tts_model.audio_settings or _DEFAULT_AUDIO_SETTINGS
+        if isinstance(vocoder_model, HiFiGanVocoder):
+            engine = SynthesisEngine(
+                tts_model.params,
+                tts_model.model_config,
+                settings,
+                vocoder_kind="hifi_gan",
+                vocoder_params=vocoder_model.params,
+                vocoder_cfg=vocoder_model.model_config,
+                half=half,
+            )
+        elif isinstance(vocoder_model, GriffinLimVocoder):
+            engine = SynthesisEngine(
+                tts_model.params,
+                tts_model.model_config,
+                settings,
+                vocoder_kind="griffin_lim",
+                half=half,
+            )
+    _ENGINE_CACHE[key] = engine
+    return engine
+
+
+# -----------------------------------------------------------------------------
+# Model loading + caches (parity: larynx/__init__.py:290-508)
+
+_TTS_MODEL_CACHE: typing.Dict[str, TextToSpeechModel] = {}
+
+
+def get_tts_model(
+    name: str = "",
+    lang: str = "en-us",
+    backend: typing.Optional[InferenceBackend] = None,
+    use_cuda: bool = False,
+    half: bool = False,
+    url_format: str = DEFAULT_VOICE_URL_FORMAT,
+    custom_voices_dir: typing.Optional[typing.Union[str, Path]] = None,
+    no_download: bool = False,
+) -> typing.Optional[TextToSpeechModel]:
+    resolved_name = resolve_voice_name(name or resolve_lang(lang))
+
+    maybe_model = _TTS_MODEL_CACHE.get(resolved_name)
+    if maybe_model is not None:
+        return maybe_model
+
+    model_dir: typing.Optional[Path] = None
+    try:
+        voice_lang, voice_name, voice_model_type = split_voice_name(resolved_name)
+    except ValueError:
+        return None
+    voice_dir_name = f"{voice_name}-{voice_model_type}"
+
+    voices_dirs = get_voices_dirs(custom_voices_dir)
+    for voices_dir in voices_dirs:
+        maybe_dir = voices_dir / voice_lang / voice_dir_name
+        _LOGGER.debug("Checking %s for voice %s", maybe_dir, resolved_name)
+        if valid_voice_dir(maybe_dir):
+            model_dir = maybe_dir
+            break
+
+    if model_dir is None:
+        for voices_dir in voices_dirs:
+            if not voices_dir.is_dir():
+                continue
+            for maybe_dir in voices_dir.rglob(voice_dir_name):
+                if valid_voice_dir(maybe_dir):
+                    model_dir = maybe_dir
+                    break
+            if model_dir is not None:
+                break
+
+    if model_dir is None and not no_download:
+        url_voice = get_voice_download_name(resolved_name)
+        url = url_format.format(voice=url_voice)
+        try:
+            model_dir = download_voice(resolved_name, voices_dirs[0], url)
+        except Exception:
+            _LOGGER.exception("download failed for %s", resolved_name)
+            return None
+
+    if model_dir is None:
+        return None
+    _LOGGER.debug("Using voice at %s", model_dir)
+
+    with open(model_dir / "phonemes.txt", "r", encoding="utf-8") as f:
+        phoneme_to_id = load_phoneme_ids(f)
+
+    import json
+
+    with open(model_dir / "config.json", "r", encoding="utf-8") as f:
+        config = json.load(f)
+        audio_settings = AudioSettings(**config["audio"])
+
+    model = load_tts_model(
+        voice_model_type, model_dir, backend=backend, half=half
+    )
+    setattr(model, "phoneme_to_id", phoneme_to_id)
+    setattr(model, "audio_settings", audio_settings)
+
+    _TTS_MODEL_CACHE[resolved_name] = model
+    if name:
+        _TTS_MODEL_CACHE[name] = model
+    if lang:
+        _TTS_MODEL_CACHE[lang] = model
+    return model
+
+
+def load_tts_model(
+    model_type: typing.Union[str, TextToSpeechType],
+    model_path: typing.Union[str, Path],
+    backend: typing.Optional[InferenceBackend] = None,
+    no_optimizations: bool = False,
+    use_cuda: bool = False,
+    half: bool = False,
+) -> TextToSpeechModel:
+    """Load the appropriate acoustic model (larynx/__init__.py:379-407)."""
+    config = TextToSpeechModelConfig(
+        model_path=Path(model_path),
+        backend=backend,
+        half=half,
+    )
+    if model_type == TextToSpeechType.GLOW_TTS:
+        from larynx_tpu.glow_tts import GlowTextToSpeech
+
+        return GlowTextToSpeech(config)
+
+    raise ValueError(f"Unknown text to speech model type: {model_type}")
+
+
+_VOCODER_MODEL_CACHE: typing.Dict[str, VocoderModel] = {}
+
+
+def get_vocoder_model(
+    name_or_quality: typing.Union[str, VocoderQuality] = VocoderQuality.HIGH,
+    backend: typing.Optional[InferenceBackend] = None,
+    use_cuda: bool = False,
+    half: bool = False,
+    denoiser_strength: float = 0.0,
+    url_format: str = DEFAULT_VOICE_URL_FORMAT,
+    custom_voices_dir: typing.Optional[typing.Union[str, Path]] = None,
+    no_download: bool = False,
+) -> typing.Optional[VocoderModel]:
+    quality_key = (
+        name_or_quality.value
+        if isinstance(name_or_quality, VocoderQuality)
+        else name_or_quality
+    )
+    maybe_model = _VOCODER_MODEL_CACHE.get(quality_key)
+    if maybe_model is not None:
+        return maybe_model
+
+    if quality_key == VocoderType.GRIFFIN_LIM.value:
+        model = load_vocoder_model(VocoderType.GRIFFIN_LIM, "")
+        _VOCODER_MODEL_CACHE[quality_key] = model
+        return model
+
+    model_type, model_name = VOCODER_QUALITY.get(quality_key, quality_key).split(
+        "/", maxsplit=1
+    )
+
+    model_dir: typing.Optional[Path] = None
+    voices_dirs = get_voices_dirs(custom_voices_dir)
+    for voices_dir in voices_dirs:
+        maybe_dir = voices_dir / model_type / model_name
+        _LOGGER.debug("Checking %s for vocoder %s", maybe_dir, quality_key)
+        if valid_voice_dir(maybe_dir):
+            model_dir = maybe_dir
+            break
+
+    if model_dir is None and not no_download:
+        # reference uses underscore join here (larynx/__init__.py:449)
+        url = url_format.format(voice=f"{model_type}_{model_name}")
+        try:
+            model_dir = download_voice(model_name, voices_dirs[0], url)
+        except Exception:
+            _LOGGER.exception("download failed for vocoder %s", model_name)
+            return None
+
+    if model_dir is None:
+        return None
+    _LOGGER.debug("Using vocoder at %s", model_dir)
+
+    model = load_vocoder_model(
+        VocoderType.HIFI_GAN,
+        model_dir,
+        backend=backend,
+        half=half,
+        denoiser_strength=denoiser_strength,
+    )
+    _VOCODER_MODEL_CACHE[quality_key] = model
+    return model
+
+
+def load_vocoder_model(
+    model_type: typing.Union[str, VocoderType],
+    model_path: typing.Union[str, Path],
+    backend: typing.Optional[InferenceBackend] = None,
+    no_optimizations: bool = False,
+    use_cuda: bool = False,
+    half: bool = False,
+    denoiser_strength: float = 0.0,
+    executor: typing.Optional[Executor] = None,
+) -> VocoderModel:
+    """Load the appropriate vocoder (larynx/__init__.py:472-508)."""
+    config = VocoderModelConfig(
+        model_path=Path(model_path),
+        backend=backend,
+        half=half,
+        denoiser_strength=denoiser_strength,
+    )
+    if model_type == VocoderType.GRIFFIN_LIM:
+        from larynx_tpu.griffin_lim import GriffinLimVocoder
+
+        return GriffinLimVocoder(config)
+    if model_type == VocoderType.HIFI_GAN:
+        from larynx_tpu.hifi_gan import HiFiGanVocoder
+
+        return HiFiGanVocoder(config, executor=executor)
+
+    raise ValueError(f"Unknown vocoder model type: {model_type}")

@@ -1,0 +1,296 @@
+"""ONNX checkpoint importer built on a minimal protobuf wire-format reader.
+
+The environment ships no ``onnx`` package, so this module decodes the ONNX
+ModelProto container directly (protobuf wire format) to extract the graph's
+initializer tensors, then maps them into larynx_tpu parameter pytrees using
+the same name-based conversion as the torch importer (ONNX files exported
+from the reference training repos carry the torch state-dict parameter
+names as initializer names).
+
+Supports the voice-dir default artifact ``generator.onnx``
+(larynx/glow_tts.py:98-100, larynx/hifi_gan.py:103-105 load these through
+ONNX Runtime in the reference).
+"""
+
+import struct
+import typing
+from pathlib import Path
+
+import numpy as np
+
+from larynx_tpu.models.glow_tts.config import GlowTTSConfig
+from larynx_tpu.convert.torch_import import (
+    StateDict,
+    glow_tts_params_from_state_dict,
+    hifi_gan_params_from_state_dict,
+)
+
+# --- protobuf wire format -----------------------------------------------------
+
+_WIRE_VARINT = 0
+_WIRE_64BIT = 1
+_WIRE_LEN = 2
+_WIRE_32BIT = 5
+
+
+class OnnxParseError(Exception):
+    pass
+
+
+def _read_varint(buf: memoryview, pos: int) -> typing.Tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        if pos >= len(buf):
+            raise OnnxParseError("truncated varint")
+        byte = buf[pos]
+        pos += 1
+        result |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            return result, pos
+        shift += 7
+        if shift > 70:
+            raise OnnxParseError("varint too long")
+
+
+def iter_fields(
+    buf: memoryview,
+) -> typing.Iterator[typing.Tuple[int, int, typing.Any]]:
+    """Yield (field_number, wire_type, value) for one message."""
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        key, pos = _read_varint(buf, pos)
+        field_num = key >> 3
+        wire_type = key & 0x7
+        if wire_type == _WIRE_VARINT:
+            value, pos = _read_varint(buf, pos)
+        elif wire_type == _WIRE_64BIT:
+            value = buf[pos : pos + 8]
+            pos += 8
+        elif wire_type == _WIRE_LEN:
+            length, pos = _read_varint(buf, pos)
+            value = buf[pos : pos + length]
+            pos += length
+        elif wire_type == _WIRE_32BIT:
+            value = buf[pos : pos + 4]
+            pos += 4
+        else:
+            raise OnnxParseError(f"unsupported wire type {wire_type}")
+        yield field_num, wire_type, value
+
+
+# --- ONNX TensorProto ---------------------------------------------------------
+
+# TensorProto.DataType -> numpy dtype
+_DTYPES = {
+    1: np.float32,
+    2: np.uint8,
+    3: np.int8,
+    4: np.uint16,
+    5: np.int16,
+    6: np.int32,
+    7: np.int64,
+    9: np.bool_,
+    10: np.float16,
+    11: np.float64,
+    12: np.uint32,
+    13: np.uint64,
+}
+
+
+def _zigzag_ok_int(v: int) -> int:
+    # protobuf int64 varints are two's-complement; wrap to signed
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def parse_tensor(buf: memoryview) -> typing.Tuple[str, np.ndarray]:
+    """Decode one TensorProto into (name, ndarray)."""
+    dims: typing.List[int] = []
+    data_type = 1
+    name = ""
+    raw = None
+    float_data: typing.List[float] = []
+    int32_data: typing.List[int] = []
+    int64_data: typing.List[int] = []
+    double_data: typing.List[float] = []
+
+    for field, wire, value in iter_fields(buf):
+        if field == 1:  # dims
+            if wire == _WIRE_VARINT:
+                dims.append(_zigzag_ok_int(value))
+            else:  # packed
+                pos = 0
+                while pos < len(value):
+                    v, pos = _read_varint(value, pos)
+                    dims.append(_zigzag_ok_int(v))
+        elif field == 2:  # data_type
+            data_type = value
+        elif field == 4:  # float_data
+            if wire == _WIRE_32BIT:
+                float_data.append(struct.unpack("<f", value)[0])
+            else:  # packed
+                float_data.extend(
+                    struct.unpack(f"<{len(value) // 4}f", bytes(value))
+                )
+        elif field == 5:  # int32_data
+            if wire == _WIRE_VARINT:
+                int32_data.append(value)
+            else:
+                pos = 0
+                while pos < len(value):
+                    v, pos = _read_varint(value, pos)
+                    int32_data.append(v)
+        elif field == 7:  # int64_data
+            if wire == _WIRE_VARINT:
+                int64_data.append(_zigzag_ok_int(value))
+            else:
+                pos = 0
+                while pos < len(value):
+                    v, pos = _read_varint(value, pos)
+                    int64_data.append(_zigzag_ok_int(v))
+        elif field == 8:  # name
+            name = bytes(value).decode("utf-8")
+        elif field == 9:  # raw_data
+            raw = bytes(value)
+        elif field == 10:  # double_data
+            if wire == _WIRE_64BIT:
+                double_data.append(struct.unpack("<d", value)[0])
+            else:
+                double_data.extend(
+                    struct.unpack(f"<{len(value) // 8}d", bytes(value))
+                )
+        elif field == 13:  # external_data
+            raise OnnxParseError(
+                "external tensor data is not supported"
+            )
+
+    dtype = _DTYPES.get(data_type)
+    if dtype is None:
+        raise OnnxParseError(f"unsupported tensor dtype {data_type} for {name}")
+
+    if raw is not None:
+        array = np.frombuffer(raw, dtype=dtype)
+    elif float_data:
+        array = np.asarray(float_data, dtype=dtype)
+    elif double_data:
+        array = np.asarray(double_data, dtype=dtype)
+    elif int64_data:
+        array = np.asarray(int64_data, dtype=dtype)
+    elif int32_data:
+        array = np.asarray(int32_data, dtype=dtype)
+    else:
+        array = np.zeros(0, dtype=dtype)
+
+    if dims:
+        array = array.reshape(dims)
+    return name, array
+
+
+def parse_node(buf: memoryview) -> typing.Dict[str, typing.Any]:
+    """Decode a NodeProto into a small dict (inputs/outputs/op_type/attrs)."""
+    node: typing.Dict[str, typing.Any] = {
+        "input": [],
+        "output": [],
+        "op_type": "",
+        "name": "",
+        "attrs": {},
+    }
+    for field, _wire, value in iter_fields(buf):
+        if field == 1:
+            node["input"].append(bytes(value).decode("utf-8"))
+        elif field == 2:
+            node["output"].append(bytes(value).decode("utf-8"))
+        elif field == 3:
+            node["name"] = bytes(value).decode("utf-8")
+        elif field == 4:
+            node["op_type"] = bytes(value).decode("utf-8")
+        elif field == 5:
+            attr_name, attr_value = _parse_attribute(value)
+            node["attrs"][attr_name] = attr_value
+    return node
+
+
+def _parse_attribute(buf: memoryview):
+    name = ""
+    out: typing.Any = None
+    for field, wire, value in iter_fields(buf):
+        if field == 1:
+            name = bytes(value).decode("utf-8")
+        elif field == 2:  # f
+            out = struct.unpack("<f", value)[0]
+        elif field == 3:  # i
+            out = _zigzag_ok_int(value)
+        elif field == 4:  # s
+            out = bytes(value)
+        elif field == 5:  # t (tensor)
+            out = parse_tensor(value)[1]
+        elif field == 7:  # floats
+            out = list(struct.unpack(f"<{len(value) // 4}f", bytes(value)))
+        elif field == 8:  # ints
+            ints = []
+            pos = 0
+            while pos < len(value):
+                v, pos = _read_varint(value, pos)
+                ints.append(_zigzag_ok_int(v))
+            out = ints
+    return name, out
+
+
+def read_onnx_graph(path: typing.Union[str, Path]):
+    """Parse a .onnx file -> (initializers {name: array}, nodes list)."""
+    data = memoryview(Path(path).read_bytes())
+
+    graph_buf = None
+    for field, wire, value in iter_fields(data):  # ModelProto
+        if field == 7 and wire == _WIRE_LEN:  # graph
+            graph_buf = value
+            break
+    if graph_buf is None:
+        raise OnnxParseError("no graph in ONNX model")
+
+    initializers: typing.Dict[str, np.ndarray] = {}
+    nodes: typing.List[typing.Dict[str, typing.Any]] = []
+    for field, wire, value in iter_fields(graph_buf):  # GraphProto
+        if field == 5 and wire == _WIRE_LEN:  # initializer
+            name, array = parse_tensor(value)
+            initializers[name] = array
+        elif field == 1 and wire == _WIRE_LEN:  # node
+            nodes.append(parse_node(value))
+    return initializers, nodes
+
+
+# --- name normalization + model mapping ---------------------------------------
+
+
+def _normalize_initializer_names(init: StateDict) -> StateDict:
+    """Strip common export prefixes/suffixes so names match state-dict keys."""
+    out: StateDict = {}
+    for name, array in init.items():
+        clean = name
+        for prefix in ("model.", "module.", "generator."):
+            if clean.startswith(prefix):
+                clean = clean[len(prefix) :]
+        out[clean] = array
+    return out
+
+
+def onnx_state_dict(path: typing.Union[str, Path]) -> StateDict:
+    init, _nodes = read_onnx_graph(path)
+    return _normalize_initializer_names(
+        {k: np.asarray(v, dtype=v.dtype) for k, v in init.items()}
+    )
+
+
+def glow_tts_params_from_onnx(path: typing.Union[str, Path], cfg: GlowTTSConfig):
+    sd = onnx_state_dict(path)
+    sd = {k: v.astype(np.float32) if v.dtype == np.float16 else v for k, v in sd.items()}
+    return glow_tts_params_from_state_dict(sd, cfg)
+
+
+def hifi_gan_params_from_onnx(path: typing.Union[str, Path], cfg):
+    sd = onnx_state_dict(path)
+    sd = {k: v.astype(np.float32) if v.dtype == np.float16 else v for k, v in sd.items()}
+    return hifi_gan_params_from_state_dict(
+        sd, cfg.upsample_rates, cfg.resblock_kernel_sizes, resblock=cfg.resblock
+    )

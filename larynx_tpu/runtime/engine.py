@@ -1,0 +1,323 @@
+"""The TPU synthesis engine: staged, bucketed, batched inference.
+
+Pipeline (all stages jitted, one XLA program per (batch, length) bucket):
+
+  stage A  encode      ids [B,T]        -> means/log-durations   (MXU-light)
+  stage B  decode      means [B,T]      -> mel [B,M,C]           (flow reverse)
+  stage C  vocode      mel [B,M,C]      -> audio [B,M*up]        (conv-heavy)
+
+Between A and B the host reads the per-sentence mel lengths (a [B] int
+transfer) and picks the mel bucket M — the only host sync in the pipeline.
+The reference instead runs ONNX Runtime per sentence at batch 1 on CPU
+(larynx/glow_tts.py:156-168, larynx/hifi_gan.py:150); batching across
+sentences/requests plus static-shape reuse is where the TPU build wins.
+"""
+
+import functools
+import logging
+import threading
+import typing
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from larynx_tpu.audio import AudioSettings, audio_float_to_int16
+from larynx_tpu.audio import mel_basis as make_mel_basis
+import larynx_tpu.dsp.mel as dspmel
+import larynx_tpu.dsp.stft as dsp
+from larynx_tpu.models.glow_tts import GlowTTSConfig
+from larynx_tpu.models.glow_tts import model as glow_model
+from larynx_tpu.models.hifi_gan import HiFiGanConfig
+from larynx_tpu.models.hifi_gan import model as hifi_model
+from larynx_tpu.models.hifi_gan import denoiser as hifi_denoiser
+from larynx_tpu.runtime.buckets import BucketPolicy
+
+_LOGGER = logging.getLogger("larynx_tpu.engine")
+
+SILENCE_LOG_MEL = float(np.log(1e-5))
+
+
+class SynthesisEngine:
+    """Owns jitted programs + parameters for one (voice, vocoder) pair."""
+
+    def __init__(
+        self,
+        glow_params,
+        glow_cfg: GlowTTSConfig,
+        audio_settings: AudioSettings,
+        vocoder_kind: str = "griffin_lim",  # "hifi_gan" | "griffin_lim"
+        vocoder_params=None,
+        vocoder_cfg: typing.Optional[HiFiGanConfig] = None,
+        policy: typing.Optional[BucketPolicy] = None,
+        half: bool = False,
+        seed: int = 1234,
+        griffin_lim_iters: int = 60,
+    ):
+        self.glow_cfg = glow_cfg
+        self.audio_settings = audio_settings
+        self.vocoder_kind = vocoder_kind
+        self.vocoder_cfg = vocoder_cfg
+        self.policy = policy or BucketPolicy(n_sqz=glow_cfg.n_sqz)
+        self.seed = seed
+        self.half = half
+        self.griffin_lim_iters = griffin_lim_iters
+        self._lock = threading.Lock()
+
+        self.dtype = jnp.bfloat16 if half else jnp.float32
+        cast = lambda t: jax.tree.map(  # noqa: E731
+            lambda x: jnp.asarray(
+                x, self.dtype if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else None
+            ),
+            t,
+        )
+        self.glow_params = cast(glow_params)
+        self.vocoder_params = cast(vocoder_params) if vocoder_params else None
+
+        if vocoder_kind == "hifi_gan":
+            assert vocoder_cfg is not None and vocoder_params is not None
+            self.upsample = vocoder_cfg.total_upsample
+        elif vocoder_kind == "none":
+            self.upsample = audio_settings.hop_length
+        else:
+            self.upsample = audio_settings.hop_length
+            self._gl_basis = jnp.asarray(
+                make_mel_basis(
+                    audio_settings.sample_rate,
+                    audio_settings.filter_length,
+                    audio_settings.mel_channels,
+                    audio_settings.mel_fmin,
+                    audio_settings.mel_fmax,
+                )
+            )
+
+        self._bias_spec = None  # lazy denoiser bias (hifi_gan only)
+        self._build_programs()
+
+    # ------------------------------------------------------------------
+    # program construction
+
+    def _build_programs(self):
+        cfg = self.glow_cfg
+        settings = self.audio_settings
+
+        def encode_fn(params, ids, lengths, length_scale):
+            return glow_model.encode(
+                params, cfg, ids, lengths, length_scale=length_scale
+            )
+
+        self._encode = jax.jit(encode_fn)
+
+        @functools.partial(jax.jit, static_argnames=("mel_max",))
+        def decode_fn(params, x_m, x_logs, w_ceil, y_lengths, key, noise_scale, mel_max):
+            mel, z_mask = glow_model.expand_and_decode(
+                params, cfg, x_m, x_logs, w_ceil, y_lengths, key,
+                mel_max_length=mel_max, noise_scale=noise_scale,
+            )
+            return mel, z_mask
+
+        self._decode = decode_fn
+
+        def postprocess(mel, z_mask):
+            # [B, M, C] -> [B, C, M] denorm chain, silence in padded frames
+            mel_cm = jnp.swapaxes(mel.astype(jnp.float32), 1, 2)
+            mel_pp = dspmel.mel_postprocess(mel_cm, settings)
+            return jnp.where(z_mask[:, None, :] > 0, mel_pp, SILENCE_LOG_MEL)
+
+        if self.vocoder_kind == "hifi_gan":
+            voc_cfg = self.vocoder_cfg
+
+            @jax.jit
+            def vocode_fn(voc_params, mel, z_mask):
+                mel_pp = postprocess(mel, z_mask)  # [B, C, M]
+                audio = hifi_model.generator(
+                    voc_params, voc_cfg, jnp.swapaxes(mel_pp.astype(self.dtype), 1, 2)
+                )
+                return audio.astype(jnp.float32)
+
+            self._vocode = vocode_fn
+
+            @jax.jit
+            def bias_audio_fn(voc_params):
+                zeros = jnp.zeros(
+                    (1, hifi_denoiser.BIAS_MEL_FRAMES, voc_cfg.num_mels),
+                    dtype=self.dtype,
+                )
+                audio = hifi_model.generator(voc_params, voc_cfg, zeros)
+                return hifi_denoiser.compute_bias_spec(
+                    audio.astype(jnp.float32),
+                    settings.filter_length,
+                    settings.hop_length,
+                )
+
+            self._bias_audio_fn = bias_audio_fn
+
+            @jax.jit
+            def denoise_fn(audio, bias_spec, strength):
+                return hifi_denoiser.denoise(
+                    audio, bias_spec, strength,
+                    settings.filter_length, settings.hop_length,
+                )
+
+            self._denoise = denoise_fn
+        elif self.vocoder_kind == "none":
+            pass  # encode/decode only (phonemes_to_mels surface)
+        else:
+            gl_iters = self.griffin_lim_iters
+
+            @jax.jit
+            def vocode_fn(_unused, mel, z_mask, key):
+                mel_pp = postprocess(mel, z_mask)  # [B, C, M]
+                spec = dspmel.linear_from_mel(mel_pp, self._gl_basis, 1000.0)
+                spec = spec[:, :, :-1]
+                angles = (
+                    2.0 * jnp.pi
+                    * jax.random.uniform(key, spec.shape, dtype=jnp.float32)
+                )
+                signal = dsp.inverse_magnitude_phase(
+                    spec, angles, settings.filter_length, settings.hop_length
+                )
+
+                def body(_, sig):
+                    s = dsp.stft(sig, settings.filter_length, settings.hop_length)
+                    return dsp.inverse_magnitude_phase(
+                        spec, jnp.angle(s),
+                        settings.filter_length, settings.hop_length,
+                    )
+
+                return jax.lax.fori_loop(0, gl_iters, body, signal)
+
+            self._vocode_gl = vocode_fn
+
+    # ------------------------------------------------------------------
+    # public API
+
+    def encode_batch(
+        self,
+        id_seqs: typing.Sequence[np.ndarray],
+        length_scale: float = 1.0,
+    ):
+        """Pad a group of id sequences into one bucketed encode call.
+
+        Returns (device outputs, text_bucket, batch_bucket, y_lengths np).
+        """
+        n = len(id_seqs)
+        t_bucket = self.policy.text_bucket(max(len(s) for s in id_seqs))
+        b_bucket = self.policy.batch_bucket(n)
+
+        ids = np.zeros((b_bucket, t_bucket), dtype=np.int32)
+        lengths = np.zeros((b_bucket,), dtype=np.int32)
+        for i, seq in enumerate(id_seqs):
+            ids[i, : len(seq)] = seq
+            lengths[i] = len(seq)
+        lengths[n:] = 1  # dummy rows
+
+        out = self._encode(
+            self.glow_params,
+            jnp.asarray(ids),
+            jnp.asarray(lengths),
+            jnp.float32(length_scale),
+        )
+        y_lengths = np.asarray(out[3])
+        return out, y_lengths
+
+    def synthesize_batch(
+        self,
+        id_seqs: typing.Sequence[np.ndarray],
+        noise_scale: float = 0.667,
+        length_scale: float = 1.0,
+        seed: typing.Optional[int] = None,
+        denoiser_strength: float = 0.0,
+        batch_index: int = 0,
+    ) -> typing.List[np.ndarray]:
+        """Synthesize a group of sentences (same text bucket) to int16 audio."""
+        n = len(id_seqs)
+        (x_m, x_logs, w_ceil, y_lengths_dev, _mask), y_lengths = self.encode_batch(
+            id_seqs, length_scale
+        )
+
+        mel_bucket = self.policy.mel_bucket(int(y_lengths[:n].max()))
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(self.seed if seed is None else seed), batch_index
+        )
+
+        mel, z_mask = self._decode(
+            self.glow_params, x_m, x_logs, w_ceil, y_lengths_dev,
+            key, jnp.float32(noise_scale), mel_bucket,
+        )
+
+        if self.vocoder_kind == "hifi_gan":
+            audio = self._vocode(self.vocoder_params, mel, z_mask)
+            if denoiser_strength > 0:
+                audio = self._denoise(
+                    audio, self._get_bias_spec(), jnp.float32(denoiser_strength)
+                )
+        else:
+            audio = self._vocode_gl(None, mel, z_mask, jax.random.fold_in(key, 1))
+
+        audio_np = np.asarray(audio)
+        out: typing.List[np.ndarray] = []
+        for i in range(n):
+            frames = int(y_lengths[i])
+            if self.vocoder_kind == "hifi_gan":
+                n_samples = frames * self.upsample
+                if denoiser_strength > 0:
+                    nf = dsp.num_frames(
+                        n_samples,
+                        self.audio_settings.filter_length,
+                        self.audio_settings.hop_length,
+                    )
+                    n_samples = (
+                        nf * self.audio_settings.hop_length
+                        + self.audio_settings.filter_length
+                    )
+            else:
+                # Griffin-Lim output: (frames-1) usable spectrogram frames
+                nf = max(frames - 1, 1)
+                n_samples = (
+                    nf * self.audio_settings.hop_length
+                    + self.audio_settings.filter_length
+                )
+            n_samples = min(n_samples, audio_np.shape[-1])
+            out.append(audio_float_to_int16(audio_np[i, :n_samples]))
+        return out
+
+    def _get_bias_spec(self):
+        if self._bias_spec is None:
+            with self._lock:
+                if self._bias_spec is None:
+                    _LOGGER.debug("Initializing denoiser bias spectrum")
+                    self._bias_spec = self._bias_audio_fn(self.vocoder_params)
+        return self._bias_spec
+
+    # ------------------------------------------------------------------
+    # parity-surface primitives (used by the model wrapper classes)
+
+    def phonemes_to_mels(self, ids: np.ndarray, noise_scale=0.667, length_scale=1.0, seed=None):
+        """Single sequence -> raw (normalized) mels [1, C, M_valid]."""
+        (x_m, x_logs, w_ceil, y_dev, _), y_lengths = self.encode_batch(
+            [np.asarray(ids)], length_scale
+        )
+        mel_bucket = self.policy.mel_bucket(int(y_lengths[0]))
+        key = jax.random.PRNGKey(self.seed if seed is None else seed)
+        mel, _ = self._decode(
+            self.glow_params, x_m, x_logs, w_ceil, y_dev,
+            key, jnp.float32(noise_scale), mel_bucket,
+        )
+        frames = int(y_lengths[0])
+        return np.asarray(mel, dtype=np.float32)[0:1, :frames, :].transpose(0, 2, 1)
+
+    def warmup(
+        self,
+        text_lengths: typing.Sequence[int] = (16, 64),
+        batch_sizes: typing.Sequence[int] = (1,),
+    ):
+        """Pre-compile the bucket programs used by a workload."""
+        rng = np.random.default_rng(0)
+        for b in batch_sizes:
+            for t in text_lengths:
+                seqs = [
+                    rng.integers(1, self.glow_cfg.num_symbols, size=t).astype(np.int64)
+                    for _ in range(b)
+                ]
+                self.synthesize_batch(seqs)

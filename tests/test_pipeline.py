@@ -1,0 +1,206 @@
+"""End-to-end pipeline tests with a synthetic (random-weight) voice.
+
+No released checkpoints ship in this environment, so a small random voice +
+vocoder are exported to the native .npz format and loaded through the full
+voice-dir machinery — exercising checkpoint resolution, config parsing,
+engine construction, bucketing, batching, and audio assembly.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+
+import larynx_tpu
+from larynx_tpu.constants import VocoderQuality
+from larynx_tpu.convert.native import save_params
+from larynx_tpu.models.glow_tts import init_params as glow_init
+from larynx_tpu.models.hifi_gan import HiFiGanConfig
+from larynx_tpu.models.hifi_gan import init_params as hifi_init
+
+VOICE_CONFIG = {
+    "audio": {
+        "filter_length": 1024,
+        "hop_length": 256,
+        "win_length": 1024,
+        "mel_channels": 80,
+        "sample_rate": 22050,
+        "sample_bytes": 2,
+        "channels": 1,
+        "mel_fmin": 0.0,
+        "mel_fmax": 8000.0,
+        "ref_level_db": 20.0,
+        "spec_gain": 1.0,
+        "signal_norm": True,
+        "min_level_db": -100.0,
+        "max_norm": 1.0,
+        "clip_norm": True,
+        "symmetric_norm": True,
+        "do_dynamic_range_compression": True,
+        "convert_db_to_amp": True,
+    },
+    "model": {
+        "num_symbols": 46,
+        "hidden_channels": 64,
+        "filter_channels": 128,
+        "filter_channels_dp": 64,
+        "kernel_size": 3,
+        "n_blocks_dec": 3,
+        "n_layers_enc": 2,
+        "n_heads": 2,
+        "kernel_size_dec": 5,
+        "dilation_rate": 1,
+        "n_block_layers": 2,
+        "n_sqz": 2,
+        "prenet": True,
+        "mean_only": True,
+        "window_size": 4,
+        "n_speakers": 1,
+        "n_split": 4,
+    },
+}
+
+VOCODER_CONFIG = {
+    "audio": {"num_mels": 80, "sampling_rate": 22050},
+    "model": {
+        "resblock": "2",
+        "upsample_rates": [8, 8, 2, 2],
+        "upsample_kernel_sizes": [16, 16, 4, 4],
+        "upsample_initial_channel": 32,
+        "resblock_kernel_sizes": [3, 5],
+        "resblock_dilation_sizes": [[1, 2], [2, 6]],
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def voices_dir(tmp_path_factory, reference_dir):
+    root = tmp_path_factory.mktemp("voices")
+
+    # Voice: en-us/test_voice-glow_tts
+    voice_dir = root / "en-us" / "test_voice-glow_tts"
+    voice_dir.mkdir(parents=True)
+    with open(voice_dir / "config.json", "w", encoding="utf-8") as f:
+        json.dump(VOICE_CONFIG, f)
+    phonemes_src = (
+        reference_dir / "local/en-us/harvard-glow_tts/phonemes.txt"
+    ).read_text(encoding="utf-8")
+    (voice_dir / "phonemes.txt").write_text(phonemes_src, encoding="utf-8")
+
+    from larynx_tpu.models.glow_tts import config_from_voice_json
+
+    glow_cfg = config_from_voice_json(VOICE_CONFIG)
+    params = glow_init(jax.random.PRNGKey(0), glow_cfg)
+    save_params(voice_dir / "generator.npz", params)
+
+    # Vocoder: hifi_gan/vctk_small (the "low" quality preset)
+    voc_dir = root / "hifi_gan" / "vctk_small"
+    voc_dir.mkdir(parents=True)
+    with open(voc_dir / "config.json", "w", encoding="utf-8") as f:
+        json.dump(VOCODER_CONFIG, f)
+    from larynx_tpu.models.hifi_gan import hifi_gan_config_from_json
+
+    voc_cfg = hifi_gan_config_from_json(VOCODER_CONFIG)
+    save_params(voc_dir / "generator.npz", hifi_init(jax.random.PRNGKey(1), voc_cfg))
+
+    return root
+
+
+def _clear_caches():
+    larynx_tpu._TTS_MODEL_CACHE.clear()
+    larynx_tpu._VOCODER_MODEL_CACHE.clear()
+    larynx_tpu._ENGINE_CACHE.clear()
+
+
+def test_text_to_speech_end_to_end(voices_dir):
+    _clear_caches()
+    results = list(
+        larynx_tpu.text_to_speech(
+            "Hello world. This is a test.",
+            voice_or_lang="en-us_test_voice-glow_tts",
+            vocoder_or_quality=VocoderQuality.LOW,
+            custom_voices_dir=voices_dir,
+        )
+    )
+    assert len(results) == 2
+    for result in results:
+        assert result.audio is not None
+        assert result.audio.dtype == np.int16
+        assert result.audio.size > 1000
+        assert result.sample_rate == 22050
+        assert np.abs(result.audio).max() > 0
+
+
+def test_text_to_speech_griffin_lim(voices_dir):
+    _clear_caches()
+    results = list(
+        larynx_tpu.text_to_speech(
+            "Quick test.",
+            voice_or_lang="en-us_test_voice-glow_tts",
+            vocoder_or_quality="griffin_lim",
+            custom_voices_dir=voices_dir,
+        )
+    )
+    assert len(results) == 1
+    assert results[0].audio is not None
+    assert results[0].audio.size > 1000
+
+
+def test_text_to_speech_ssml_pauses(voices_dir):
+    _clear_caches()
+    markup = (
+        '<speak>One sentence. <break time="500ms"/>Two sentence.</speak>'
+    )
+    results = list(
+        larynx_tpu.text_to_speech(
+            markup,
+            voice_or_lang="en-us_test_voice-glow_tts",
+            vocoder_or_quality=VocoderQuality.LOW,
+            ssml=True,
+            custom_voices_dir=voices_dir,
+        )
+    )
+    assert len(results) == 2
+    # second sentence carries the 500ms pause as leading silence
+    lead = results[1].audio[: 500 * 22050 // 1000]
+    assert np.abs(lead).max() == 0
+
+
+def test_batching_determinism(voices_dir):
+    """Same text + seed -> identical audio."""
+    _clear_caches()
+    kwargs = dict(
+        voice_or_lang="en-us_test_voice-glow_tts",
+        vocoder_or_quality=VocoderQuality.LOW,
+        custom_voices_dir=voices_dir,
+        seed=42,
+    )
+    a = [r.audio for r in larynx_tpu.text_to_speech("Same words here.", **kwargs)]
+    b = [r.audio for r in larynx_tpu.text_to_speech("Same words here.", **kwargs)]
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_unfused_wrapper_path(voices_dir):
+    """The parity surface: phonemes_to_mels + mels_to_audio standalone."""
+    _clear_caches()
+    model = larynx_tpu.get_tts_model(
+        "en-us_test_voice-glow_tts", custom_voices_dir=voices_dir
+    )
+    assert model is not None
+    ids = np.asarray([3, 5, 10, 12, 3, 2], dtype=np.int64)
+    mels = model.phonemes_to_mels(ids)
+    assert mels.ndim == 3 and mels.shape[1] == 80
+    settings = model.audio_settings
+    mels_pp = settings.dynamic_range_compression(
+        settings.db_to_amp(settings.denormalize(mels))
+    )
+
+    vocoder = larynx_tpu.get_vocoder_model(
+        "low", custom_voices_dir=voices_dir, denoiser_strength=0.004
+    )
+    audio = vocoder.mels_to_audio(mels_pp, settings={"denoiser_strength": 0.004})
+    assert audio.dtype == np.int16
+    assert audio.size > 0
