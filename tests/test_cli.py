@@ -1,0 +1,134 @@
+"""CLI tests: argument handling, output modes."""
+
+import io
+import sys
+
+import numpy as np
+import pytest
+
+from larynx_tpu.io import wavfile
+
+# reuse the synthetic voice fixture
+from test_pipeline import voices_dir  # noqa: F401
+
+
+def _run_cli(argv, capsysbinary=None, stdin_text=None, monkeypatch=None):
+    from larynx_tpu.__main__ import main
+
+    if stdin_text is not None and monkeypatch is not None:
+        monkeypatch.setattr(
+            "sys.stdin", io.TextIOWrapper(io.BytesIO(stdin_text.encode()))
+        )
+    main(argv)
+
+
+def test_cli_wav_to_stdout(voices_dir, capsysbinary):
+    import larynx_tpu
+
+    larynx_tpu._TTS_MODEL_CACHE.clear()
+    larynx_tpu._VOCODER_MODEL_CACHE.clear()
+    larynx_tpu._ENGINE_CACHE.clear()
+
+    _run_cli(
+        [
+            "CLI test sentence.",
+            "--voice",
+            "en-us_test_voice-glow_tts",
+            "--quality",
+            "low",
+            "--voices-dir",
+            str(voices_dir),
+            "--denoiser-strength",
+            "0",
+        ]
+    )
+    out = capsysbinary.readouterr().out
+    assert out[:4] == b"RIFF"
+    rate, audio = wavfile.read(io.BytesIO(out))
+    assert rate == 22050
+    assert audio.size > 1000
+
+
+def test_cli_output_dir(voices_dir, tmp_path, capsysbinary):
+    _run_cli(
+        [
+            "Write me to a file.",
+            "--voice",
+            "en-us_test_voice-glow_tts",
+            "--quality",
+            "low",
+            "--voices-dir",
+            str(voices_dir),
+            "--output-dir",
+            str(tmp_path),
+            "--denoiser-strength",
+            "0",
+        ]
+    )
+    wavs = list(tmp_path.glob("*.wav"))
+    assert len(wavs) == 1
+    assert "Write_me_to_a_file" in wavs[0].name
+
+
+def test_cli_csv_mode(voices_dir, tmp_path, monkeypatch, capsysbinary):
+    _run_cli(
+        [
+            "--csv",
+            "--voice",
+            "en-us_test_voice-glow_tts",
+            "--quality",
+            "low",
+            "--voices-dir",
+            str(voices_dir),
+            "--output-dir",
+            str(tmp_path),
+            "--denoiser-strength",
+            "0",
+        ],
+        stdin_text="utt1|Hello there.\nutt2|Good bye now.\n",
+        monkeypatch=monkeypatch,
+    )
+    names = {p.name for p in tmp_path.glob("*.wav")}
+    assert names == {"utt1.wav", "utt2.wav"}
+
+
+def test_cli_version(capsys):
+    from larynx_tpu.__main__ import get_args
+
+    with pytest.raises(SystemExit):
+        get_args(["--version"])
+    out = capsys.readouterr().out.strip()
+    assert out[0].isdigit()
+
+
+def test_cli_list(capsys, voices_dir):
+    from larynx_tpu.__main__ import get_args
+
+    with pytest.raises(SystemExit):
+        get_args(["--list", "--voices-dir", str(voices_dir)])
+    out = capsys.readouterr().out
+    assert "ljspeech-glow_tts" in out
+    assert "hifi_gan-universal_large" in out
+    # our synthetic voice is local
+    assert "test_voice-glow_tts" in out
+
+
+def test_cli_mark_file(voices_dir, tmp_path, capsysbinary):
+    mark_file = tmp_path / "marks.txt"
+    _run_cli(
+        [
+            '<speak>Before. <mark name="m1"/>After.</speak>',
+            "--ssml",
+            "--voice",
+            "en-us_test_voice-glow_tts",
+            "--quality",
+            "low",
+            "--voices-dir",
+            str(voices_dir),
+            "--mark-file",
+            str(mark_file),
+            "--denoiser-strength",
+            "0",
+        ]
+    )
+    assert mark_file.read_text().strip() == "m1"

@@ -1,0 +1,152 @@
+"""HTTP server endpoint tests (aiohttp test client, synthetic voice)."""
+
+import asyncio
+import io
+import json
+
+import numpy as np
+import pytest
+
+from aiohttp.test_utils import TestClient, TestServer
+
+from larynx_tpu.io import wavfile
+from larynx_tpu.server.app import ServerSettings, create_app
+
+
+@pytest.fixture(scope="module")
+def app_client(voices_dir):
+    import larynx_tpu
+
+    larynx_tpu._TTS_MODEL_CACHE.clear()
+    larynx_tpu._VOCODER_MODEL_CACHE.clear()
+    larynx_tpu._ENGINE_CACHE.clear()
+
+    loop = asyncio.new_event_loop()
+
+    async def setup():
+        app = create_app(
+            ServerSettings(voices_dir=str(voices_dir), quality="low")
+        )
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        return client
+
+    client = loop.run_until_complete(setup())
+    yield client, loop
+    loop.run_until_complete(client.close())
+    loop.close()
+
+
+# reuse the synthetic voice fixture from the pipeline tests
+from test_pipeline import voices_dir  # noqa: E402,F401
+
+
+def test_api_voices(app_client):
+    client, loop = app_client
+    resp = loop.run_until_complete(client.get("/api/voices"))
+    assert resp.status == 200
+    voices = loop.run_until_complete(resp.json())
+    assert "en-us/test_voice-glow_tts" in voices
+    assert voices["en-us/test_voice-glow_tts"]["downloaded"] is True
+    # registry voices that aren't downloaded appear too
+    assert "en-us/ljspeech-glow_tts" in voices
+
+
+def test_api_vocoders(app_client):
+    client, loop = app_client
+    resp = loop.run_until_complete(client.get("/api/vocoders"))
+    vocoders = loop.run_until_complete(resp.json())
+    ids = {v["id"] for v in vocoders}
+    assert "hifi_gan/vctk_small" in ids
+
+
+def test_api_tts_get(app_client):
+    client, loop = app_client
+    resp = loop.run_until_complete(
+        client.get(
+            "/api/tts",
+            params={
+                "voice": "en-us/test_voice-glow_tts",
+                "text": "Hello from the server.",
+                "vocoder": "low",
+            },
+        )
+    )
+    assert resp.status == 200
+    assert resp.content_type == "audio/wav"
+    body = loop.run_until_complete(resp.read())
+    rate, audio = wavfile.read(io.BytesIO(body))
+    assert rate == 22050
+    assert audio.size > 1000
+
+
+def test_api_tts_post_body(app_client):
+    client, loop = app_client
+    resp = loop.run_until_complete(
+        client.post(
+            "/api/tts",
+            params={"voice": "en-us_test_voice-glow_tts", "vocoder": "low"},
+            data=b"Text in the post body.",
+        )
+    )
+    assert resp.status == 200
+    body = loop.run_until_complete(resp.read())
+    assert body[:4] == b"RIFF"
+
+
+def test_api_tts_missing_text_is_500_text(app_client):
+    client, loop = app_client
+    resp = loop.run_until_complete(
+        client.get("/api/tts", params={"voice": "en-us/test_voice-glow_tts"})
+    )
+    assert resp.status == 500
+    text = loop.run_until_complete(resp.text())
+    assert "text" in text.lower()
+
+
+def test_marytts_process(app_client):
+    client, loop = app_client
+    resp = loop.run_until_complete(
+        client.get(
+            "/process",
+            params={
+                "INPUT_TEXT": "Mary says hi.",
+                "VOICE": "en-us_test_voice-glow_tts;low",
+            },
+        )
+    )
+    assert resp.status == 200
+    body = loop.run_until_complete(resp.read())
+    assert body[:4] == b"RIFF"
+
+
+def test_marytts_voices_and_version(app_client):
+    client, loop = app_client
+    resp = loop.run_until_complete(client.get("/voices"))
+    text = loop.run_until_complete(resp.text())
+    assert "test_voice;low en-us" in text
+
+    resp = loop.run_until_complete(client.get("/version"))
+    version = loop.run_until_complete(resp.text())
+    assert version[0].isdigit()
+
+
+def test_api_phonemes(app_client):
+    client, loop = app_client
+    resp = loop.run_until_complete(
+        client.get("/api/phonemes", params={"language": "en-us"})
+    )
+    phonemes = loop.run_until_complete(resp.json())
+    assert "aɪ" in phonemes
+
+
+def test_index_and_openapi(app_client):
+    client, loop = app_client
+    resp = loop.run_until_complete(client.get("/"))
+    html = loop.run_until_complete(resp.text())
+    assert "Larynx TPU" in html
+    assert "/api/tts" in html
+
+    resp = loop.run_until_complete(client.get("/openapi/swagger.yaml"))
+    yaml_text = loop.run_until_complete(resp.text())
+    assert "openapi" in yaml_text
