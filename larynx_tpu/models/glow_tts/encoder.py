@@ -122,7 +122,9 @@ def multi_head_attention(
             "bhlr,rd->bhld", rel_weights, rel_v, preferred_element_type=jnp.float32
         )
 
-    out = out.transpose(0, 2, 1, 3).reshape(b, t, c)
+    # scores/probs accumulate in f32 for softmax stability; return to the
+    # compute dtype before the output projection
+    out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(b, t, c)
     return matmul1x1(out, p["o_w"], p["o_b"])
 
 

@@ -95,7 +95,7 @@ def inv_conv_near(p: Params, x, mask, n_split: int, reverse: bool):
     weight = p["weight_inv"] if reverse else p["weight"]
     mixed = jnp.einsum(
         "sk,btkc->btsc", weight, grouped, preferred_element_type=jnp.float32
-    )
+    ).astype(x.dtype)
     z = _group_merge(mixed, c) * mask[..., None]
     if reverse:
         return z, None

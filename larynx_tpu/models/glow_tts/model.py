@@ -217,15 +217,18 @@ def encode(
     length_scale: jnp.ndarray = 1.0,
     g: typing.Optional[jnp.ndarray] = None,
 ):
-    """ids [B, T] -> (x_m, x_logs, w_ceil, y_lengths, x_mask).
+    """ids [B, T] -> (x_m, x_logs, logw, w_ceil, y_lengths, x_mask).
 
     Reference: glow_tts/models.py:118-140 (TextEncoder.forward) +
     :323-325 (duration math).  ``g`` is an optional [B, gin] normalized
-    speaker embedding.
+    speaker embedding.  ``logw`` (raw log-durations) is needed by the
+    training duration loss.
     """
     p = params["encoder"]
     t = ids.shape[1]
-    mask = sequence_mask(lengths, t)  # [B, T]
+    # mask carries the compute dtype so bf16 params don't get silently
+    # promoted back to f32 by mask multiplies
+    mask = sequence_mask(lengths, t).astype(p["emb"].dtype)  # [B, T]
     mask1 = mask[..., None]
 
     x = p["emb"][ids] * math.sqrt(cfg.enc_channels)  # [B, T, h]
@@ -246,13 +249,14 @@ def encode(
         x_dp = jnp.concatenate([x_dp, g_exp], axis=-1)
     logw = enc.duration_predictor(p["dp"], x_dp, mask1)[..., 0]  # [B, T]
 
-    w = jnp.exp(logw) * mask * length_scale
+    # duration math in f32 regardless of compute dtype (ceil/cumsum accuracy)
+    w = jnp.exp(logw.astype(jnp.float32)) * mask.astype(jnp.float32) * length_scale
     w_ceil = jnp.ceil(w)
     y_lengths = jnp.clip(jnp.sum(w_ceil, axis=1), 1, None)
     # truncate to a multiple of n_sqz (glow_tts/models.py:356-363)
     y_lengths = (y_lengths.astype(jnp.int32) // cfg.n_sqz) * cfg.n_sqz
     y_lengths = jnp.maximum(y_lengths, cfg.n_sqz)
-    return x_m, x_logs, w_ceil, y_lengths, mask
+    return x_m, x_logs, logw, w_ceil, y_lengths, mask
 
 
 # -----------------------------------------------------------------------------
@@ -295,9 +299,11 @@ def expand_and_decode(
     z_m = z_m * valid
     z_logs = z_logs * valid
 
-    z_mask = sequence_mask(y_lengths, m)  # [B, M]
+    z_mask = sequence_mask(y_lengths, m).astype(x_m.dtype)  # [B, M]
     noise = jax.random.normal(key, (b, m, c), dtype=x_m.dtype)
-    z = (z_m + jnp.exp(z_logs) * noise * noise_scale) * z_mask[..., None]
+    z = (
+        z_m + jnp.exp(z_logs) * noise * jnp.asarray(noise_scale, x_m.dtype)
+    ) * z_mask[..., None]
 
     mel, _ = flows.decoder(params["decoder"], z, z_mask, cfg, reverse=True, g=g)
     return mel, z_mask

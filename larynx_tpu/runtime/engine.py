@@ -37,6 +37,14 @@ _LOGGER = logging.getLogger("larynx_tpu.engine")
 
 SILENCE_LOG_MEL = float(np.log(1e-5))
 
+# Upper bound on (rows x mel frames) per vocoder invocation.  The HiFi-GAN
+# upsampling stack holds ~dozens of [B, M*256, ch] activations live during
+# compilation; unbounded batch x bucket products blow past HBM (observed:
+# 52 GB requested at batch 8 x 2048-frame bucket on v5e).  Rows above this
+# area are vocoded in sub-batches of a fixed power-of-two size so the
+# compiled-program count stays bounded.
+MAX_VOCODE_AREA = 4096
+
 
 class SynthesisEngine:
     """Owns jitted programs + parameters for one (voice, vocoder) pair."""
@@ -218,7 +226,7 @@ class SynthesisEngine:
             jnp.asarray(lengths),
             jnp.float32(length_scale),
         )
-        y_lengths = np.asarray(out[3])
+        y_lengths = np.asarray(out[4])
         return out, y_lengths
 
     def synthesize_batch(
@@ -232,7 +240,7 @@ class SynthesisEngine:
     ) -> typing.List[np.ndarray]:
         """Synthesize a group of sentences (same text bucket) to int16 audio."""
         n = len(id_seqs)
-        (x_m, x_logs, w_ceil, y_lengths_dev, _mask), y_lengths = self.encode_batch(
+        (x_m, x_logs, _logw, w_ceil, y_lengths_dev, _mask), y_lengths = self.encode_batch(
             id_seqs, length_scale
         )
 
@@ -247,11 +255,7 @@ class SynthesisEngine:
         )
 
         if self.vocoder_kind == "hifi_gan":
-            audio = self._vocode(self.vocoder_params, mel, z_mask)
-            if denoiser_strength > 0:
-                audio = self._denoise(
-                    audio, self._get_bias_spec(), jnp.float32(denoiser_strength)
-                )
+            audio = self._vocode_grouped(mel, z_mask, n, denoiser_strength)
         else:
             audio = self._vocode_gl(None, mel, z_mask, jax.random.fold_in(key, 1))
 
@@ -282,6 +286,43 @@ class SynthesisEngine:
             out.append(audio_float_to_int16(audio_np[i, :n_samples]))
         return out
 
+    def _vocode_grouped(self, mel, z_mask, n_valid, denoiser_strength):
+        """Vocode [B, M, C] mels, splitting rows so rows*M <= MAX_VOCODE_AREA.
+
+        Only the first ``n_valid`` rows carry real sentences; trailing pad
+        rows are skipped when they fall entirely in their own group.
+        """
+        b, m, _ = mel.shape
+        group = max(1, MAX_VOCODE_AREA // m)
+        group = 1 << (group.bit_length() - 1)  # floor to power of two
+        if group >= b:
+            audio = self._vocode(self.vocoder_params, mel, z_mask)
+            if denoiser_strength > 0:
+                audio = self._denoise(
+                    audio, self._get_bias_spec(), jnp.float32(denoiser_strength)
+                )
+            return audio
+
+        chunks = []
+        for start in range(0, b, group):
+            if start >= n_valid:
+                break  # all-dummy rows: nothing to synthesize
+            part = self._vocode(
+                self.vocoder_params,
+                jax.lax.slice_in_dim(mel, start, start + group, axis=0),
+                jax.lax.slice_in_dim(z_mask, start, start + group, axis=0),
+            )
+            if denoiser_strength > 0:
+                part = self._denoise(
+                    part, self._get_bias_spec(), jnp.float32(denoiser_strength)
+                )
+            chunks.append(np.asarray(part))
+        audio = np.concatenate(chunks, axis=0)
+        if audio.shape[0] < b:  # restore dummy rows for caller indexing
+            pad = np.zeros((b - audio.shape[0],) + audio.shape[1:], audio.dtype)
+            audio = np.concatenate([audio, pad], axis=0)
+        return audio
+
     def _get_bias_spec(self):
         if self._bias_spec is None:
             with self._lock:
@@ -295,7 +336,7 @@ class SynthesisEngine:
 
     def phonemes_to_mels(self, ids: np.ndarray, noise_scale=0.667, length_scale=1.0, seed=None):
         """Single sequence -> raw (normalized) mels [1, C, M_valid]."""
-        (x_m, x_logs, w_ceil, y_dev, _), y_lengths = self.encode_batch(
+        (x_m, x_logs, _logw, w_ceil, y_dev, _), y_lengths = self.encode_batch(
             [np.asarray(ids)], length_scale
         )
         mel_bucket = self.policy.mel_bucket(int(y_lengths[0]))

@@ -95,7 +95,7 @@ def test_encoder_parity(torch_model, jax_params):
             torch.from_numpy(ids).long(), torch.from_numpy(lengths).long()
         )
 
-    x_m, x_logs, w_ceil, y_lengths, mask = encode(
+    x_m, x_logs, logw, w_ceil, y_lengths, mask = encode(
         jax_params, CFG, jnp.asarray(ids), jnp.asarray(lengths)
     )
 
@@ -188,7 +188,7 @@ def test_full_forward_parity_zero_noise(torch_model, jax_params):
             length_scale=1.0,
         )
 
-    x_m, x_logs, w_ceil, y_lengths, x_mask = encode(
+    x_m, x_logs, logw, w_ceil, y_lengths, x_mask = encode(
         jax_params, CFG, jnp.asarray(ids), jnp.asarray(lengths)
     )
     m_bucket = int(mel_t.shape[-1])
