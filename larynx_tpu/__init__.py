@@ -70,6 +70,7 @@ def text_to_speech(
     url_format: str = DEFAULT_VOICE_URL_FORMAT,
     max_batch: int = 8,
     seed: typing.Optional[int] = None,
+    scheduler: typing.Optional[typing.Any] = None,
 ) -> typing.Iterable[TextToSpeechResult]:
     """Synthesize text into per-sentence audio results.
 
@@ -180,6 +181,7 @@ def text_to_speech(
         max_batch=max_batch,
         seed=seed,
         half=half,
+        scheduler=scheduler,
     )
 
 
@@ -191,6 +193,7 @@ def _run_jobs(
     max_batch,
     seed,
     half,
+    scheduler=None,
 ):
     from larynx_tpu.runtime.buckets import BucketPolicy
 
@@ -203,6 +206,40 @@ def _run_jobs(
         denoiser_strength = float(
             vocoder_settings.get("denoiser_strength", denoiser_strength)
         )
+
+    if scheduler is not None:
+        # Cross-request coalescing: enqueue every sentence into the shared
+        # scheduler, then resolve in order.  Jobs from concurrent requests
+        # interleave inside the scheduler's batch window.
+        futures = []
+        for job in jobs:
+            engine = _get_engine(job["tts_model"], job["vocoder_model"], half=half)
+            if engine is None:
+                futures.append(None)
+                continue
+            futures.append(
+                scheduler.submit(
+                    engine,
+                    job["ids"],
+                    noise_scale=noise_scale,
+                    length_scale=length_scale,
+                    denoiser_strength=denoiser_strength,
+                    seed=seed,
+                )
+            )
+        for job, future in zip(jobs, futures):
+            if future is None:
+                audio = _sentence_task_fallback(job, tts_settings, vocoder_settings)
+            else:
+                audio = future.result()
+            settings = job["audio_settings"]
+            before = max(0, (job["pause_before_ms"] * settings.sample_rate) // 1000)
+            after = max(0, (job["pause_after_ms"] * settings.sample_rate) // 1000)
+            if before > 0 or after > 0:
+                audio = np.pad(audio, pad_width=(before, after), constant_values=0)
+            job["result"].audio = audio
+            yield job["result"]
+        return
 
     # Group consecutive jobs by (tts_model, vocoder_model)
     groups: typing.List[typing.List[int]] = []

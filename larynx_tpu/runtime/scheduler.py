@@ -1,0 +1,149 @@
+"""Request-coalescing batch scheduler.
+
+The reference server runs each HTTP request's sentences independently at
+batch 1 (larynx/server.py:194-208).  Here concurrent requests enqueue
+sentence-level jobs into a shared scheduler; a worker thread drains the
+queue, groups compatible jobs (same engine + synthesis settings + text
+bucket), and runs them as one bucketed XLA call — so 32 concurrent
+requests become a handful of batched device invocations.
+"""
+
+import logging
+import queue
+import threading
+import time
+import typing
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+
+import numpy as np
+
+_LOGGER = logging.getLogger("larynx_tpu.scheduler")
+
+
+@dataclass
+class _Job:
+    engine: typing.Any
+    ids: np.ndarray
+    noise_scale: float
+    length_scale: float
+    denoiser_strength: float
+    seed: typing.Optional[int]
+    future: "Future[np.ndarray]" = field(default_factory=Future)
+
+    def group_key(self):
+        bucket = self.engine.policy.text_bucket(len(self.ids))
+        return (
+            id(self.engine),
+            bucket,
+            self.noise_scale,
+            self.length_scale,
+            self.denoiser_strength,
+            self.seed,
+        )
+
+
+class BatchScheduler:
+    """Shared sentence-batching frontend for one or more engines."""
+
+    def __init__(self, max_batch: int = 8, max_wait_ms: float = 15.0):
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1000.0
+        self._queue: "queue.Queue[typing.Optional[_Job]]" = queue.Queue()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._started = False
+        self._lock = threading.Lock()
+        self._batch_counter = 0
+        self.batches_run = 0
+        self.jobs_run = 0
+
+    def _ensure_started(self):
+        if not self._started:
+            with self._lock:
+                if not self._started:
+                    self._thread.start()
+                    self._started = True
+
+    def submit(
+        self,
+        engine,
+        ids: np.ndarray,
+        noise_scale: float = 0.667,
+        length_scale: float = 1.0,
+        denoiser_strength: float = 0.0,
+        seed: typing.Optional[int] = None,
+    ) -> "Future[np.ndarray]":
+        """Queue one sentence; the future resolves to int16 audio."""
+        self._ensure_started()
+        job = _Job(engine, np.asarray(ids), noise_scale, length_scale,
+                   denoiser_strength, seed)
+        self._queue.put(job)
+        return job.future
+
+    def shutdown(self):
+        if self._started:
+            self._queue.put(None)
+
+    # ------------------------------------------------------------------
+
+    def _collect(self) -> typing.List[_Job]:
+        """Block for one job, then drain compatible peers until the batch
+        window closes or max_batch is hit."""
+        first = self._queue.get()
+        if first is None:
+            raise StopIteration
+        jobs = [first]
+        deadline = time.monotonic() + self.max_wait_s
+        while len(jobs) < self.max_batch:
+            timeout = deadline - time.monotonic()
+            if timeout <= 0:
+                break
+            try:
+                job = self._queue.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if job is None:
+                self._queue.put(None)  # re-signal shutdown
+                break
+            jobs.append(job)
+        return jobs
+
+    def _worker(self):
+        while True:
+            try:
+                jobs = self._collect()
+            except StopIteration:
+                return
+
+            groups: typing.Dict[typing.Any, typing.List[_Job]] = {}
+            for job in jobs:
+                groups.setdefault(job.group_key(), []).append(job)
+
+            for group in groups.values():
+                self._run_group(group)
+
+    def _run_group(self, group: typing.List[_Job]):
+        engine = group[0].engine
+        self._batch_counter += 1
+        try:
+            audios = engine.synthesize_batch(
+                [job.ids for job in group],
+                noise_scale=group[0].noise_scale,
+                length_scale=group[0].length_scale,
+                seed=group[0].seed,
+                denoiser_strength=group[0].denoiser_strength,
+                batch_index=self._batch_counter,
+            )
+            self.batches_run += 1
+            self.jobs_run += len(group)
+            _LOGGER.debug(
+                "Batched %s sentence(s) into one call (total batches=%s)",
+                len(group),
+                self.batches_run,
+            )
+            for job, audio in zip(group, audios):
+                job.future.set_result(audio)
+        except Exception as err:  # pragma: no cover - propagate to callers
+            for job in group:
+                if not job.future.done():
+                    job.future.set_exception(err)

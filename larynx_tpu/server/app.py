@@ -70,7 +70,9 @@ class ServerSettings:
     url_format: str = DEFAULT_VOICE_URL_FORMAT
     half: bool = False
     max_batch: int = 8
-    workers: int = 1
+    # several worker threads let concurrent requests overlap so the shared
+    # BatchScheduler can coalesce their sentences into one device batch
+    workers: int = 8
     extra: typing.Dict[str, typing.Any] = field(default_factory=dict)
 
 
@@ -82,6 +84,11 @@ def create_app(settings: typing.Optional[ServerSettings] = None) -> web.Applicat
     settings = settings or ServerSettings()
     voices_dirs = get_voices_dirs(settings.voices_dir)
     executor = ThreadPoolExecutor(max_workers=settings.workers)
+
+    from larynx_tpu.runtime.scheduler import BatchScheduler
+
+    scheduler = BatchScheduler(max_batch=settings.max_batch)
+    app_state = {"scheduler": scheduler}
 
     # ------------------------------------------------------------------
 
@@ -126,6 +133,7 @@ def create_app(settings: typing.Optional[ServerSettings] = None) -> web.Applicat
                     custom_voices_dir=settings.voices_dir,
                     url_format=settings.url_format,
                     max_batch=settings.max_batch,
+                    scheduler=scheduler,
                 )
             )
 
@@ -405,6 +413,7 @@ def create_app(settings: typing.Optional[ServerSettings] = None) -> web.Applicat
         return response
 
     app = web.Application(middlewares=[error_middleware, cors_middleware])
+    app["scheduler"] = scheduler
     app.router.add_get("/api/tts", app_say)
     app.router.add_post("/api/tts", app_say)
     app.router.add_get("/api/voices", app_voices)

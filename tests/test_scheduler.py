@@ -1,0 +1,88 @@
+"""Cross-request batch scheduler tests."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from larynx_tpu.runtime.scheduler import BatchScheduler
+
+# reuse the synthetic voice fixture
+from test_pipeline import voices_dir  # noqa: F401
+
+
+@pytest.fixture(scope="module")
+def engine(voices_dir):
+    import larynx_tpu
+
+    larynx_tpu._TTS_MODEL_CACHE.clear()
+    larynx_tpu._VOCODER_MODEL_CACHE.clear()
+    larynx_tpu._ENGINE_CACHE.clear()
+
+    tts = larynx_tpu.get_tts_model(
+        "en-us_test_voice-glow_tts", custom_voices_dir=voices_dir
+    )
+    voc = larynx_tpu.get_vocoder_model("low", custom_voices_dir=voices_dir)
+    return larynx_tpu._get_engine(tts, voc)
+
+
+def test_concurrent_submits_coalesce(engine):
+    scheduler = BatchScheduler(max_batch=8, max_wait_ms=200.0)
+    rng = np.random.default_rng(0)
+    # same text bucket (lengths < 16)
+    seqs = [
+        rng.integers(1, 46, size=rng.integers(8, 14)).astype(np.int64)
+        for _ in range(8)
+    ]
+
+    futures = []
+    barrier = threading.Barrier(8)
+
+    def submit(seq):
+        barrier.wait()
+        futures.append(scheduler.submit(engine, seq))
+
+    threads = [threading.Thread(target=submit, args=(s,)) for s in seqs]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    audios = [f.result(timeout=300) for f in futures]
+    for audio in audios:
+        assert audio.dtype == np.int16
+        assert audio.size > 0
+
+    # 8 concurrent jobs in the same bucket must coalesce into few batches
+    assert scheduler.jobs_run == 8
+    assert scheduler.batches_run <= 3
+    scheduler.shutdown()
+
+
+def test_scheduler_through_server_path(voices_dir):
+    """text_to_speech with a scheduler produces identical-shaped output."""
+    import larynx_tpu
+
+    scheduler = BatchScheduler(max_batch=4, max_wait_ms=20.0)
+    results = list(
+        larynx_tpu.text_to_speech(
+            "One sentence here. Another sentence there.",
+            voice_or_lang="en-us_test_voice-glow_tts",
+            vocoder_or_quality="low",
+            custom_voices_dir=voices_dir,
+            scheduler=scheduler,
+        )
+    )
+    assert len(results) == 2
+    for r in results:
+        assert r.audio is not None and r.audio.size > 500
+    scheduler.shutdown()
+
+
+def test_scheduler_error_propagation(engine):
+    scheduler = BatchScheduler(max_batch=2, max_wait_ms=5.0)
+    bad = np.zeros((3, 3), dtype=np.int64)  # malformed: 2-D id "sequence"
+    future = scheduler.submit(engine, bad)
+    with pytest.raises(Exception):
+        future.result(timeout=120)
+    scheduler.shutdown()
