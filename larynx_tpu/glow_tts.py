@@ -130,12 +130,13 @@ class GlowTextToSpeech(TextToSpeechModel):
             noise_scale = float(settings.get("noise_scale", noise_scale))
             length_scale = float(settings.get("length_scale", length_scale))
             speaker_id = settings.get("speaker_id", None)
-        if speaker_id is not None:
-            _LOGGER.warning("multi-speaker synthesis not yet wired: %s", speaker_id)
-
         ids = np.asarray(phoneme_ids)
         if ids.ndim == 2:
             ids = ids[0]
         return self._get_engine().phonemes_to_mels(
-            ids, noise_scale=noise_scale, length_scale=length_scale, seed=self.seed
+            ids,
+            noise_scale=noise_scale,
+            length_scale=length_scale,
+            seed=self.seed,
+            speaker_id=speaker_id,
         )

@@ -134,8 +134,14 @@ def coupling(p: Params, x, mask, cfg: GlowTTSConfig, reverse: bool, g=None):
     half = c // 2
     x0, x1 = x[..., :half], x[..., half:]
 
+    # speaker conditioning: g [B, gin] -> [B, 1, 2h*n_layers] through the
+    # coupling's (weight-norm-folded) cond 1x1 (glow_tts/layers.py:109-113)
+    g_cond = None
+    if g is not None and "cond_w" in p["wn"]:
+        g_cond = matmul1x1(g, p["wn"]["cond_w"][0], p["wn"]["cond_b"])[:, None, :]
+
     h = matmul1x1(x0, p["start_w"], p["start_b"]) * mask[..., None]
-    h = wavenet(p["wn"], h, mask, dilation_rate=cfg.dilation_rate, g=g)
+    h = wavenet(p["wn"], h, mask, dilation_rate=cfg.dilation_rate, g=g_cond)
     out = matmul1x1(h, p["end_w"], p["end_b"])
 
     m = out[..., :half]

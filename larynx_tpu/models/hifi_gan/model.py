@@ -43,10 +43,18 @@ def _resblock2(p: Params, x: jnp.ndarray, kernel_size: int, dilations):
     return x
 
 
-def generator(params: Params, cfg: HiFiGanConfig, mel: jnp.ndarray) -> jnp.ndarray:
+def generator(
+    params: Params,
+    cfg: HiFiGanConfig,
+    mel: jnp.ndarray,
+    use_pallas: bool = False,
+) -> jnp.ndarray:
     """mel [B, T, num_mels] -> audio [B, T * total_upsample].
 
-    (hifi_gan/models.py:186-202)
+    (hifi_gan/models.py:186-202).  With ``use_pallas`` the MRF resblock
+    sections at channel counts <=128 run through the fused VMEM-resident
+    Pallas kernel (larynx_tpu.ops.mrf_block); wider stages and ResBlock2
+    topologies use the XLA conv path.
     """
     x = conv1d(mel, params["conv_pre"]["w"], params["conv_pre"]["b"], padding=3)
 
@@ -57,17 +65,34 @@ def generator(params: Params, cfg: HiFiGanConfig, mel: jnp.ndarray) -> jnp.ndarr
         x = leaky_relu(x, LRELU_SLOPE)
         up = params["ups"][i]
         x = conv_transpose1d(x, up["w"], up["b"], stride=u, padding=(k - u) // 2)
-        acc = None
-        for j in range(nk):
-            rb = params["resblocks"][i * nk + j]
-            ks = cfg.resblock_kernel_sizes[j]
-            ds = cfg.resblock_dilation_sizes[j]
-            if cfg.resblock == "1":
-                y = _resblock1(rb, x, ks, ds)
-            else:
-                y = _resblock2(rb, x, ks, ds)
-            acc = y if acc is None else acc + y
-        x = acc / nk
+
+        stage_blocks = [
+            params["resblocks"][i * nk + j] for j in range(nk)
+        ]
+        stage_channels = x.shape[-1]
+        if use_pallas and cfg.resblock == "1" and stage_channels <= 128:
+            from larynx_tpu.ops.mrf_block import fused_mrf, pack_mrf_weights
+
+            x = fused_mrf(
+                x,
+                pack_mrf_weights(stage_blocks),
+                kernel_sizes=tuple(cfg.resblock_kernel_sizes),
+                dilations_per_block=tuple(
+                    tuple(d) for d in cfg.resblock_dilation_sizes
+                ),
+            )
+        else:
+            acc = None
+            for j in range(nk):
+                rb = stage_blocks[j]
+                ks = cfg.resblock_kernel_sizes[j]
+                ds = cfg.resblock_dilation_sizes[j]
+                if cfg.resblock == "1":
+                    y = _resblock1(rb, x, ks, ds)
+                else:
+                    y = _resblock2(rb, x, ks, ds)
+                acc = y if acc is None else acc + y
+            x = acc / nk
 
     x = leaky_relu(x, 0.01)  # default torch leaky_relu slope (models.py:198)
     x = conv1d(x, params["conv_post"]["w"], params["conv_post"]["b"], padding=3)

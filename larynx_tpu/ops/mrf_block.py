@@ -1,0 +1,213 @@
+"""Fused multi-receptive-field (MRF) resblock section as a Pallas TPU kernel.
+
+The HiFi-GAN generator's per-stage MRF section — three ResBlock1 chains
+(kernel sizes 3/7/11, dilations (1,3,5)) averaged together
+(hifi_gan/models.py:16-105,186-202) — is 18 sequential 1-D convolutions.
+Run as separate XLA convs, every intermediate round-trips HBM; at the low
+channel counts of the late upsampling stages (<=128) the section is
+memory-bound.  This kernel processes one time tile per grid step and keeps
+ALL 18 convolutions' intermediates in VMEM: one HBM read + one HBM write
+per tile for the whole section.
+
+Semantics are exact (not approximate at tile edges): the input is
+zero-padded by the section's total receptive-field halo, and after every
+convolution the positions outside the true signal are re-zeroed —
+reproducing torch's per-conv zero padding bit-for-bit.
+
+Convolutions are computed as k shifted [L, C] x [C, C] matmuls on the MXU
+with f32 accumulation.  Weights for the whole section live in VMEM, which
+bounds the supported channel count (<=128 at f32, the late stages);
+wider stages fall back to the XLA path.
+"""
+
+import functools
+import typing
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LRELU_SLOPE = 0.1
+
+# ResBlock1 dilation schedule (hifi_gan config: resblock_dilation_sizes)
+DEFAULT_DILATIONS = (1, 3, 5)
+
+
+def chain_halo(kernel_size: int, dilations: typing.Sequence[int]) -> int:
+    """One chain's receptive-field halo: sum over layer pairs of
+    (k-1)/2 * d  (dilated conv) + (k-1)/2 (plain conv)."""
+    half = (kernel_size - 1) // 2
+    return sum(half * d + half for d in dilations)
+
+
+def _leaky_relu(x):
+    return jnp.where(x >= 0, x, x * LRELU_SLOPE)
+
+
+def _make_kernel(
+    kernel_sizes: typing.Tuple[int, ...],
+    dilations_per_block: typing.Tuple[typing.Tuple[int, ...], ...],
+    tile: int,
+    halo: int,
+    total_len: int,
+    channels: int,
+    out_dtype,
+):
+    n_blocks = len(kernel_sizes)
+
+    def kernel(x_hbm, *refs):
+        weight_refs = refs[: 4 * n_blocks]
+        out_ref = refs[4 * n_blocks]
+        x_scratch = refs[4 * n_blocks + 1]
+        sem = refs[4 * n_blocks + 2]
+
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        # x_hbm is pre-padded by `halo` zeros on both sides; tile i covers
+        # true positions [i*tile - halo, i*tile + tile + halo)
+        dma = pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(i * tile, tile + 2 * halo), :],
+            x_scratch,
+            sem,
+        )
+        dma.start()
+        dma.wait()
+
+        x_tile = x_scratch[:]  # [tile + 2*halo, C]
+
+        def mask_valid(buf, local_to_global_offset):
+            """Zero positions outside the true signal [0, total_len)."""
+            pos = (
+                jax.lax.broadcasted_iota(jnp.int32, buf.shape, 0)
+                + local_to_global_offset
+            )
+            valid = jnp.logical_and(pos >= 0, pos < total_len)
+            return jnp.where(valid, buf, jnp.zeros_like(buf))
+
+        tile_origin = i * tile - halo  # global position of x_tile[0]
+
+        def conv(buf, offset, w_ref, b_ref, layer, k, d):
+            """Valid conv: [L, C] -> [L - (k-1)*d, C]; w_ref [n, k, C, C]."""
+            length = buf.shape[0]
+            out_len = length - (k - 1) * d
+            acc = jnp.zeros((out_len, channels), dtype=jnp.float32)
+            for tap in range(k):
+                acc += jax.lax.dot_general(
+                    buf[tap * d : tap * d + out_len, :],
+                    w_ref[layer, tap],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            acc += b_ref[layer][None, :].astype(jnp.float32)
+            # new offset: output position l is input position l + ((k-1)/2)*d
+            new_offset = offset + ((k - 1) // 2) * d
+            out = mask_valid(acc, tile_origin + new_offset)
+            return out.astype(buf.dtype), new_offset
+
+        total = jnp.zeros((tile, channels), dtype=jnp.float32)
+        for r in range(n_blocks):
+            k = kernel_sizes[r]
+            dils = dilations_per_block[r]
+            c1w = weight_refs[4 * r + 0]
+            c1b = weight_refs[4 * r + 1]
+            c2w = weight_refs[4 * r + 2]
+            c2b = weight_refs[4 * r + 3]
+
+            # crop so this chain's output lands exactly on the central tile
+            extra = halo - chain_halo(k, dils)
+            h = x_tile[extra : x_tile.shape[0] - extra, :]
+            offset = extra
+            for j, d in enumerate(dils):
+                half_pair = ((k - 1) // 2) * d + ((k - 1) // 2)
+                xt, off = conv(_leaky_relu(h), offset, c1w, c1b, j, k, d)
+                xt, off = conv(_leaky_relu(xt), off, c2w, c2b, j, k, 1)
+                h = h[half_pair : h.shape[0] - half_pair, :] + xt
+                offset = off
+            total += h.astype(jnp.float32)
+
+        out_ref[0, :, :] = (total / n_blocks).astype(out_dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kernel_sizes", "dilations_per_block", "tile", "interpret"),
+)
+def fused_mrf(
+    x: jnp.ndarray,
+    weights: typing.Tuple[jnp.ndarray, ...],
+    kernel_sizes: typing.Tuple[int, ...] = (3, 7, 11),
+    dilations_per_block: typing.Tuple[typing.Tuple[int, ...], ...] = (
+        DEFAULT_DILATIONS,
+    )
+    * 3,
+    tile: typing.Optional[int] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x [B, T, C] -> averaged MRF section output [B, T, C].
+
+    ``weights``: flat tuple, 4 arrays per resblock r:
+      convs1_w [n_layers, k_r, C, C], convs1_b [n_layers, C],
+      convs2_w [n_layers, k_r, C, C], convs2_b [n_layers, C].
+    """
+    b, t, c = x.shape
+    if tile is None:
+        # VMEM budget: section weights (~126 taps * C^2 * 4B at C=128 is
+        # ~8 MB) + per-conv intermediates scale with tile * C. Keep the
+        # scoped allocation under the 16 MB limit.
+        tile = max(256, min(4096, (1 << 17) // c))
+    halo = max(
+        chain_halo(k, d) for k, d in zip(kernel_sizes, dilations_per_block)
+    )
+
+    n_tiles = -(-t // tile)
+    t_padded = n_tiles * tile
+    x_padded = jnp.pad(
+        x, ((0, 0), (halo, t_padded - t + halo), (0, 0))
+    )
+
+    kernel = _make_kernel(
+        kernel_sizes,
+        dilations_per_block,
+        tile,
+        halo,
+        t,
+        c,
+        x.dtype,
+    )
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]  # x DMA'd manually
+    for w in weights:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n_tiles),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, tile, c), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, t_padded, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tile + 2 * halo, c), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(x_padded, *weights)
+    return out[:, :t, :]
+
+
+def pack_mrf_weights(resblocks: typing.Sequence[dict]) -> typing.Tuple:
+    """Stack a stage's resblock param dicts (larynx_tpu layout:
+    convs1/convs2 lists of {"w": [k, C, C], "b": [C]}) into the flat tuple
+    :func:`fused_mrf` consumes."""
+    out = []
+    for block in resblocks:
+        out.append(jnp.stack([conv["w"] for conv in block["convs1"]]))
+        out.append(jnp.stack([conv["b"] for conv in block["convs1"]]))
+        out.append(jnp.stack([conv["w"] for conv in block["convs2"]]))
+        out.append(jnp.stack([conv["b"] for conv in block["convs2"]]))
+    return tuple(out)

@@ -61,7 +61,12 @@ class SynthesisEngine:
         half: bool = False,
         seed: int = 1234,
         griffin_lim_iters: int = 60,
+        use_pallas: typing.Optional[bool] = None,
     ):
+        if use_pallas is None:
+            # Pallas kernels only lower on real TPU backends
+            use_pallas = jax.default_backend() not in ("cpu",)
+        self.use_pallas = use_pallas
         self.glow_cfg = glow_cfg
         self.audio_settings = audio_settings
         self.vocoder_kind = vocoder_kind
@@ -109,18 +114,25 @@ class SynthesisEngine:
         cfg = self.glow_cfg
         settings = self.audio_settings
 
-        def encode_fn(params, ids, lengths, length_scale):
+        def encode_fn(params, ids, lengths, length_scale, g=None):
             return glow_model.encode(
-                params, cfg, ids, lengths, length_scale=length_scale
+                params, cfg, ids, lengths, length_scale=length_scale, g=g
             )
 
         self._encode = jax.jit(encode_fn)
 
+        @jax.jit
+        def speaker_fn(params, speaker_ids):
+            return glow_model.speaker_embedding(params, speaker_ids)
+
+        self._speaker = speaker_fn
+
         @functools.partial(jax.jit, static_argnames=("mel_max",))
-        def decode_fn(params, x_m, x_logs, w_ceil, y_lengths, key, noise_scale, mel_max):
+        def decode_fn(params, x_m, x_logs, w_ceil, y_lengths, key, noise_scale,
+                      mel_max, g=None):
             mel, z_mask = glow_model.expand_and_decode(
                 params, cfg, x_m, x_logs, w_ceil, y_lengths, key,
-                mel_max_length=mel_max, noise_scale=noise_scale,
+                mel_max_length=mel_max, noise_scale=noise_scale, g=g,
             )
             return mel, z_mask
 
@@ -135,11 +147,16 @@ class SynthesisEngine:
         if self.vocoder_kind == "hifi_gan":
             voc_cfg = self.vocoder_cfg
 
+            use_pallas = self.use_pallas
+
             @jax.jit
             def vocode_fn(voc_params, mel, z_mask):
                 mel_pp = postprocess(mel, z_mask)  # [B, C, M]
                 audio = hifi_model.generator(
-                    voc_params, voc_cfg, jnp.swapaxes(mel_pp.astype(self.dtype), 1, 2)
+                    voc_params,
+                    voc_cfg,
+                    jnp.swapaxes(mel_pp.astype(self.dtype), 1, 2),
+                    use_pallas=use_pallas,
                 )
                 return audio.astype(jnp.float32)
 
@@ -204,6 +221,7 @@ class SynthesisEngine:
         self,
         id_seqs: typing.Sequence[np.ndarray],
         length_scale: float = 1.0,
+        speaker_ids: typing.Optional[typing.Sequence[int]] = None,
     ):
         """Pad a group of id sequences into one bucketed encode call.
 
@@ -220,14 +238,25 @@ class SynthesisEngine:
             lengths[i] = len(seq)
         lengths[n:] = 1  # dummy rows
 
+        g = self._speaker_embedding(speaker_ids, b_bucket)
         out = self._encode(
             self.glow_params,
             jnp.asarray(ids),
             jnp.asarray(lengths),
             jnp.float32(length_scale),
+            g,
         )
         y_lengths = np.asarray(out[4])
-        return out, y_lengths
+        return out, y_lengths, g
+
+    def _speaker_embedding(self, speaker_ids, b_bucket):
+        """[B] speaker indices -> normalized [B, gin] embeddings (or None
+        for single-speaker voices)."""
+        if speaker_ids is None or "emb_g" not in self.glow_params:
+            return None
+        idx = np.zeros((b_bucket,), dtype=np.int32)
+        idx[: len(speaker_ids)] = np.asarray(speaker_ids, dtype=np.int32)
+        return self._speaker(self.glow_params, jnp.asarray(idx))
 
     def synthesize_batch(
         self,
@@ -237,11 +266,12 @@ class SynthesisEngine:
         seed: typing.Optional[int] = None,
         denoiser_strength: float = 0.0,
         batch_index: int = 0,
+        speaker_ids: typing.Optional[typing.Sequence[int]] = None,
     ) -> typing.List[np.ndarray]:
         """Synthesize a group of sentences (same text bucket) to int16 audio."""
         n = len(id_seqs)
-        (x_m, x_logs, _logw, w_ceil, y_lengths_dev, _mask), y_lengths = self.encode_batch(
-            id_seqs, length_scale
+        (x_m, x_logs, _logw, w_ceil, y_lengths_dev, _mask), y_lengths, g = (
+            self.encode_batch(id_seqs, length_scale, speaker_ids=speaker_ids)
         )
 
         mel_bucket = self.policy.mel_bucket(int(y_lengths[:n].max()))
@@ -251,7 +281,7 @@ class SynthesisEngine:
 
         mel, z_mask = self._decode(
             self.glow_params, x_m, x_logs, w_ceil, y_lengths_dev,
-            key, jnp.float32(noise_scale), mel_bucket,
+            key, jnp.float32(noise_scale), mel_bucket, g,
         )
 
         if self.vocoder_kind == "hifi_gan":
@@ -334,16 +364,18 @@ class SynthesisEngine:
     # ------------------------------------------------------------------
     # parity-surface primitives (used by the model wrapper classes)
 
-    def phonemes_to_mels(self, ids: np.ndarray, noise_scale=0.667, length_scale=1.0, seed=None):
+    def phonemes_to_mels(self, ids: np.ndarray, noise_scale=0.667,
+                         length_scale=1.0, seed=None, speaker_id=None):
         """Single sequence -> raw (normalized) mels [1, C, M_valid]."""
-        (x_m, x_logs, _logw, w_ceil, y_dev, _), y_lengths = self.encode_batch(
-            [np.asarray(ids)], length_scale
+        speaker_ids = None if speaker_id is None else [int(speaker_id)]
+        (x_m, x_logs, _logw, w_ceil, y_dev, _), y_lengths, g = self.encode_batch(
+            [np.asarray(ids)], length_scale, speaker_ids=speaker_ids
         )
         mel_bucket = self.policy.mel_bucket(int(y_lengths[0]))
         key = jax.random.PRNGKey(self.seed if seed is None else seed)
         mel, _ = self._decode(
             self.glow_params, x_m, x_logs, w_ceil, y_dev,
-            key, jnp.float32(noise_scale), mel_bucket,
+            key, jnp.float32(noise_scale), mel_bucket, g,
         )
         frames = int(y_lengths[0])
         return np.asarray(mel, dtype=np.float32)[0:1, :frames, :].transpose(0, 2, 1)
