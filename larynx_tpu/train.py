@@ -1,0 +1,156 @@
+"""GlowTTS training CLI: ``python -m larynx_tpu.train``.
+
+The reference keeps training in external repos (glow-tts-train); this is
+the TPU-native equivalent: data-parallel (+ encoder tensor-parallel) MLE
+training over a device mesh, producing a voice directory the inference
+pipeline loads directly (generator.npz + config.json + phonemes.txt).
+"""
+
+import argparse
+import json
+import logging
+import shutil
+import time
+from pathlib import Path
+
+import numpy as np
+
+import jax
+
+from larynx_tpu.audio import AudioSettings
+from larynx_tpu.convert.native import save_params
+from larynx_tpu.models.glow_tts import config_from_voice_json, init_params
+from larynx_tpu.models.glow_tts.data import Dataset
+from larynx_tpu.parallel.mesh import make_mesh, shard_params
+from larynx_tpu.parallel.train import (
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+)
+from larynx_tpu.text.ids import load_phoneme_ids
+
+_LOGGER = logging.getLogger("larynx_tpu.train")
+
+
+def get_args(argv=None):
+    parser = argparse.ArgumentParser(prog="larynx-tpu.train")
+    parser.add_argument("--metadata", required=True, help="metadata.csv (id|text)")
+    parser.add_argument("--wav-dir", required=True, help="Directory of <id>.wav files")
+    parser.add_argument(
+        "--output-dir", required=True,
+        help="Voice dir to write (generator.npz/config.json/phonemes.txt)",
+    )
+    parser.add_argument(
+        "--config", help="Voice config.json to train with (defaults: harvard dims)"
+    )
+    parser.add_argument(
+        "--phonemes", required=True, help="phonemes.txt (id<space>phoneme per line)"
+    )
+    parser.add_argument("--language", default="en-us")
+    parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--epochs", type=int, default=100)
+    parser.add_argument("--warmup-steps", type=int, default=4000)
+    parser.add_argument("--grad-clip", type=float, default=5.0)
+    parser.add_argument("--max-id-len", type=int, default=192)
+    parser.add_argument("--max-mel-len", type=int, default=1024)
+    parser.add_argument("--seed", type=int, default=1234)
+    parser.add_argument(
+        "--model-parallel", type=int, default=None,
+        help="TP axis size (default: 2 when device count is even)",
+    )
+    parser.add_argument(
+        "--checkpoint-every", type=int, default=1000, help="Steps between saves"
+    )
+    parser.add_argument("--resume", help="generator.npz to resume from")
+    parser.add_argument("--debug", action="store_true")
+    return parser.parse_args(argv)
+
+
+def main(argv=None) -> None:
+    args = get_args(argv)
+    logging.basicConfig(level=logging.DEBUG if args.debug else logging.INFO)
+
+    if args.config:
+        with open(args.config, encoding="utf-8") as f:
+            raw_config = json.load(f)
+    else:
+        raw_config = {"audio": {}, "model": {}}
+    cfg = config_from_voice_json(raw_config)
+    audio_cfg = dict(raw_config.get("audio", {}))
+    known = set(AudioSettings.__dataclass_fields__)
+    settings = AudioSettings(**{k: v for k, v in audio_cfg.items() if k in known})
+
+    with open(args.phonemes, encoding="utf-8") as f:
+        phoneme_to_id = load_phoneme_ids(f)
+
+    dataset = Dataset(
+        args.metadata, args.wav_dir, phoneme_to_id, settings, lang=args.language
+    )
+    _LOGGER.info("Dataset: %s utterances", len(dataset))
+
+    mesh = make_mesh(model_parallel=args.model_parallel)
+    _LOGGER.info("Mesh: %s", dict(mesh.shape))
+
+    if args.resume:
+        from larynx_tpu.convert.native import load_params
+
+        params = load_params(args.resume)
+        _LOGGER.info("Resumed parameters from %s", args.resume)
+    else:
+        params = init_params(jax.random.PRNGKey(args.seed), cfg)
+    params = shard_params(params, mesh)
+
+    optimizer = make_optimizer(
+        cfg, warmup_steps=args.warmup_steps, grad_clip=args.grad_clip
+    )
+    state = init_train_state(params, optimizer)
+    train_step = make_train_step(cfg, optimizer, mesh=mesh)
+
+    out_dir = Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    with open(out_dir / "config.json", "w", encoding="utf-8") as f:
+        json.dump(raw_config, f, indent=2)
+    shutil.copyfile(args.phonemes, out_dir / "phonemes.txt")
+
+    def save(step: int):
+        save_params(out_dir / "generator.npz", jax.device_get(state.params))
+        _LOGGER.info("Saved checkpoint at step %s to %s", step, out_dir)
+
+    step = 0
+    try:
+        for epoch in range(args.epochs):
+            epoch_start = time.time()
+            losses = []
+            for batch in dataset.batches(
+                args.batch_size,
+                max_id_len=args.max_id_len,
+                max_mel_len=args.max_mel_len,
+                shuffle_seed=args.seed + epoch,
+            ):
+                state, metrics = train_step(state, batch)
+                step += 1
+                losses.append(float(metrics["loss"]))
+                if step % 10 == 0:
+                    _LOGGER.info(
+                        "step %s loss %.4f (mle %.4f dur %.4f)",
+                        step,
+                        float(metrics["loss"]),
+                        float(metrics["mle_loss"]),
+                        float(metrics["duration_loss"]),
+                    )
+                if step % args.checkpoint_every == 0:
+                    save(step)
+            _LOGGER.info(
+                "epoch %s done in %.1fs mean loss %.4f",
+                epoch,
+                time.time() - epoch_start,
+                float(np.mean(losses)) if losses else float("nan"),
+            )
+    except KeyboardInterrupt:
+        _LOGGER.info("Interrupted")
+    finally:
+        save(step)
+
+
+if __name__ == "__main__":
+    main()

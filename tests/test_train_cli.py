@@ -1,0 +1,88 @@
+"""End-to-end training smoke test: tiny synthetic dataset -> voice dir ->
+inference loads and synthesizes with the trained checkpoint."""
+
+import json
+
+import numpy as np
+import pytest
+
+from larynx_tpu.io import wavfile
+
+# reuse the small voice config
+from test_pipeline import VOICE_CONFIG
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory, reference_dir):
+    root = tmp_path_factory.mktemp("train_data")
+    wav_dir = root / "wavs"
+    wav_dir.mkdir()
+    rng = np.random.default_rng(0)
+    texts = [
+        "Hello world.",
+        "A voice is born.",
+        "Testing one two three.",
+        "The quick brown fox.",
+    ]
+    rows = []
+    for i, text in enumerate(texts):
+        # ~0.6-1.2 s of noise-modulated tone as stand-in speech
+        n = int(22050 * (0.6 + 0.15 * i))
+        t = np.arange(n) / 22050.0
+        audio = (
+            0.3 * np.sin(2 * np.pi * (120 + 20 * i) * t)
+            + 0.05 * rng.standard_normal(n)
+        ).astype(np.float32)
+        wavfile.write(wav_dir / f"utt{i}.wav", 22050, (audio * 32767).astype(np.int16))
+        rows.append(f"utt{i}|{text}")
+    (root / "metadata.csv").write_text("\n".join(rows), encoding="utf-8")
+
+    config = dict(VOICE_CONFIG)
+    config_path = root / "config.json"
+    config_path.write_text(json.dumps(config), encoding="utf-8")
+
+    phonemes_path = root / "phonemes.txt"
+    phonemes_path.write_text(
+        (reference_dir / "local/en-us/harvard-glow_tts/phonemes.txt").read_text(
+            encoding="utf-8"
+        ),
+        encoding="utf-8",
+    )
+    return root
+
+
+def test_train_cli_end_to_end(tiny_dataset, tmp_path):
+    from larynx_tpu.train import main as train_main
+
+    voice_dir = tmp_path / "voices" / "en-us" / "trained_voice-glow_tts"
+    train_main(
+        [
+            "--metadata", str(tiny_dataset / "metadata.csv"),
+            "--wav-dir", str(tiny_dataset / "wavs"),
+            "--output-dir", str(voice_dir),
+            "--config", str(tiny_dataset / "config.json"),
+            "--phonemes", str(tiny_dataset / "phonemes.txt"),
+            "--batch-size", "4",
+            "--epochs", "2",
+            "--max-id-len", "64",
+            "--max-mel-len", "128",
+            "--checkpoint-every", "100",
+        ]
+    )
+    assert (voice_dir / "generator.npz").is_file()
+    assert (voice_dir / "config.json").is_file()
+    assert (voice_dir / "phonemes.txt").is_file()
+
+    # the trained dir loads through the standard inference path
+    import larynx_tpu
+
+    larynx_tpu._TTS_MODEL_CACHE.clear()
+    model = larynx_tpu.get_tts_model(
+        "en-us_trained_voice-glow_tts",
+        custom_voices_dir=tmp_path / "voices",
+        no_download=True,
+    )
+    assert model is not None
+    mels = model.phonemes_to_mels(np.asarray([3, 5, 9, 3, 2], dtype=np.int64))
+    assert mels.shape[1] == 80
+    assert np.isfinite(mels).all()
