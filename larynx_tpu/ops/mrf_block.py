@@ -153,7 +153,25 @@ def fused_mrf(
       convs1_w [n_layers, k_r, C, C], convs1_b [n_layers, C],
       convs2_w [n_layers, k_r, C, C], convs2_b [n_layers, C].
     """
-    b, t, c = x.shape
+    b, t, c_orig = x.shape
+
+    # Mosaic requires the minor (lane) dimension aligned to 128; narrower
+    # stages are zero-padded — the MXU processes 128 lanes per cycle either
+    # way, so the extra math is free (zero weights keep padded channels 0).
+    c = max(128, -(-c_orig // 128) * 128)
+    if c != c_orig:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, c - c_orig)))
+        weights = tuple(
+            jnp.pad(
+                w,
+                [(0, 0)] * (w.ndim - 1) + [(0, c - c_orig)]
+                if w.ndim == 2
+                else [(0, 0)] * (w.ndim - 2)
+                + [(0, c - c_orig), (0, c - c_orig)],
+            )
+            for w in weights
+        )
+
     if tile is None:
         # VMEM budget: section weights (~126 taps * C^2 * 4B at C=128 is
         # ~8 MB) + per-conv intermediates scale with tile * C. Keep the
@@ -197,7 +215,7 @@ def fused_mrf(
         ],
         interpret=interpret,
     )(x_padded, *weights)
-    return out[:, :t, :]
+    return out[:, :t, :c_orig]
 
 
 def pack_mrf_weights(resblocks: typing.Sequence[dict]) -> typing.Tuple:

@@ -82,6 +82,12 @@ def get_args(argv=None):
         help="Synthesis worker threads (default: 1; batching happens per call)",
     )
     parser.add_argument(
+        "--preload-voice",
+        action="append",
+        default=[],
+        help="Voice to load + compile-warm at startup (repeatable)",
+    )
+    parser.add_argument(
         "--debug", action="store_true", help="Print DEBUG messages to console"
     )
     return parser.parse_args(argv)
@@ -131,6 +137,7 @@ def main(argv=None) -> None:
         half=args.half,
         max_batch=args.max_batch,
         workers=args.workers,
+        preload_voices=tuple(args.preload_voice),
     )
     app = create_app(settings)
 

@@ -73,6 +73,8 @@ class ServerSettings:
     # several worker threads let concurrent requests overlap so the shared
     # BatchScheduler can coalesce their sentences into one device batch
     workers: int = 8
+    # voices to load + compile-warm at startup (p50 excludes compilation)
+    preload_voices: typing.Tuple[str, ...] = ()
     extra: typing.Dict[str, typing.Any] = field(default_factory=dict)
 
 
@@ -89,6 +91,31 @@ def create_app(settings: typing.Optional[ServerSettings] = None) -> web.Applicat
 
     scheduler = BatchScheduler(max_batch=settings.max_batch)
     app_state = {"scheduler": scheduler}
+
+    def _preload():
+        import larynx_tpu as _lx
+
+        for voice in settings.preload_voices:
+            try:
+                tts = _lx.get_tts_model(
+                    voice, custom_voices_dir=settings.voices_dir, half=settings.half
+                )
+                voc = _lx.get_vocoder_model(
+                    settings.quality,
+                    custom_voices_dir=settings.voices_dir,
+                    half=settings.half,
+                    denoiser_strength=settings.denoiser_strength,
+                )
+                engine = _lx._get_engine(tts, voc, half=settings.half)
+                if engine is not None:
+                    _LOGGER.info("Warming compile cache for %s...", voice)
+                    engine.warmup(text_lengths=(16, 64, 128), batch_sizes=(1, 8))
+                    _LOGGER.info("Warmed %s", voice)
+            except Exception:
+                _LOGGER.exception("preload failed for %s", voice)
+
+    if settings.preload_voices:
+        executor.submit(_preload)
 
     # ------------------------------------------------------------------
 
