@@ -110,13 +110,14 @@ class HiFiGanVocoder(VocoderModel):
         )
 
         cfg = self.model_config
+        use_pallas = jax.default_backend() not in ("cpu",)
 
         @jax.jit
         def generate(params, mel):
             # mel [B, C, M] -> audio [B, M * upsample]
-            return generator(params, cfg, jnp.swapaxes(mel, 1, 2)).astype(
-                jnp.float32
-            )
+            return generator(
+                params, cfg, jnp.swapaxes(mel, 1, 2), use_pallas=use_pallas
+            ).astype(jnp.float32)
 
         self._generate = generate
         self.bias_spec: typing.Optional[jnp.ndarray] = None

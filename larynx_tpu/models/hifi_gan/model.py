@@ -70,7 +70,7 @@ def generator(
             params["resblocks"][i * nk + j] for j in range(nk)
         ]
         stage_channels = x.shape[-1]
-        if use_pallas and cfg.resblock == "1" and stage_channels <= 128:
+        if use_pallas and stage_channels <= 128:
             from larynx_tpu.ops.mrf_block import fused_mrf, pack_mrf_weights
 
             x = fused_mrf(
@@ -80,6 +80,7 @@ def generator(
                 dilations_per_block=tuple(
                     tuple(d) for d in cfg.resblock_dilation_sizes
                 ),
+                convs_per_unit=2 if cfg.resblock == "1" else 1,
             )
         else:
             acc = None

@@ -35,11 +35,17 @@ LRELU_SLOPE = 0.1
 DEFAULT_DILATIONS = (1, 3, 5)
 
 
-def chain_halo(kernel_size: int, dilations: typing.Sequence[int]) -> int:
-    """One chain's receptive-field halo: sum over layer pairs of
-    (k-1)/2 * d  (dilated conv) + (k-1)/2 (plain conv)."""
+def chain_halo(
+    kernel_size: int,
+    dilations: typing.Sequence[int],
+    convs_per_unit: int = 2,
+) -> int:
+    """One chain's receptive-field halo: per unit, (k-1)/2 * d for the
+    dilated conv plus (k-1)/2 for the trailing plain conv (ResBlock1
+    only; ResBlock2 units have a single dilated conv)."""
     half = (kernel_size - 1) // 2
-    return sum(half * d + half for d in dilations)
+    plain = half if convs_per_unit == 2 else 0
+    return sum(half * d + plain for d in dilations)
 
 
 def _leaky_relu(x):
@@ -54,14 +60,16 @@ def _make_kernel(
     total_len: int,
     channels: int,
     out_dtype,
+    convs_per_unit: int = 2,
 ):
     n_blocks = len(kernel_sizes)
+    refs_per_block = 2 * convs_per_unit
 
     def kernel(x_hbm, *refs):
-        weight_refs = refs[: 4 * n_blocks]
-        out_ref = refs[4 * n_blocks]
-        x_scratch = refs[4 * n_blocks + 1]
-        sem = refs[4 * n_blocks + 2]
+        weight_refs = refs[: refs_per_block * n_blocks]
+        out_ref = refs[refs_per_block * n_blocks]
+        x_scratch = refs[refs_per_block * n_blocks + 1]
+        sem = refs[refs_per_block * n_blocks + 2]
 
         b = pl.program_id(0)
         i = pl.program_id(1)
@@ -110,20 +118,24 @@ def _make_kernel(
         for r in range(n_blocks):
             k = kernel_sizes[r]
             dils = dilations_per_block[r]
-            c1w = weight_refs[4 * r + 0]
-            c1b = weight_refs[4 * r + 1]
-            c2w = weight_refs[4 * r + 2]
-            c2b = weight_refs[4 * r + 3]
+            block_refs = weight_refs[refs_per_block * r : refs_per_block * (r + 1)]
 
             # crop so this chain's output lands exactly on the central tile
-            extra = halo - chain_halo(k, dils)
+            extra = halo - chain_halo(k, dils, convs_per_unit)
             h = x_tile[extra : x_tile.shape[0] - extra, :]
             offset = extra
             for j, d in enumerate(dils):
-                half_pair = ((k - 1) // 2) * d + ((k - 1) // 2)
-                xt, off = conv(_leaky_relu(h), offset, c1w, c1b, j, k, d)
-                xt, off = conv(_leaky_relu(xt), off, c2w, c2b, j, k, 1)
-                h = h[half_pair : h.shape[0] - half_pair, :] + xt
+                half = (k - 1) // 2
+                # unit = dilated conv (+ plain conv for ResBlock1)
+                unit_halo = half * d + (half if convs_per_unit == 2 else 0)
+                xt, off = conv(
+                    _leaky_relu(h), offset, block_refs[0], block_refs[1], j, k, d
+                )
+                if convs_per_unit == 2:
+                    xt, off = conv(
+                        _leaky_relu(xt), off, block_refs[2], block_refs[3], j, k, 1
+                    )
+                h = h[unit_halo : h.shape[0] - unit_halo, :] + xt
                 offset = off
             total += h.astype(jnp.float32)
 
@@ -134,7 +146,10 @@ def _make_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kernel_sizes", "dilations_per_block", "tile", "interpret"),
+    static_argnames=(
+        "kernel_sizes", "dilations_per_block", "tile", "convs_per_unit",
+        "interpret",
+    ),
 )
 def fused_mrf(
     x: jnp.ndarray,
@@ -145,13 +160,14 @@ def fused_mrf(
     )
     * 3,
     tile: typing.Optional[int] = None,
+    convs_per_unit: int = 2,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """x [B, T, C] -> averaged MRF section output [B, T, C].
 
-    ``weights``: flat tuple, 4 arrays per resblock r:
-      convs1_w [n_layers, k_r, C, C], convs1_b [n_layers, C],
-      convs2_w [n_layers, k_r, C, C], convs2_b [n_layers, C].
+    ``weights``: flat tuple, 2*convs_per_unit arrays per resblock r —
+    ResBlock1 (convs_per_unit=2): convs1_w [n, k_r, C, C], convs1_b [n, C],
+    convs2_w, convs2_b; ResBlock2 (convs_per_unit=1): convs_w, convs_b.
     """
     b, t, c_orig = x.shape
 
@@ -178,7 +194,8 @@ def fused_mrf(
         # scoped allocation under the 16 MB limit.
         tile = max(256, min(4096, (1 << 17) // c))
     halo = max(
-        chain_halo(k, d) for k, d in zip(kernel_sizes, dilations_per_block)
+        chain_halo(k, d, convs_per_unit)
+        for k, d in zip(kernel_sizes, dilations_per_block)
     )
 
     n_tiles = -(-t // tile)
@@ -195,6 +212,7 @@ def fused_mrf(
         t,
         c,
         x.dtype,
+        convs_per_unit=convs_per_unit,
     )
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]  # x DMA'd manually
@@ -219,13 +237,17 @@ def fused_mrf(
 
 
 def pack_mrf_weights(resblocks: typing.Sequence[dict]) -> typing.Tuple:
-    """Stack a stage's resblock param dicts (larynx_tpu layout:
-    convs1/convs2 lists of {"w": [k, C, C], "b": [C]}) into the flat tuple
-    :func:`fused_mrf` consumes."""
+    """Stack a stage's resblock param dicts into the flat tuple
+    :func:`fused_mrf` consumes.  ResBlock1 dicts carry convs1/convs2;
+    ResBlock2 dicts carry a single convs list."""
     out = []
     for block in resblocks:
-        out.append(jnp.stack([conv["w"] for conv in block["convs1"]]))
-        out.append(jnp.stack([conv["b"] for conv in block["convs1"]]))
-        out.append(jnp.stack([conv["w"] for conv in block["convs2"]]))
-        out.append(jnp.stack([conv["b"] for conv in block["convs2"]]))
+        if "convs1" in block:
+            out.append(jnp.stack([conv["w"] for conv in block["convs1"]]))
+            out.append(jnp.stack([conv["b"] for conv in block["convs1"]]))
+            out.append(jnp.stack([conv["w"] for conv in block["convs2"]]))
+            out.append(jnp.stack([conv["b"] for conv in block["convs2"]]))
+        else:
+            out.append(jnp.stack([conv["w"] for conv in block["convs"]]))
+            out.append(jnp.stack([conv["b"] for conv in block["convs"]]))
     return tuple(out)

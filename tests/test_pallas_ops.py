@@ -70,7 +70,7 @@ def test_fused_mrf_matches_xla(channels):
 
 
 def test_fused_mrf_small_resblock2_style():
-    """Two-kernel configuration (vctk_small-like geometry)."""
+    """Two-kernel ResBlock1 configuration with unusual dilations."""
     rng = np.random.default_rng(1)
     kernel_sizes = (3, 5)
     dilations = ((1, 2), (2, 6))
@@ -88,6 +88,51 @@ def test_fused_mrf_small_resblock2_style():
             kernel_sizes=kernel_sizes,
             dilations_per_block=dilations,
             tile=64,
+            interpret=True,
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_fused_mrf_resblock2():
+    """True ResBlock2 topology (vctk_small: single dilated conv per unit)."""
+    from larynx_tpu.models.hifi_gan.model import _resblock2
+
+    rng = np.random.default_rng(2)
+    kernel_sizes = (3, 5, 7)
+    dilations = ((1, 2), (2, 6), (3, 12))
+    resblocks = []
+    c = 32
+    for k, dils in zip(kernel_sizes, dilations):
+        resblocks.append(
+            {
+                "convs": [
+                    {
+                        "w": rng.standard_normal((k, c, c)).astype(np.float32)
+                        * 0.05,
+                        "b": rng.standard_normal(c).astype(np.float32) * 0.01,
+                    }
+                    for _ in dils
+                ]
+            }
+        )
+    weights = pack_mrf_weights(resblocks)
+    x = rng.standard_normal((2, 260, c)).astype(np.float32)
+
+    acc = None
+    for block, k, dils in zip(resblocks, kernel_sizes, dilations):
+        y = _resblock2(block, jnp.asarray(x), k, dils)
+        acc = y if acc is None else acc + y
+    ref = np.asarray(acc / len(resblocks))
+
+    out = np.asarray(
+        fused_mrf(
+            jnp.asarray(x),
+            weights,
+            kernel_sizes=kernel_sizes,
+            dilations_per_block=dilations,
+            tile=128,
+            convs_per_unit=1,
             interpret=True,
         )
     )
