@@ -98,11 +98,26 @@ def main() -> None:
     audio_sec = run_once()
     warmup_time = time.perf_counter() - t0
 
+    profile_dir = None
+    if "--profile" in sys.argv:
+        profile_dir = "/tmp/larynx_tpu_profile"
+        try:
+            jax.profiler.start_trace(profile_dir)
+        except Exception:  # profiling unsupported on some backends
+            profile_dir = None
+
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         audio_sec = run_once()
         times.append(time.perf_counter() - t0)
+
+    if profile_dir:
+        try:
+            jax.profiler.stop_trace()
+            print(f"# profiler trace written to {profile_dir}", file=sys.stderr)
+        except Exception:
+            pass
 
     synth_time = float(np.median(times))
     rtf = synth_time / audio_sec

@@ -1,0 +1,92 @@
+"""Unit tests: voice registry/name grammar, bucket policy, language codes."""
+
+import numpy as np
+import pytest
+
+from larynx_tpu.runtime.buckets import BucketPolicy
+from larynx_tpu.text.langs import resolve_lang
+from larynx_tpu.voices import (
+    VOCODER_QUALITY,
+    get_voice_download_name,
+    get_voices_dirs,
+    list_voices,
+    resolve_voice_name,
+    split_voice_name,
+)
+
+
+def test_voice_alias_resolution():
+    assert resolve_voice_name("harvard") == "en-us_harvard-glow_tts"
+    assert resolve_voice_name("harvard-glow_tts") == "en-us_harvard-glow_tts"
+    assert resolve_voice_name("en-us_harvard-glow_tts") == "en-us_harvard-glow_tts"
+    assert resolve_voice_name("en") == "en-us_mary_ann-glow_tts"
+    assert resolve_voice_name("de") == "de-de_thorsten-glow_tts"
+    assert resolve_voice_name("sw") == "sw_biblia_takatifu-glow_tts"
+    # unknown names pass through
+    assert resolve_voice_name("en-us_custom-glow_tts") == "en-us_custom-glow_tts"
+
+
+def test_split_voice_name():
+    assert split_voice_name("en-us_harvard-glow_tts") == (
+        "en-us", "harvard", "glow_tts",
+    )
+    assert split_voice_name("de-de_eva_k-glow_tts") == ("de-de", "eva_k", "glow_tts")
+    # names with dashes in them
+    assert split_voice_name("nl_bart_de_leeuw-glow_tts") == (
+        "nl", "bart_de_leeuw", "glow_tts",
+    )
+
+
+def test_registry_complete():
+    voices = list_voices()
+    assert len(voices) == 51  # the reference's released voice count
+    langs = {lang for _, lang, _ in voices}
+    assert langs == {
+        "de-de", "en-us", "es-es", "fr-fr", "it-it", "nl", "ru-ru", "sv-se", "sw",
+    }
+    assert get_voice_download_name("ljspeech") == "en-us_ljspeech-glow_tts"
+    assert VOCODER_QUALITY["high"] == "hifi_gan/universal_large"
+
+
+def test_voices_dirs_priority(tmp_path, monkeypatch):
+    monkeypatch.setenv("LARYNX_VOICES_DIR", str(tmp_path / "env"))
+    dirs = get_voices_dirs(tmp_path / "arg")
+    assert dirs[0] == tmp_path / "arg"
+    assert dirs[1] == tmp_path / "env"
+
+
+def test_resolve_lang():
+    assert resolve_lang("en") == "en-us"
+    assert resolve_lang("EN_us") == "en-us"
+    assert resolve_lang("de") == "de-de"
+    assert resolve_lang("nl-nl") == "nl"
+    assert resolve_lang(None) == "en-us"
+    assert resolve_lang("sv") == "sv-se"
+
+
+def test_bucket_policy():
+    policy = BucketPolicy()
+    assert policy.text_bucket(1) == 16
+    assert policy.text_bucket(16) == 16
+    assert policy.text_bucket(17) == 32
+    assert policy.text_bucket(400) == 768  # beyond grid: rounded up
+    assert policy.mel_bucket(1) == 64
+    assert policy.mel_bucket(63) % policy.n_sqz == 0
+    assert policy.mel_bucket(5000) % 4096 == 0
+    assert policy.batch_bucket(3) == 4
+    assert policy.batch_bucket(16) == 16
+    assert policy.batch_bucket(17) == 32
+
+
+def test_group_by_text_bucket():
+    policy = BucketPolicy()
+    lengths = [10, 12, 30, 11, 200, 14, 15]
+    groups = policy.group_by_text_bucket(lengths, max_batch=3)
+    # bucket-16 items split at max_batch 3: [0,1,3], [5,6]; bucket-32: [2];
+    # bucket-256: [4]
+    flat = [i for g in groups for i in g]
+    assert sorted(flat) == list(range(len(lengths)))
+    for group in groups:
+        buckets = {policy.text_bucket(lengths[i]) for i in group}
+        assert len(buckets) == 1
+        assert len(group) <= 3
