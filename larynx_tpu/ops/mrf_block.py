@@ -49,7 +49,11 @@ def chain_halo(
 
 
 def _leaky_relu(x):
-    return jnp.where(x >= 0, x, x * LRELU_SLOPE)
+    # max/min form: Mosaic lacks bf16 vector compares (arith.cmpf on bf16)
+    zero = jnp.zeros((), dtype=x.dtype)
+    return jnp.maximum(x, zero) + jnp.asarray(LRELU_SLOPE, x.dtype) * jnp.minimum(
+        x, zero
+    )
 
 
 def _make_kernel(
