@@ -83,6 +83,63 @@ def maximum_path(value: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return path * mask
 
 
+def intersperse(lst: typing.Sequence, item) -> typing.List:
+    """[a, b] -> [item, a, item, b, item] (glow_tts/utils.py:8-11; some
+    training corpora intersperse a blank id at the symbol level)."""
+    result = [item] * (len(lst) * 2 + 1)
+    result[1::2] = list(lst)
+    return result
+
+
+def actnorm_ddi_init(
+    params: Params,
+    cfg: GlowTTSConfig,
+    mels: jnp.ndarray,
+    mel_lengths: jnp.ndarray,
+) -> Params:
+    """Data-dependent initialization of every ActNorm from a warmup batch.
+
+    Mirrors the reference's ddi mode (glow_tts/layers.py:204-221): each
+    block's ActNorm is initialized from the masked mean/variance of ITS
+    input (which depends on the already-initialized earlier blocks), so
+    blocks are processed sequentially front-to-back.
+    """
+    mel_lengths = (mel_lengths // cfg.n_sqz) * cfg.n_sqz
+    m = mels.shape[1]
+    y_mask = (jnp.arange(m)[None, :] < mel_lengths[:, None]).astype(jnp.float32)
+
+    x, sq_mask = flows.squeeze(mels, y_mask, cfg.n_sqz)
+    mask3 = sq_mask[..., None]
+
+    blocks = params["decoder"]
+    n_blocks = cfg.n_blocks_dec
+    new_logs = []
+    new_bias = []
+    for r in range(n_blocks):
+        block = jax.tree.map(lambda leaf: leaf[r], blocks)
+
+        denom = jnp.sum(mask3, axis=(0, 1))
+        mean = jnp.sum(x * mask3, axis=(0, 1)) / denom
+        mean_sq = jnp.sum(jnp.square(x) * mask3, axis=(0, 1)) / denom
+        var = mean_sq - jnp.square(mean)
+        logs = 0.5 * jnp.log(jnp.clip(var, 1e-6, None))
+        bias = -mean * jnp.exp(-logs)
+        new_logs.append(-logs)
+        new_bias.append(bias)
+
+        block["actnorm"] = {"logs": -logs, "bias": bias}
+        x, _ = flows.flow_step(block, x, sq_mask, cfg, reverse=False)
+
+    updated = dict(params)
+    decoder = dict(blocks)
+    decoder["actnorm"] = {
+        "logs": jnp.stack(new_logs),
+        "bias": jnp.stack(new_bias),
+    }
+    updated["decoder"] = decoder
+    return updated
+
+
 def mle_loss(z, m, logs, logdet, mask) -> jnp.ndarray:
     """Flow maximum-likelihood loss (glow_tts/utils.py:14-23).
 

@@ -62,6 +62,10 @@ def get_args(argv=None):
         "--checkpoint-every", type=int, default=1000, help="Steps between saves"
     )
     parser.add_argument("--resume", help="generator.npz to resume from")
+    parser.add_argument(
+        "--ddi", action="store_true",
+        help="Data-dependent ActNorm init from the first batch",
+    )
     parser.add_argument("--debug", action="store_true")
     return parser.parse_args(argv)
 
@@ -115,6 +119,30 @@ def main(argv=None) -> None:
     def save(step: int):
         save_params(out_dir / "generator.npz", jax.device_get(state.params))
         _LOGGER.info("Saved checkpoint at step %s to %s", step, out_dir)
+
+    if args.ddi and not args.resume:
+        import jax.numpy as jnp
+
+        from larynx_tpu.models.glow_tts.training import actnorm_ddi_init
+
+        first = next(
+            dataset.batches(
+                args.batch_size,
+                max_id_len=args.max_id_len,
+                max_mel_len=args.max_mel_len,
+                shuffle_seed=args.seed,
+            ),
+            None,
+        )
+        if first is not None:
+            _LOGGER.info("Running data-dependent ActNorm init")
+            params = actnorm_ddi_init(
+                state.params,
+                cfg,
+                jnp.asarray(first["mels"]),
+                jnp.asarray(first["mel_lengths"]),
+            )
+            state = init_train_state(shard_params(params, mesh), optimizer)
 
     step = 0
     try:

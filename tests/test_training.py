@@ -173,3 +173,34 @@ def test_sharded_train_step_runs_on_mesh():
     for _ in range(10):
         state, metrics = train_step(state, batch)
     assert float(metrics["loss"]) < losses[0]
+
+
+def test_actnorm_ddi_init_normalizes():
+    """After data-dependent init, each ActNorm's output over the init batch
+    is ~zero-mean/unit-variance (the reference's ddi semantics,
+    glow_tts/layers.py:204-221)."""
+    import jax.numpy as jnp
+
+    from larynx_tpu.models.glow_tts import flows
+    from larynx_tpu.models.glow_tts.training import actnorm_ddi_init
+
+    params = init_params(jax.random.PRNGKey(3), SMALL_CFG)
+    rng = np.random.default_rng(3)
+    mels = jnp.asarray(
+        (rng.standard_normal((4, 32, 80)) * 3 + 1).astype(np.float32)
+    )
+    mel_lengths = jnp.asarray([32, 28, 30, 24], dtype=jnp.int32)
+
+    params2 = actnorm_ddi_init(params, SMALL_CFG, mels, mel_lengths)
+
+    # re-run the forward and check the first block's actnorm output stats
+    y_mask = (jnp.arange(32)[None, :] < mel_lengths[:, None]).astype(jnp.float32)
+    x, sq_mask = flows.squeeze(mels, y_mask, SMALL_CFG.n_sqz)
+    block0 = jax.tree.map(lambda leaf: leaf[0], params2["decoder"])
+    z, _ = flows.actnorm(block0["actnorm"], x, sq_mask, reverse=False)
+    mask3 = np.asarray(sq_mask)[..., None]
+    z = np.asarray(z)
+    mean = (z * mask3).sum((0, 1)) / mask3.sum((0, 1))
+    var = ((z - mean) ** 2 * mask3).sum((0, 1)) / mask3.sum((0, 1))
+    np.testing.assert_allclose(mean, 0.0, atol=1e-4)
+    np.testing.assert_allclose(var, 1.0, atol=1e-3)
