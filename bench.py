@@ -3,16 +3,19 @@
 
 Mirrors the reference methodology (scripts/benchmark-voices.sh: per-language
 pangram, 1 warm-up + 3 timed runs; RTF = synth-time / audio-duration, lower
-is better) on the flagship configuration: GlowTTS harvard dims + HiFi-GAN
-universal_large geometry at high quality.  Weights are random (no released
-checkpoints ship in this environment) — RTF depends only on shapes/FLOPs,
-not weight values; ``length_scale`` is set so durations match real voices
-(~6 mel frames per phoneme id).
+is better).  Default run = the headline config: GlowTTS harvard dims +
+HiFi-GAN universal_large geometry ("high" quality), batch 8, float32 with
+the fused Pallas MRF kernels.  Weights are random (no released checkpoints
+ship in this environment) — RTF depends only on shapes/FLOPs, not weight
+values; ``length_scale`` is set so durations match real voices.
 
 Prints ONE JSON line:
   {"metric": "...", "value": RTF, "unit": "...", "vs_baseline": N}
-where vs_baseline = reference_RTF / our_RTF (x-times faster than the
-published i7-8750H high-quality RTF of 0.25, BASELINE.md).
+vs_baseline = reference_RTF / our_RTF against the published i7-8750H
+numbers (BASELINE.md: high 0.25, medium 0.06, low 0.05).
+
+Flags: --half (bfloat16), --quality {high,medium,low,griffin_lim},
+--batch N, --workload {pangram,server}, --profile (jax.profiler trace).
 """
 
 import json
@@ -32,7 +35,21 @@ from larynx_tpu.runtime.engine import SynthesisEngine
 from larynx_tpu.text.frontend import sentences
 from larynx_tpu.text.ids import phonemes_to_ids
 
-BASELINE_RTF_HIGH = 0.25  # i7-8750H, high quality (BASELINE.md)
+BASELINES = {"high": 0.25, "medium": 0.06, "low": 0.05, "griffin_lim": 0.05}
+
+VOCODER_GEOMETRY = {
+    # quality -> HiFiGanConfig kwargs (the released vocoder geometries)
+    "high": dict(),  # universal_large defaults
+    "medium": dict(upsample_initial_channel=128),  # vctk_medium
+    "low": dict(  # vctk_small
+        resblock="2",
+        upsample_rates=(8, 8, 4),
+        upsample_kernel_sizes=(16, 16, 8),
+        upsample_initial_channel=256,
+        resblock_kernel_sizes=(3, 5, 7),
+        resblock_dilation_sizes=((1, 2), (2, 6), (3, 12)),
+    ),
+}
 
 # 46-symbol en-us voice inventory (local/en-us/harvard-glow_tts/phonemes.txt)
 PHONEME_TABLE = {
@@ -54,48 +71,111 @@ PANGRAM = (
 LENGTH_SCALE = 6.0  # random weights emit ~1 frame/id; real voices ~6
 
 
-def main() -> None:
-    half = "--half" in sys.argv
+def _flag(name, default=None):
+    if name in sys.argv:
+        idx = sys.argv.index(name)
+        if idx + 1 < len(sys.argv):
+            return sys.argv[idx + 1]
+    return default
 
+
+def build_engine(quality: str, half: bool) -> SynthesisEngine:
     glow_cfg = GlowTTSConfig()
-    hifi_cfg = HiFiGanConfig()  # universal_large geometry (high quality)
     audio_settings = AudioSettings(
         signal_norm=True, max_norm=1.0, symmetric_norm=True, clip_norm=True
     )
-
     key = jax.random.PRNGKey(0)
     glow_params = glow_init(key, glow_cfg)
-    voc_params = hifi_init(jax.random.fold_in(key, 1), hifi_cfg)
 
-    engine = SynthesisEngine(
-        glow_params,
-        glow_cfg,
-        audio_settings,
+    if quality == "griffin_lim":
+        return SynthesisEngine(
+            glow_params, glow_cfg, audio_settings,
+            vocoder_kind="griffin_lim", half=half, seed=1234,
+        )
+    hifi_cfg = HiFiGanConfig(**VOCODER_GEOMETRY[quality])
+    return SynthesisEngine(
+        glow_params, glow_cfg, audio_settings,
         vocoder_kind="hifi_gan",
-        vocoder_params=voc_params,
+        vocoder_params=hifi_init(jax.random.fold_in(key, 1), hifi_cfg),
         vocoder_cfg=hifi_cfg,
         half=half,
         seed=1234,
     )
 
-    # Text -> ids through the real frontend
-    id_seqs = []
+
+def text_ids():
+    out = []
     for sent in sentences(PANGRAM, lang="en-us"):
         word_phonemes = [w.phonemes for w in sent if w.phonemes]
-        ids = phonemes_to_ids(word_phonemes, PHONEME_TABLE)
-        id_seqs.append(np.asarray(ids, dtype=np.int64))
-    # server-style batch: 8 concurrent sentences
-    batch = (id_seqs * 8)[:8]
+        out.append(
+            np.asarray(phonemes_to_ids(word_phonemes, PHONEME_TABLE), dtype=np.int64)
+        )
+    return out
+
+
+def run_pangram(engine, batch_size, denoiser):
+    batch = (text_ids() * batch_size)[:batch_size]
 
     def run_once():
         audios = engine.synthesize_batch(
-            batch, length_scale=LENGTH_SCALE, denoiser_strength=0.005
+            batch, length_scale=LENGTH_SCALE, denoiser_strength=denoiser
         )
-        return sum(a.shape[-1] for a in audios) / audio_settings.sample_rate
+        return sum(a.shape[-1] for a in audios) / engine.audio_settings.sample_rate
 
-    # warm-up (compilation)
+    return run_once
+
+
+def run_server(engine, n_requests, denoiser):
+    """32-concurrent-request workload through the coalescing scheduler."""
+    import threading
+
+    from larynx_tpu.runtime.scheduler import BatchScheduler
+
+    ids = text_ids()[0]
+
+    def run_once():
+        scheduler = BatchScheduler(max_batch=8, max_wait_ms=30.0)
+        futures = []
+        barrier = threading.Barrier(n_requests)
+
+        def request():
+            barrier.wait()
+            futures.append(
+                scheduler.submit(
+                    engine, ids, length_scale=LENGTH_SCALE,
+                    denoiser_strength=denoiser,
+                )
+            )
+
+        threads = [threading.Thread(target=request) for _ in range(n_requests)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        total = sum(f.result().shape[-1] for f in list(futures))
+        scheduler.shutdown()
+        return total / engine.audio_settings.sample_rate
+
+    return run_once
+
+
+def main() -> None:
+    half = "--half" in sys.argv
+    quality = _flag("--quality", "high")
+    batch = int(_flag("--batch", "8"))
+    workload = _flag("--workload", "pangram")
+    denoiser = 0.0 if quality == "griffin_lim" else 0.005
+
+    engine = build_engine(quality, half)
+    if workload == "server":
+        run_once = run_server(engine, batch if batch > 8 else 32, denoiser)
+        metric = f"rtf_{quality}_server{batch if batch > 8 else 32}"
+    else:
+        run_once = run_pangram(engine, batch, denoiser)
+        metric = f"rtf_{quality}_batch{batch}"
+
     t0 = time.perf_counter()
-    audio_sec = run_once()
+    audio_sec = run_once()  # warm-up (compilation)
     warmup_time = time.perf_counter() - t0
 
     profile_dir = None
@@ -103,7 +183,7 @@ def main() -> None:
         profile_dir = "/tmp/larynx_tpu_profile"
         try:
             jax.profiler.start_trace(profile_dir)
-        except Exception:  # profiling unsupported on some backends
+        except Exception:
             profile_dir = None
 
     times = []
@@ -121,19 +201,17 @@ def main() -> None:
 
     synth_time = float(np.median(times))
     rtf = synth_time / audio_sec
-    device = jax.devices()[0]
-
     result = {
-        "metric": "rtf_high_quality_batch8",
+        "metric": metric,
         "value": round(rtf, 6),
         "unit": "synth_sec_per_audio_sec",
-        "vs_baseline": round(BASELINE_RTF_HIGH / rtf, 2),
+        "vs_baseline": round(BASELINES.get(quality, 0.25) / rtf, 2),
         "audio_sec_per_run": round(audio_sec, 2),
         "synth_sec_per_run": round(synth_time, 4),
         "warmup_sec": round(warmup_time, 2),
-        "device": str(device),
+        "device": str(jax.devices()[0]),
         "half": half,
-        "batch": len(batch),
+        "batch": batch,
     }
     print(json.dumps(result))
 
