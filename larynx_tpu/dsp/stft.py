@@ -20,6 +20,51 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _use_matmul_dft() -> bool:
+    """XLA's TPU FFT lowering is slow; a fixed-size DFT as two MXU matmuls
+    is much faster there.  CPU keeps the numpy-exact rfft path."""
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+@functools.lru_cache(maxsize=4)
+def _dft_matrices(fft_size: int):
+    """Forward rFFT as matmul: X = frames @ (C - i S).
+
+    C[n, k] = cos(2*pi*k*n/N), S[n, k] = sin(2*pi*k*n/N); k in [0, N/2].
+    """
+    n = np.arange(fft_size)[:, None]
+    k = np.arange(fft_size // 2 + 1)[None, :]
+    angle = 2.0 * np.pi * n * k / fft_size
+    # cache numpy (not jnp): jnp constants created inside a jit trace are
+    # tracers and must not leak through the cache
+    return (
+        np.cos(angle).astype(np.float32),
+        np.sin(angle).astype(np.float32),
+    )
+
+
+@functools.lru_cache(maxsize=4)
+def _idft_matrices(fft_size: int):
+    """Inverse rFFT as matmul: x = Re @ A + Im @ B.
+
+    Hermitian symmetry: x[n] = (1/N)(X0 + (-1)^n X_{N/2}
+    + sum_k 2 (Re_k cos - Im_k sin)).
+    """
+    n_freq = fft_size // 2 + 1
+    k = np.arange(n_freq)[:, None]
+    n = np.arange(fft_size)[None, :]
+    angle = 2.0 * np.pi * k * n / fft_size
+    scale = np.full((n_freq, 1), 2.0)
+    scale[0] = 1.0
+    scale[-1] = 1.0
+    a = scale * np.cos(angle) / fft_size
+    b = -scale * np.sin(angle) / fft_size
+    return a.astype(np.float32), b.astype(np.float32)
+
+
 def hann_window(fft_size: int) -> np.ndarray:
     """numpy.hanning-compatible periodic-ish Hann (N points, endpoints 0)."""
     return np.hanning(fft_size).astype(np.float32)
@@ -41,18 +86,34 @@ def frame_signal(x: jnp.ndarray, fft_size: int, hop: int) -> jnp.ndarray:
     return x[..., idx]
 
 
+def _stft_ri(x: jnp.ndarray, fft_size: int, hop: int):
+    """(real, imag) STFT halves, each [B, n_freq, n_frames]."""
+    window = jnp.asarray(hann_window(fft_size))
+    frames = frame_signal(x, fft_size, hop) * window  # [B, F, fft]
+    if _use_matmul_dft():
+        cos_m, sin_m = _dft_matrices(fft_size)
+        real = jnp.einsum(
+            "bfn,nk->bkf", frames, cos_m, preferred_element_type=jnp.float32
+        )
+        imag = -jnp.einsum(
+            "bfn,nk->bkf", frames, sin_m, preferred_element_type=jnp.float32
+        )
+        return real, imag
+    spec = jnp.fft.rfft(frames, axis=-1)  # [B, F, n_freq]
+    spec = jnp.swapaxes(spec, -1, -2)
+    return spec.real, spec.imag
+
+
 def stft(x: jnp.ndarray, fft_size: int = 1024, hop: int = 256) -> jnp.ndarray:
     """Complex STFT: [B, T] -> [B, n_freq, n_frames]."""
-    window = jnp.asarray(hann_window(fft_size))
-    frames = frame_signal(x, fft_size, hop) * window
-    spec = jnp.fft.rfft(frames, axis=-1)  # [B, n_frames, n_freq]
-    return jnp.swapaxes(spec, -1, -2)
+    real, imag = _stft_ri(x, fft_size, hop)
+    return real + 1j * imag
 
 
 def stft_magnitude_phase(x: jnp.ndarray, fft_size: int = 1024, hop: int = 256):
     """Batch magnitude/phase, mirroring ``transform`` (larynx/audio.py:292)."""
-    spec = stft(x, fft_size, hop)
-    return jnp.abs(spec), jnp.angle(spec)
+    real, imag = _stft_ri(x, fft_size, hop)
+    return jnp.sqrt(jnp.square(real) + jnp.square(imag)), jnp.arctan2(imag, real)
 
 
 def istft_overlap_add(
@@ -91,6 +152,27 @@ def istft_overlap_add(
     return out.at[:, idx].add(frames, mode="drop")
 
 
+def _istft_ri(
+    real: jnp.ndarray, imag: jnp.ndarray, fft_size: int, hop: int
+) -> jnp.ndarray:
+    """Inverse STFT from (real, imag) [B, n_freq, n_frames] -> [B, T]."""
+    if _use_matmul_dft():
+        a, b = _idft_matrices(fft_size)
+        frames = jnp.einsum(
+            "bkf,kn->bfn", real, a, preferred_element_type=jnp.float32
+        ) + jnp.einsum(
+            "bkf,kn->bfn", imag, b, preferred_element_type=jnp.float32
+        )
+    else:
+        spec = jnp.swapaxes(real + 1j * imag, -1, -2)
+        frames = jnp.fft.irfft(spec, n=fft_size, axis=-1).real
+    n_frames = frames.shape[1]
+    full_len = n_frames * hop + fft_size
+    # The reference writes frames at range(0, full_len - fft, hop): exactly
+    # n_frames' = ceil((full_len - fft)/hop) = n_frames slots — all frames.
+    return istft_overlap_add(frames, fft_size, hop, full_len)
+
+
 def istft(
     spec: jnp.ndarray, fft_size: int = 1024, hop: int = 256
 ) -> jnp.ndarray:
@@ -99,20 +181,16 @@ def istft(
     Output length is ``n_frames * hop + fft_size`` with the same dropped-tail
     behavior as the reference's per-frame loop.
     """
-    frames = jnp.fft.irfft(jnp.swapaxes(spec, -1, -2), n=fft_size, axis=-1)
-    n_frames = frames.shape[1]
-    full_len = n_frames * hop + fft_size
-    # The reference writes frames at range(0, full_len - fft, hop): exactly
-    # n_frames' = ceil((full_len - fft)/hop) = n_frames slots — all frames.
-    return istft_overlap_add(frames.real, fft_size, hop, full_len)
+    return _istft_ri(spec.real, spec.imag, fft_size, hop)
 
 
 def inverse_magnitude_phase(
     magnitude: jnp.ndarray, phase: jnp.ndarray, fft_size: int = 1024, hop: int = 256
 ) -> jnp.ndarray:
     """Rebuild a waveform from magnitude+phase (larynx/audio.py:272-289)."""
-    spec = magnitude * jnp.exp(1j * phase)
-    return istft(spec, fft_size, hop)
+    return _istft_ri(
+        magnitude * jnp.cos(phase), magnitude * jnp.sin(phase), fft_size, hop
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("fft_size", "hop", "n_iters"))

@@ -49,11 +49,13 @@ def chain_halo(
 
 
 def _leaky_relu(x):
-    # max/min form: Mosaic lacks bf16 vector compares (arith.cmpf on bf16)
-    zero = jnp.zeros((), dtype=x.dtype)
-    return jnp.maximum(x, zero) + jnp.asarray(LRELU_SLOPE, x.dtype) * jnp.minimum(
-        x, zero
-    )
+    if x.dtype == jnp.bfloat16:
+        # Mosaic lacks bf16 vector compares (arith.cmpf) — use max/min form
+        zero = jnp.zeros((), dtype=x.dtype)
+        return jnp.maximum(x, zero) + jnp.asarray(
+            LRELU_SLOPE, x.dtype
+        ) * jnp.minimum(x, zero)
+    return jnp.where(x >= 0, x, x * LRELU_SLOPE)
 
 
 def _make_kernel(
