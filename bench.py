@@ -125,7 +125,7 @@ def run_pangram(engine, batch_size, denoiser):
     return run_once
 
 
-def run_server(engine, n_requests, denoiser):
+def run_server(engine, n_requests, denoiser, latencies_out):
     """32-concurrent-request workload through the coalescing scheduler."""
     import threading
 
@@ -137,22 +137,27 @@ def run_server(engine, n_requests, denoiser):
         scheduler = BatchScheduler(max_batch=8, max_wait_ms=30.0)
         futures = []
         barrier = threading.Barrier(n_requests)
+        lock = threading.Lock()
 
         def request():
             barrier.wait()
-            futures.append(
-                scheduler.submit(
-                    engine, ids, length_scale=LENGTH_SCALE,
-                    denoiser_strength=denoiser,
-                )
+            t0 = time.perf_counter()
+            future = scheduler.submit(
+                engine, ids, length_scale=LENGTH_SCALE,
+                denoiser_strength=denoiser,
             )
+            with lock:
+                futures.append((future, t0))
 
         threads = [threading.Thread(target=request) for _ in range(n_requests)]
         for t in threads:
             t.start()
         for t in threads:
             t.join()
-        total = sum(f.result().shape[-1] for f in list(futures))
+        total = 0
+        for future, t0 in list(futures):
+            total += future.result().shape[-1]
+            latencies_out.append(time.perf_counter() - t0)
         scheduler.shutdown()
         return total / engine.audio_settings.sample_rate
 
@@ -167,9 +172,11 @@ def main() -> None:
     denoiser = 0.0 if quality == "griffin_lim" else 0.005
 
     engine = build_engine(quality, half)
+    latencies: list = []
     if workload == "server":
-        run_once = run_server(engine, batch if batch > 8 else 32, denoiser)
-        metric = f"rtf_{quality}_server{batch if batch > 8 else 32}"
+        n_requests = batch if batch > 8 else 32
+        run_once = run_server(engine, n_requests, denoiser, latencies)
+        metric = f"rtf_{quality}_server{n_requests}"
     else:
         run_once = run_pangram(engine, batch, denoiser)
         metric = f"rtf_{quality}_batch{batch}"
@@ -213,6 +220,14 @@ def main() -> None:
         "half": half,
         "batch": batch,
     }
+    if latencies:
+        timed = latencies[len(latencies) // 4 :]  # skip warm-up run's share
+        result["p50_request_latency_sec"] = round(
+            float(np.percentile(timed, 50)), 4
+        )
+        result["p95_request_latency_sec"] = round(
+            float(np.percentile(timed, 95)), 4
+        )
     print(json.dumps(result))
 
 

@@ -193,6 +193,19 @@ def inverse_magnitude_phase(
     )
 
 
+def phase_project(
+    magnitudes: jnp.ndarray, signal: jnp.ndarray, fft_size: int, hop: int
+) -> jnp.ndarray:
+    """One Griffin-Lim projection: resynthesize ``magnitudes`` with the
+    phase of ``signal``'s STFT.  Uses the identity e^{i angle(X)} = X/|X|
+    (no arctan2/cos/sin — those transcendentals dominate on the VPU)."""
+    real, imag = _stft_ri(signal, fft_size, hop)
+    inv_mag = jax.lax.rsqrt(jnp.square(real) + jnp.square(imag) + 1e-12)
+    return _istft_ri(
+        magnitudes * real * inv_mag, magnitudes * imag * inv_mag, fft_size, hop
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("fft_size", "hop", "n_iters"))
 def griffin_lim(
     magnitudes: jnp.ndarray,
@@ -216,9 +229,6 @@ def griffin_lim(
     signal = inverse_magnitude_phase(magnitudes, angles, fft_size, hop)
 
     def body(_, sig):
-        spec = stft(sig, fft_size, hop)
-        return inverse_magnitude_phase(
-            magnitudes, jnp.angle(spec), fft_size, hop
-        )
+        return phase_project(magnitudes, sig, fft_size, hop)
 
     return jax.lax.fori_loop(0, n_iters, body, signal)

@@ -51,8 +51,7 @@ def mels_to_audio(
     signal = dsp.inverse_magnitude_phase(spec, angles, fft_size, hop)
 
     def body(_, sig):
-        s = dsp.stft(sig, fft_size, hop)
-        return dsp.inverse_magnitude_phase(spec, jnp.angle(s), fft_size, hop)
+        return dsp.phase_project(spec, sig, fft_size, hop)
 
     return jax.lax.fori_loop(0, n_iters, body, signal)
 

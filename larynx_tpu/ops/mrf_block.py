@@ -203,6 +203,9 @@ def fused_mrf(
         chain_halo(k, d, convs_per_unit)
         for k, d in zip(kernel_sizes, dilations_per_block)
     )
+    # keep tile + 2*halo a multiple of the 8-row sublane tiling (a 45-halo
+    # DMA crashed the TPU worker); extra halo just widens the crop margin
+    halo = -(-halo // 4) * 4
 
     n_tiles = -(-t // tile)
     t_padded = n_tiles * tile

@@ -144,21 +144,47 @@ class SynthesisEngine:
             mel_pp = dspmel.mel_postprocess(mel_cm, settings)
             return jnp.where(z_mask[:, None, :] > 0, mel_pp, SILENCE_LOG_MEL)
 
+        def to_int16(audio, n_valid):
+            """Peak-normalize + int16 on device over the valid samples only
+            (matches audio_float_to_int16 on the host-cropped array);
+            halves the bytes crossing the (slow) host link."""
+            t = audio.shape[-1]
+            sample_mask = (
+                jnp.arange(t)[None, :] < n_valid[:, None]
+            )
+            masked = jnp.where(sample_mask, jnp.abs(audio), 0.0)
+            peak = jnp.maximum(jnp.max(masked, axis=-1, keepdims=True), 0.01)
+            scaled = jnp.clip(audio * (32767.0 / peak), -32767.0, 32767.0)
+            return scaled.astype(jnp.int16)
+
         if self.vocoder_kind == "hifi_gan":
             voc_cfg = self.vocoder_cfg
 
             use_pallas = self.use_pallas
+            upsample = voc_cfg.total_upsample
+            fft = settings.filter_length
+            hop = settings.hop_length
 
-            @jax.jit
-            def vocode_fn(voc_params, mel, z_mask):
+            @functools.partial(jax.jit, static_argnames=("denoise",))
+            def vocode_fn(voc_params, mel, z_mask, bias_spec, strength, denoise):
                 mel_pp = postprocess(mel, z_mask)  # [B, C, M]
                 audio = hifi_model.generator(
                     voc_params,
                     voc_cfg,
                     jnp.swapaxes(mel_pp.astype(self.dtype), 1, 2),
                     use_pallas=use_pallas,
-                )
-                return audio.astype(jnp.float32)
+                ).astype(jnp.float32)
+                y_len = jnp.sum(z_mask, axis=1).astype(jnp.int32)
+                n_valid = y_len * upsample
+                if denoise:
+                    audio = hifi_denoiser.denoise(
+                        audio, bias_spec, strength, fft, hop
+                    )
+                    # denoised length per row: frames(n_valid) * hop + fft
+                    nf = jnp.maximum(n_valid - fft, 0)
+                    nf = -(-nf // hop)
+                    n_valid = nf * hop + fft
+                return to_int16(audio, n_valid)
 
             self._vocode = vocode_fn
 
@@ -177,18 +203,13 @@ class SynthesisEngine:
 
             self._bias_audio_fn = bias_audio_fn
 
-            @jax.jit
-            def denoise_fn(audio, bias_spec, strength):
-                return hifi_denoiser.denoise(
-                    audio, bias_spec, strength,
-                    settings.filter_length, settings.hop_length,
-                )
-
-            self._denoise = denoise_fn
         elif self.vocoder_kind == "none":
             pass  # encode/decode only (phonemes_to_mels surface)
         else:
             gl_iters = self.griffin_lim_iters
+
+            fft = settings.filter_length
+            hop = settings.hop_length
 
             @jax.jit
             def vocode_fn(_unused, mel, z_mask, key):
@@ -199,18 +220,16 @@ class SynthesisEngine:
                     2.0 * jnp.pi
                     * jax.random.uniform(key, spec.shape, dtype=jnp.float32)
                 )
-                signal = dsp.inverse_magnitude_phase(
-                    spec, angles, settings.filter_length, settings.hop_length
-                )
+                signal = dsp.inverse_magnitude_phase(spec, angles, fft, hop)
 
                 def body(_, sig):
-                    s = dsp.stft(sig, settings.filter_length, settings.hop_length)
-                    return dsp.inverse_magnitude_phase(
-                        spec, jnp.angle(s),
-                        settings.filter_length, settings.hop_length,
-                    )
+                    return dsp.phase_project(spec, sig, fft, hop)
 
-                return jax.lax.fori_loop(0, gl_iters, body, signal)
+                signal = jax.lax.fori_loop(0, gl_iters, body, signal)
+                y_len = jnp.sum(z_mask, axis=1).astype(jnp.int32)
+                nf = jnp.maximum(y_len - 1, 1)
+                n_valid = nf * hop + fft
+                return to_int16(signal, n_valid)
 
             self._vocode_gl = vocode_fn
 
@@ -285,11 +304,12 @@ class SynthesisEngine:
         )
 
         if self.vocoder_kind == "hifi_gan":
-            audio = self._vocode_grouped(mel, z_mask, n, denoiser_strength)
+            audio_np = self._vocode_grouped(mel, z_mask, n, denoiser_strength)
         else:
-            audio = self._vocode_gl(None, mel, z_mask, jax.random.fold_in(key, 1))
+            audio_np = np.asarray(
+                self._vocode_gl(None, mel, z_mask, jax.random.fold_in(key, 1))
+            )
 
-        audio_np = np.asarray(audio)
         out: typing.List[np.ndarray] = []
         for i in range(n):
             frames = int(y_lengths[i])
@@ -313,7 +333,7 @@ class SynthesisEngine:
                     + self.audio_settings.filter_length
                 )
             n_samples = min(n_samples, audio_np.shape[-1])
-            out.append(audio_float_to_int16(audio_np[i, :n_samples]))
+            out.append(np.ascontiguousarray(audio_np[i, :n_samples]))
         return out
 
     def _vocode_grouped(self, mel, z_mask, n_valid, denoiser_strength):
@@ -321,19 +341,24 @@ class SynthesisEngine:
 
         Only the first ``n_valid`` rows carry real sentences; trailing pad
         rows are skipped when they fall entirely in their own group.
+        Returns a host numpy int16 array [B, M*upsample]; device->host
+        copies are started asynchronously so they overlap later groups'
+        compute (the host link dominates otherwise).
         """
         b, m, _ = mel.shape
+        denoise = denoiser_strength > 0
+        bias = self._get_bias_spec() if denoise else jnp.zeros((1, 1, 1))
+        strength = jnp.float32(denoiser_strength)
+
         group = max(1, MAX_VOCODE_AREA // m)
         group = 1 << (group.bit_length() - 1)  # floor to power of two
         if group >= b:
-            audio = self._vocode(self.vocoder_params, mel, z_mask)
-            if denoiser_strength > 0:
-                audio = self._denoise(
-                    audio, self._get_bias_spec(), jnp.float32(denoiser_strength)
-                )
-            return audio
+            part = self._vocode(
+                self.vocoder_params, mel, z_mask, bias, strength, denoise
+            )
+            return np.asarray(part)
 
-        chunks = []
+        parts = []
         for start in range(0, b, group):
             if start >= n_valid:
                 break  # all-dummy rows: nothing to synthesize
@@ -341,13 +366,16 @@ class SynthesisEngine:
                 self.vocoder_params,
                 jax.lax.slice_in_dim(mel, start, start + group, axis=0),
                 jax.lax.slice_in_dim(z_mask, start, start + group, axis=0),
+                bias,
+                strength,
+                denoise,
             )
-            if denoiser_strength > 0:
-                part = self._denoise(
-                    part, self._get_bias_spec(), jnp.float32(denoiser_strength)
-                )
-            chunks.append(np.asarray(part))
-        audio = np.concatenate(chunks, axis=0)
+            try:
+                part.copy_to_host_async()
+            except AttributeError:  # older jax / non-array
+                pass
+            parts.append(part)
+        audio = np.concatenate([np.asarray(p) for p in parts], axis=0)
         if audio.shape[0] < b:  # restore dummy rows for caller indexing
             pad = np.zeros((b - audio.shape[0],) + audio.shape[1:], audio.dtype)
             audio = np.concatenate([audio, pad], axis=0)
