@@ -539,6 +539,971 @@ afraid ə f ɹ ˈeɪ d
 can't k ˈæ n t
 silent s ˈaɪ l ə n t
 going ɡ ˈoʊ ɪ ŋ
+able ˈeɪ b ə l
+accept æ k s ˈɛ p t
+access ˈæ k s ɛ s
+account ə k ˈaʊ n t
+action ˈæ k ʃ ə n
+active ˈæ k t ɪ v
+address ə d ˈɹ ɛ s
+admit æ d m ˈɪ t
+adult ə d ˈʌ l t
+affect ə f ˈɛ k t
+afternoon ˌæ f t ɚ n ˈu n
+agency ˈeɪ d͡ʒ ə n s i
+agent ˈeɪ d͡ʒ ə n t
+agree ə ɡ ˈɹ i
+ahead ə h ˈɛ d
+allow ə l ˈaʊ
+alright ɔ l ɹ ˈaɪ t
+amazing ə m ˈeɪ z ɪ ŋ
+america ə m ˈɛ ɹ ɪ k ə
+american ə m ˈɛ ɹ ɪ k ə n
+amount ə m ˈaʊ n t
+analysis ə n ˈæ l ə s ə s
+ancient ˈeɪ n ʃ ə n t
+anger ˈæ ŋ ɡ ɚ
+angle ˈæ ŋ ɡ ə l
+angry ˈæ ŋ ɡ ɹ i
+announce ə n ˈaʊ n s
+annual ˈæ n j u ə l
+anybody ˈɛ n i b ˌɑ d i
+anymore ˌɛ n i m ˈɔ ɹ
+anyone ˈɛ n i w ˌʌ n
+anyway ˈɛ n i w ˌeɪ
+anywhere ˈɛ n i w ˌɛ ɹ
+apart ə p ˈɑ ɹ t
+apartment ə p ˈɑ ɹ t m ə n t
+appear ə p ˈɪ ɹ
+application ˌæ p l ə k ˈeɪ ʃ ə n
+apply ə p l ˈaɪ
+approach ə p ˈɹ oʊ t͡ʃ
+april ˈeɪ p ɹ ə l
+argue ˈɑ ɹ ɡ j u
+argument ˈɑ ɹ ɡ j ə m ə n t
+arrive ɚ ˈaɪ v
+art ˈɑ ɹ t
+article ˈɑ ɹ t ɪ k ə l
+artist ˈɑ ɹ t ə s t
+attack ə t ˈæ k
+attempt ə t ˈɛ m p t
+attention ə t ˈɛ n ʃ ə n
+audio ˈɔ d i ˌoʊ
+august ˈɔ ɡ ə s t
+author ˈɔ θ ɚ
+available ə v ˈeɪ l ə b ə l
+average ˈæ v ɹ ə d͡ʒ
+avoid ə v ˈɔɪ d
+aware ə w ˈɛ ɹ
+bag b ˈæ ɡ
+balance b ˈæ l ə n s
+band b ˈæ n d
+bank b ˈæ ŋ k
+bar b ˈɑ ɹ
+base b ˈeɪ s
+basic b ˈeɪ s ɪ k
+basis b ˈeɪ s ə s
+battle b ˈæ t ə l
+beach b ˈi t͡ʃ
+beat b ˈi t
+beauty b j ˈu t i
+becomes b ɪ k ˈʌ m z
+beginning b ɪ ɡ ˈɪ n ɪ ŋ
+behavior b ɪ h ˈeɪ v j ɚ
+bell b ˈɛ l
+belong b ɪ l ˈɔ ŋ
+beneath b ɪ n ˈi θ
+benefit b ˈɛ n ə f ɪ t
+beside b ɪ s ˈaɪ d
+besides b ɪ s ˈaɪ d z
+beyond b i ˈɑ n d
+bill b ˈɪ l
+billion b ˈɪ l j ə n
+bit b ˈɪ t
+block b l ˈɑ k
+blood b l ˈʌ d
+board b ˈɔ ɹ d
+bone b ˈoʊ n
+border b ˈɔ ɹ d ɚ
+born b ˈɔ ɹ n
+bottle b ˈɑ t ə l
+bottom b ˈɑ t ə m
+brain b ɹ ˈeɪ n
+branch b ɹ ˈæ n t͡ʃ
+bread b ɹ ˈɛ d
+break b ɹ ˈeɪ k
+breakfast b ɹ ˈɛ k f ə s t
+breath b ɹ ˈɛ θ
+breathe b ɹ ˈi ð
+bridge b ɹ ˈɪ d͡ʒ
+brief b ɹ ˈi f
+bright b ɹ ˈaɪ t
+brother b ɹ ˈʌ ð ɚ
+brown b ɹ ˈaʊ n
+budget b ˈʌ d͡ʒ ə t
+building b ˈɪ l d ɪ ŋ
+burn b ˈɚ n
+business b ˈɪ z n ə s
+busy b ˈɪ z i
+button b ˈʌ t ə n
+camera k ˈæ m ɹ ə
+campaign k æ m p ˈeɪ n
+cancer k ˈæ n s ɚ
+candidate k ˈæ n d ə d ə t
+capital k ˈæ p ə t ə l
+captain k ˈæ p t ə n
+card k ˈɑ ɹ d
+career k ɚ ˈɪ ɹ
+careful k ˈɛ ɹ f ə l
+cast k ˈæ s t
+cell s ˈɛ l
+center s ˈɛ n t ɚ
+central s ˈɛ n t ɹ ə l
+century s ˈɛ n t͡ʃ ɚ i
+ceremony s ˈɛ ɹ ə m ˌoʊ n i
+chair t͡ʃ ˈɛ ɹ
+challenge t͡ʃ ˈæ l ə n d͡ʒ
+champion t͡ʃ ˈæ m p i ə n
+character k ˈɛ ɹ ə k t ɚ
+charge t͡ʃ ˈɑ ɹ d͡ʒ
+chart t͡ʃ ˈɑ ɹ t
+cheap t͡ʃ ˈi p
+chicken t͡ʃ ˈɪ k ə n
+chief t͡ʃ ˈi f
+choice t͡ʃ ˈɔɪ s
+choose t͡ʃ ˈu z
+chose t͡ʃ ˈoʊ z
+church t͡ʃ ˈɚ t͡ʃ
+circle s ˈɚ k ə l
+citizen s ˈɪ t ə z ə n
+claim k l ˈeɪ m
+clean k l ˈi n
+click k l ˈɪ k
+climb k l ˈaɪ m
+clock k l ˈɑ k
+closed k l ˈoʊ z d
+clothes k l ˈoʊ z
+cloud k l ˈaʊ d
+club k l ˈʌ b
+coach k ˈoʊ t͡ʃ
+coast k ˈoʊ s t
+coffee k ˈɔ f i
+collect k ə l ˈɛ k t
+college k ˈɑ l ɪ d͡ʒ
+command k ə m ˈæ n d
+comment k ˈɑ m ɛ n t
+community k ə m j ˈu n ə t i
+company k ˈʌ m p ə n i
+compare k ə m p ˈɛ ɹ
+computer k ə m p j ˈu t ɚ
+concern k ə n s ˈɚ n
+condition k ə n d ˈɪ ʃ ə n
+conference k ˈɑ n f ɹ ə n s
+congress k ˈɑ ŋ ɡ ɹ ə s
+connect k ə n ˈɛ k t
+consider k ə n s ˈɪ d ɚ
+contain k ə n t ˈeɪ n
+continue k ə n t ˈɪ n j u
+control k ə n t ɹ ˈoʊ l
+conversation k ˌɑ n v ɚ s ˈeɪ ʃ ə n
+cook k ˈʊ k
+cool k ˈu l
+copy k ˈɑ p i
+corn k ˈɔ ɹ n
+corner k ˈɔ ɹ n ɚ
+correct k ɚ ˈɛ k t
+cost k ˈɔ s t
+cotton k ˈɑ t ə n
+couch k ˈaʊ t͡ʃ
+couple k ˈʌ p ə l
+courage k ˈɚ ə d͡ʒ
+court k ˈɔ ɹ t
+cover k ˈʌ v ɚ
+cow k ˈaʊ
+create k ɹ i ˈeɪ t
+credit k ˈɹ ɛ d ə t
+crew k ɹ ˈu
+crime k ɹ ˈaɪ m
+cross k ɹ ˈɔ s
+crowd k ɹ ˈaʊ d
+cry k ɹ ˈaɪ
+culture k ˈʌ l t͡ʃ ɚ
+cup k ˈʌ p
+current k ˈɚ ə n t
+customer k ˈʌ s t ə m ɚ
+cycle s ˈaɪ k ə l
+damage d ˈæ m ə d͡ʒ
+dance d ˈæ n s
+danger d ˈeɪ n d͡ʒ ɚ
+data d ˈeɪ t ə
+date d ˈeɪ t
+daughter d ˈɔ t ɚ
+dead d ˈɛ d
+deal d ˈi l
+dear d ˈɪ ɹ
+death d ˈɛ θ
+debate d ə b ˈeɪ t
+december d ɪ s ˈɛ m b ɚ
+decide d ə s ˈaɪ d
+decision d ə s ˈɪ ʒ ə n
+deep d ˈi p
+defense d ɪ f ˈɛ n s
+degree d ɪ ɡ ˈɹ i
+demand d ɪ m ˈæ n d
+democracy d ɪ m ˈɑ k ɹ ə s i
+describe d ɪ s k ˈɹ aɪ b
+design d ɪ z ˈaɪ n
+desk d ˈɛ s k
+despite d ɪ s p ˈaɪ t
+detail d ˈi t eɪ l
+determine d ɪ t ˈɚ m ə n
+device d ɪ v ˈaɪ s
+dialogue d ˈaɪ ə l ˌɔ ɡ
+dictionary d ˈɪ k ʃ ə n ˌɛ ɹ i
+die d ˈaɪ
+difference d ˈɪ f ɹ ə n s
+difficult d ˈɪ f ə k ə l t
+digital d ˈɪ d͡ʒ ə t ə l
+dinner d ˈɪ n ɚ
+direction d ɚ ˈɛ k ʃ ə n
+director d ɚ ˈɛ k t ɚ
+discover d ɪ s k ˈʌ v ɚ
+discuss d ɪ s k ˈʌ s
+discussion d ɪ s k ˈʌ ʃ ə n
+disease d ɪ z ˈi z
+distance d ˈɪ s t ə n s
+doctor d ˈɑ k t ɚ
+document d ˈɑ k j ə m ə n t
+dollar d ˈɑ l ɚ
+double d ˈʌ b ə l
+doubt d ˈaʊ t
+dozen d ˈʌ z ə n
+dream d ɹ ˈi m
+dress d ɹ ˈɛ s
+drink d ɹ ˈɪ ŋ k
+drive d ɹ ˈaɪ v
+driver d ɹ ˈaɪ v ɚ
+drop d ɹ ˈɑ p
+drug d ɹ ˈʌ ɡ
+due d ˈu
+dust d ˈʌ s t
+duty d ˈu t i
+eastern ˈi s t ɚ n
+economy ɪ k ˈɑ n ə m i
+edge ˈɛ d͡ʒ
+education ˌɛ d͡ʒ ə k ˈeɪ ʃ ə n
+effect ɪ f ˈɛ k t
+effort ˈɛ f ɚ t
+egg ˈɛ ɡ
+election ɪ l ˈɛ k ʃ ə n
+electric ɪ l ˈɛ k t ɹ ɪ k
+email ˈi m eɪ l
+emergency ɪ m ˈɚ d͡ʒ ə n s i
+emotion ɪ m ˈoʊ ʃ ə n
+employee ɛ m p l ˈɔɪ i
+empty ˈɛ m p t i
+energy ˈɛ n ɚ d͡ʒ i
+engine ˈɛ n d͡ʒ ə n
+english ˈɪ ŋ ɡ l ɪ ʃ
+enjoy ɛ n d͡ʒ ˈɔɪ
+enter ˈɛ n t ɚ
+entire ɛ n t ˈaɪ ɚ
+environment ɛ n v ˈaɪ ɹ ə n m ə n t
+equal ˈi k w ə l
+equipment ɪ k w ˈɪ p m ə n t
+error ˈɛ ɹ ɚ
+escape ɪ s k ˈeɪ p
+especially ɪ s p ˈɛ ʃ ə l i
+establish ɪ s t ˈæ b l ɪ ʃ
+europe j ˈʊ ɹ ə p
+event ɪ v ˈɛ n t
+everybody ˈɛ v ɹ i b ˌɑ d i
+everyone ˈɛ v ɹ i w ˌʌ n
+everything ˈɛ v ɹ i θ ˌɪ ŋ
+everywhere ˈɛ v ɹ i w ˌɛ ɹ
+evidence ˈɛ v ə d ə n s
+exact ɪ ɡ z ˈæ k t
+exactly ɪ ɡ z ˈæ k t l i
+examine ɪ ɡ z ˈæ m ə n
+excellent ˈɛ k s ə l ə n t
+except ɪ k s ˈɛ p t
+exchange ɪ k s t͡ʃ ˈeɪ n d͡ʒ
+excite ɪ k s ˈaɪ t
+exercise ˈɛ k s ɚ s ˌaɪ z
+exist ɪ ɡ z ˈɪ s t
+expect ɪ k s p ˈɛ k t
+expensive ɪ k s p ˈɛ n s ɪ v
+experience ɪ k s p ˈɪ ɹ i ə n s
+experiment ɪ k s p ˈɛ ɹ ə m ə n t
+expert ˈɛ k s p ɚ t
+explain ɪ k s p l ˈeɪ n
+express ɪ k s p ˈɹ ɛ s
+extra ˈɛ k s t ɹ ə
+face f ˈeɪ s
+factor f ˈæ k t ɚ
+factory f ˈæ k t ɚ i
+fail f ˈeɪ l
+fair f ˈɛ ɹ
+faith f ˈeɪ θ
+fall f ˈɔ l
+false f ˈɔ l s
+familiar f ə m ˈɪ l j ɚ
+famous f ˈeɪ m ə s
+fan f ˈæ n
+farm f ˈɑ ɹ m
+farmer f ˈɑ ɹ m ɚ
+fashion f ˈæ ʃ ə n
+fat f ˈæ t
+fear f ˈɪ ɹ
+feature f ˈi t͡ʃ ɚ
+february f ˈɛ b j u ˌɛ ɹ i
+federal f ˈɛ d ɚ ə l
+feed f ˈi d
+feeling f ˈi l ɪ ŋ
+fight f ˈaɪ t
+figure f ˈɪ ɡ j ɚ
+file f ˈaɪ l
+fill f ˈɪ l
+film f ˈɪ l m
+final f ˈaɪ n ə l
+finally f ˈaɪ n ə l i
+finance f ə n ˈæ n s
+finger f ˈɪ ŋ ɡ ɚ
+finish f ˈɪ n ɪ ʃ
+firm f ˈɚ m
+fit f ˈɪ t
+fix f ˈɪ k s
+flat f l ˈæ t
+flight f l ˈaɪ t
+floor f l ˈɔ ɹ
+flow f l ˈoʊ
+flower f l ˈaʊ ɚ
+focus f ˈoʊ k ə s
+forest f ˈɔ ɹ ə s t
+forever f ɚ ˈɛ v ɚ
+forget f ɚ ɡ ˈɛ t
+forward f ˈɔ ɹ w ɚ d
+frame f ɹ ˈeɪ m
+france f ɹ ˈæ n s
+fresh f ɹ ˈɛ ʃ
+friday f ɹ ˈaɪ d eɪ
+fruit f ɹ ˈu t
+fun f ˈʌ n
+function f ˈʌ ŋ k ʃ ə n
+fund f ˈʌ n d
+future f j ˈu t͡ʃ ɚ
+game ɡ ˈeɪ m
+garden ɡ ˈɑ ɹ d ə n
+gas ɡ ˈæ s
+gather ɡ ˈæ ð ɚ
+general d͡ʒ ˈɛ n ɚ ə l
+generation d͡ʒ ˌɛ n ɚ ˈeɪ ʃ ə n
+gentle d͡ʒ ˈɛ n t ə l
+german d͡ʒ ˈɚ m ə n
+germany d͡ʒ ˈɚ m ə n i
+gift ɡ ˈɪ f t
+glad ɡ l ˈæ d
+glass ɡ l ˈæ s
+global ɡ l ˈoʊ b ə l
+goal ɡ ˈoʊ l
+god ɡ ˈɑ d
+gold ɡ ˈoʊ l d
+gone ɡ ˈɔ n
+government ɡ ˈʌ v ɚ n m ə n t
+grand ɡ ɹ ˈæ n d
+grass ɡ ɹ ˈæ s
+gray ɡ ɹ ˈeɪ
+grew ɡ ɹ ˈu
+ground ɡ ɹ ˈaʊ n d
+growth ɡ ɹ ˈoʊ θ
+guard ɡ ˈɑ ɹ d
+guess ɡ ˈɛ s
+guest ɡ ˈɛ s t
+guide ɡ ˈaɪ d
+gun ɡ ˈʌ n
+guy ɡ ˈaɪ
+hair h ˈɛ ɹ
+hall h ˈɔ l
+handle h ˈæ n d ə l
+hang h ˈæ ŋ
+happen h ˈæ p ə n
+happened h ˈæ p ə n d
+harm h ˈɑ ɹ m
+hate h ˈeɪ t
+health h ˈɛ l θ
+hearing h ˈɪ ɹ ɪ ŋ
+heart h ˈɑ ɹ t
+heat h ˈi t
+herself h ɚ s ˈɛ l f
+hide h ˈaɪ d
+highway h ˈaɪ w eɪ
+hill h ˈɪ l
+himself h ɪ m s ˈɛ l f
+history h ˈɪ s t ɚ i
+hit h ˈɪ t
+hole h ˈoʊ l
+holiday h ˈɑ l ə d ˌeɪ
+honest ˈɑ n ə s t
+hope h ˈoʊ p
+hospital h ˈɑ s p ɪ t ə l
+host h ˈoʊ s t
+hotel h oʊ t ˈɛ l
+huge h j ˈu d͡ʒ
+human h j ˈu m ə n
+hurt h ˈɚ t
+husband h ˈʌ z b ə n d
+ice ˈaɪ s
+image ˈɪ m ə d͡ʒ
+imagine ɪ m ˈæ d͡ʒ ə n
+impact ˈɪ m p æ k t
+important ɪ m p ˈɔ ɹ t ə n t
+improve ɪ m p ˈɹ u v
+inch ˈɪ n t͡ʃ
+increase ɪ n k ˈɹ i s
+indeed ɪ n d ˈi d
+industry ˈɪ n d ə s t ɹ i
+information ˌɪ n f ɚ m ˈeɪ ʃ ə n
+inside ɪ n s ˈaɪ d
+instance ˈɪ n s t ə n s
+instead ɪ n s t ˈɛ d
+institution ˌɪ n s t ə t ˈu ʃ ə n
+interest ˈɪ n t ɹ ə s t
+interesting ˈɪ n t ɹ ə s t ɪ ŋ
+international ˌɪ n t ɚ n ˈæ ʃ ə n ə l
+internet ˈɪ n t ɚ n ˌɛ t
+interview ˈɪ n t ɚ v j ˌu
+introduce ˌɪ n t ɹ ə d ˈu s
+investment ɪ n v ˈɛ s t m ə n t
+involve ɪ n v ˈɑ l v
+iron ˈaɪ ɚ n
+island ˈaɪ l ə n d
+issue ˈɪ ʃ u
+item ˈaɪ t ə m
+itself ɪ t s ˈɛ l f
+january d͡ʒ ˈæ n j u ˌɛ ɹ i
+job d͡ʒ ˈɑ b
+join d͡ʒ ˈɔɪ n
+joke d͡ʒ ˈoʊ k
+journey d͡ʒ ˈɚ n i
+joy d͡ʒ ˈɔɪ
+judge d͡ʒ ˈʌ d͡ʒ
+july d͡ʒ u l ˈaɪ
+jump d͡ʒ ˈʌ m p
+june d͡ʒ ˈu n
+key k ˈi
+kick k ˈɪ k
+kid k ˈɪ d
+kill k ˈɪ l
+kitchen k ˈɪ t͡ʃ ə n
+knee n ˈi
+knife n ˈaɪ f
+knock n ˈɑ k
+knowledge n ˈɑ l ɪ d͡ʒ
+lack l ˈæ k
+lady l ˈeɪ d i
+lake l ˈeɪ k
+laugh l ˈæ f
+law l ˈɔ
+lawyer l ˈɔɪ ɚ
+lay l ˈeɪ
+lead l ˈi d
+leader l ˈi d ɚ
+leg l ˈɛ ɡ
+legal l ˈi ɡ ə l
+lesson l ˈɛ s ə n
+level l ˈɛ v ə l
+library l ˈaɪ b ɹ ˌɛ ɹ i
+lie l ˈaɪ
+limit l ˈɪ m ə t
+link l ˈɪ ŋ k
+lip l ˈɪ p
+local l ˈoʊ k ə l
+lock l ˈɑ k
+lonely l ˈoʊ n l i
+lose l ˈu z
+loss l ˈɔ s
+lost l ˈɔ s t
+loud l ˈaʊ d
+lucky l ˈʌ k i
+lunch l ˈʌ n t͡ʃ
+mail m ˈeɪ l
+main m ˈeɪ n
+maintain m eɪ n t ˈeɪ n
+major m ˈeɪ d͡ʒ ɚ
+majority m ə d͡ʒ ˈɔ ɹ ə t i
+manage m ˈæ n ə d͡ʒ
+manager m ˈæ n ə d͡ʒ ɚ
+march m ˈɑ ɹ t͡ʃ
+mark m ˈɑ ɹ k
+market m ˈɑ ɹ k ə t
+marriage m ˈɛ ɹ ɪ d͡ʒ
+marry m ˈɛ ɹ i
+mass m ˈæ s
+master m ˈæ s t ɚ
+match m ˈæ t͡ʃ
+material m ə t ˈɪ ɹ i ə l
+matter m ˈæ t ɚ
+maybe m ˈeɪ b i
+meal m ˈi l
+measure m ˈɛ ʒ ɚ
+meat m ˈi t
+media m ˈi d i ə
+medical m ˈɛ d ɪ k ə l
+medicine m ˈɛ d ə s ə n
+meet m ˈi t
+meeting m ˈi t ɪ ŋ
+member m ˈɛ m b ɚ
+memory m ˈɛ m ɚ i
+mention m ˈɛ n ʃ ə n
+message m ˈɛ s ə d͡ʒ
+metal m ˈɛ t ə l
+method m ˈɛ θ ə d
+middle m ˈɪ d ə l
+midnight m ˈɪ d n aɪ t
+military m ˈɪ l ə t ˌɛ ɹ i
+milk m ˈɪ l k
+mind m ˈaɪ n d
+mine m ˈaɪ n
+minister m ˈɪ n ə s t ɚ
+minor m ˈaɪ n ɚ
+mirror m ˈɪ ɹ ɚ
+missing m ˈɪ s ɪ ŋ
+mission m ˈɪ ʃ ə n
+mistake m ɪ s t ˈeɪ k
+mix m ˈɪ k s
+model m ˈɑ d ə l
+modern m ˈɑ d ɚ n
+moment m ˈoʊ m ə n t
+monday m ˈʌ n d eɪ
+mostly m ˈoʊ s t l i
+mouth m ˈaʊ θ
+movement m ˈu v m ə n t
+movie m ˈu v i
+mr m ˈɪ s t ɚ
+mrs m ˈɪ s ə z
+myself m aɪ s ˈɛ l f
+narrow n ˈɛ ɹ oʊ
+nation n ˈeɪ ʃ ə n
+national n ˈæ ʃ ə n ə l
+natural n ˈæ t͡ʃ ɚ ə l
+nature n ˈeɪ t͡ʃ ɚ
+nearly n ˈɪ ɹ l i
+necessary n ˈɛ s ə s ˌɛ ɹ i
+neck n ˈɛ k
+neighbor n ˈeɪ b ɚ
+neither n ˈi ð ɚ
+nervous n ˈɚ v ə s
+network n ˈɛ t w ɚ k
+news n ˈu z
+newspaper n ˈu z p eɪ p ɚ
+nice n ˈaɪ s
+nobody n ˈoʊ b ˌɑ d i
+noise n ˈɔɪ z
+none n ˈʌ n
+noon n ˈu n
+normal n ˈɔ ɹ m ə l
+nose n ˈoʊ z
+note n ˈoʊ t
+notice n ˈoʊ t ə s
+number n ˈʌ m b ɚ
+nurse n ˈɚ s
+object ˈɑ b d͡ʒ ɛ k t
+occur ə k ˈɚ
+ocean ˈoʊ ʃ ə n
+october ɑ k t ˈoʊ b ɚ
+offer ˈɔ f ɚ
+office ˈɔ f ə s
+officer ˈɔ f ə s ɚ
+official ə f ˈɪ ʃ ə l
+oil ˈɔɪ l
+okay oʊ k ˈeɪ
+operation ˌɑ p ɚ ˈeɪ ʃ ə n
+opinion ə p ˈɪ n j ə n
+opportunity ˌɑ p ɚ t ˈu n ə t i
+option ˈɑ p ʃ ə n
+orange ˈɔ ɹ ə n d͡ʒ
+organization ˌɔ ɹ ɡ ə n ə z ˈeɪ ʃ ə n
+original ɚ ˈɪ d͡ʒ ə n ə l
+others ˈʌ ð ɚ z
+otherwise ˈʌ ð ɚ w ˌaɪ z
+ourselves aʊ ɚ s ˈɛ l v z
+outside aʊ t s ˈaɪ d
+owner ˈoʊ n ɚ
+pain p ˈeɪ n
+paint p ˈeɪ n t
+pair p ˈɛ ɹ
+pants p ˈæ n t s
+parent p ˈɛ ɹ ə n t
+park p ˈɑ ɹ k
+particular p ɚ t ˈɪ k j ə l ɚ
+partner p ˈɑ ɹ t n ɚ
+party p ˈɑ ɹ t i
+pass p ˈæ s
+passenger p ˈæ s ə n d͡ʒ ɚ
+past p ˈæ s t
+path p ˈæ θ
+patient p ˈeɪ ʃ ə n t
+pattern p ˈæ t ɚ n
+pay p ˈeɪ
+peace p ˈi s
+pen p ˈɛ n
+pencil p ˈɛ n s ə l
+perfect p ˈɚ f ɪ k t
+perform p ɚ f ˈɔ ɹ m
+period p ˈɪ ɹ i ə d
+personal p ˈɚ s ə n ə l
+phone f ˈoʊ n
+photo f ˈoʊ t oʊ
+phrase f ɹ ˈeɪ z
+physical f ˈɪ z ɪ k ə l
+piano p i ˈæ n oʊ
+pick p ˈɪ k
+pink p ˈɪ ŋ k
+plan p l ˈæ n
+plane p l ˈeɪ n
+planet p l ˈæ n ə t
+plastic p l ˈæ s t ɪ k
+plate p l ˈeɪ t
+player p l ˈeɪ ɚ
+please p l ˈi z
+pleasure p l ˈɛ ʒ ɚ
+pocket p ˈɑ k ə t
+poem p ˈoʊ ə m
+police p ə l ˈi s
+policy p ˈɑ l ə s i
+political p ə l ˈɪ t ɪ k ə l
+politics p ˈɑ l ə t ɪ k s
+pool p ˈu l
+poor p ˈʊ ɹ
+popular p ˈɑ p j ə l ɚ
+population p ˌɑ p j ə l ˈeɪ ʃ ə n
+position p ə z ˈɪ ʃ ə n
+positive p ˈɑ z ə t ɪ v
+possible p ˈɑ s ə b ə l
+pound p ˈaʊ n d
+power p ˈaʊ ɚ
+powerful p ˈaʊ ɚ f ə l
+practice p ɹ ˈæ k t ə s
+prepare p ɹ ɪ p ˈɛ ɹ
+present p ɹ ˈɛ z ə n t
+president p ɹ ˈɛ z ə d ə n t
+press p ɹ ˈɛ s
+pressure p ɹ ˈɛ ʃ ɚ
+pretty p ɹ ˈɪ t i
+prevent p ɹ ɪ v ˈɛ n t
+price p ɹ ˈaɪ s
+pride p ɹ ˈaɪ d
+private p ɹ ˈaɪ v ə t
+prize p ɹ ˈaɪ z
+probably p ɹ ˈɑ b ə b l i
+problem p ɹ ˈɑ b l ə m
+process p ɹ ˈɑ s ɛ s
+produce p ɹ ə d ˈu s
+product p ɹ ˈɑ d ə k t
+professor p ɹ ə f ˈɛ s ɚ
+program p ɹ ˈoʊ ɡ ɹ æ m
+project p ɹ ˈɑ d͡ʒ ɛ k t
+promise p ɹ ˈɑ m ə s
+protect p ɹ ə t ˈɛ k t
+proud p ɹ ˈaʊ d
+prove p ɹ ˈu v
+provide p ɹ ə v ˈaɪ d
+public p ˈʌ b l ɪ k
+pull p ˈʊ l
+purpose p ˈɚ p ə s
+push p ˈʊ ʃ
+quality k w ˈɑ l ə t i
+quarter k w ˈɔ ɹ t ɚ
+quiet k w ˈaɪ ə t
+race ɹ ˈeɪ s
+radio ɹ ˈeɪ d i ˌoʊ
+raise ɹ ˈeɪ z
+range ɹ ˈeɪ n d͡ʒ
+rate ɹ ˈeɪ t
+rather ɹ ˈæ ð ɚ
+reach ɹ ˈi t͡ʃ
+reaction ɹ i ˈæ k ʃ ə n
+reason ɹ ˈi z ə n
+receive ɹ ə s ˈi v
+recent ɹ ˈi s ə n t
+recently ɹ ˈi s ə n t l i
+recognize ɹ ˈɛ k ə ɡ n ˌaɪ z
+record ɹ ˈɛ k ɚ d
+reduce ɹ ɪ d ˈu s
+reflect ɹ ɪ f l ˈɛ k t
+region ɹ ˈi d͡ʒ ə n
+relationship ɹ ɪ l ˈeɪ ʃ ə n ʃ ˌɪ p
+release ɹ ɪ l ˈi s
+religion ɹ ɪ l ˈɪ d͡ʒ ə n
+remain ɹ ɪ m ˈeɪ n
+remove ɹ ɪ m ˈu v
+repeat ɹ ɪ p ˈi t
+replace ɹ ɪ p l ˈeɪ s
+report ɹ ɪ p ˈɔ ɹ t
+represent ɹ ˌɛ p ɹ ɪ z ˈɛ n t
+require ɹ ɪ k w ˈaɪ ɚ
+research ɹ ˈi s ɚ t͡ʃ
+resource ɹ ˈi s ɔ ɹ s
+respect ɹ ɪ s p ˈɛ k t
+respond ɹ ɪ s p ˈɑ n d
+response ɹ ɪ s p ˈɑ n s
+responsibility ɹ ɪ s p ˌɑ n s ə b ˈɪ l ə t i
+result ɹ ɪ z ˈʌ l t
+return ɹ ɪ t ˈɚ n
+reveal ɹ ɪ v ˈi l
+review ɹ i v j ˈu
+rich ɹ ˈɪ t͡ʃ
+ride ɹ ˈaɪ d
+ring ɹ ˈɪ ŋ
+rise ɹ ˈaɪ z
+risk ɹ ˈɪ s k
+rule ɹ ˈu l
+rush ɹ ˈʌ ʃ
+sad s ˈæ d
+safe s ˈeɪ f
+safety s ˈeɪ f t i
+salt s ˈɔ l t
+sand s ˈæ n d
+saturday s ˈæ t ɚ d eɪ
+save s ˈeɪ v
+scale s k ˈeɪ l
+scene s ˈi n
+science s ˈaɪ ə n s
+scientist s ˈaɪ ə n t ə s t
+score s k ˈɔ ɹ
+screen s k ɹ ˈi n
+search s ˈɚ t͡ʃ
+season s ˈi z ə n
+seat s ˈi t
+secret s ˈi k ɹ ə t
+section s ˈɛ k ʃ ə n
+security s ɪ k j ˈʊ ɹ ə t i
+sell s ˈɛ l
+send s ˈɛ n d
+senior s ˈi n j ɚ
+sense s ˈɛ n s
+separate s ˈɛ p ɚ ə t
+september s ɛ p t ˈɛ m b ɚ
+series s ˈɪ ɹ i z
+serious s ˈɪ ɹ i ə s
+serve s ˈɚ v
+service s ˈɚ v ə s
+settle s ˈɛ t ə l
+several s ˈɛ v ɹ ə l
+shake ʃ ˈeɪ k
+shape ʃ ˈeɪ p
+share ʃ ˈɛ ɹ
+sharp ʃ ˈɑ ɹ p
+shoe ʃ ˈu
+shoot ʃ ˈu t
+shop ʃ ˈɑ p
+shoulder ʃ ˈoʊ l d ɚ
+shout ʃ ˈaʊ t
+sick s ˈɪ k
+sign s ˈaɪ n
+signal s ˈɪ ɡ n ə l
+silence s ˈaɪ l ə n s
+silver s ˈɪ l v ɚ
+similar s ˈɪ m ə l ɚ
+simple s ˈɪ m p ə l
+single s ˈɪ ŋ ɡ ə l
+sister s ˈɪ s t ɚ
+sit s ˈɪ t
+situation s ˌɪ t͡ʃ u ˈeɪ ʃ ə n
+size s ˈaɪ z
+skill s k ˈɪ l
+skin s k ˈɪ n
+sky s k ˈaɪ
+smart s m ˈɑ ɹ t
+smile s m ˈaɪ l
+smoke s m ˈoʊ k
+snow s n ˈoʊ
+social s ˈoʊ ʃ ə l
+society s ə s ˈaɪ ə t i
+soft s ˈɔ f t
+software s ˈɔ f t w ɛ ɹ
+soil s ˈɔɪ l
+soldier s ˈoʊ l d͡ʒ ɚ
+solution s ə l ˈu ʃ ə n
+solve s ˈɑ l v
+somebody s ˈʌ m b ˌɑ d i
+someone s ˈʌ m w ˌʌ n
+somewhere s ˈʌ m w ˌɛ ɹ
+son s ˈʌ n
+sort s ˈɔ ɹ t
+source s ˈɔ ɹ s
+space s p ˈeɪ s
+spanish s p ˈæ n ɪ ʃ
+special s p ˈɛ ʃ ə l
+specific s p ə s ˈɪ f ɪ k
+spend s p ˈɛ n d
+spirit s p ˈɪ ɹ ə t
+sport s p ˈɔ ɹ t
+spot s p ˈɑ t
+spread s p ɹ ˈɛ d
+spring s p ɹ ˈɪ ŋ
+staff s t ˈæ f
+stage s t ˈeɪ d͡ʒ
+stair s t ˈɛ ɹ
+standard s t ˈæ n d ɚ d
+station s t ˈeɪ ʃ ə n
+status s t ˈæ t ə s
+step s t ˈɛ p
+stick s t ˈɪ k
+stock s t ˈɑ k
+stone s t ˈoʊ n
+store s t ˈɔ ɹ
+storm s t ˈɔ ɹ m
+straight s t ɹ ˈeɪ t
+strange s t ɹ ˈeɪ n d͡ʒ
+stream s t ɹ ˈi m
+strength s t ɹ ˈɛ ŋ k θ
+stress s t ɹ ˈɛ s
+stretch s t ɹ ˈɛ t͡ʃ
+strike s t ɹ ˈaɪ k
+structure s t ɹ ˈʌ k t͡ʃ ɚ
+student s t ˈu d ə n t
+style s t ˈaɪ l
+subject s ˈʌ b d͡ʒ ɪ k t
+success s ə k s ˈɛ s
+successful s ə k s ˈɛ s f ə l
+sudden s ˈʌ d ə n
+suddenly s ˈʌ d ə n l i
+suffer s ˈʌ f ɚ
+sugar ʃ ˈʊ ɡ ɚ
+suggest s ə ɡ d͡ʒ ˈɛ s t
+summer s ˈʌ m ɚ
+sunday s ˈʌ n d eɪ
+supply s ə p l ˈaɪ
+support s ə p ˈɔ ɹ t
+suppose s ə p ˈoʊ z
+surface s ˈɚ f ə s
+surprise s ɚ p ˈɹ aɪ z
+survive s ɚ v ˈaɪ v
+sweet s w ˈi t
+swim s w ˈɪ m
+switch s w ˈɪ t͡ʃ
+table t ˈeɪ b ə l
+tail t ˈeɪ l
+target t ˈɑ ɹ ɡ ə t
+task t ˈæ s k
+taste t ˈeɪ s t
+tax t ˈæ k s
+tea t ˈi
+teach t ˈi t͡ʃ
+teacher t ˈi t͡ʃ ɚ
+team t ˈi m
+technology t ɛ k n ˈɑ l ə d͡ʒ i
+television t ˈɛ l ə v ˌɪ ʒ ə n
+temperature t ˈɛ m p ɹ ə t͡ʃ ɚ
+term t ˈɚ m
+themselves ð ɛ m s ˈɛ l v z
+theory θ ˈɪ ɹ i
+therefore ð ˈɛ ɹ f ɔ ɹ
+thick θ ˈɪ k
+thin θ ˈɪ n
+third θ ˈɚ d
+thought θ ˈɔ t
+threat θ ɹ ˈɛ t
+throat θ ɹ ˈoʊ t
+throughout θ ɹ u ˈaʊ t
+throw θ ɹ ˈoʊ
+thursday θ ˈɚ z d eɪ
+ticket t ˈɪ k ə t
+tie t ˈaɪ
+tiny t ˈaɪ n i
+tired t ˈaɪ ɚ d
+title t ˈaɪ t ə l
+tomorrow t ə m ˈɑ ɹ oʊ
+tone t ˈoʊ n
+tongue t ˈʌ ŋ
+tonight t ə n ˈaɪ t
+tool t ˈu l
+tooth t ˈu θ
+total t ˈoʊ t ə l
+touch t ˈʌ t͡ʃ
+tough t ˈʌ f
+tour t ˈʊ ɹ
+track t ɹ ˈæ k
+trade t ɹ ˈeɪ d
+tradition t ɹ ə d ˈɪ ʃ ə n
+traffic t ɹ ˈæ f ɪ k
+train t ɹ ˈeɪ n
+training t ɹ ˈeɪ n ɪ ŋ
+travel t ɹ ˈæ v ə l
+treat t ɹ ˈi t
+treatment t ɹ ˈi t m ə n t
+trial t ɹ ˈaɪ ə l
+trip t ɹ ˈɪ p
+trouble t ɹ ˈʌ b ə l
+truck t ɹ ˈʌ k
+true t ɹ ˈu
+trust t ɹ ˈʌ s t
+truth t ɹ ˈu θ
+tuesday t ˈu z d eɪ
+type t ˈaɪ p
+uncle ˈʌ ŋ k ə l
+understand ˌʌ n d ɚ s t ˈæ n d
+unit j ˈu n ə t
+united j u n ˈaɪ t ə d
+university j ˌu n ə v ˈɚ s ə t i
+unless ə n l ˈɛ s
+usual j ˈu ʒ u ə l
+usually j ˈu ʒ u ə l i
+value v ˈæ l j u
+variety v ɚ ˈaɪ ə t i
+various v ˈɛ ɹ i ə s
+vehicle v ˈi ɪ k ə l
+version v ˈɚ ʒ ə n
+victory v ˈɪ k t ɚ i
+video v ˈɪ d i ˌoʊ
+view v j ˈu
+village v ˈɪ l ɪ d͡ʒ
+violence v ˈaɪ ə l ə n s
+visit v ˈɪ z ə t
+voter v ˈoʊ t ɚ
+wall w ˈɔ l
+war w ˈɔ ɹ
+warn w ˈɔ ɹ n
+wash w ˈɑ ʃ
+waste w ˈeɪ s t
+wave w ˈeɪ v
+weapon w ˈɛ p ə n
+wear w ˈɛ ɹ
+wednesday w ˈɛ n z d eɪ
+weight w ˈeɪ t
+welcome w ˈɛ l k ə m
+west w ˈɛ s t
+western w ˈɛ s t ɚ n
+wet w ˈɛ t
+whatever w ʌ t ˈɛ v ɚ
+wheel w ˈi l
+whether w ˈɛ ð ɚ
+whose h ˈu z
+wide w ˈaɪ d
+wife w ˈaɪ f
+wild w ˈaɪ l d
+win w ˈɪ n
+window w ˈɪ n d oʊ
+wine w ˈaɪ n
+wing w ˈɪ ŋ
+winter w ˈɪ n t ɚ
+wish w ˈɪ ʃ
+within w ɪ ð ˈɪ n
+wonder w ˈʌ n d ɚ
+wonderful w ˈʌ n d ɚ f ə l
+wood w ˈʊ d
+worker w ˈɚ k ɚ
+worry w ˈɚ i
+worth w ˈɚ θ
+wrong ɹ ˈɔ ŋ
+yard j ˈɑ ɹ d
+yeah j ˈɛ ə
+yellow j ˈɛ l oʊ
+yesterday j ˈɛ s t ɚ d ˌeɪ
+yourself j ɔ ɹ s ˈɛ l f
+youth j ˈu θ
+zone z ˈoʊ n
 """
 
 LEXICON: typing.Dict[str, typing.List[str]] = {}
