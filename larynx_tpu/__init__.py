@@ -14,7 +14,7 @@ mel->audio path stays on device (see larynx_tpu.runtime.engine).
 import logging
 import time
 import typing
-from concurrent.futures import Executor, Future, ThreadPoolExecutor
+from concurrent.futures import Executor
 from pathlib import Path
 
 import numpy as np

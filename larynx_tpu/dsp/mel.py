@@ -6,8 +6,6 @@ acoustic model and the vocoder (the reference round-trips through numpy at
 larynx/__init__.py:242-249).
 """
 
-import typing
-
 import jax.numpy as jnp
 
 from larynx_tpu.audio import AudioSettings

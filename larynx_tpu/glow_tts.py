@@ -21,7 +21,7 @@ from larynx_tpu.constants import (
     TextToSpeechModel,
     TextToSpeechModelConfig,
 )
-from larynx_tpu.models.glow_tts import GlowTTSConfig, config_from_voice_json
+from larynx_tpu.models.glow_tts import config_from_voice_json
 
 _LOGGER = logging.getLogger("larynx_tpu.glow_tts")
 

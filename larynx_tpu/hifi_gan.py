@@ -21,9 +21,7 @@ from larynx_tpu.constants import (
     VocoderModel,
     VocoderModelConfig,
 )
-import larynx_tpu.dsp.stft as dsp
 from larynx_tpu.models.hifi_gan import (
-    HiFiGanConfig,
     generator,
     hifi_gan_config_from_json,
 )

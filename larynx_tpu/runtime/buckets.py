@@ -8,7 +8,7 @@ whole serving workload runs against a handful of cached executables
 
 import bisect
 import typing
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 def _round_up(x: int, multiple: int) -> int:

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from larynx_tpu.audio import AudioSettings, audio_float_to_int16
+from larynx_tpu.audio import AudioSettings
 from larynx_tpu.audio import mel_basis as make_mel_basis
 import larynx_tpu.dsp.mel as dspmel
 import larynx_tpu.dsp.stft as dsp

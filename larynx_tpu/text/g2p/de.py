@@ -5,7 +5,6 @@ l m n oË p pÍ¡f s t tÍ¡s tÍ¡Êƒ uË v x yË z Ã§ Å‹ Å“ É É” É”ÊÌ¯ É™ É› É›Ë É
 (+ nasals Ã£Ë ÃµË É›ÌƒË for loanwords); no stress markers.
 """
 
-import re
 import typing
 
 from larynx_tpu.text.g2p.rules import apply_rules
