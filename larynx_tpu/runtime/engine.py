@@ -65,7 +65,11 @@ class SynthesisEngine:
     ):
         if use_pallas is None:
             # Pallas kernels only lower on real TPU backends
-            use_pallas = jax.default_backend() not in ("cpu",)
+            import os
+
+            use_pallas = jax.default_backend() not in ("cpu",) and not os.environ.get(
+                "LARYNX_TPU_NO_PALLAS"
+            )
         self.use_pallas = use_pallas
         self.glow_cfg = glow_cfg
         self.audio_settings = audio_settings

@@ -397,6 +397,20 @@ def create_app(settings: typing.Optional[ServerSettings] = None) -> web.Applicat
     async def api_version(request: web.Request) -> web.Response:
         return web.Response(text=larynx_tpu.__version__)
 
+    async def api_stats(request: web.Request) -> web.Response:
+        """Operational counters (no reference equivalent): batching
+        effectiveness of the cross-request scheduler."""
+        return web.json_response(
+            {
+                "batches_run": scheduler.batches_run,
+                "sentences_run": scheduler.jobs_run,
+                "sentences_per_batch": round(
+                    scheduler.jobs_run / max(1, scheduler.batches_run), 3
+                ),
+                "version": larynx_tpu.__version__,
+            }
+        )
+
     # ------------------------------------------------------------------
     # Web UI / static / docs
 
@@ -451,6 +465,7 @@ def create_app(settings: typing.Optional[ServerSettings] = None) -> web.Applicat
     app.router.add_post("/process", api_process)
     app.router.add_get("/voices", api_marytts_voices)
     app.router.add_get("/version", api_version)
+    app.router.add_get("/api/stats", api_stats)
     app.router.add_get("/", app_index)
     app.router.add_get("/openapi", openapi_ui)
     app.router.add_get("/openapi/", openapi_ui)

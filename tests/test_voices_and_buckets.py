@@ -90,3 +90,45 @@ def test_group_by_text_bucket():
         buckets = {policy.text_bucket(lengths[i]) for i in group}
         assert len(buckets) == 1
         assert len(group) <= 3
+
+
+def test_download_voice_from_local_http(tmp_path):
+    """download_voice: tarball fetch + <lang>/<voice> extraction layout."""
+    import http.server
+    import io
+    import tarfile
+    import threading
+
+    from larynx_tpu.voices import VoiceDownloadError, download_voice
+
+    # build a voice tarball: en-us/test_dl-glow_tts/{config.json,phonemes.txt}
+    src = tmp_path / "src" / "en-us" / "test_dl-glow_tts"
+    src.mkdir(parents=True)
+    (src / "config.json").write_text("{}")
+    (src / "phonemes.txt").write_text("0 _\n")
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:gz") as tar:
+        tar.add(tmp_path / "src" / "en-us", arcname="en-us")
+    (tmp_path / "voice.tar.gz").write_bytes(buf.getvalue())
+
+    handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(  # noqa: E731
+        *a, directory=str(tmp_path), **kw
+    )
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        port = server.server_address[1]
+        dest = tmp_path / "voices"
+        voice_dir = download_voice(
+            "test_dl", dest, f"http://127.0.0.1:{port}/voice.tar.gz"
+        )
+        assert voice_dir == dest / "en-us" / "test_dl-glow_tts"
+        assert (voice_dir / "phonemes.txt").is_file()
+
+        with pytest.raises(VoiceDownloadError):
+            download_voice(
+                "missing", dest, f"http://127.0.0.1:{port}/nope.tar.gz"
+            )
+    finally:
+        server.shutdown()
