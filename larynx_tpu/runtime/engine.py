@@ -35,6 +35,25 @@ from larynx_tpu.runtime.buckets import BucketPolicy
 
 _LOGGER = logging.getLogger("larynx_tpu.engine")
 
+
+def _enable_persistent_compile_cache() -> None:
+    """Persist XLA executables across processes (server restarts, CLI runs)
+    so bucket warm-up pays compilation once per machine, not per process."""
+    import os
+
+    if jax.config.jax_compilation_cache_dir:
+        return
+    cache_dir = os.environ.get("LARYNX_TPU_COMPILE_CACHE")
+    if cache_dir is None:
+        base = os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache"))
+        cache_dir = os.path.join(base, "larynx_tpu", "xla_cache")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is best-effort
+        _LOGGER.debug("could not enable persistent compile cache", exc_info=True)
+
 SILENCE_LOG_MEL = float(np.log(1e-5))
 
 # Upper bound on (rows x mel frames) per vocoder invocation.  The HiFi-GAN
@@ -63,6 +82,7 @@ class SynthesisEngine:
         griffin_lim_iters: int = 60,
         use_pallas: typing.Optional[bool] = None,
     ):
+        _enable_persistent_compile_cache()
         if use_pallas is None:
             # Pallas kernels only lower on real TPU backends
             import os

@@ -23,7 +23,7 @@ _RULES = [
     ("ll", "ʎ"),
     ("rr", "r"),
     ("qu", "k"),
-    ("gü", "ɡ w"),  # güe -> g w e (folded into diphthong below if possible)
+    ("gü", "g w"),  # güe -> g w e
     # diphthongs (rising -> glide symbols, falling -> unit symbols)
     ("ai", "ai"), ("ay", "ai"), ("au", "au"),
     ("ei", "ei"), ("ey", "ei"), ("eu", "eu"),
@@ -50,13 +50,20 @@ def _context(word: str, i: int):
     if ch == "g":
         if nxt in ("e", "i", "é", "í"):
             return 1, ["x"]
+        if nxt == "ü":
+            return 2, ["g", "w"]  # güe/güi: u pronounced as glide
         if word.startswith("gue", i) or word.startswith("gui", i):
-            return 2, ["ɡ"]  # silent u
-        return 1, ["ɡ"]
+            return 2, ["g"]  # silent u
+        return 1, ["g"]
     if ch == "r" and i == 0:
         return 1, ["r"]  # initial r is trilled
     if ch == "y" and i == len(word) - 1:
         return 1, ["i"]  # final y is vocalic ("hoy" handled by oy rule)
+    # w (loanwords like "kiwi", "web"): glide+vowel unit symbols
+    if ch == "w":
+        if nxt in ("a", "e", "i", "o"):
+            return 2, [f"w{nxt}"]
+        return 1, ["u"]
     return None
 
 
