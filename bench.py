@@ -164,6 +164,137 @@ def run_server(engine, n_requests, denoiser, latencies_out):
     return run_once
 
 
+def _make_voice_dirs(quality: str):
+    """Synthetic voice dirs (random weights) for full-pipeline workloads.
+
+    Uses the shipped reference phoneme inventories when mounted; voices are
+    en-us/de-de/sw to exercise multilingual SSML switching."""
+    import json
+    import tempfile
+    from pathlib import Path
+
+    from larynx_tpu.convert.native import save_params
+    from larynx_tpu.models.glow_tts import config_from_voice_json
+    from larynx_tpu.models.glow_tts.model import init_params as gi
+    from larynx_tpu.models.hifi_gan import hifi_gan_config_from_json
+    from larynx_tpu.models.hifi_gan.model import init_params as hi
+
+    root = Path(tempfile.mkdtemp(prefix="bench_voices_"))
+    reference = Path("/root/reference/local")
+    langs = {
+        "en-us": "bench_en",
+        "de-de": "bench_de",
+        "sw": "bench_sw",
+    }
+    ref_tables = {
+        "en-us": reference / "en-us/harvard-glow_tts/phonemes.txt",
+        "de-de": reference / "de-de/thorsten-glow_tts/phonemes.txt",
+        "sw": reference / "sw/biblia_takatifu-glow_tts/phonemes.txt",
+    }
+    voice_config = {
+        "audio": {
+            "sample_rate": 22050, "mel_channels": 80, "filter_length": 1024,
+            "hop_length": 256, "win_length": 1024, "mel_fmin": 0.0,
+            "mel_fmax": 8000.0, "ref_level_db": 20.0, "spec_gain": 1.0,
+            "signal_norm": True, "min_level_db": -100.0, "max_norm": 1.0,
+            "clip_norm": True, "symmetric_norm": True,
+            "do_dynamic_range_compression": True, "convert_db_to_amp": True,
+        },
+        "model": {"num_symbols": 64},  # superset of the inventories
+    }
+    for lang, name in langs.items():
+        table_path = ref_tables[lang]
+        voice_dir = root / lang / f"{name}-glow_tts"
+        voice_dir.mkdir(parents=True)
+        json.dump(voice_config, open(voice_dir / "config.json", "w"))
+        if table_path.is_file():
+            (voice_dir / "phonemes.txt").write_text(
+                table_path.read_text(encoding="utf-8"), encoding="utf-8"
+            )
+        else:
+            (voice_dir / "phonemes.txt").write_text(
+                "\n".join(f"{i} {p}" for p, i in PHONEME_TABLE.items())
+            )
+        save_params(
+            voice_dir / "generator.npz",
+            gi(jax.random.PRNGKey(0), config_from_voice_json(voice_config)),
+        )
+    voc_geo = {"high": "universal_large", "medium": "vctk_medium", "low": "vctk_small"}
+    voc_dir = root / "hifi_gan" / voc_geo.get(quality, "universal_large")
+    voc_dir.mkdir(parents=True)
+    voc_config = {
+        "audio": {"num_mels": 80, "sampling_rate": 22050},
+        "model": VOCODER_GEOMETRY.get(quality, {})
+        and {
+            k: list(v) if isinstance(v, tuple) else v
+            for k, v in VOCODER_GEOMETRY[quality].items()
+        },
+    }
+    json.dump(voc_config, open(voc_dir / "config.json", "w"))
+    hcfg = HiFiGanConfig(**VOCODER_GEOMETRY.get(quality, {}))
+    save_params(
+        voc_dir / "generator.npz", hi(jax.random.PRNGKey(1), hcfg)
+    )
+    return root
+
+
+def run_book(voices_dir, quality, denoiser):
+    """Long-text chapter with sentence splitting (BASELINE config 3)."""
+    import larynx_tpu
+
+    chapter = " ".join([PANGRAM] * 16)
+
+    def run_once():
+        total = 0
+        for result in larynx_tpu.text_to_speech(
+            chapter,
+            voice_or_lang="en-us_bench_en-glow_tts",
+            vocoder_or_quality=quality,
+            custom_voices_dir=voices_dir,
+            tts_settings={"length_scale": LENGTH_SCALE},
+            denoiser_strength=denoiser,
+            half="--half" in sys.argv,
+        ):
+            total += result.audio.shape[-1]
+        return total / 22050
+
+    return run_once
+
+
+def run_ssml(voices_dir, quality, denoiser):
+    """Multilingual SSML voice switching + breaks (BASELINE config 4)."""
+    import larynx_tpu
+
+    markup = """<speak>
+      <voice name="en-us_bench_en-glow_tts">The beige hue on the waters of
+      the loch impressed all. Just as young Arthur wanted.</voice>
+      <break time="300ms"/>
+      <voice name="de-de_bench_de-glow_tts"><s lang="de">Falsches Üben von
+      Xylophonmusik quält jeden größeren Zwerg.</s></voice>
+      <voice name="sw_bench_sw-glow_tts"><s lang="sw">Gari langu
+      linaloangama limejaa na mikunga.</s></voice>
+      <voice name="en-us_bench_en-glow_tts">Before she heard that symphony
+      again. Including the French queen.</voice>
+    </speak>"""
+
+    def run_once():
+        total = 0
+        for result in larynx_tpu.text_to_speech(
+            markup,
+            voice_or_lang="en-us_bench_en-glow_tts",
+            vocoder_or_quality=quality,
+            ssml=True,
+            custom_voices_dir=voices_dir,
+            tts_settings={"length_scale": LENGTH_SCALE},
+            denoiser_strength=denoiser,
+            half="--half" in sys.argv,
+        ):
+            total += result.audio.shape[-1]
+        return total / 22050
+
+    return run_once
+
+
 def main() -> None:
     half = "--half" in sys.argv
     quality = _flag("--quality", "high")
@@ -171,13 +302,20 @@ def main() -> None:
     workload = _flag("--workload", "pangram")
     denoiser = 0.0 if quality == "griffin_lim" else 0.005
 
-    engine = build_engine(quality, half)
     latencies: list = []
-    if workload == "server":
+    if workload in ("book", "ssml"):
+        voices_dir = _make_voice_dirs(quality)
+        runner = run_book if workload == "book" else run_ssml
+        run_once = runner(voices_dir, quality, denoiser)
+        metric = f"rtf_{quality}_{workload}"
+        engine = None
+    elif workload == "server":
+        engine = build_engine(quality, half)
         n_requests = batch if batch > 8 else 32
         run_once = run_server(engine, n_requests, denoiser, latencies)
         metric = f"rtf_{quality}_server{n_requests}"
     else:
+        engine = build_engine(quality, half)
         run_once = run_pangram(engine, batch, denoiser)
         metric = f"rtf_{quality}_batch{batch}"
 
