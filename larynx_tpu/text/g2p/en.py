@@ -1504,6 +1504,267 @@ yesterday j ˈɛ s t ɚ d ˌeɪ
 yourself j ɔ ɹ s ˈɛ l f
 youth j ˈu θ
 zone z ˈoʊ n
+accepted æ k s ˈɛ p t ə d
+added ˈæ d ə d
+ability ə b ˈɪ l ə t i
+absolutely ˌæ b s ə l ˈu t l i
+according ə k ˈɔ ɹ d ɪ ŋ
+achieve ə t͡ʃ ˈi v
+activity æ k t ˈɪ v ə t i
+adventure æ d v ˈɛ n t͡ʃ ɚ
+africa ˈæ f ɹ ɪ k ə
+agreed ə ɡ ˈɹ i d
+alive ə l ˈaɪ v
+answered ˈæ n s ɚ d
+appeared ə p ˈɪ ɹ d
+army ˈɑ ɹ m i
+arrived ɚ ˈaɪ v d
+asked ˈæ s k t
+asleep ə s l ˈi p
+ate ˈeɪ t
+aunt ˈæ n t
+autumn ˈɔ t ə m
+bathroom b ˈæ θ ɹ u m
+bedroom b ˈɛ d ɹ u m
+behave b ɪ h ˈeɪ v
+believed b ɪ l ˈi v d
+birthday b ˈɚ θ d eɪ
+bitter b ˈɪ t ɚ
+blame b l ˈeɪ m
+blind b l ˈaɪ n d
+blow b l ˈoʊ
+boil b ˈɔɪ l
+bought b ˈɔ t
+brave b ɹ ˈeɪ v
+broke b ɹ ˈoʊ k
+broken b ɹ ˈoʊ k ə n
+built b ˈɪ l t
+cage k ˈeɪ d͡ʒ
+called k ˈɔ l d
+calm k ˈɑ m
+carried k ˈɛ ɹ i d
+caught k ˈɔ t
+chapter t͡ʃ ˈæ p t ɚ
+cheese t͡ʃ ˈi z
+chest t͡ʃ ˈɛ s t
+childhood t͡ʃ ˈaɪ l d h ʊ d
+chocolate t͡ʃ ˈɔ k l ə t
+chosen t͡ʃ ˈoʊ z ə n
+cleaning k l ˈi n ɪ ŋ
+clever k l ˈɛ v ɚ
+climbed k l ˈaɪ m d
+closer k l ˈoʊ s ɚ
+coat k ˈoʊ t
+comfortable k ˈʌ m f t ɚ b ə l
+coming k ˈʌ m ɪ ŋ
+completely k ə m p l ˈi t l i
+confused k ə n f j ˈu z d
+considered k ə n s ˈɪ d ɚ d
+cousin k ˈʌ z ə n
+covered k ˈʌ v ɚ d
+crazy k ɹ ˈeɪ z i
+cried k ɹ ˈaɪ d
+curious k j ˈʊ ɹ i ə s
+cute k j ˈu t
+dangerous d ˈeɪ n d͡ʒ ɚ ə s
+decided d ə s ˈaɪ d ə d
+definitely d ˈɛ f ə n ə t l i
+desert d ˈɛ z ɚ t
+dessert d ɪ z ˈɚ t
+died d ˈaɪ d
+dirty d ˈɚ t i
+doing d ˈu ɪ ŋ
+drank d ɹ ˈæ ŋ k
+drawn d ɹ ˈɔ n
+dropped d ɹ ˈɑ p t
+drove d ɹ ˈoʊ v
+eaten ˈi t ə n
+engineer ˌɛ n d͡ʒ ə n ˈɪ ɹ
+enjoyed ɛ n d͡ʒ ˈɔɪ d
+entered ˈɛ n t ɚ d
+evil ˈi v ə l
+excited ɪ k s ˈaɪ t ə d
+exciting ɪ k s ˈaɪ t ɪ ŋ
+expected ɪ k s p ˈɛ k t ə d
+explained ɪ k s p l ˈeɪ n d
+extremely ɪ k s t ɹ ˈi m l i
+fallen f ˈɔ l ə n
+fault f ˈɔ l t
+favorite f ˈeɪ v ɚ ə t
+fed f ˈɛ d
+fellow f ˈɛ l oʊ
+felt f ˈɛ l t
+finished f ˈɪ n ɪ ʃ t
+flew f l ˈu
+followed f ˈɑ l oʊ d
+foolish f ˈu l ɪ ʃ
+forgot f ɚ ɡ ˈɑ t
+forgotten f ɚ ɡ ˈɑ t ə n
+fourth f ˈɔ ɹ θ
+friendly f ɹ ˈɛ n d l i
+frightened f ɹ ˈaɪ t ə n d
+funny f ˈʌ n i
+gate ɡ ˈeɪ t
+gathered ɡ ˈæ ð ɚ d
+gentleman d͡ʒ ˈɛ n t ə l m ə n
+getting ɡ ˈɛ t ɪ ŋ
+given ɡ ˈɪ v ə n
+giving ɡ ˈɪ v ɪ ŋ
+goes ɡ ˈoʊ z
+golden ɡ ˈoʊ l d ə n
+grandfather ɡ ɹ ˈæ n d f ˌɑ ð ɚ
+grandmother ɡ ɹ ˈæ n d m ˌʌ ð ɚ
+grateful ɡ ɹ ˈeɪ t f ə l
+grown ɡ ɹ ˈoʊ n
+happiness h ˈæ p i n ə s
+having h ˈæ v ɪ ŋ
+held h ˈɛ l d
+helped h ˈɛ l p t
+hers h ˈɚ z
+hidden h ˈɪ d ə n
+holding h ˈoʊ l d ɪ ŋ
+honey h ˈʌ n i
+hoping h ˈoʊ p ɪ ŋ
+horrible h ˈɔ ɹ ə b ə l
+hungry h ˈʌ ŋ ɡ ɹ i
+hurried h ˈɚ i d
+ill ˈɪ l
+immediately ɪ m ˈi d i ə t l i
+impossible ɪ m p ˈɑ s ə b ə l
+jacket d͡ʒ ˈæ k ə t
+joined d͡ʒ ˈɔɪ n d
+kept k ˈɛ p t
+killed k ˈɪ l d
+kindness k ˈaɪ n d n ə s
+kissed k ˈɪ s t
+knowing n ˈoʊ ɪ ŋ
+laughed l ˈæ f t
+laughter l ˈæ f t ɚ
+learned l ˈɚ n d
+leaving l ˈi v ɪ ŋ
+lied l ˈaɪ d
+listened l ˈɪ s ə n d
+living l ˈɪ v ɪ ŋ
+looked l ˈʊ k t
+looking l ˈʊ k ɪ ŋ
+loved l ˈʌ v d
+lovely l ˈʌ v l i
+loving l ˈʌ v ɪ ŋ
+lying l ˈaɪ ɪ ŋ
+mad m ˈæ d
+making m ˈeɪ k ɪ ŋ
+married m ˈɛ ɹ i d
+meant m ˈɛ n t
+met m ˈɛ t
+missed m ˈɪ s t
+monkey m ˈʌ ŋ k i
+moved m ˈu v d
+moving m ˈu v ɪ ŋ
+needed n ˈi d ə d
+noticed n ˈoʊ t ə s t
+nowhere n ˈoʊ w ɛ ɹ
+offered ˈɔ f ɚ d
+older ˈoʊ l d ɚ
+opened ˈoʊ p ə n d
+ordinary ˈɔ ɹ d ə n ˌɛ ɹ i
+ours ˈaʊ ɚ z
+owned ˈoʊ n d
+passed p ˈæ s t
+perfectly p ˈɚ f ɪ k t l i
+picked p ˈɪ k t
+played p l ˈeɪ d
+playing p l ˈeɪ ɪ ŋ
+pleased p l ˈi z d
+pointed p ˈɔɪ n t ə d
+prepared p ɹ ɪ p ˈɛ ɹ d
+pulled p ˈʊ l d
+pushed p ˈʊ ʃ t
+putting p ˈʊ t ɪ ŋ
+quietly k w ˈaɪ ə t l i
+rabbit ɹ ˈæ b ə t
+raised ɹ ˈeɪ z d
+reached ɹ ˈi t͡ʃ t
+reading ɹ ˈi d ɪ ŋ
+realize ɹ ˈi ə l ˌaɪ z
+realized ɹ ˈi ə l ˌaɪ z d
+received ɹ ə s ˈi v d
+remembered ɹ ɪ m ˈɛ m b ɚ d
+replied ɹ ɪ p l ˈaɪ d
+returned ɹ ɪ t ˈɚ n d
+running ɹ ˈʌ n ɪ ŋ
+sat s ˈæ t
+saying s ˈeɪ ɪ ŋ
+seemed s ˈi m d
+seriously s ˈɪ ɹ i ə s l i
+shouted ʃ ˈaʊ t ə d
+showed ʃ ˈoʊ d
+shut ʃ ˈʌ t
+sight s ˈaɪ t
+simply s ˈɪ m p l i
+singing s ˈɪ ŋ ɪ ŋ
+sitting s ˈɪ t ɪ ŋ
+sleeping s l ˈi p ɪ ŋ
+slept s l ˈɛ p t
+slowly s l ˈoʊ l i
+smiled s m ˈaɪ l d
+sold s ˈoʊ l d
+sometimes s ˈʌ m t aɪ m z
+somewhat s ˈʌ m w ʌ t
+sounded s ˈaʊ n d ə d
+speaking s p ˈi k ɪ ŋ
+spent s p ˈɛ n t
+spoke s p ˈoʊ k
+spoken s p ˈoʊ k ə n
+standing s t ˈæ n d ɪ ŋ
+stared s t ˈɛ ɹ d
+started s t ˈɑ ɹ t ə d
+stayed s t ˈeɪ d
+stood s t ˈʊ d
+stopped s t ˈɑ p t
+stranger s t ɹ ˈeɪ n d͡ʒ ɚ
+stupid s t ˈu p ə d
+surprised s ɚ p ɹ ˈaɪ z d
+taken t ˈeɪ k ə n
+taking t ˈeɪ k ɪ ŋ
+talked t ˈɔ k t
+talking t ˈɔ k ɪ ŋ
+taught t ˈɔ t
+telling t ˈɛ l ɪ ŋ
+terrible t ˈɛ ɹ ə b ə l
+thinking θ ˈɪ ŋ k ɪ ŋ
+thirsty θ ˈɚ s t i
+threw θ ɹ ˈu
+thrown θ ɹ ˈoʊ n
+trying t ɹ ˈaɪ ɪ ŋ
+turned t ˈɚ n d
+turning t ˈɚ n ɪ ŋ
+twice t w ˈaɪ s
+ugly ˈʌ ɡ l i
+understood ˌʌ n d ɚ s t ˈʊ d
+upstairs ˌʌ p s t ˈɛ ɹ z
+waited w ˈeɪ t ə d
+waiting w ˈeɪ t ɪ ŋ
+walked w ˈɔ k t
+walking w ˈɔ k ɪ ŋ
+watched w ˈɑ t͡ʃ t
+watching w ˈɑ t͡ʃ ɪ ŋ
+wearing w ˈɛ ɹ ɪ ŋ
+whisper w ˈɪ s p ɚ
+whispered w ˈɪ s p ɚ d
+wished w ˈɪ ʃ t
+woke w ˈoʊ k
+woken w ˈoʊ k ə n
+won w ˈʌ n
+wooden w ˈʊ d ə n
+wore w ˈɔ ɹ
+working w ˈɚ k ɪ ŋ
+worried w ˈɚ i d
+worse w ˈɚ s
+worst w ˈɚ s t
+written ɹ ˈɪ t ə n
+wrote ɹ ˈoʊ t
+younger j ˈʌ ŋ ɡ ɚ
+yours j ˈɔ ɹ z
 """
 
 LEXICON: typing.Dict[str, typing.List[str]] = {}
