@@ -204,3 +204,16 @@ def test_unfused_wrapper_path(voices_dir):
     audio = vocoder.mels_to_audio(mels_pp, settings={"denoiser_strength": 0.004})
     assert audio.dtype == np.int16
     assert audio.size > 0
+
+
+def test_engine_warmup_api(voices_dir):
+    """warmup() precompiles bucket programs without errors."""
+    _clear_caches()
+    import larynx_tpu
+
+    tts = larynx_tpu.get_tts_model(
+        "en-us_test_voice-glow_tts", custom_voices_dir=voices_dir
+    )
+    voc = larynx_tpu.get_vocoder_model("low", custom_voices_dir=voices_dir)
+    engine = larynx_tpu._get_engine(tts, voc)
+    engine.warmup(text_lengths=(16,), batch_sizes=(1,))
