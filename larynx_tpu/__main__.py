@@ -58,6 +58,116 @@ class StdinFormat(str, Enum):
     DOCUMENT = "document"
 
 
+def _paragraphs(lines: typing.Iterable[str]) -> typing.Iterator[str]:
+    """Join consecutive non-blank lines into one text per paragraph.
+
+    A blank line flushes the pending paragraph.  Quirk kept for parity with
+    the reference ``--process-on-blank-line``: input must end with a blank
+    line, otherwise the trailing paragraph is not emitted (streaming use).
+    """
+    pending: typing.List[str] = []
+    for raw in lines:
+        stripped = raw.strip()
+        if stripped:
+            pending.append(stripped)
+        elif pending:
+            yield " ".join(pending)
+            pending.clear()
+
+
+class _PcmStreamWriter:
+    """Background stdout writer for ``--raw-stream`` 16-bit PCM.
+
+    Synthesis pushes byte chunks through a bounded queue (backpressure keeps
+    memory flat on long documents); a daemon thread drains it to stdout.
+    """
+
+    _DONE = None
+
+    def __init__(self, queue_size: int):
+        self._queue: "Queue[typing.Optional[bytes]]" = Queue(maxsize=queue_size)
+        self._thread = threading.Thread(target=self._drain, daemon=True)
+        self._thread.start()
+
+    def _drain(self) -> None:
+        out = sys.stdout.buffer
+        for chunk in iter(self._queue.get, self._DONE):
+            _LOGGER.debug("Streaming %d byte(s) of 16-bit mono PCM", len(chunk))
+            out.write(chunk)
+            out.flush()
+
+    def put(self, chunk: bytes) -> None:
+        self._queue.put(chunk)
+
+    def abort(self) -> None:
+        """Drop anything queued (Ctrl-C path) without killing the thread."""
+        while not self._queue.empty():
+            self._queue.get_nowait()
+
+    def close(self) -> None:
+        self._queue.put(self._DONE)
+        self._thread.join()
+
+
+def _play_wav(wav_data: bytes, play_command: str) -> None:
+    """Pipe a WAV to the user's player; fall back to a file if it's absent."""
+    try:
+        subprocess.run(
+            shlex.split(play_command),
+            input=wav_data,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+            check=True,
+        )
+    except FileNotFoundError:
+        fallback = Path("output.wav")
+        fallback.write_bytes(wav_data)
+        _LOGGER.error(
+            "Audio player %r not found (set --play-command or redirect "
+            "stdout); wrote %s instead",
+            play_command,
+            fallback,
+        )
+
+
+def _spawn_daemon(port: int, pidfile_path: Path, logfile: Path) -> None:
+    """Launch the HTTP server as a detached process and wait for its pidfile."""
+    server_argv = [
+        sys.executable, "-m", "larynx_tpu.server",
+        "--host", "127.0.0.1",
+        "--port", str(port),
+        "--pidfile", str(pidfile_path),
+        "--logfile", str(logfile),
+    ]
+    subprocess.Popen(
+        server_argv, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL
+    )
+    while not (pidfile_path.is_file() and pidfile_path.stat().st_size > 0):
+        time.sleep(0.1)
+    _LOGGER.info("Daemon running (pid=%s)", pidfile_path.read_text().strip())
+
+
+def _synthesize_via_daemon(args) -> bytes:
+    """One /api/tts round trip against the (freshly started) daemon."""
+    text = " ".join(args.text) if args.text else sys.stdin.read()
+    query = {"voice": args.voice, "text": text, "vocoder": args.quality}
+    if args.ssml:
+        query["ssml"] = "true"
+    url = (
+        f"http://localhost:{args.daemon_port}/api/tts?"
+        + urllib.parse.urlencode(query)
+    )
+    t0 = time.perf_counter()
+    with urllib.request.urlopen(url) as response:
+        wav_data = response.read()
+    _LOGGER.debug(
+        "Got %s byte(s) of WAV data in %s second(s)",
+        len(wav_data),
+        time.perf_counter() - t0,
+    )
+    return wav_data
+
+
 # -----------------------------------------------------------------------------
 
 
@@ -77,46 +187,13 @@ def main(argv: typing.Optional[typing.Sequence[str]] = None) -> None:
     # ------------------------------------------------------------------
     if args.daemon:
         runtime_dir = get_runtime_dir()
-        pidfile_path = runtime_dir / "daemon.pidfile"
         _LOGGER.debug("Trying to start daemon on port %s", args.daemon_port)
-
-        daemon_cmd = [
-            sys.executable,
-            "-m",
-            "larynx_tpu.server",
-            "--host",
-            "127.0.0.1",
-            "--port",
-            str(args.daemon_port),
-            "--pidfile",
-            str(pidfile_path),
-            "--logfile",
-            str(runtime_dir / "daemon.log"),
-        ]
-        subprocess.Popen(
-            daemon_cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL
+        _spawn_daemon(
+            args.daemon_port,
+            runtime_dir / "daemon.pidfile",
+            runtime_dir / "daemon.log",
         )
-        while (not pidfile_path.is_file()) or (pidfile_path.stat().st_size == 0):
-            time.sleep(0.1)
-        _LOGGER.info("Daemon running (pid=%s)", pidfile_path.read_text().strip())
-
-        text = " ".join(args.text) if args.text else sys.stdin.read()
-        values = {"voice": args.voice, "text": text, "vocoder": args.quality}
-        if args.ssml:
-            values["ssml"] = "true"
-        url = (
-            f"http://localhost:{args.daemon_port}/api/tts?"
-            + urllib.parse.urlencode(values)
-        )
-        start_time = time.perf_counter()
-        with urllib.request.urlopen(url) as response:
-            wav_data = response.read()
-        _LOGGER.debug(
-            "Got %s byte(s) of WAV data in %s second(s)",
-            len(wav_data),
-            time.perf_counter() - start_time,
-        )
-        sys.stdout.buffer.write(wav_data)
+        sys.stdout.buffer.write(_synthesize_via_daemon(args))
         sys.stdout.buffer.flush()
         return
 
@@ -156,47 +233,18 @@ def main(argv: typing.Optional[typing.Sequence[str]] = None) -> None:
             print("Reading text from stdin...", file=sys.stderr)
 
     if args.process_on_blank_line:
-
-        def process_on_blank_line(lines):
-            text = ""
-            for line in lines:
-                line = line.strip()
-                if not line:
-                    if text:
-                        yield text
-                    text = ""
-                    continue
-                text += " " + line
-
-        texts = process_on_blank_line(texts)
+        texts = _paragraphs(texts)
 
     if _isatty(sys.stdout):
         if not args.output_dir and not args.raw_stream:
             args.interactive = True
 
-    # Raw PCM streaming through a bounded queue + writer thread
-    raw_queue: typing.Optional["Queue[typing.Optional[bytes]]"] = None
-    raw_stream_thread: typing.Optional[threading.Thread] = None
+    pcm_stream: typing.Optional[_PcmStreamWriter] = None
     if args.raw_stream:
-        raw_queue = Queue(maxsize=int(args.raw_stream_queue_size))
-
-        def output_raw_stream():
-            while True:
-                audio = raw_queue.get()
-                if audio is None:
-                    break
-                _LOGGER.debug(
-                    "Writing %s byte(s) of 16-bit mono PCM to stdout", len(audio)
-                )
-                sys.stdout.buffer.write(audio)
-                sys.stdout.buffer.flush()
-
-        raw_stream_thread = threading.Thread(target=output_raw_stream, daemon=True)
-        raw_stream_thread.start()
+        pcm_stream = _PcmStreamWriter(int(args.raw_stream_queue_size))
 
     all_audios: typing.List[np.ndarray] = []
     sample_rate = 22050
-    play_command = shlex.split(args.play_command)
 
     tts_settings = {
         "noise_scale": args.noise_scale,
@@ -245,7 +293,7 @@ def main(argv: typing.Optional[typing.Sequence[str]] = None) -> None:
                         print(mark_name, file=mark_writer)
 
                 if args.raw_stream:
-                    raw_queue.put(result.audio.tobytes())
+                    pcm_stream.put(result.audio.tobytes())
                 elif args.interactive or args.output_dir:
                     with io.BytesIO() as wav_io:
                         wav_write(wav_io, result.sample_rate, result.audio)
@@ -253,43 +301,18 @@ def main(argv: typing.Optional[typing.Sequence[str]] = None) -> None:
 
                     if args.interactive:
                         _LOGGER.debug("Playing audio with play command")
-                        try:
-                            subprocess.run(
-                                play_command,
-                                input=wav_data,
-                                stdout=subprocess.DEVNULL,
-                                stderr=subprocess.DEVNULL,
-                                check=True,
-                            )
-                        except FileNotFoundError:
-                            _LOGGER.error(
-                                "Unable to play audio with command '%s'. Set "
-                                "with --play-command or redirect stdout",
-                                args.play_command,
-                            )
-                            with open("output.wav", "wb") as output_file:
-                                output_file.write(wav_data)
-                            _LOGGER.warning(
-                                "stdout not redirected. Wrote audio to output.wav."
-                            )
+                        _play_wav(wav_data, args.play_command)
 
                     if args.output_dir:
-                        if args.output_naming == OutputNaming.TEXT.value:
-                            file_name = text.strip().replace(" ", "_")
-                            file_name = file_name.translate(
-                                str.maketrans(
-                                    "", "", string.punctuation.replace("_", "")
-                                )
-                            )
-                        elif args.output_naming == OutputNaming.TIME.value:
-                            file_name = str(time.time())
-                        else:
+                        if args.output_naming == OutputNaming.ID.value:
                             text_id = (
                                 line_id
                                 if not text_id
                                 else f"{line_id}_{result_idx + 1}"
                             )
-                            file_name = text_id
+                        file_name = _output_file_stem(
+                            args.output_naming, text, text_id
+                        )
                         assert file_name, f"No file name for text: {text}"
                         wav_path = args.output_dir / (file_name + ".wav")
                         with open(wav_path, "wb") as wav_file:
@@ -302,24 +325,31 @@ def main(argv: typing.Optional[typing.Sequence[str]] = None) -> None:
                     for mark_name in result.marks_after:
                         print(mark_name, file=mark_writer)
     except KeyboardInterrupt:
-        if raw_queue is not None:
-            while not raw_queue.empty():
-                raw_queue.get()
+        if pcm_stream is not None:
+            pcm_stream.abort()
     finally:
-        if raw_queue is not None:
-            raw_queue.put(None)
-        if raw_stream_thread is not None:
-            raw_stream_thread.join()
+        if pcm_stream is not None:
+            pcm_stream.close()
         if mark_writer is not None:
             mark_writer.close()
 
     if all_audios:
-        with io.BytesIO() as wav_io:
-            wav_write(wav_io, sample_rate, np.concatenate(all_audios))
-            wav_data = wav_io.getvalue()
         _LOGGER.debug("Writing WAV audio to stdout")
-        sys.stdout.buffer.write(wav_data)
+        buf = io.BytesIO()
+        wav_write(buf, sample_rate, np.concatenate(all_audios))
+        sys.stdout.buffer.write(buf.getvalue())
         sys.stdout.buffer.flush()
+
+
+def _output_file_stem(naming: str, text: str, text_id: str) -> str:
+    """WAV file stem for --output-dir per the --output-naming scheme."""
+    if naming == OutputNaming.TIME.value:
+        return str(time.time())
+    if naming == OutputNaming.ID.value:
+        return text_id
+    # TEXT: underscores for spaces, punctuation stripped
+    drop = string.punctuation.replace("_", "")
+    return text.strip().replace(" ", "_").translate(str.maketrans("", "", drop))
 
 
 # -----------------------------------------------------------------------------

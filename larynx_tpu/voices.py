@@ -193,8 +193,9 @@ def get_voices_dirs(
     voices_dir: typing.Optional[typing.Union[str, Path]] = None
 ) -> typing.List[Path]:
     """Search-path chain (larynx/utils.py:173-200): explicit arg ->
-    $LARYNX_VOICES_DIR -> XDG data dir -> reference checkout's local/ (so
-    shipped voice metadata is found when mounted) -> ./local."""
+    $LARYNX_VOICES_DIR -> XDG data dir -> ./local next to the package ->
+    any extra dirs from $LARYNX_TPU_EXTRA_VOICES_DIRS (colon-separated;
+    how deployments mount shared voice stores)."""
     dirs: typing.List[Path] = []
     if voices_dir:
         dirs.append(Path(voices_dir))
@@ -210,9 +211,10 @@ def get_voices_dirs(
         dirs.append(Path.home() / ".local" / "share" / "larynx" / "voices")
 
     dirs.append(Path(__file__).parent.parent / "local")
-    reference_local = Path("/root/reference/local")
-    if reference_local.is_dir():
-        dirs.append(reference_local)
+    extra = os.environ.get("LARYNX_TPU_EXTRA_VOICES_DIRS", "")
+    for part in extra.split(os.pathsep):
+        if part and Path(part).is_dir():
+            dirs.append(Path(part))
     return dirs
 
 

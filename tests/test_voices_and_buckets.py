@@ -53,6 +53,10 @@ def test_voices_dirs_priority(tmp_path, monkeypatch):
     dirs = get_voices_dirs(tmp_path / "arg")
     assert dirs[0] == tmp_path / "arg"
     assert dirs[1] == tmp_path / "env"
+    # production search path must not bake in the oracle checkout
+    assert all("reference" not in str(d) for d in dirs)
+    monkeypatch.setenv("LARYNX_TPU_EXTRA_VOICES_DIRS", str(tmp_path))
+    assert get_voices_dirs(tmp_path / "arg")[-1] == tmp_path
 
 
 def test_resolve_lang():
