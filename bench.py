@@ -288,6 +288,8 @@ def run_ssml(voices_dir, quality, denoiser):
             tts_settings={"length_scale": LENGTH_SCALE},
             denoiser_strength=denoiser,
             half="--half" in sys.argv,
+            # batch the same-voice sentences that straddle the de/sw block
+            interleaved_batching=True,
         ):
             total += result.audio.shape[-1]
         return total / 22050

@@ -12,6 +12,7 @@ mel->audio path stays on device (see larynx_tpu.runtime.engine).
 """
 
 import logging
+import os
 import time
 import typing
 from concurrent.futures import Executor
@@ -71,13 +72,24 @@ def text_to_speech(
     max_batch: int = 8,
     seed: typing.Optional[int] = None,
     scheduler: typing.Optional[typing.Any] = None,
+    interleaved_batching: typing.Optional[bool] = None,
 ) -> typing.Iterable[TextToSpeechResult]:
     """Synthesize text into per-sentence audio results.
 
     Parity surface: larynx/__init__.py:47-190.  Sentences sharing a voice
     are batched through bucketed XLA programs instead of fanning out to a
     thread pool at batch 1.
+
+    ``interleaved_batching`` additionally batches *non-consecutive*
+    same-voice sentences of a multi-voice (SSML) document together; audio
+    is still yielded in document order, but time-to-first-audio grows to
+    roughly the whole document's synthesis time.  Defaults to the
+    ``LARYNX_TPU_INTERLEAVED_BATCHING`` env var (off).
     """
+    if interleaved_batching is None:
+        interleaved_batching = os.environ.get(
+            "LARYNX_TPU_INTERLEAVED_BATCHING", ""
+        ).lower() in ("1", "true", "yes")
     resolved_name = resolve_voice_name(voice_or_lang)
     try:
         voice_lang, _voice_name, _voice_type = split_voice_name(resolved_name)
@@ -182,6 +194,7 @@ def text_to_speech(
         seed=seed,
         half=half,
         scheduler=scheduler,
+        interleaved=interleaved_batching,
     )
 
 
@@ -194,6 +207,7 @@ def _run_jobs(
     seed,
     half,
     scheduler=None,
+    interleaved=False,
 ):
     from larynx_tpu.runtime.buckets import BucketPolicy
 
@@ -241,16 +255,36 @@ def _run_jobs(
             yield job["result"]
         return
 
-    # Group consecutive jobs by (tts_model, vocoder_model)
+    # Group jobs by (tts_model, vocoder_model).  By default only
+    # *consecutive* same-model runs batch (keeps time-to-first-audio
+    # streaming).  With interleaved batching, same-voice sentences scattered
+    # through a multi-voice SSML document batch together — much better MXU
+    # utilization, but first audio now waits for every earlier sentence's
+    # group to finish, so it is opt-in.
     groups: typing.List[typing.List[int]] = []
-    for i, job in enumerate(jobs):
-        if groups and (
-            jobs[groups[-1][0]]["tts_model"] is job["tts_model"]
-            and jobs[groups[-1][0]]["vocoder_model"] is job["vocoder_model"]
-        ):
-            groups[-1].append(i)
-        else:
-            groups.append([i])
+    if interleaved:
+        group_of: typing.Dict[typing.Tuple[int, int], int] = {}
+        for i, job in enumerate(jobs):
+            key = (id(job["tts_model"]), id(job["vocoder_model"]))
+            if key in group_of:
+                groups[group_of[key]].append(i)
+            else:
+                group_of[key] = len(groups)
+                groups.append([i])
+    else:
+        for i, job in enumerate(jobs):
+            if groups and (
+                jobs[groups[-1][0]]["tts_model"] is job["tts_model"]
+                and jobs[groups[-1][0]]["vocoder_model"] is job["vocoder_model"]
+            ):
+                groups[-1].append(i)
+            else:
+                groups.append([i])
+
+    # Results always stream in document order: a drain pointer yields each
+    # job as soon as it and everything before it is done.
+    done = [False] * len(jobs)
+    next_to_yield = 0
 
     batch_counter = 0
     for group in groups:
@@ -307,7 +341,11 @@ def _run_jobs(
                         audio, pad_width=(before, after), constant_values=0
                     )
                 job["result"].audio = audio
-                yield job["result"]
+                done[i] = True
+
+            while next_to_yield < len(jobs) and done[next_to_yield]:
+                yield jobs[next_to_yield]["result"]
+                next_to_yield += 1
 
 
 def _sentence_task_fallback(job, tts_settings, vocoder_settings) -> np.ndarray:

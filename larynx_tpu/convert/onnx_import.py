@@ -260,6 +260,134 @@ def read_onnx_graph(path: typing.Union[str, Path]):
     return initializers, nodes
 
 
+# --- in-graph weight-norm folding ----------------------------------------------
+#
+# torch.onnx.export of a module that still carries weight-norm hooks emits
+# ``weight_g``/``weight_v`` initializers plus the normalization itself as
+# graph nodes (``Mul(g, Div(v, ReduceL2(v)))`` or the ``Pow/ReduceSum/Sqrt``
+# spelling, depending on the torch/opset version).  We fold those subgraphs
+# at import by constant-evaluating every node whose inputs are all known
+# constants, then naming any result whose ancestry is exactly one
+# ``<base>.weight_g`` + ``<base>.weight_v`` pair as ``<base>.weight`` —
+# the same tensor ``remove_weight_norm`` would have produced
+# (hifi_gan/models.py:204-211, applied at load in larynx/hifi_gan.py:100).
+
+
+def _attr_or_input(node, attr_name, inputs, input_idx):
+    """Opset drift helper: axes live in attrs (<13) or as an input (>=13)."""
+    if attr_name in node["attrs"]:
+        return node["attrs"][attr_name]
+    if len(inputs) > input_idx and inputs[input_idx] is not None:
+        return [int(v) for v in np.asarray(inputs[input_idx]).reshape(-1)]
+    return None
+
+
+def _eval_node(node, inputs) -> typing.Optional[np.ndarray]:
+    """Evaluate one foldable node on constant inputs; None if unsupported."""
+    op = node["op_type"]
+    attrs = node["attrs"]
+    if op == "Constant":
+        value = attrs.get("value")
+        return None if value is None else np.asarray(value)
+    if op == "Identity":
+        return inputs[0]
+    if op in ("Mul", "Div", "Add", "Sub", "Pow"):
+        a, b = inputs[0], inputs[1]
+        fn = {
+            "Mul": np.multiply,
+            "Div": np.divide,
+            "Add": np.add,
+            "Sub": np.subtract,
+            "Pow": np.power,
+        }[op]
+        return fn(a, b)
+    if op == "Sqrt":
+        return np.sqrt(inputs[0])
+    if op == "Reciprocal":
+        return np.reciprocal(inputs[0])
+    if op == "Abs":
+        return np.abs(inputs[0])
+    if op in ("ReduceL2", "ReduceSum"):
+        axes = _attr_or_input(node, "axes", inputs, 1)
+        keepdims = bool(attrs.get("keepdims", 1))
+        axis = tuple(axes) if axes is not None else None
+        x = inputs[0]
+        if op == "ReduceL2":
+            return np.sqrt(
+                np.sum(np.square(x), axis=axis, keepdims=keepdims)
+            ).astype(x.dtype)
+        return np.sum(x, axis=axis, keepdims=keepdims).astype(x.dtype)
+    if op == "Unsqueeze":
+        axes = _attr_or_input(node, "axes", inputs, 1) or []
+        out = inputs[0]
+        for ax in sorted(axes):
+            out = np.expand_dims(out, ax)
+        return out
+    if op == "Squeeze":
+        axes = _attr_or_input(node, "axes", inputs, 1)
+        return np.squeeze(inputs[0], axis=tuple(axes) if axes else None)
+    if op == "Reshape":
+        return np.reshape(inputs[0], [int(v) for v in inputs[1].reshape(-1)])
+    if op == "Expand":
+        shape = [int(v) for v in inputs[1].reshape(-1)]
+        return np.broadcast_to(inputs[0], np.broadcast_shapes(inputs[0].shape, tuple(shape))).copy()
+    if op == "Cast":
+        return inputs[0].astype(_DTYPES.get(attrs.get("to", 1), np.float32))
+    return None
+
+
+def fold_weight_norm_nodes(
+    initializers: typing.Dict[str, np.ndarray],
+    nodes: typing.Sequence[typing.Dict[str, typing.Any]],
+) -> typing.Dict[str, np.ndarray]:
+    """Fold in-graph weight-norm subgraphs -> {"<base>.weight": array}."""
+    known: typing.Dict[str, np.ndarray] = dict(initializers)
+    ancestry: typing.Dict[str, frozenset] = {
+        name: frozenset((name,)) for name in initializers
+    }
+    consumed_by_opaque: typing.Set[str] = set()
+
+    for node in nodes:  # NodeProtos are topologically sorted per ONNX spec
+        names = [i for i in node["input"] if i]
+        if all(name in known for name in names):
+            try:
+                out = _eval_node(node, [known[i] if i else None for i in node["input"]])
+            except Exception:
+                out = None
+            if out is not None and node["output"]:
+                anc = frozenset().union(*(ancestry[n] for n in names)) if names else frozenset()
+                known[node["output"][0]] = out
+                ancestry[node["output"][0]] = anc
+                continue
+        consumed_by_opaque.update(names)
+
+    folded: typing.Dict[str, np.ndarray] = {}
+    for out_name, arr in known.items():
+        if out_name in initializers:
+            continue
+        pairs = {
+            a[: -len("_g")]
+            for a in ancestry[out_name]
+            if a.endswith("weight_g")
+        }
+        vs = {
+            a[: -len("_v")]
+            for a in ancestry[out_name]
+            if a.endswith("weight_v")
+        }
+        if len(pairs) != 1 or pairs != vs:
+            continue
+        base = next(iter(pairs))  # "<module>.weight"
+        if arr.shape != initializers[base + "_v"].shape:
+            continue  # intermediate (norm, reciprocal, ...), not the weight
+        # Prefer the tensor an un-foldable consumer (Conv/ConvTranspose)
+        # actually reads; otherwise any shape-matching candidate ties and
+        # they hold the same value by construction.
+        if base not in folded or out_name in consumed_by_opaque:
+            folded[base] = arr
+    return folded
+
+
 # --- name normalization + model mapping ---------------------------------------
 
 
@@ -276,10 +404,13 @@ def _normalize_initializer_names(init: StateDict) -> StateDict:
 
 
 def onnx_state_dict(path: typing.Union[str, Path]) -> StateDict:
-    init, _nodes = read_onnx_graph(path)
-    return _normalize_initializer_names(
-        {k: np.asarray(v, dtype=v.dtype) for k, v in init.items()}
-    )
+    init, nodes = read_onnx_graph(path)
+    sd = {k: np.asarray(v, dtype=v.dtype) for k, v in init.items()}
+    # In-graph weight norm: fold to plain weights.  (When the exporter kept
+    # the state-dict names, the name-based weight_g/weight_v fold in
+    # torch_import covers it too; this also handles the computed tensor.)
+    sd.update(fold_weight_norm_nodes(sd, nodes))
+    return _normalize_initializer_names(sd)
 
 
 def glow_tts_params_from_onnx(path: typing.Union[str, Path], cfg: GlowTTSConfig):

@@ -12,6 +12,7 @@ event loop stays responsive.
 import asyncio
 import io
 import logging
+import os
 import time
 import typing
 from concurrent.futures import ThreadPoolExecutor
@@ -26,6 +27,8 @@ import larynx_tpu
 from larynx_tpu import text_to_speech
 from larynx_tpu.constants import VocoderQuality
 from larynx_tpu.io.wavfile import write as wav_write
+from larynx_tpu.dsp import ipa_synth
+from larynx_tpu.text import ipa
 from larynx_tpu.text.ids import load_phoneme_ids
 from larynx_tpu.text.langs import resolve_lang
 from larynx_tpu.voices import (
@@ -86,6 +89,20 @@ def create_app(settings: typing.Optional[ServerSettings] = None) -> web.Applicat
     settings = settings or ServerSettings()
     voices_dirs = get_voices_dirs(settings.voices_dir)
     executor = ThreadPoolExecutor(max_workers=settings.workers)
+
+    # phoneme example audio: package dir when writable, else a user cache
+    phoneme_wav_dir = _DIR / "wav"
+    try:
+        phoneme_wav_dir.mkdir(exist_ok=True)
+        (phoneme_wav_dir / ".writable").touch()
+        (phoneme_wav_dir / ".writable").unlink()
+    except OSError:
+        phoneme_wav_dir = (
+            Path(os.environ.get("XDG_CACHE_HOME", Path.home() / ".cache"))
+            / "larynx_tpu"
+            / "phoneme_wav"
+        )
+        phoneme_wav_dir.mkdir(parents=True, exist_ok=True)
 
     from larynx_tpu.runtime.scheduler import BatchScheduler
 
@@ -290,10 +307,12 @@ def create_app(settings: typing.Optional[ServerSettings] = None) -> web.Applicat
         return web.Response(body=wav_bytes, content_type="audio/wav")
 
     async def api_phonemes(request: web.Request) -> web.Response:
-        """Phoneme inventory for a language, from any local voice's
-        phonemes.txt (the reference used the external gruut_ipa tables)."""
+        """Phoneme inventory for a language with example words and
+        synthesized example audio (reference: larynx/server.py:386-438
+        served gruut_ipa inventories + recorded WAVs; here the examples
+        are formant-synthesized from the articulatory features)."""
         language = resolve_lang(request.query.get("language", "en-us"))
-        phonemes: typing.Dict[str, typing.Dict[str, typing.Any]] = {}
+        symbols: typing.List[str] = []
         for voices_dir in voices_dirs:
             lang_dir = voices_dir / language
             if not lang_dir.is_dir():
@@ -304,13 +323,32 @@ def create_app(settings: typing.Optional[ServerSettings] = None) -> web.Applicat
                     continue
                 with open(table_path, encoding="utf-8") as f:
                     table = load_phoneme_ids(f)
-                for symbol in table:
-                    if symbol in {"_", "#", "|", "‖", "ˈ", "ˌ", "²", "'"}:
-                        continue
-                    phonemes[symbol] = {"example": ""}
+                symbols = [
+                    s
+                    for s in table
+                    if s not in {"_", "#", "|", "‖", "ˈ", "ˌ", "²", "'"}
+                ]
                 break
-            if phonemes:
+            if symbols:
                 break
+        if not symbols:
+            # no voice installed for the language: built-in inventory
+            symbols = list(ipa.INVENTORIES.get(language, ()))
+
+        loop = asyncio.get_running_loop()
+        wav_names = await loop.run_in_executor(
+            executor, ipa_synth.write_examples, symbols, phoneme_wav_dir
+        )
+        phonemes: typing.Dict[str, typing.Dict[str, typing.Any]] = {}
+        for symbol in symbols:
+            parsed = ipa.parse_phoneme(symbol)
+            entry: typing.Dict[str, typing.Any] = {
+                "example": parsed.example if parsed else "",
+                "description": parsed.description if parsed else "",
+            }
+            if symbol in wav_names:
+                entry["url"] = f"wav/{wav_names[symbol]}"
+            phonemes[symbol] = entry
         return web.json_response(phonemes)
 
     async def api_download(request: web.Request) -> web.Response:
@@ -426,12 +464,26 @@ def create_app(settings: typing.Optional[ServerSettings] = None) -> web.Applicat
             content_type="text/yaml",
         )
 
+    async def openapi_json(request: web.Request) -> web.Response:
+        import json
+
+        import yaml
+
+        spec = yaml.safe_load((_DIR / "swagger.yaml").read_text(encoding="utf-8"))
+        return web.Response(
+            text=json.dumps(spec), content_type="application/json"
+        )
+
     async def openapi_ui(request: web.Request) -> web.Response:
-        html = """<!DOCTYPE html><html><head><title>Larynx TPU API</title></head>
-<body><h1>Larynx TPU OpenAPI</h1>
-<p>The OpenAPI specification is served at <a href="/openapi/swagger.yaml">
-/openapi/swagger.yaml</a>.</p></body></html>"""
-        return web.Response(text=html, content_type="text/html")
+        """Self-contained interactive API explorer (reference served
+        swagger-ui at /openapi, larynx/server.py:594-596; no swagger-ui
+        assets exist offline, so this is an in-tree equivalent)."""
+        return web.Response(
+            text=(_DIR / "templates" / "openapi.html").read_text(
+                encoding="utf-8"
+            ),
+            content_type="text/html",
+        )
 
     # ------------------------------------------------------------------
 
@@ -470,12 +522,13 @@ def create_app(settings: typing.Optional[ServerSettings] = None) -> web.Applicat
     app.router.add_get("/openapi", openapi_ui)
     app.router.add_get("/openapi/", openapi_ui)
     app.router.add_get("/openapi/swagger.yaml", openapi_yaml)
+    app.router.add_get("/openapi/swagger.json", openapi_json)
 
     css_dir = _DIR / "css"
     img_dir = _DIR / "img"
-    wav_dir = _DIR / "wav"
-    for route, path in (("/css", css_dir), ("/img", img_dir), ("/wav", wav_dir)):
+    for route, path in (("/css", css_dir), ("/img", img_dir)):
         path.mkdir(exist_ok=True)
         app.router.add_static(route, path)
+    app.router.add_static("/wav", phoneme_wav_dir)
 
     return app

@@ -62,20 +62,36 @@ def _tensor_proto(name: str, array: np.ndarray, use_raw: bool = True) -> bytes:
     return out
 
 
-def _node_proto(op_type: str, inputs, outputs) -> bytes:
+def _attr_proto(name: str, value) -> bytes:
+    out = _len_field(1, name.encode())
+    if isinstance(value, int):
+        out += _field(3, 0) + _varint(value & ((1 << 64) - 1))
+    elif isinstance(value, (list, tuple)):  # ints (packed)
+        payload = b"".join(_varint(v & ((1 << 64) - 1)) for v in value)
+        out += _len_field(8, payload)
+    else:
+        raise NotImplementedError(type(value))
+    return out
+
+
+def _node_proto(op_type: str, inputs, outputs, attrs=None) -> bytes:
     out = b""
     for i in inputs:
         out += _len_field(1, i.encode())
     for o in outputs:
         out += _len_field(2, o.encode())
     out += _len_field(4, op_type.encode())
+    for name, value in (attrs or {}).items():
+        out += _len_field(5, _attr_proto(name, value))
     return out
 
 
 def make_onnx_bytes(initializers, nodes=()) -> bytes:
     graph = b""
-    for op, ins, outs in nodes:
-        graph += _len_field(1, _node_proto(op, ins, outs))
+    for node in nodes:
+        op, ins, outs = node[:3]
+        attrs = node[3] if len(node) > 3 else None
+        graph += _len_field(1, _node_proto(op, ins, outs, attrs))
     for name, array in initializers.items():
         use_raw = hash(name) % 2 == 0  # exercise both encodings
         if not use_raw and array.dtype != np.float32:
@@ -115,6 +131,79 @@ def test_prefix_stripping(tmp_path):
     path.write_bytes(make_onnx_bytes(tensors))
     sd = onnx_state_dict(path)
     assert "encoder.emb.weight" in sd
+
+
+def _wn_fixture(rng, out_ch=16, in_ch=8, k=3):
+    """weight_g [C,1,1] + weight_v [C,in,k] and the folded torch semantics."""
+    g = rng.standard_normal((out_ch, 1, 1)).astype(np.float32)
+    v = rng.standard_normal((out_ch, in_ch, k)).astype(np.float32)
+    norm = np.sqrt(np.sum(v * v, axis=(1, 2), keepdims=True))
+    return g, v, g * v / norm
+
+
+def test_fold_weight_norm_reducel2_spelling(tmp_path):
+    """Mul(g, Div(v, ReduceL2(v))) in-graph weight norm folds to .weight."""
+    rng = np.random.default_rng(1)
+    g, v, expected = _wn_fixture(rng)
+    init = {"conv.weight_g": g, "conv.weight_v": v}
+    nodes = [
+        ("ReduceL2", ["conv.weight_v"], ["norm"], {"axes": [1, 2], "keepdims": 1}),
+        ("Div", ["conv.weight_v", "norm"], ["unit_v"]),
+        ("Mul", ["conv.weight_g", "unit_v"], ["w"]),
+        ("Conv", ["x", "w"], ["y"], {"dilations": [1]}),
+    ]
+    path = tmp_path / "m.onnx"
+    path.write_bytes(make_onnx_bytes(init, nodes))
+    sd = onnx_state_dict(path)
+    np.testing.assert_allclose(sd["conv.weight"], expected, rtol=1e-6)
+
+
+def test_fold_weight_norm_pow_reducesum_spelling(tmp_path):
+    """Older exporter spelling: Pow -> ReduceSum -> Sqrt -> Div -> Mul."""
+    rng = np.random.default_rng(2)
+    g, v, expected = _wn_fixture(rng, out_ch=8, in_ch=4, k=5)
+    init = {
+        "ups.0.weight_g": g,
+        "ups.0.weight_v": v,
+        "two": np.asarray(2.0, dtype=np.float32),
+    }
+    nodes = [
+        ("Pow", ["ups.0.weight_v", "two"], ["sq"]),
+        ("ReduceSum", ["sq"], ["ssq"], {"axes": [1, 2], "keepdims": 1}),
+        ("Sqrt", ["ssq"], ["norm"]),
+        ("Div", ["ups.0.weight_v", "norm"], ["unit_v"]),
+        ("Mul", ["ups.0.weight_g", "unit_v"], ["w"]),
+        ("ConvTranspose", ["x", "w"], ["y"], {"strides": [2]}),
+    ]
+    path = tmp_path / "m.onnx"
+    path.write_bytes(make_onnx_bytes(init, nodes))
+    sd = onnx_state_dict(path)
+    np.testing.assert_allclose(sd["ups.0.weight"], expected, rtol=1e-6)
+
+
+def test_fold_weight_norm_matches_torch_remove_weight_norm(reference_torch, tmp_path):
+    """Node-folded weights equal torch's remove_weight_norm output."""
+    import torch
+    from torch.nn.utils import remove_weight_norm, weight_norm
+
+    torch.manual_seed(3)
+    conv = weight_norm(torch.nn.Conv1d(8, 16, 3))
+    g = conv.weight_g.detach().numpy().copy()
+    v = conv.weight_v.detach().numpy().copy()
+    remove_weight_norm(conv)
+    expected = conv.weight.detach().numpy()
+
+    init = {"c.weight_g": g, "c.weight_v": v}
+    nodes = [
+        ("ReduceL2", ["c.weight_v"], ["n"], {"axes": [1, 2], "keepdims": 1}),
+        ("Div", ["c.weight_v", "n"], ["u"]),
+        ("Mul", ["c.weight_g", "u"], ["w"]),
+        ("Conv", ["x", "w"], ["y"]),
+    ]
+    path = tmp_path / "m.onnx"
+    path.write_bytes(make_onnx_bytes(init, nodes))
+    sd = onnx_state_dict(path)
+    np.testing.assert_allclose(sd["c.weight"], expected, rtol=1e-5, atol=1e-7)
 
 
 def test_glow_tts_from_onnx_matches_torch_converter(reference_torch, tmp_path):

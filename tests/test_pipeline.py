@@ -95,6 +95,13 @@ def voices_dir(tmp_path_factory, reference_dir):
     params = glow_init(jax.random.PRNGKey(0), glow_cfg)
     save_params(voice_dir / "generator.npz", params)
 
+    # Second voice (same params, distinct model instance) for multi-voice
+    # SSML / interleaved-batching tests
+    voice2_dir = root / "en-us" / "test_voice2-glow_tts"
+    voice2_dir.mkdir(parents=True)
+    for name in ("config.json", "phonemes.txt", "generator.npz"):
+        (voice2_dir / name).write_bytes((voice_dir / name).read_bytes())
+
     # Vocoder: hifi_gan/vctk_small (the "low" quality preset)
     voc_dir = root / "hifi_gan" / "vctk_small"
     voc_dir.mkdir(parents=True)
@@ -166,6 +173,42 @@ def test_text_to_speech_ssml_pauses(voices_dir):
     # second sentence carries the 500ms pause as leading silence
     lead = results[1].audio[: 500 * 22050 // 1000]
     assert np.abs(lead).max() == 0
+
+
+def test_interleaved_batching_multivoice(voices_dir):
+    """Non-consecutive same-voice SSML sentences batch together when
+    interleaved batching is on; document order and durations match the
+    streaming (consecutive-only) grouping."""
+    _clear_caches()
+    markup = (
+        "<speak>"
+        '<voice name="en-us_test_voice-glow_tts"><s>One thing here.</s></voice>'
+        '<voice name="en-us_test_voice2-glow_tts"><s>Second thing now.</s></voice>'
+        '<voice name="en-us_test_voice-glow_tts"><s>Third thing too.</s></voice>'
+        '<voice name="en-us_test_voice2-glow_tts"><s>Fourth one done.</s></voice>'
+        "</speak>"
+    )
+    kwargs = dict(
+        voice_or_lang="en-us_test_voice-glow_tts",
+        vocoder_or_quality=VocoderQuality.LOW,
+        custom_voices_dir=voices_dir,
+        ssml=True,
+        seed=3,
+    )
+    base = list(
+        larynx_tpu.text_to_speech(markup, interleaved_batching=False, **kwargs)
+    )
+    inter = list(
+        larynx_tpu.text_to_speech(markup, interleaved_batching=True, **kwargs)
+    )
+    assert len(base) == len(inter) == 4
+    # document order preserved; durations are noise-independent so they
+    # must match exactly even though batch composition changed
+    assert [r.text for r in base] == [r.text for r in inter]
+    for a, b in zip(base, inter):
+        assert a.audio is not None and b.audio is not None
+        assert a.audio.shape == b.audio.shape
+        assert np.abs(b.audio).max() > 0
 
 
 def test_batching_determinism(voices_dir):

@@ -138,6 +138,24 @@ def test_api_phonemes(app_client):
     )
     phonemes = loop.run_until_complete(resp.json())
     assert "aɪ" in phonemes
+    # example words + synthesized example audio URLs (reference parity:
+    # larynx/server.py:386-438 + shipped larynx/wav/)
+    assert phonemes["ɛ"]["example"] == "bed"
+    url = phonemes["aɪ"].get("url", "")
+    assert url.startswith("wav/")
+    resp = loop.run_until_complete(client.get("/" + url))
+    body = loop.run_until_complete(resp.read())
+    assert body[:4] == b"RIFF" and len(body) > 4000
+
+
+def test_api_phonemes_builtin_inventory(app_client):
+    """Languages with no installed voice fall back to the built-in table."""
+    client, loop = app_client
+    resp = loop.run_until_complete(
+        client.get("/api/phonemes", params={"language": "sw"})
+    )
+    phonemes = loop.run_until_complete(resp.json())
+    assert "ᵐɓ" in phonemes and "url" in phonemes["ᵐɓ"]
 
 
 def test_index_and_openapi(app_client):
@@ -150,3 +168,11 @@ def test_index_and_openapi(app_client):
     resp = loop.run_until_complete(client.get("/openapi/swagger.yaml"))
     yaml_text = loop.run_until_complete(resp.text())
     assert "openapi" in yaml_text
+
+    resp = loop.run_until_complete(client.get("/openapi/swagger.json"))
+    spec = loop.run_until_complete(resp.json())
+    assert "/api/tts" in spec["paths"]
+
+    resp = loop.run_until_complete(client.get("/openapi"))
+    html = loop.run_until_complete(resp.text())
+    assert "swagger.json" in html and "renderOp" in html
