@@ -48,40 +48,76 @@ def generator(
     cfg: HiFiGanConfig,
     mel: jnp.ndarray,
     use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ) -> jnp.ndarray:
     """mel [B, T, num_mels] -> audio [B, T * total_upsample].
 
-    (hifi_gan/models.py:186-202).  With ``use_pallas`` the MRF resblock
-    sections at channel counts <=128 run through the fused VMEM-resident
-    Pallas kernel (larynx_tpu.ops.mrf_block); wider stages and ResBlock2
-    topologies use the XLA conv path.
+    (hifi_gan/models.py:186-202).  With ``use_pallas`` the narrow late
+    stages (C < 128) run entirely in the lane-dense packed layout
+    (larynx_tpu.ops.packed_ups + the packed MRF kernel): XLA would store
+    a C=16 activation padded to 128 lanes in HBM — 8x the bytes on the
+    memory-bound part of synthesis — so upsample, resblocks, and
+    conv_post all stay at [rows, 128] until the final time-major audio.
+    Stages at C == 128 use the fused VMEM-resident MRF kernel; wider
+    stages use the XLA conv path.
     """
+    from larynx_tpu.ops.mrf_block import fused_mrf, pack_mrf_weights
+    from larynx_tpu.ops.packed_ups import (
+        conv_to_time_major,
+        conv_transpose_packed,
+    )
+
     x = conv1d(mel, params["conv_pre"]["w"], params["conv_pre"]["b"], padding=3)
 
     nk = cfg.num_kernels
+    mrf_kwargs = dict(
+        kernel_sizes=tuple(cfg.resblock_kernel_sizes),
+        dilations_per_block=tuple(
+            tuple(d) for d in cfg.resblock_dilation_sizes
+        ),
+        convs_per_unit=2 if cfg.resblock == "1" else 1,
+        interpret=pallas_interpret,
+    )
+
+    c = x.shape[-1]
+    pack = 1  # time steps folded per 128-lane row (1 == plain dense layout)
     for i, (u, k) in enumerate(
         zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)
     ):
         x = leaky_relu(x, LRELU_SLOPE)
         up = params["ups"][i]
-        x = conv_transpose1d(x, up["w"], up["b"], stride=u, padding=(k - u) // 2)
+        c_out = up["w"].shape[2]
+        go_packed = (
+            use_pallas
+            and c_out < 128
+            and 128 % c_out == 0
+            and (pack * u * c_out) % 128 == 0
+        )
+        if go_packed:
+            wide = conv_transpose_packed(
+                x, up["w"], up["b"], stride=u, padding=(k - u) // 2, c_in=c
+            )
+            n_rows = wide.shape[1] * (pack * u * c_out) // 128
+            x = wide.reshape(wide.shape[0], n_rows, 128)
+            c, pack = c_out, 128 // c_out
+        else:
+            assert pack == 1, "packed layout cannot widen mid-stack"
+            x = conv_transpose1d(
+                x, up["w"], up["b"], stride=u, padding=(k - u) // 2
+            )
+            c = c_out
 
-        stage_blocks = [
-            params["resblocks"][i * nk + j] for j in range(nk)
-        ]
-        stage_channels = x.shape[-1]
-        if use_pallas and stage_channels <= 128:
-            from larynx_tpu.ops.mrf_block import fused_mrf, pack_mrf_weights
-
+        stage_blocks = [params["resblocks"][i * nk + j] for j in range(nk)]
+        if pack > 1:
             x = fused_mrf(
                 x,
                 pack_mrf_weights(stage_blocks),
-                kernel_sizes=tuple(cfg.resblock_kernel_sizes),
-                dilations_per_block=tuple(
-                    tuple(d) for d in cfg.resblock_dilation_sizes
-                ),
-                convs_per_unit=2 if cfg.resblock == "1" else 1,
+                channels=c,
+                total_len=x.shape[1] * pack,
+                **mrf_kwargs,
             )
+        elif use_pallas and c <= 128:
+            x = fused_mrf(x, pack_mrf_weights(stage_blocks), **mrf_kwargs)
         else:
             acc = None
             for j in range(nk):
@@ -96,6 +132,11 @@ def generator(
             x = acc / nk
 
     x = leaky_relu(x, 0.01)  # default torch leaky_relu slope (models.py:198)
+    if pack > 1:
+        audio = conv_to_time_major(
+            x, params["conv_post"]["w"], params["conv_post"]["b"], c_in=c
+        )
+        return jnp.tanh(audio)
     x = conv1d(x, params["conv_post"]["w"], params["conv_post"]["b"], padding=3)
     return jnp.tanh(x)[..., 0]
 

@@ -25,6 +25,7 @@ import typing
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -153,7 +154,7 @@ def _make_kernel(
     jax.jit,
     static_argnames=(
         "kernel_sizes", "dilations_per_block", "tile", "convs_per_unit",
-        "interpret",
+        "interpret", "channels", "total_len",
     ),
 )
 def fused_mrf(
@@ -167,18 +168,45 @@ def fused_mrf(
     tile: typing.Optional[int] = None,
     convs_per_unit: int = 2,
     interpret: bool = False,
+    channels: typing.Optional[int] = None,
+    total_len: typing.Optional[int] = None,
 ) -> jnp.ndarray:
     """x [B, T, C] -> averaged MRF section output [B, T, C].
 
     ``weights``: flat tuple, 2*convs_per_unit arrays per resblock r —
     ResBlock1 (convs_per_unit=2): convs1_w [n, k_r, C, C], convs1_b [n, C],
     convs2_w, convs2_b; ResBlock2 (convs_per_unit=1): convs_w, convs_b.
+
+    With ``channels`` set, x is ALREADY in packed layout [B, T/P, 128]
+    (P = 128 // channels) and the result stays packed — the lane-dense
+    vocoder path (larynx_tpu.ops.packed_ups) uses this to keep narrow
+    activations out of HBM at padded width.
     """
+    if channels is not None:
+        return _fused_mrf_packed(
+            x, weights, kernel_sizes, dilations_per_block, tile,
+            convs_per_unit, interpret, channels=channels, total_len=total_len,
+        )
+
     b, t, c_orig = x.shape
 
-    # Mosaic requires the minor (lane) dimension aligned to 128; narrower
-    # stages are zero-padded — the MXU processes 128 lanes per cycle either
-    # way, so the extra math is free (zero weights keep padded channels 0).
+    # Narrow stages (C | 128): time-packed layout — P = 128/C time steps
+    # fold into the lanes, so every matmul runs at full MXU width instead
+    # of wasting (128 - C)/128 of it on zero padding.
+    if c_orig < 128 and 128 % c_orig == 0:
+        return _fused_mrf_packed(
+            x,
+            weights,
+            kernel_sizes,
+            dilations_per_block,
+            tile,
+            convs_per_unit,
+            interpret,
+        )
+
+    # Mosaic requires the minor (lane) dimension aligned to 128; other
+    # non-multiple-of-128 widths are zero-padded — the MXU processes 128
+    # lanes per cycle either way (zero weights keep padded channels 0).
     c = max(128, -(-c_orig // 128) * 128)
     if c != c_orig:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, c - c_orig)))
@@ -242,6 +270,278 @@ def fused_mrf(
         interpret=interpret,
     )(x_padded, *weights)
     return out[:, :t, :c_orig]
+
+
+def _fused_mrf_packed(
+    x: jnp.ndarray,
+    weights: typing.Tuple[jnp.ndarray, ...],
+    kernel_sizes: typing.Tuple[int, ...],
+    dilations_per_block: typing.Tuple[typing.Tuple[int, ...], ...],
+    tile: typing.Optional[int],
+    convs_per_unit: int,
+    interpret: bool,
+    channels: typing.Optional[int] = None,
+    total_len: typing.Optional[int] = None,
+) -> jnp.ndarray:
+    """Time-packed MRF section for C dividing 128 (see block comment below).
+
+    With ``channels`` set, ``x`` is already in packed layout
+    [B, T/P, 128] (lane = p*C + c over P consecutive time steps) holding
+    ``total_len`` valid steps, and the result stays packed — used by the
+    fully-packed vocoder path so narrow activations never materialize in
+    HBM at padded lane width.
+    """
+    packed_io = channels is not None
+    if packed_io:
+        b, blocks_in, _ = x.shape
+        c = channels
+        t = total_len if total_len is not None else blocks_in * (128 // c)
+    else:
+        b, t, c = x.shape
+    P = 128 // c
+    PC = 128
+    refs_per_block = 2 * convs_per_unit
+
+    # Per-conv packed weights + static shift metadata, in execution order
+    packed_refs: typing.List[jnp.ndarray] = []
+    conv_meta: typing.List[typing.Tuple[int, int]] = []
+    chain_layout: typing.List[typing.Tuple[int, ...]] = []
+    for r, (k, dils) in enumerate(zip(kernel_sizes, dilations_per_block)):
+        block_w = weights[refs_per_block * r : refs_per_block * (r + 1)]
+        layout: typing.List[int] = []
+        for j, d in enumerate(dils):
+            wp, bp = _pack_conv(block_w[0][j], block_w[1][j], P, d)
+            conv_meta.append(_packed_conv_meta(k, d, P))
+            layout.append(len(conv_meta) - 1)
+            packed_refs += [wp, bp]
+            if convs_per_unit == 2:
+                wp2, bp2 = _pack_conv(block_w[2][j], block_w[3][j], P, 1)
+                conv_meta.append(_packed_conv_meta(k, 1, P))
+                layout.append(len(conv_meta) - 1)
+                packed_refs += [wp2, bp2]
+        chain_layout.append(tuple(layout))
+
+    def crops(layout):
+        start = sum(-conv_meta[ci][0] for ci in layout)
+        end = sum(conv_meta[ci][0] + conv_meta[ci][1] - 1 for ci in layout)
+        return start, end
+
+    halo_blocks = max(max(crops(lo)) for lo in chain_layout)
+    halo_blocks = -(-halo_blocks // 8) * 8  # sublane-safe DMA slice rows
+
+    if tile is None:
+        tile_blocks = 512
+    else:
+        tile_blocks = max(16, tile // P)
+    tile_blocks = -(-tile_blocks // 16) * 16
+
+    n_tiles = -(-t // (tile_blocks * P))
+    t_blocks = n_tiles * tile_blocks
+    if packed_io:
+        xp = jnp.pad(
+            x,
+            ((0, 0), (halo_blocks, t_blocks + halo_blocks - x.shape[1]), (0, 0)),
+        )
+    else:
+        x_padded = jnp.pad(
+            x,
+            (
+                (0, 0),
+                (halo_blocks * P, (t_blocks + halo_blocks) * P - t),
+                (0, 0),
+            ),
+        )
+        # the packing itself: a free row-major reshape, never a concat
+        xp = x_padded.reshape(b, t_blocks + 2 * halo_blocks, PC)
+
+    kernel = _make_packed_kernel(
+        tuple(conv_meta),
+        tuple(chain_layout),
+        tile_blocks,
+        halo_blocks,
+        t,
+        P,
+        c,
+        x.dtype,
+        convs_per_unit,
+    )
+    in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)] + [
+        pl.BlockSpec(memory_space=pltpu.VMEM)
+    ] * len(packed_refs)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n_tiles),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, tile_blocks, PC),
+            lambda bi, ti: (bi, ti, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, t_blocks, PC), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tile_blocks + 2 * halo_blocks, PC), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(xp, *packed_refs)
+    if packed_io:
+        return out[:, : x.shape[1], :]
+    return out.reshape(b, t_blocks * P, c)[:, :t, :]
+
+
+# -----------------------------------------------------------------------------
+# Time-packed variant for narrow stages (C < 128)
+#
+# The MXU processes 128 lanes per cycle, so a C=16 stage padded to 128 lanes
+# wastes 7/8 of every matmul.  Instead we fold P = 128 // C consecutive time
+# steps into the lane dimension: x [T, C] -> xp [T/P, P*C] (a free row-major
+# reshape).  A dilated conv over time becomes a short sum of *block-shifted*
+# [P*C, P*C] matmuls: for centered tap offsets d*(tap - half), output slot p
+# reads input slot (p + off) % P in block (p + off) // P, so each conv is
+#
+#     out[b] = sum_s  xp[b + s] @ Wp[s],   s in [s_min, s_max]
+#
+# with Wp[s] a block-banded matrix embedding the tap weights.  The number of
+# shifted matmuls (~(k-1)*d/P + k/ceil) is close to the original tap count k,
+# but every matmul now runs at full 128-lane width over P x fewer rows —
+# up to a P-fold FLOP/bandwidth reduction.  Mosaic cannot lower narrow-lane
+# concatenation, which is why the packing comes from layout (reshape), never
+# from concat.
+
+
+def _packed_conv_meta(k: int, d: int, P: int) -> typing.Tuple[int, int]:
+    """(s_min, n_s): block-shift range of a centered (k, d) conv at pack P."""
+    half = (k - 1) // 2
+    offs = [(tap - half) * d for tap in range(k)]
+    s_min = min(o // P for o in offs)  # p_out = 0
+    s_max = max((P - 1 + o) // P for o in offs)
+    return s_min, s_max - s_min + 1
+
+
+def _pack_conv(w: jnp.ndarray, bias: jnp.ndarray, P: int, d: int):
+    """Conv weights [k, C, C] -> block-banded packed weights [n_s, PC, PC].
+
+    Wp[s][q*C + ci, p*C + co] = sum over taps landing at block-shift s with
+    in-slot q for out-slot p of w[tap, ci, co].
+    """
+    k, c, _ = w.shape
+    half = (k - 1) // 2
+    s_min, n_s = _packed_conv_meta(k, d, P)
+    placement = np.zeros((k, n_s, P, P), dtype=np.float32)
+    for tap in range(k):
+        off = (tap - half) * d
+        for p_out in range(P):
+            s = (p_out + off) // P
+            p_in = (p_out + off) % P
+            placement[tap, s - s_min, p_in, p_out] = 1.0
+    wp = jnp.einsum(
+        "tsqp,tio->sqipo", jnp.asarray(placement, w.dtype), w
+    ).reshape(n_s, P * c, P * c)
+    bp = jnp.tile(bias, P)[None, :]  # [1, PC]
+    return wp, bp
+
+
+def _make_packed_kernel(
+    conv_meta: typing.Tuple[typing.Tuple[int, int], ...],
+    chain_layout: typing.Tuple[typing.Tuple[int, ...], ...],
+    tile_blocks: int,
+    halo_blocks: int,
+    total_len: int,
+    P: int,
+    C: int,
+    out_dtype,
+    convs_per_unit: int,
+):
+    """conv_meta[i] = (s_min, n_s) for the i-th conv in ref order;
+    chain_layout[r] = conv indices of resblock r in execution order
+    (``convs_per_unit`` consecutive indices form one residual unit)."""
+    PC = P * C
+    n_convs = len(conv_meta)
+
+    def kernel(x_hbm, *refs):
+        weight_refs = refs[: 2 * n_convs]
+        out_ref = refs[2 * n_convs]
+        x_scratch = refs[2 * n_convs + 1]
+        sem = refs[2 * n_convs + 2]
+
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        dma = pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(i * tile_blocks, tile_blocks + 2 * halo_blocks), :],
+            x_scratch,
+            sem,
+        )
+        dma.start()
+        dma.wait()
+
+        x_tile = x_scratch[:]  # [tile_blocks + 2*halo_blocks, PC]
+        tile_origin = i * tile_blocks - halo_blocks  # global block of row 0
+
+        lane_slot = jax.lax.broadcasted_iota(jnp.int32, (1, PC), 1) // C
+
+        def mask_valid(buf, origin_off):
+            """Zero packed positions outside the true signal [0, total_len)."""
+            blk = (
+                jax.lax.broadcasted_iota(jnp.int32, buf.shape, 0)
+                + tile_origin
+                + origin_off
+            )
+            t = blk * P + lane_slot
+            valid = jnp.logical_and(t >= 0, t < total_len)
+            return jnp.where(valid, buf, jnp.zeros_like(buf))
+
+        def conv(buf, origin_off, conv_idx):
+            """Centered packed conv; returns (out, new static origin off)."""
+            s_min, n_s = conv_meta[conv_idx]
+            w_ref = weight_refs[2 * conv_idx]
+            b_ref = weight_refs[2 * conv_idx + 1]
+            out_len = buf.shape[0] - (n_s - 1)
+            acc = jnp.zeros((out_len, PC), dtype=jnp.float32)
+            for si in range(n_s):
+                acc += jax.lax.dot_general(
+                    buf[si : si + out_len, :],
+                    w_ref[si],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            acc += b_ref[:].astype(jnp.float32)
+            new_off = origin_off + (-s_min)
+            out = mask_valid(acc, new_off)
+            return out.astype(buf.dtype), new_off
+
+        # static per-chain consumption, to center each chain on the tile
+        def chain_crops(layout):
+            start = sum(-conv_meta[ci][0] for ci in layout)
+            end = sum(conv_meta[ci][0] + conv_meta[ci][1] - 1 for ci in layout)
+            return start, end
+
+        n_chains = len(chain_layout)
+
+        total = jnp.zeros((tile_blocks, PC), dtype=jnp.float32)
+        for layout in chain_layout:
+            start, end = chain_crops(layout)
+            extra_s = halo_blocks - start
+            extra_e = halo_blocks - end
+            h = x_tile[extra_s : x_tile.shape[0] - extra_e, :]
+            off = extra_s  # static origin offset relative to x_tile[0]
+
+            units = [
+                layout[i : i + convs_per_unit]
+                for i in range(0, len(layout), convs_per_unit)
+            ]
+            for unit in units:
+                xt, off2 = conv(_leaky_relu(h), off, unit[0])
+                for ci in unit[1:]:
+                    xt, off2 = conv(_leaky_relu(xt), off2, ci)
+                s_u = off2 - off
+                e_u = (h.shape[0] - xt.shape[0]) - s_u
+                h = h[s_u : h.shape[0] - e_u, :] + xt
+                off = off2
+            total += h.astype(jnp.float32)
+
+        out_ref[0, :, :] = (total / n_chains).astype(out_dtype)
+
+    return kernel
 
 
 def pack_mrf_weights(resblocks: typing.Sequence[dict]) -> typing.Tuple:

@@ -40,7 +40,10 @@ class BucketPolicy:
         i = bisect.bisect_left(self.mel_buckets, frames)
         if i < len(self.mel_buckets):
             return self.mel_buckets[i]
-        return _round_up(frames, self.mel_buckets[-1])
+        # Beyond the grid, stay within ~12% padding: every mel frame costs
+        # 256 audio samples of vocoder compute AND of device->host transfer
+        # (the tunnel link runs ~40 MB/s — padding is pure loss there).
+        return _round_up(frames, 512)
 
     def batch_bucket(self, n: int) -> int:
         i = bisect.bisect_left(self.batch_buckets, n)

@@ -41,7 +41,7 @@ def _xla_reference(resblocks, x, kernel_sizes, dilations):
     return acc / len(resblocks)
 
 
-@pytest.mark.parametrize("channels", [32, 128])
+@pytest.mark.parametrize("channels", [8, 16, 32, 64, 128])
 def test_fused_mrf_matches_xla(channels):
     rng = np.random.default_rng(0)
     kernel_sizes = (3, 7, 11)
@@ -137,3 +137,92 @@ def test_fused_mrf_resblock2():
         )
     )
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+# -----------------------------------------------------------------------------
+# Lane-dense (time-packed) vocoder path
+
+
+def test_conv_transpose_packed_matches_dense():
+    from larynx_tpu.models.nn import conv_transpose1d
+    from larynx_tpu.ops.packed_ups import conv_transpose_packed
+
+    rng = np.random.default_rng(0)
+    for ci, u, k, co, p_in in (
+        (128, 8, 16, 64, 1),
+        (64, 2, 4, 32, 2),
+        (64, 4, 8, 32, 2),
+        (32, 2, 4, 16, 4),
+    ):
+        t = 64
+        x = rng.standard_normal((2, t, ci)).astype(np.float32)
+        w = (rng.standard_normal((k, ci, co)) * 0.1).astype(np.float32)
+        b = (rng.standard_normal(co) * 0.1).astype(np.float32)
+        ref = conv_transpose1d(
+            jnp.asarray(x), jnp.asarray(w), jnp.asarray(b),
+            stride=u, padding=(k - u) // 2,
+        )
+        xp = jnp.asarray(x).reshape(2, t // p_in, p_in * ci)
+        wide = conv_transpose_packed(
+            xp, jnp.asarray(w), jnp.asarray(b),
+            stride=u, padding=(k - u) // 2, c_in=ci,
+        )
+        out = wide.reshape(2, t * u, co)
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_conv_to_time_major_matches_dense():
+    from larynx_tpu.models.nn import conv1d
+    from larynx_tpu.ops.packed_ups import conv_to_time_major
+
+    rng = np.random.default_rng(1)
+    for ci, p in ((32, 4), (16, 8), (8, 16)):
+        t, k = 512, 7
+        x = rng.standard_normal((2, t, ci)).astype(np.float32)
+        w = (rng.standard_normal((k, ci, 1)) * 0.1).astype(np.float32)
+        b = (rng.standard_normal(1) * 0.1).astype(np.float32)
+        ref = conv1d(
+            jnp.asarray(x), jnp.asarray(w), jnp.asarray(b), padding=(k - 1) // 2
+        )[..., 0]
+        out = conv_to_time_major(
+            jnp.asarray(x).reshape(2, t // p, p * ci),
+            jnp.asarray(w), jnp.asarray(b), c_in=ci,
+        )
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("tier", ["high", "medium", "low"])
+def test_packed_generator_matches_xla(tier):
+    """The fully lane-dense generator path == the plain XLA path, for all
+    three released vocoder geometries."""
+    from larynx_tpu.models.hifi_gan import HiFiGanConfig
+    from larynx_tpu.models.hifi_gan import model as hifi
+
+    geometry = {
+        "high": dict(
+            resblock="1", upsample_initial_channel=512,
+            upsample_rates=(8, 8, 2, 2), upsample_kernel_sizes=(16, 16, 4, 4),
+            resblock_kernel_sizes=(3, 7, 11),
+            resblock_dilation_sizes=((1, 3, 5),) * 3,
+        ),
+        "medium": dict(
+            resblock="1", upsample_initial_channel=128,
+            upsample_rates=(8, 8, 2, 2), upsample_kernel_sizes=(16, 16, 4, 4),
+            resblock_kernel_sizes=(3, 7, 11),
+            resblock_dilation_sizes=((1, 3, 5),) * 3,
+        ),
+        "low": dict(
+            resblock="2", upsample_initial_channel=256,
+            upsample_rates=(8, 8, 4), upsample_kernel_sizes=(16, 16, 8),
+            resblock_kernel_sizes=(3, 5, 7),
+            resblock_dilation_sizes=((1, 2), (2, 6), (3, 12)),
+        ),
+    }[tier]
+    cfg = HiFiGanConfig(**geometry)
+    params = hifi.init_params(jax.random.PRNGKey(0), cfg)
+    mel = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 80), jnp.float32)
+    ref = hifi.generator(params, cfg, mel, use_pallas=False)
+    out = hifi.generator(
+        params, cfg, mel, use_pallas=True, pallas_interpret=True
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)

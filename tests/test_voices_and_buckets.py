@@ -76,7 +76,8 @@ def test_bucket_policy():
     assert policy.text_bucket(400) == 768  # beyond grid: rounded up
     assert policy.mel_bucket(1) == 64
     assert policy.mel_bucket(63) % policy.n_sqz == 0
-    assert policy.mel_bucket(5000) % 4096 == 0
+    assert policy.mel_bucket(5000) == 5120  # 512-step grid past 4096
+    assert policy.mel_bucket(4100) == 4608
     assert policy.batch_bucket(3) == 4
     assert policy.batch_bucket(16) == 16
     assert policy.batch_bucket(17) == 32
