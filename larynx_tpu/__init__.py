@@ -389,6 +389,9 @@ def _get_engine(tts_model, vocoder_model, half: bool = False):
 
     engine = None
     if isinstance(tts_model, GlowTextToSpeech):
+        from larynx_tpu.parallel.mesh import serving_mesh
+
+        mesh = serving_mesh()  # None on a single device
         settings = tts_model.audio_settings or _DEFAULT_AUDIO_SETTINGS
         if isinstance(vocoder_model, HiFiGanVocoder):
             engine = SynthesisEngine(
@@ -399,6 +402,7 @@ def _get_engine(tts_model, vocoder_model, half: bool = False):
                 vocoder_params=vocoder_model.params,
                 vocoder_cfg=vocoder_model.model_config,
                 half=half,
+                mesh=mesh,
             )
         elif isinstance(vocoder_model, GriffinLimVocoder):
             engine = SynthesisEngine(
@@ -407,6 +411,7 @@ def _get_engine(tts_model, vocoder_model, half: bool = False):
                 settings,
                 vocoder_kind="griffin_lim",
                 half=half,
+                mesh=mesh,
             )
     _ENGINE_CACHE[key] = engine
     return engine

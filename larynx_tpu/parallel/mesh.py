@@ -42,6 +42,28 @@ def make_mesh(
     return Mesh(grid, axis_names)
 
 
+def serving_mesh() -> typing.Optional[Mesh]:
+    """1-D data-parallel mesh over the available devices for serving.
+
+    None on a single device (or when LARYNX_TPU_MESH=off).  Uses the
+    largest power-of-two device count so batch buckets divide evenly.
+    """
+    import os
+
+    flag = os.environ.get("LARYNX_TPU_MESH", "auto").lower()
+    if flag in ("off", "0", "none"):
+        return None
+    devices = jax.devices()
+    if len(devices) < 2:
+        return None
+    if flag == "auto" and devices[0].platform == "cpu":
+        # a forced-host-platform CPU "mesh" is a test fixture, not a fleet;
+        # opt in explicitly with LARYNX_TPU_MESH=on
+        return None
+    n = 1 << (len(devices).bit_length() - 1)
+    return Mesh(np.asarray(devices[:n]), ("data",))
+
+
 def replicated_spec() -> P:
     return P()
 

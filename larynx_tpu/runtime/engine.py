@@ -81,6 +81,7 @@ class SynthesisEngine:
         seed: int = 1234,
         griffin_lim_iters: int = 60,
         use_pallas: typing.Optional[bool] = None,
+        mesh: typing.Optional["jax.sharding.Mesh"] = None,
     ):
         _enable_persistent_compile_cache()
         if use_pallas is None:
@@ -91,6 +92,11 @@ class SynthesisEngine:
                 "LARYNX_TPU_NO_PALLAS"
             )
         self.use_pallas = use_pallas
+        # Data-parallel serving mesh: batch rows shard over the "data" axis
+        # (the natural multi-chip axis for this model family — sentences are
+        # independent; SURVEY.md §2.4).  None = single-device.
+        self.mesh = mesh
+        self._n_data = int(mesh.shape["data"]) if mesh is not None else 1
         self.glow_cfg = glow_cfg
         self.audio_settings = audio_settings
         self.vocoder_kind = vocoder_kind
@@ -110,6 +116,16 @@ class SynthesisEngine:
         )
         self.glow_params = cast(glow_params)
         self.vocoder_params = cast(vocoder_params) if vocoder_params else None
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            replicated = NamedSharding(mesh, PartitionSpec())
+            self.glow_params = jax.device_put(self.glow_params, replicated)
+            if self.vocoder_params is not None:
+                self.vocoder_params = jax.device_put(
+                    self.vocoder_params, replicated
+                )
 
         if vocoder_kind == "hifi_gan":
             assert vocoder_cfg is not None and vocoder_params is not None
@@ -189,8 +205,7 @@ class SynthesisEngine:
             fft = settings.filter_length
             hop = settings.hop_length
 
-            @functools.partial(jax.jit, static_argnames=("denoise",))
-            def vocode_fn(voc_params, mel, z_mask, bias_spec, strength, denoise):
+            def vocode_body(voc_params, mel, z_mask, bias_spec, strength, denoise):
                 mel_pp = postprocess(mel, z_mask)  # [B, C, M]
                 audio = hifi_model.generator(
                     voc_params,
@@ -210,7 +225,35 @@ class SynthesisEngine:
                     n_valid = nf * hop + fft
                 return to_int16(audio, n_valid)
 
-            self._vocode = vocode_fn
+            if self.mesh is None:
+                self._vocode = jax.jit(
+                    vocode_body, static_argnames=("denoise",)
+                )
+            else:
+                # Pallas calls are not auto-partitionable; shard_map splits
+                # the batch rows over the data axis (rows are independent)
+                # and each device runs the identical local program.
+                from jax.experimental.shard_map import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                def sharded_vocode(denoise: bool):
+                    body = functools.partial(vocode_body, denoise=denoise)
+                    return jax.jit(
+                        shard_map(
+                            body,
+                            mesh=self.mesh,
+                            in_specs=(P(), P("data"), P("data"), P(), P()),
+                            out_specs=P("data"),
+                            check_rep=False,
+                        )
+                    )
+
+                variants = {d: sharded_vocode(d) for d in (False, True)}
+                self._vocode = (
+                    lambda p, mel, zm, bias, s, denoise: variants[
+                        bool(denoise)
+                    ](p, mel, zm, bias, s)
+                )
 
             @jax.jit
             def bias_audio_fn(voc_params):
@@ -273,6 +316,8 @@ class SynthesisEngine:
         n = len(id_seqs)
         t_bucket = self.policy.text_bucket(max(len(s) for s in id_seqs))
         b_bucket = self.policy.batch_bucket(n)
+        if self._n_data > 1:  # batch rows must split evenly over the mesh
+            b_bucket = -(-b_bucket // self._n_data) * self._n_data
 
         ids = np.zeros((b_bucket, t_bucket), dtype=np.int32)
         lengths = np.zeros((b_bucket,), dtype=np.int32)
@@ -281,11 +326,22 @@ class SynthesisEngine:
             lengths[i] = len(seq)
         lengths[n:] = 1  # dummy rows
 
+        ids_dev, lengths_dev = jnp.asarray(ids), jnp.asarray(lengths)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            ids_dev = jax.device_put(
+                ids_dev, NamedSharding(self.mesh, P("data", None))
+            )
+            lengths_dev = jax.device_put(
+                lengths_dev, NamedSharding(self.mesh, P("data"))
+            )
+
         g = self._speaker_embedding(speaker_ids, b_bucket)
         out = self._encode(
             self.glow_params,
-            jnp.asarray(ids),
-            jnp.asarray(lengths),
+            ids_dev,
+            lengths_dev,
             jnp.float32(length_scale),
             g,
         )
@@ -376,6 +432,10 @@ class SynthesisEngine:
 
         group = max(1, MAX_VOCODE_AREA // m)
         group = 1 << (group.bit_length() - 1)  # floor to power of two
+        if self.mesh is not None:
+            # per-device memory is b / n_data — no need to split below the
+            # mesh width, and groups must divide evenly over it anyway
+            group = max(group, self._n_data)
         if group >= b:
             part = self._vocode(
                 self.vocoder_params, mel, z_mask, bias, strength, denoise
