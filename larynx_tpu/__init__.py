@@ -286,66 +286,98 @@ def _run_jobs(
     done = [False] * len(jobs)
     next_to_yield = 0
 
-    batch_counter = 0
+    # Flatten groups into per-engine batch units (same text bucket).
+    units: typing.List[typing.Tuple[typing.Any, typing.List[int]]] = []
     for group in groups:
         tts_model = jobs[group[0]]["tts_model"]
         vocoder_model = jobs[group[0]]["vocoder_model"]
         engine = _get_engine(tts_model, vocoder_model, half=half)
-
         lengths = [len(jobs[i]["ids"]) for i in group]
         policy = engine.policy if engine is not None else BucketPolicy()
-        batches = policy.group_by_text_bucket(lengths, max_batch)
+        for batch in policy.group_by_text_bucket(lengths, max_batch):
+            units.append((engine, [group[k] for k in batch]))
 
-        for batch in batches:
-            indices = [group[k] for k in batch]
-            id_seqs = [jobs[i]["ids"] for i in indices]
+    # Pipelined execution: a dispatch round trip to the (remote) TPU costs
+    # tens of ms, so (1) every unit's encode launches before any sync, and
+    # (2) unit j+1's decode+vocode launch before unit j's audio transfer is
+    # collected — device compute overlaps both dispatch latency and the
+    # slow device->host link.
+    encodes: typing.List[typing.Any] = []
+    for j, (engine, indices) in enumerate(units):
+        if engine is None:
+            encodes.append(None)
+            continue
+        t0 = time.perf_counter()
+        enc_out, g = engine.encode_launch(
+            [jobs[i]["ids"] for i in indices], length_scale=length_scale
+        )
+        encodes.append((enc_out, g, t0))
+
+    tails: typing.List[typing.Any] = [None] * len(units)
+
+    def launch_tail(j: int) -> None:
+        if encodes[j] is None or tails[j] is not None:
+            return
+        engine, indices = units[j]
+        enc_out, g, t0 = encodes[j]
+        n = len(indices)
+        y_lengths = np.asarray(enc_out[4])
+        mel, z_mask, key = engine.decode_launch(
+            enc_out, y_lengths, g, n,
+            noise_scale=noise_scale, seed=seed, batch_index=j,
+        )
+        parts = engine.vocode_launch(
+            mel, z_mask, n, denoiser_strength, key
+        )
+        tails[j] = (parts, y_lengths, mel.shape[0], t0)
+
+    if units:
+        launch_tail(0)
+    for j, (engine, indices) in enumerate(units):
+        if j + 1 < len(units):
+            launch_tail(j + 1)
+        if encodes[j] is None:
             start = time.perf_counter()
-            if engine is not None:
-                audios = engine.synthesize_batch(
-                    id_seqs,
-                    noise_scale=noise_scale,
-                    length_scale=length_scale,
-                    seed=seed,
-                    denoiser_strength=denoiser_strength,
-                    batch_index=batch_counter,
-                )
-            else:
-                audios = [
-                    _sentence_task_fallback(
-                        jobs[i], tts_settings, vocoder_settings
-                    )
-                    for i in indices
-                ]
+            audios = [
+                _sentence_task_fallback(jobs[i], tts_settings, vocoder_settings)
+                for i in indices
+            ]
             elapsed = time.perf_counter() - start
-            batch_counter += 1
+        else:
+            parts, y_lengths, b_rows, t0 = tails[j]
+            audio_np = engine.vocode_collect(parts, b_rows)
+            audios = engine.crop_rows(
+                audio_np, y_lengths, len(indices), denoiser_strength
+            )
+            elapsed = time.perf_counter() - t0
 
-            for i, audio in zip(indices, audios):
-                job = jobs[i]
-                settings = job["audio_settings"]
-                audio_sec = audio.shape[-1] / settings.sample_rate
-                rtf = elapsed / max(audio_sec, 1e-9) / len(indices)
-                _LOGGER.debug(
-                    "Real-time factor: %0.2f (infer=%0.2f sec, audio=%0.2f sec)",
-                    rtf,
-                    elapsed / len(indices),
-                    audio_sec,
+        for i, audio in zip(indices, audios):
+            job = jobs[i]
+            settings = job["audio_settings"]
+            audio_sec = audio.shape[-1] / settings.sample_rate
+            rtf = elapsed / max(audio_sec, 1e-9) / len(indices)
+            _LOGGER.debug(
+                "Real-time factor: %0.2f (infer=%0.2f sec, audio=%0.2f sec)",
+                rtf,
+                elapsed / len(indices),
+                audio_sec,
+            )
+            before = max(
+                0, (job["pause_before_ms"] * settings.sample_rate) // 1000
+            )
+            after = max(
+                0, (job["pause_after_ms"] * settings.sample_rate) // 1000
+            )
+            if before > 0 or after > 0:
+                audio = np.pad(
+                    audio, pad_width=(before, after), constant_values=0
                 )
-                before = max(
-                    0, (job["pause_before_ms"] * settings.sample_rate) // 1000
-                )
-                after = max(
-                    0, (job["pause_after_ms"] * settings.sample_rate) // 1000
-                )
-                if before > 0 or after > 0:
-                    audio = np.pad(
-                        audio, pad_width=(before, after), constant_values=0
-                    )
-                job["result"].audio = audio
-                done[i] = True
+            job["result"].audio = audio
+            done[i] = True
 
-            while next_to_yield < len(jobs) and done[next_to_yield]:
-                yield jobs[next_to_yield]["result"]
-                next_to_yield += 1
+        while next_to_yield < len(jobs) and done[next_to_yield]:
+            yield jobs[next_to_yield]["result"]
+            next_to_yield += 1
 
 
 def _sentence_task_fallback(job, tts_settings, vocoder_settings) -> np.ndarray:

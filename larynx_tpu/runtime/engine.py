@@ -242,7 +242,9 @@ class SynthesisEngine:
                         shard_map(
                             body,
                             mesh=self.mesh,
-                            in_specs=(P(), P("data"), P("data"), P(), P()),
+                            in_specs=(
+                                P(), P("data"), P("data"), P(), P("data"),
+                            ),
                             out_specs=P("data"),
                             check_rep=False,
                         )
@@ -342,11 +344,77 @@ class SynthesisEngine:
             self.glow_params,
             ids_dev,
             lengths_dev,
-            jnp.float32(length_scale),
+            self._row_param(length_scale, b_bucket, 2),
             g,
         )
         y_lengths = np.asarray(out[4])
         return out, y_lengths, g
+
+    @staticmethod
+    def _row_param(value, b_bucket: int, ndim: int) -> jnp.ndarray:
+        """Scalar or per-row sequence -> [b_bucket, 1, ...] f32 array.
+
+        Synthesis knobs (length/noise scale, denoiser strength) are
+        per-ROW so the scheduler can coalesce requests that differ only in
+        settings into one device batch.
+        """
+        arr = np.empty((b_bucket,), dtype=np.float32)
+        if np.ndim(value) == 0:
+            arr[:] = float(value)
+        else:
+            value = np.asarray(value, dtype=np.float32)
+            arr[: len(value)] = value
+            arr[len(value):] = value[-1] if len(value) else 0.0
+        return jnp.asarray(arr.reshape((b_bucket,) + (1,) * (ndim - 1)))
+
+    def encode_launch(
+        self,
+        id_seqs: typing.Sequence[np.ndarray],
+        length_scale: typing.Union[float, typing.Sequence[float]] = 1.0,
+        speaker_ids: typing.Optional[typing.Sequence[int]] = None,
+    ):
+        """Non-blocking encode dispatch.
+
+        Returns (device outputs, g) with the y_lengths device->host copy
+        already started; resolve it later with ``np.asarray(out[4])``.
+        Dispatch round trips through the remote TPU tunnel cost tens of
+        ms, so launching every group's encode before syncing any of them
+        hides most of that latency (multi-voice SSML documents).
+        """
+        n = len(id_seqs)
+        t_bucket = self.policy.text_bucket(max(len(s) for s in id_seqs))
+        b_bucket = self.policy.batch_bucket(n)
+        if self._n_data > 1:
+            b_bucket = -(-b_bucket // self._n_data) * self._n_data
+
+        ids = np.zeros((b_bucket, t_bucket), dtype=np.int32)
+        lengths = np.zeros((b_bucket,), dtype=np.int32)
+        for i, seq in enumerate(id_seqs):
+            ids[i, : len(seq)] = seq
+            lengths[i] = len(seq)
+        lengths[n:] = 1
+
+        ids_dev, lengths_dev = jnp.asarray(ids), jnp.asarray(lengths)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            ids_dev = jax.device_put(
+                ids_dev, NamedSharding(self.mesh, P("data", None))
+            )
+            lengths_dev = jax.device_put(
+                lengths_dev, NamedSharding(self.mesh, P("data"))
+            )
+
+        g = self._speaker_embedding(speaker_ids, b_bucket)
+        out = self._encode(
+            self.glow_params, ids_dev, lengths_dev,
+            self._row_param(length_scale, b_bucket, 2), g,
+        )
+        try:
+            out[4].copy_to_host_async()
+        except AttributeError:
+            pass
+        return out, g
 
     def _speaker_embedding(self, speaker_ids, b_bucket):
         """[B] speaker indices -> normalized [B, gin] embeddings (or None
@@ -357,45 +425,69 @@ class SynthesisEngine:
         idx[: len(speaker_ids)] = np.asarray(speaker_ids, dtype=np.int32)
         return self._speaker(self.glow_params, jnp.asarray(idx))
 
-    def synthesize_batch(
+    def decode_launch(
         self,
-        id_seqs: typing.Sequence[np.ndarray],
+        enc_out,
+        y_lengths: np.ndarray,
+        g,
+        n: int,
         noise_scale: float = 0.667,
-        length_scale: float = 1.0,
         seed: typing.Optional[int] = None,
-        denoiser_strength: float = 0.0,
         batch_index: int = 0,
-        speaker_ids: typing.Optional[typing.Sequence[int]] = None,
-    ) -> typing.List[np.ndarray]:
-        """Synthesize a group of sentences (same text bucket) to int16 audio."""
-        n = len(id_seqs)
-        (x_m, x_logs, _logw, w_ceil, y_lengths_dev, _mask), y_lengths, g = (
-            self.encode_batch(id_seqs, length_scale, speaker_ids=speaker_ids)
-        )
-
+    ):
+        """Non-blocking flow-decoder dispatch -> (mel, z_mask, key)."""
+        x_m, x_logs, _logw, w_ceil, y_lengths_dev, _mask = enc_out
         mel_bucket = self.policy.mel_bucket(int(y_lengths[:n].max()))
         key = jax.random.fold_in(
             jax.random.PRNGKey(self.seed if seed is None else seed), batch_index
         )
-
         mel, z_mask = self._decode(
             self.glow_params, x_m, x_logs, w_ceil, y_lengths_dev,
-            key, jnp.float32(noise_scale), mel_bucket, g,
+            key, self._row_param(noise_scale, x_m.shape[0], 3), mel_bucket, g,
         )
+        return mel, z_mask, key
 
+    def vocode_launch(
+        self, mel, z_mask, n_valid: int, denoiser_strength: float, key
+    ) -> typing.List[typing.Any]:
+        """Non-blocking vocode dispatch; returns device parts with their
+        host copies already started (concatenate with vocode_collect)."""
         if self.vocoder_kind == "hifi_gan":
-            audio_np = self._vocode_grouped(mel, z_mask, n, denoiser_strength)
-        else:
-            audio_np = np.asarray(
-                self._vocode_gl(None, mel, z_mask, jax.random.fold_in(key, 1))
+            return self._vocode_launch_hifi(
+                mel, z_mask, n_valid, denoiser_strength
             )
+        part = self._vocode_gl(None, mel, z_mask, jax.random.fold_in(key, 1))
+        try:
+            part.copy_to_host_async()
+        except AttributeError:
+            pass
+        return [part]
 
+    @staticmethod
+    def vocode_collect(parts, b: int) -> np.ndarray:
+        audio = np.concatenate([np.asarray(p) for p in parts], axis=0)
+        if audio.shape[0] < b:  # restore dummy rows for caller indexing
+            pad = np.zeros((b - audio.shape[0],) + audio.shape[1:], audio.dtype)
+            audio = np.concatenate([audio, pad], axis=0)
+        return audio
+
+    def crop_rows(
+        self,
+        audio_np: np.ndarray,
+        y_lengths: np.ndarray,
+        n: int,
+        denoiser_strength: float,
+    ) -> typing.List[np.ndarray]:
+        """Per-sentence valid-sample crops of a batched audio array."""
+        # denoising is a batch-static jit flag: any positive row strength
+        # means every row went through the STFT round trip (same lengths)
+        denoised = bool(np.any(np.asarray(denoiser_strength) > 0))
         out: typing.List[np.ndarray] = []
         for i in range(n):
             frames = int(y_lengths[i])
             if self.vocoder_kind == "hifi_gan":
                 n_samples = frames * self.upsample
-                if denoiser_strength > 0:
+                if denoised:
                     nf = dsp.num_frames(
                         n_samples,
                         self.audio_settings.filter_length,
@@ -416,19 +508,43 @@ class SynthesisEngine:
             out.append(np.ascontiguousarray(audio_np[i, :n_samples]))
         return out
 
-    def _vocode_grouped(self, mel, z_mask, n_valid, denoiser_strength):
+    def synthesize_batch(
+        self,
+        id_seqs: typing.Sequence[np.ndarray],
+        noise_scale: float = 0.667,
+        length_scale: float = 1.0,
+        seed: typing.Optional[int] = None,
+        denoiser_strength: float = 0.0,
+        batch_index: int = 0,
+        speaker_ids: typing.Optional[typing.Sequence[int]] = None,
+    ) -> typing.List[np.ndarray]:
+        """Synthesize a group of sentences (same text bucket) to int16 audio."""
+        n = len(id_seqs)
+        enc_out, g = self.encode_launch(
+            id_seqs, length_scale, speaker_ids=speaker_ids
+        )
+        y_lengths = np.asarray(enc_out[4])
+        mel, z_mask, key = self.decode_launch(
+            enc_out, y_lengths, g, n,
+            noise_scale=noise_scale, seed=seed, batch_index=batch_index,
+        )
+        parts = self.vocode_launch(mel, z_mask, n, denoiser_strength, key)
+        audio_np = self.vocode_collect(parts, mel.shape[0])
+        return self.crop_rows(audio_np, y_lengths, n, denoiser_strength)
+
+    def _vocode_launch_hifi(self, mel, z_mask, n_valid, denoiser_strength):
         """Vocode [B, M, C] mels, splitting rows so rows*M <= MAX_VOCODE_AREA.
 
         Only the first ``n_valid`` rows carry real sentences; trailing pad
         rows are skipped when they fall entirely in their own group.
-        Returns a host numpy int16 array [B, M*upsample]; device->host
-        copies are started asynchronously so they overlap later groups'
-        compute (the host link dominates otherwise).
+        Returns device parts with async device->host copies started, so
+        transfers overlap later groups' compute (the host link dominates
+        otherwise); join with :meth:`vocode_collect`.
         """
         b, m, _ = mel.shape
-        denoise = denoiser_strength > 0
+        denoise = bool(np.any(np.asarray(denoiser_strength) > 0))
         bias = self._get_bias_spec() if denoise else jnp.zeros((1, 1, 1))
-        strength = jnp.float32(denoiser_strength)
+        strength = self._row_param(denoiser_strength, b, 3)
 
         group = max(1, MAX_VOCODE_AREA // m)
         group = 1 << (group.bit_length() - 1)  # floor to power of two
@@ -436,34 +552,29 @@ class SynthesisEngine:
             # per-device memory is b / n_data — no need to split below the
             # mesh width, and groups must divide evenly over it anyway
             group = max(group, self._n_data)
-        if group >= b:
-            part = self._vocode(
-                self.vocoder_params, mel, z_mask, bias, strength, denoise
-            )
-            return np.asarray(part)
-
         parts = []
-        for start in range(0, b, group):
+        for start in range(0, b, max(group, 1)):
             if start >= n_valid:
                 break  # all-dummy rows: nothing to synthesize
+            if group >= b:
+                mel_g, mask_g, str_g = mel, z_mask, strength
+            else:
+                mel_g = jax.lax.slice_in_dim(mel, start, start + group, axis=0)
+                mask_g = jax.lax.slice_in_dim(
+                    z_mask, start, start + group, axis=0
+                )
+                str_g = jax.lax.slice_in_dim(
+                    strength, start, start + group, axis=0
+                )
             part = self._vocode(
-                self.vocoder_params,
-                jax.lax.slice_in_dim(mel, start, start + group, axis=0),
-                jax.lax.slice_in_dim(z_mask, start, start + group, axis=0),
-                bias,
-                strength,
-                denoise,
+                self.vocoder_params, mel_g, mask_g, bias, str_g, denoise
             )
             try:
                 part.copy_to_host_async()
             except AttributeError:  # older jax / non-array
                 pass
             parts.append(part)
-        audio = np.concatenate([np.asarray(p) for p in parts], axis=0)
-        if audio.shape[0] < b:  # restore dummy rows for caller indexing
-            pad = np.zeros((b - audio.shape[0],) + audio.shape[1:], audio.dtype)
-            audio = np.concatenate([audio, pad], axis=0)
-        return audio
+        return parts
 
     def _get_bias_spec(self):
         if self._bias_spec is None:
@@ -487,7 +598,7 @@ class SynthesisEngine:
         key = jax.random.PRNGKey(self.seed if seed is None else seed)
         mel, _ = self._decode(
             self.glow_params, x_m, x_logs, w_ceil, y_dev,
-            key, jnp.float32(noise_scale), mel_bucket, g,
+            key, self._row_param(noise_scale, x_m.shape[0], 3), mel_bucket, g,
         )
         frames = int(y_lengths[0])
         return np.asarray(mel, dtype=np.float32)[0:1, :frames, :].transpose(0, 2, 1)

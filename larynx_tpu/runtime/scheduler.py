@@ -32,14 +32,15 @@ class _Job:
     future: "Future[np.ndarray]" = field(default_factory=Future)
 
     def group_key(self):
+        """noise/length/denoiser knobs are per-ROW in the engine, so jobs
+        differing only in those still share a batch; the RNG seed and the
+        denoiser on/off flag (a static jit arg) must match."""
         bucket = self.engine.policy.text_bucket(len(self.ids))
         return (
             id(self.engine),
             bucket,
-            self.noise_scale,
-            self.length_scale,
-            self.denoiser_strength,
             self.seed,
+            self.denoiser_strength > 0,
         )
 
 
@@ -128,10 +129,10 @@ class BatchScheduler:
         try:
             audios = engine.synthesize_batch(
                 [job.ids for job in group],
-                noise_scale=group[0].noise_scale,
-                length_scale=group[0].length_scale,
+                noise_scale=[job.noise_scale for job in group],
+                length_scale=[job.length_scale for job in group],
                 seed=group[0].seed,
-                denoiser_strength=group[0].denoiser_strength,
+                denoiser_strength=[job.denoiser_strength for job in group],
                 batch_index=self._batch_counter,
             )
             self.batches_run += 1

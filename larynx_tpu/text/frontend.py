@@ -43,10 +43,9 @@ def _plain_sentences(text: str, lang: str) -> typing.Iterator[Sentence]:
         words = _phonemize_words(words_of(raw, lang), lang)
         if not words:
             continue
-        # sentences always end in a major break (gruut behavior; see the
-        # trailing ‖ in every golden test_phonemes.csv fixture)
-        if not (words and words[-1].is_break and words[-1].phonemes == [MAJOR_BREAK]):
-            words.append(Word(text=".", phonemes=[MAJOR_BREAK], is_break=True))
+        # NO trailing break is synthesized: a sentence ends with ‖ only when
+        # the text carries final punctuation (the ru-ru golden fixtures have
+        # unpunctuated sentences with no trailing ‖)
         yield Sentence(
             text=raw, text_with_ws=raw + " ", lang=lang, words=words
         )
@@ -110,8 +109,6 @@ def _ssml_sentences(text: str, lang: str) -> typing.List[Sentence]:
                     words.extend(w_list)
             if not words:
                 continue
-            if words[-1].phonemes != [MAJOR_BREAK]:
-                words.append(Word(text=".", phonemes=[MAJOR_BREAK], is_break=True))
             sent = Sentence(
                 text=raw or " ".join(w.text for w in words),
                 text_with_ws=(raw or "") + " ",

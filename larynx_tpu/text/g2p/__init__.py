@@ -47,5 +47,18 @@ def get_phonemizer(lang: str) -> Phonemizer:
     else:
         from larynx_tpu.text.g2p import en as mod  # fallback
 
-    _CACHE[lang] = mod.phonemize
-    return mod.phonemize
+    from larynx_tpu.text.g2p.lexicons import LEXICONS
+
+    lexicon = LEXICONS.get(lang)
+    base = mod.phonemize
+    if lexicon:
+
+        def phonemize(word: str) -> typing.List[str]:
+            hit = lexicon.get(word.lower().strip())
+            return list(hit) if hit is not None else base(word)
+
+    else:
+        phonemize = base
+
+    _CACHE[lang] = phonemize
+    return phonemize

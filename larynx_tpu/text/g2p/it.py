@@ -21,6 +21,7 @@ _RULES = [
     ("gi", "d͡ʒ"), ("ge", "d͡ʒ e"),
     ("qu", "k w"),
     ("zz", "t͡s"),
+    ("ɛ", "ɛ"), ("ɔ", "ɔ"),  # pre-substituted accented vowels (è, ò)
     ("a", "a"), ("b", "b"), ("c", "k"), ("d", "d"), ("e", "e"),
     ("f", "f"), ("g", "ɡ"), ("h", ""), ("i", "i"), ("j", "j"),
     ("k", "k"), ("l", "l"), ("m", "m"), ("n", "n"), ("o", "o"),

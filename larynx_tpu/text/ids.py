@@ -147,4 +147,9 @@ def phonemes_to_ids(
                     _LOGGER.debug("Dropping unknown phoneme: %r", symbol)
                     continue
                 ids.append(symbol_id)
+    # A trailing blank closes the sequence unless it already ends on a
+    # major break (ru-ru golden fixtures: unpunctuated sentences end
+    # "... u ɡ rʲ eː j #" — blank, no ‖).
+    if blank_id is not None and ids and not prev_was_major_break:
+        ids.append(blank_id)
     return ids

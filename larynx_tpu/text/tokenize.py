@@ -25,7 +25,9 @@ _ABBREVIATIONS = {
 }
 
 MINOR_PUNCT = {",", ";", ":", "-", "—", "–", "(", ")", "[", "]", "…"}
-MAJOR_PUNCT = {".", "!", "?", "¡", "¿", "。"}
+# NB: Spanish inverted marks (¡ ¿) open a sentence — they are dropped, not
+# breaks (the golden fixtures have no leading ‖ for "¿Puedes ...?")
+MAJOR_PUNCT = {".", "!", "?", "。"}
 
 # token = word-ish run (letters/digits/' - embedded), or single punctuation
 _TOKEN_RE = re.compile(

@@ -49,14 +49,15 @@ def test_blank_insertion_matches_golden_fixture(reference_dir):
 def test_separate_stress_splitting():
     table = {"_": 0, "#": 1, "ˈ": 2, "ˌ": 3, "a": 4, "b": 5}
     ids = phonemes_to_ids([["ˈa", "b"], ["ˌa"]], table)
-    # blank before each word; stress split off
-    assert ids == [1, 2, 4, 5, 1, 3, 4]
+    # blank before each word AND a trailing blank (no final break); stress
+    # split off.  Trailing-blank rule pinned by the ru-ru golden fixtures.
+    assert ids == [1, 2, 4, 5, 1, 3, 4, 1]
 
 
 def test_unknown_phonemes_dropped():
     table = {"#": 0, "a": 1}
     ids = phonemes_to_ids([["a", "zz", "a"]], table)
-    assert ids == [0, 1, 1]
+    assert ids == [0, 1, 1, 0]
 
 
 def test_simple_punctuation_folding():

@@ -86,3 +86,23 @@ def test_scheduler_error_propagation(engine):
     with pytest.raises(Exception):
         future.result(timeout=120)
     scheduler.shutdown()
+
+
+def test_mixed_settings_coalesce(engine):
+    """Jobs differing only in noise/length/denoiser knobs share a batch
+    (the knobs are per-row in the engine); per-row length_scale must
+    actually stretch the row it belongs to."""
+    scheduler = BatchScheduler(max_batch=8, max_wait_ms=300.0)
+    ids = np.arange(1, 13, dtype=np.int64)
+
+    f_short = scheduler.submit(engine, ids, length_scale=1.0, noise_scale=0.2)
+    f_long = scheduler.submit(engine, ids, length_scale=3.0, noise_scale=0.9)
+    a_short = f_short.result(timeout=300)
+    a_long = f_long.result(timeout=300)
+
+    assert scheduler.jobs_run == 2
+    assert scheduler.batches_run == 1  # one device batch despite knob mix
+    # 3x length scale -> ~3x audio (duration math is per row)
+    ratio = a_long.size / max(a_short.size, 1)
+    assert 2.0 < ratio < 4.5, ratio
+    scheduler.shutdown()
