@@ -57,12 +57,13 @@ def _enable_persistent_compile_cache() -> None:
 SILENCE_LOG_MEL = float(np.log(1e-5))
 
 # Upper bound on (rows x mel frames) per vocoder invocation.  The HiFi-GAN
-# upsampling stack holds ~dozens of [B, M*256, ch] activations live during
-# compilation; unbounded batch x bucket products blow past HBM (observed:
-# 52 GB requested at batch 8 x 2048-frame bucket on v5e).  Rows above this
-# area are vocoded in sub-batches of a fixed power-of-two size so the
-# compiled-program count stays bounded.
-MAX_VOCODE_AREA = 4096
+# upsampling stack holds several [B, M*256, ch] activations live; unbounded
+# batch x bucket products blow past HBM.  Rows above this area are vocoded
+# in sub-batches of a fixed power-of-two size (which also pipelines their
+# device->host copies against later groups' compute).  The lane-dense
+# packed layout stores narrow stages unpadded, so the area can be ~4x the
+# old padded-layout limit: 8 x 8192 frames compiles in ~9 GB on v5e.
+MAX_VOCODE_AREA = 16384
 
 
 class SynthesisEngine:
