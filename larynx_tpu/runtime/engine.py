@@ -309,47 +309,14 @@ class SynthesisEngine:
     def encode_batch(
         self,
         id_seqs: typing.Sequence[np.ndarray],
-        length_scale: float = 1.0,
+        length_scale: typing.Union[float, typing.Sequence[float]] = 1.0,
         speaker_ids: typing.Optional[typing.Sequence[int]] = None,
     ):
-        """Pad a group of id sequences into one bucketed encode call.
-
-        Returns (device outputs, text_bucket, batch_bucket, y_lengths np).
-        """
-        n = len(id_seqs)
-        t_bucket = self.policy.text_bucket(max(len(s) for s in id_seqs))
-        b_bucket = self.policy.batch_bucket(n)
-        if self._n_data > 1:  # batch rows must split evenly over the mesh
-            b_bucket = -(-b_bucket // self._n_data) * self._n_data
-
-        ids = np.zeros((b_bucket, t_bucket), dtype=np.int32)
-        lengths = np.zeros((b_bucket,), dtype=np.int32)
-        for i, seq in enumerate(id_seqs):
-            ids[i, : len(seq)] = seq
-            lengths[i] = len(seq)
-        lengths[n:] = 1  # dummy rows
-
-        ids_dev, lengths_dev = jnp.asarray(ids), jnp.asarray(lengths)
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            ids_dev = jax.device_put(
-                ids_dev, NamedSharding(self.mesh, P("data", None))
-            )
-            lengths_dev = jax.device_put(
-                lengths_dev, NamedSharding(self.mesh, P("data"))
-            )
-
-        g = self._speaker_embedding(speaker_ids, b_bucket)
-        out = self._encode(
-            self.glow_params,
-            ids_dev,
-            lengths_dev,
-            self._row_param(length_scale, b_bucket, 2),
-            g,
+        """Blocking encode: (device outputs, y_lengths np, g)."""
+        out, g = self.encode_launch(
+            id_seqs, length_scale, speaker_ids=speaker_ids
         )
-        y_lengths = np.asarray(out[4])
-        return out, y_lengths, g
+        return out, np.asarray(out[4]), g
 
     @staticmethod
     def _row_param(value, b_bucket: int, ndim: int) -> jnp.ndarray:

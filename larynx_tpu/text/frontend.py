@@ -20,7 +20,10 @@ def _phonemize_words(
     spell_out: bool = False,
 ) -> typing.List[Word]:
     phonemize = get_phonemizer(lang)
+    context_aware = getattr(phonemize, "context_aware", False)
+    word_tokens = [t for k, t in kinds_tokens if k == "word"]
     words: typing.List[Word] = []
+    word_idx = 0
     for kind, token in kinds_tokens:
         if kind == "minor":
             words.append(Word(text=token, phonemes=[MINOR_BREAK], is_break=True))
@@ -31,10 +34,22 @@ def _phonemize_words(
                 phonemes = phonemize(ch)
                 if phonemes:
                     words.append(Word(text=ch, phonemes=phonemes))
+            word_idx += 1
         else:
-            phonemes = phonemize(token)
+            if context_aware:
+                # neighboring words drive homograph disambiguation
+                prev = word_tokens[word_idx - 1] if word_idx > 0 else ""
+                nxt = (
+                    word_tokens[word_idx + 1]
+                    if word_idx + 1 < len(word_tokens)
+                    else ""
+                )
+                phonemes = phonemize(token, prev=prev, nxt=nxt)
+            else:
+                phonemes = phonemize(token)
             if phonemes:
                 words.append(Word(text=token, phonemes=phonemes))
+            word_idx += 1
     return words
 
 

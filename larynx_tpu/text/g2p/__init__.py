@@ -51,12 +51,20 @@ def get_phonemizer(lang: str) -> Phonemizer:
 
     lexicon = LEXICONS.get(lang)
     base = mod.phonemize
+    base_ctx = getattr(base, "context_aware", False)
     if lexicon:
 
-        def phonemize(word: str) -> typing.List[str]:
+        def phonemize(
+            word: str, prev: str = "", nxt: str = ""
+        ) -> typing.List[str]:
             hit = lexicon.get(word.lower().strip())
-            return list(hit) if hit is not None else base(word)
+            if hit is not None:
+                return list(hit)
+            if base_ctx:
+                return base(word, prev=prev, nxt=nxt)
+            return base(word)
 
+        phonemize.context_aware = True
     else:
         phonemize = base
 

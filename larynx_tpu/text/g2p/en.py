@@ -1896,22 +1896,146 @@ def _apply_rules(word: str) -> typing.List[str]:
     return out
 
 
-def _ensure_stress(phonemes: typing.List[str]) -> typing.List[str]:
-    """Guarantee exactly one primary stress on the first vowel if none."""
-    if any(p.startswith("ˈ") or p.startswith("ˌ") for p in phonemes):
-        return phonemes
+# Suffixes with predictable primary-stress position, counted in syllables
+# from the END of the word (1 = last syllable, 2 = penult, 3 = antepenult).
+# Standard English stress phonology; gruut resolved these via its lexicon.
+_SUFFIX_STRESS: typing.Tuple[typing.Tuple[str, int], ...] = (
+    # stress falls ON the suffix
+    ("ee", 1), ("eer", 1), ("ese", 1), ("esque", 1), ("ette", 1),
+    ("ique", 1), ("oon", 1), ("ain", 1),
+    # stress on the syllable immediately before the suffix
+    ("tion", 2), ("sion", 2), ("cian", 2), ("tious", 2), ("cious", 2),
+    ("ic", 2), ("ical", 3), ("ically", 4), ("ity", 3), ("ety", 3),
+    ("ify", 3), ("itive", 3), ("itude", 3), ("graphy", 3), ("logy", 3),
+    ("gamy", 3), ("cracy", 3), ("meter", 3), ("pathy", 3),
+)
+
+
+def _vowel_indices(phonemes: typing.Sequence[str]) -> typing.List[int]:
+    return [
+        i
+        for i, p in enumerate(phonemes)
+        if p.lstrip("ˈˌ") in _VOWEL_SYMBOLS
+    ]
+
+
+def _ensure_stress(
+    phonemes: typing.List[str], word: str = ""
+) -> typing.List[str]:
+    """Assign primary stress to rule-derived pronunciations.
+
+    Suffix phonology picks the syllable when it can; otherwise the first
+    vowel carries stress (the common English noun/adjective pattern).
+    Words of 4+ syllables with late primary stress also get an initial
+    secondary stress.
+    """
     out = list(phonemes)
-    for i, p in enumerate(out):
-        if p in _VOWEL_SYMBOLS:
-            out[i] = "ˈ" + p
+    vowels = _vowel_indices(out)
+    if not vowels:
+        return out
+
+    suffix_target = None
+    for suffix, from_end in _SUFFIX_STRESS:
+        if (
+            word.endswith(suffix)
+            and len(word) > len(suffix) + 2
+            and from_end <= len(vowels)
+        ):
+            suffix_target = len(vowels) - from_end
             break
+
+    has_stress = any(p.startswith(("ˈ", "ˌ")) for p in out)
+    if suffix_target is None:
+        if has_stress:
+            return out
+        target = 0
+    else:
+        # the rule table pre-stresses some long vowels; suffix phonology
+        # overrides it
+        out = [
+            p.lstrip("ˈˌ") if p.lstrip("ˈˌ") in _VOWEL_SYMBOLS else p
+            for p in out
+        ]
+        vowels = _vowel_indices(out)
+        target = suffix_target
+    out[vowels[target]] = "ˈ" + out[vowels[target]]
+    if target >= 2 and len(vowels) >= 4:
+        out[vowels[0]] = "ˌ" + out[vowels[0]]
     return out
 
 
-def phonemize(word: str) -> typing.List[str]:
+# Common noun/verb homographs: (noun-or-adjective, verb) pronunciations.
+# gruut disambiguated with a POS model; here a light context heuristic
+# (see phonemize) picks the reading.
+_HOMOGRAPHS: typing.Dict[str, typing.Tuple[typing.List[str], typing.List[str]]] = {
+    "record": (["ˈɹ", "ɛ", "k", "ɚ", "d"], ["ɹ", "ɪ", "k", "ˈɔ", "ɹ", "d"]),
+    "present": (["p", "ˈɹ", "ɛ", "z", "ə", "n", "t"],
+                ["p", "ɹ", "ɪ", "z", "ˈɛ", "n", "t"]),
+    "object": (["ˈɑ", "b", "d͡ʒ", "ɛ", "k", "t"],
+               ["ə", "b", "d͡ʒ", "ˈɛ", "k", "t"]),
+    "subject": (["s", "ˈʌ", "b", "d͡ʒ", "ɪ", "k", "t"],
+                ["s", "ə", "b", "d͡ʒ", "ˈɛ", "k", "t"]),
+    "conduct": (["k", "ˈɑ", "n", "d", "ʌ", "k", "t"],
+                ["k", "ə", "n", "d", "ˈʌ", "k", "t"]),
+    "produce": (["p", "ˈɹ", "oʊ", "d", "u", "s"],
+                ["p", "ɹ", "ə", "d", "ˈu", "s"]),
+    "permit": (["p", "ˈɚ", "m", "ɪ", "t"], ["p", "ɚ", "m", "ˈɪ", "t"]),
+    "contest": (["k", "ˈɑ", "n", "t", "ɛ", "s", "t"],
+                ["k", "ə", "n", "t", "ˈɛ", "s", "t"]),
+    "desert": (["d", "ˈɛ", "z", "ɚ", "t"], ["d", "ɪ", "z", "ˈɚ", "t"]),
+    "refuse": (["ˈɹ", "ɛ", "f", "j", "u", "s"],
+               ["ɹ", "ɪ", "f", "j", "ˈu", "z"]),
+    "content": (["k", "ˈɑ", "n", "t", "ɛ", "n", "t"],
+                ["k", "ə", "n", "t", "ˈɛ", "n", "t"]),
+    "project": (["p", "ˈɹ", "ɑ", "d͡ʒ", "ɛ", "k", "t"],
+                ["p", "ɹ", "ə", "d͡ʒ", "ˈɛ", "k", "t"]),
+    "rebel": (["ˈɹ", "ɛ", "b", "ə", "l"], ["ɹ", "ɪ", "b", "ˈɛ", "l"]),
+    "increase": (["ˈɪ", "n", "k", "ɹ", "i", "s"],
+                 ["ɪ", "n", "k", "ˈɹ", "i", "s"]),
+    "live": (["l", "ˈaɪ", "v"], ["l", "ˈɪ", "v"]),  # adj vs verb
+    "wind": (["w", "ˈɪ", "n", "d"], ["w", "ˈaɪ", "n", "d"]),  # noun vs verb
+    "bow": (["b", "ˈoʊ"], ["b", "ˈaʊ"]),  # ribbon vs bend
+}
+
+# Past-tense homographs: pronunciation flips after perfect-tense cues.
+_PAST_HOMOGRAPHS: typing.Dict[str, typing.Tuple[typing.List[str], typing.List[str]]] = {
+    "read": (["ˈɹ", "i", "d"], ["ˈɹ", "ɛ", "d"]),
+    "lead": (["l", "ˈi", "d"], ["l", "ˈɛ", "d"]),  # verb; the metal is past-form
+}
+
+_VERB_CUES = {
+    "to", "will", "would", "can", "could", "shall", "should", "may",
+    "might", "must", "cannot", "don't", "doesn't", "didn't", "won't",
+    "i", "we", "you", "they", "please", "not", "gonna", "let's",
+}
+_NOUN_CUES = {
+    "the", "a", "an", "this", "that", "these", "those", "my", "your",
+    "his", "her", "its", "our", "their", "no", "any", "some", "each",
+    "every", "one", "new", "old", "public", "world",
+}
+_PAST_CUES = {"have", "has", "had", "was", "were", "been", "already", "he",
+              "she", "i've", "we've", "they've", "he's", "she's"}
+
+
+def phonemize(word: str, prev: str = "", nxt: str = "") -> typing.List[str]:
     w = word.lower().strip()
     if not w:
         return []
+
+    # noun/verb homographs: a light context heuristic stands in for
+    # gruut's POS tagger.  Nouns are the default reading.
+    if w in _HOMOGRAPHS:
+        noun, verb = _HOMOGRAPHS[w]
+        prev_l = prev.lower()
+        if prev_l in _NOUN_CUES:
+            return list(noun)
+        if prev_l in _VERB_CUES:
+            return list(verb)
+        return list(noun)
+    if w in _PAST_HOMOGRAPHS:
+        base, past = _PAST_HOMOGRAPHS[w]
+        return list(past) if prev.lower() in _PAST_CUES else list(base)
+
     if w in LEXICON:
         return list(LEXICON[w])
 
@@ -1959,4 +2083,5 @@ def phonemize(word: str) -> typing.List[str]:
             out.extend(_LETTER_NAMES.get(ch, []))
         return out
 
-    return _ensure_stress(_apply_rules(w))
+    return _ensure_stress(_apply_rules(w), w)
+phonemize.context_aware = True

@@ -214,3 +214,55 @@ def test_ssml_phoneme_tag():
     sents = list(sentences(markup, lang="en", ssml=True))
     non_break = [w for w in sents[0] if not w.is_break]
     assert non_break[0].phonemes == ["t", "ˈɛ", "s", "t"]
+
+
+def test_suffix_stress_rules():
+    """OOV words take suffix-predicted primary stress (not just the first
+    vowel): -tion penult, -ity antepenult, -ee final."""
+    from larynx_tpu.text.g2p.en import _VOWEL_SYMBOLS, phonemize
+
+    def stress_syllable(word):
+        phones = phonemize(word)
+        vowels = [p for p in phones if p.lstrip("ˈˌ") in _VOWEL_SYMBOLS]
+        primary = [i for i, v in enumerate(vowels) if v.startswith("ˈ")]
+        assert len(primary) == 1, (word, phones)
+        return primary[0], len(vowels)
+
+    # fabricated OOV words so the lexicon can't answer
+    idx, n = stress_syllable("blorbation")  # -tion: penult
+    assert idx == n - 2
+    idx, n = stress_syllable("zorbanity")  # -ity: antepenult
+    assert idx == n - 3
+    idx, n = stress_syllable("kazoontee")  # -ee: final
+    assert idx == n - 1
+
+
+def test_homograph_context():
+    from larynx_tpu.text.g2p import get_phonemizer
+
+    phonemize = get_phonemizer("en-us")
+    # verb cue "to" flips stress to the second syllable
+    noun = phonemize("record", prev="the")
+    verb = phonemize("record", prev="to")
+    assert noun != verb
+    assert noun[0].startswith("ˈ")
+    # past-tense cue flips "read"
+    assert phonemize("read", prev="have") != phonemize("read", prev="to")
+
+
+def test_homographs_through_frontend():
+    from larynx_tpu.text.frontend import sentences
+
+    def pron(text, word):
+        for sent in sentences(text, lang="en-us"):
+            for w in sent:
+                if w.text.lower() == word:
+                    return tuple(w.phonemes)
+        raise AssertionError(f"{word} not found in {text}")
+
+    assert pron("I want to record a song.", "record") != pron(
+        "The record is broken.", "record"
+    )
+    assert pron("I have read the book.", "read") != pron(
+        "I like to read books.", "read"
+    )
