@@ -120,20 +120,63 @@ class BatchScheduler:
             for job in jobs:
                 groups.setdefault(job.group_key(), []).append(job)
 
-            for group in groups.values():
-                self._run_group(group)
+            # Pipelined: every group's encode launches before any sync;
+            # group j+1's decode+vocode launch before group j's audio is
+            # collected (mirrors larynx_tpu._run_jobs — dispatch latency
+            # and device->host copies hide behind later groups' compute).
+            ordered = list(groups.values())
+            launched = [self._launch_encode(g) for g in ordered]
+            tails: typing.List[typing.Any] = [None] * len(ordered)
+            if ordered:
+                tails[0] = self._launch_tail(ordered[0], launched[0])
+            for j, group in enumerate(ordered):
+                if j + 1 < len(ordered):
+                    tails[j + 1] = self._launch_tail(
+                        ordered[j + 1], launched[j + 1]
+                    )
+                self._collect_group(group, tails[j])
 
-    def _run_group(self, group: typing.List[_Job]):
+    def _launch_encode(self, group: typing.List[_Job]):
+        engine = group[0].engine
+        try:
+            return engine.encode_launch(
+                [job.ids for job in group],
+                length_scale=[job.length_scale for job in group],
+            )
+        except Exception as err:  # pragma: no cover
+            return err
+
+    def _launch_tail(self, group: typing.List[_Job], enc):
+        if isinstance(enc, Exception):
+            return enc
         engine = group[0].engine
         self._batch_counter += 1
         try:
-            audios = engine.synthesize_batch(
-                [job.ids for job in group],
+            enc_out, g = enc
+            y_lengths = np.asarray(enc_out[4])
+            mel, z_mask, key = engine.decode_launch(
+                enc_out, y_lengths, g, len(group),
                 noise_scale=[job.noise_scale for job in group],
-                length_scale=[job.length_scale for job in group],
                 seed=group[0].seed,
-                denoiser_strength=[job.denoiser_strength for job in group],
                 batch_index=self._batch_counter,
+            )
+            strengths = [job.denoiser_strength for job in group]
+            parts = engine.vocode_launch(
+                mel, z_mask, len(group), strengths, key
+            )
+            return (parts, y_lengths, mel.shape[0], strengths)
+        except Exception as err:  # pragma: no cover
+            return err
+
+    def _collect_group(self, group: typing.List[_Job], tail):
+        engine = group[0].engine
+        try:
+            if isinstance(tail, Exception):
+                raise tail
+            parts, y_lengths, b_rows, strengths = tail
+            audio_np = engine.vocode_collect(parts, b_rows)
+            audios = engine.crop_rows(
+                audio_np, y_lengths, len(group), strengths
             )
             self.batches_run += 1
             self.jobs_run += len(group)
