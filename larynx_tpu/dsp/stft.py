@@ -79,29 +79,52 @@ def num_frames(n_samples: int, fft_size: int, hop: int) -> int:
 
 
 def frame_signal(x: jnp.ndarray, fft_size: int, hop: int) -> jnp.ndarray:
-    """[B, T] -> [B, n_frames, fft_size] via gather of static frame offsets."""
+    """[B, T] -> [B, n_frames, fft_size].
+
+    When hop divides fft_size the frames come from fft/hop shifted
+    contiguous reshapes (bandwidth-optimal slices, no gather — XLA lowers
+    the index-array form to a slow gather on TPU)."""
     n = num_frames(x.shape[-1], fft_size, hop)
+    if fft_size % hop == 0 and n > 0:
+        ratio = fft_size // hop
+        b = x.shape[0]
+        segs = [
+            jax.lax.slice_in_dim(
+                x, j * hop, j * hop + n * hop, axis=-1
+            ).reshape(b, n, hop)
+            for j in range(ratio)
+        ]
+        return jnp.concatenate(segs, axis=-1)
     starts = np.arange(n, dtype=np.int32) * hop
     idx = starts[:, None] + np.arange(fft_size, dtype=np.int32)[None, :]
     return x[..., idx]
 
 
-def _stft_ri(x: jnp.ndarray, fft_size: int, hop: int):
-    """(real, imag) STFT halves, each [B, n_freq, n_frames]."""
+def _stft_ri_frames(x: jnp.ndarray, fft_size: int, hop: int):
+    """(real, imag) STFT halves, each [B, n_frames, n_freq] (frames-major).
+
+    Frames-major is the hot-loop layout: the DFT is a plain [.., fft] x
+    [fft, n_freq] matmul with no transposes materializing in HBM.
+    """
     window = jnp.asarray(hann_window(fft_size))
     frames = frame_signal(x, fft_size, hop) * window  # [B, F, fft]
     if _use_matmul_dft():
         cos_m, sin_m = _dft_matrices(fft_size)
         real = jnp.einsum(
-            "bfn,nk->bkf", frames, cos_m, preferred_element_type=jnp.float32
+            "bfn,nk->bfk", frames, cos_m, preferred_element_type=jnp.float32
         )
         imag = -jnp.einsum(
-            "bfn,nk->bkf", frames, sin_m, preferred_element_type=jnp.float32
+            "bfn,nk->bfk", frames, sin_m, preferred_element_type=jnp.float32
         )
         return real, imag
     spec = jnp.fft.rfft(frames, axis=-1)  # [B, F, n_freq]
-    spec = jnp.swapaxes(spec, -1, -2)
     return spec.real, spec.imag
+
+
+def _stft_ri(x: jnp.ndarray, fft_size: int, hop: int):
+    """(real, imag) STFT halves, each [B, n_freq, n_frames]."""
+    real, imag = _stft_ri_frames(x, fft_size, hop)
+    return jnp.swapaxes(real, -1, -2), jnp.swapaxes(imag, -1, -2)
 
 
 def stft(x: jnp.ndarray, fft_size: int = 1024, hop: int = 256) -> jnp.ndarray:
@@ -152,25 +175,33 @@ def istft_overlap_add(
     return out.at[:, idx].add(frames, mode="drop")
 
 
-def _istft_ri(
+def _istft_ri_frames(
     real: jnp.ndarray, imag: jnp.ndarray, fft_size: int, hop: int
 ) -> jnp.ndarray:
-    """Inverse STFT from (real, imag) [B, n_freq, n_frames] -> [B, T]."""
+    """Inverse STFT from frames-major (real, imag) [B, n_frames, n_freq]."""
     if _use_matmul_dft():
         a, b = _idft_matrices(fft_size)
         frames = jnp.einsum(
-            "bkf,kn->bfn", real, a, preferred_element_type=jnp.float32
+            "bfk,kn->bfn", real, a, preferred_element_type=jnp.float32
         ) + jnp.einsum(
-            "bkf,kn->bfn", imag, b, preferred_element_type=jnp.float32
+            "bfk,kn->bfn", imag, b, preferred_element_type=jnp.float32
         )
     else:
-        spec = jnp.swapaxes(real + 1j * imag, -1, -2)
-        frames = jnp.fft.irfft(spec, n=fft_size, axis=-1).real
+        frames = jnp.fft.irfft(real + 1j * imag, n=fft_size, axis=-1).real
     n_frames = frames.shape[1]
     full_len = n_frames * hop + fft_size
     # The reference writes frames at range(0, full_len - fft, hop): exactly
     # n_frames' = ceil((full_len - fft)/hop) = n_frames slots — all frames.
     return istft_overlap_add(frames, fft_size, hop, full_len)
+
+
+def _istft_ri(
+    real: jnp.ndarray, imag: jnp.ndarray, fft_size: int, hop: int
+) -> jnp.ndarray:
+    """Inverse STFT from (real, imag) [B, n_freq, n_frames] -> [B, T]."""
+    return _istft_ri_frames(
+        jnp.swapaxes(real, -1, -2), jnp.swapaxes(imag, -1, -2), fft_size, hop
+    )
 
 
 def istft(
@@ -193,16 +224,31 @@ def inverse_magnitude_phase(
     )
 
 
+def phase_project_frames(
+    mag_frames: jnp.ndarray, signal: jnp.ndarray, fft_size: int, hop: int
+) -> jnp.ndarray:
+    """One Griffin-Lim projection with frames-major magnitudes
+    [B, n_frames, n_freq] — the hot-loop form: two matmul-DFTs, zero
+    transposes, and e^{i angle(X)} = X/|X| instead of arctan2/cos/sin
+    (transcendentals dominate on the VPU otherwise)."""
+    real, imag = _stft_ri_frames(signal, fft_size, hop)
+    inv_mag = jax.lax.rsqrt(jnp.square(real) + jnp.square(imag) + 1e-12)
+    return _istft_ri_frames(
+        mag_frames * real * inv_mag,
+        mag_frames * imag * inv_mag,
+        fft_size,
+        hop,
+    )
+
+
 def phase_project(
     magnitudes: jnp.ndarray, signal: jnp.ndarray, fft_size: int, hop: int
 ) -> jnp.ndarray:
-    """One Griffin-Lim projection: resynthesize ``magnitudes`` with the
-    phase of ``signal``'s STFT.  Uses the identity e^{i angle(X)} = X/|X|
-    (no arctan2/cos/sin — those transcendentals dominate on the VPU)."""
-    real, imag = _stft_ri(signal, fft_size, hop)
-    inv_mag = jax.lax.rsqrt(jnp.square(real) + jnp.square(imag) + 1e-12)
-    return _istft_ri(
-        magnitudes * real * inv_mag, magnitudes * imag * inv_mag, fft_size, hop
+    """Griffin-Lim projection, freq-major magnitudes [B, n_freq, n_frames]
+    (reference layout); loops should pre-transpose and use
+    :func:`phase_project_frames`."""
+    return phase_project_frames(
+        jnp.swapaxes(magnitudes, -1, -2), signal, fft_size, hop
     )
 
 
@@ -228,7 +274,10 @@ def griffin_lim(
     # angle(exp(2j*pi*u)) wraps into (-pi, pi]; equivalent up to 2*pi phase
     signal = inverse_magnitude_phase(magnitudes, angles, fft_size, hop)
 
+    # the loop runs frames-major: transpose once, not per iteration
+    mag_frames = jnp.swapaxes(magnitudes, -1, -2)
+
     def body(_, sig):
-        return phase_project(magnitudes, sig, fft_size, hop)
+        return phase_project_frames(mag_frames, sig, fft_size, hop)
 
     return jax.lax.fori_loop(0, n_iters, body, signal)

@@ -49,9 +49,10 @@ def mels_to_audio(
         angles = initial_phase
 
     signal = dsp.inverse_magnitude_phase(spec, angles, fft_size, hop)
+    spec_frames = jnp.swapaxes(spec, -1, -2)
 
     def body(_, sig):
-        return dsp.phase_project(spec, sig, fft_size, hop)
+        return dsp.phase_project_frames(spec_frames, sig, fft_size, hop)
 
     return jax.lax.fori_loop(0, n_iters, body, signal)
 

@@ -291,9 +291,10 @@ class SynthesisEngine:
                     * jax.random.uniform(key, spec.shape, dtype=jnp.float32)
                 )
                 signal = dsp.inverse_magnitude_phase(spec, angles, fft, hop)
+                spec_frames = jnp.swapaxes(spec, -1, -2)
 
                 def body(_, sig):
-                    return dsp.phase_project(spec, sig, fft, hop)
+                    return dsp.phase_project_frames(spec_frames, sig, fft, hop)
 
                 signal = jax.lax.fori_loop(0, gl_iters, body, signal)
                 y_len = jnp.sum(z_mask, axis=1).astype(jnp.int32)
