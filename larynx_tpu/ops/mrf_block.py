@@ -321,12 +321,9 @@ def _fused_mrf_packed(
                 packed_refs += [wp2, bp2]
         chain_layout.append(tuple(layout))
 
-    def crops(layout):
-        start = sum(-conv_meta[ci][0] for ci in layout)
-        end = sum(conv_meta[ci][0] + conv_meta[ci][1] - 1 for ci in layout)
-        return start, end
-
-    halo_blocks = max(max(crops(lo)) for lo in chain_layout)
+    halo_blocks = max(
+        max(_chain_crops(conv_meta, lo)) for lo in chain_layout
+    )
     halo_blocks = -(-halo_blocks // 8) * 8  # sublane-safe DMA slice rows
 
     if tile is None:
@@ -407,6 +404,14 @@ def _fused_mrf_packed(
 # up to a P-fold FLOP/bandwidth reduction.  Mosaic cannot lower narrow-lane
 # concatenation, which is why the packing comes from layout (reshape), never
 # from concat.
+
+
+def _chain_crops(conv_meta, layout):
+    """Blocks a chain consumes at (start, end): sum of each conv's
+    (-s_min, s_max) over its layout order."""
+    start = sum(-conv_meta[ci][0] for ci in layout)
+    end = sum(conv_meta[ci][0] + conv_meta[ci][1] - 1 for ci in layout)
+    return start, end
 
 
 def _packed_conv_meta(k: int, d: int, P: int) -> typing.Tuple[int, int]:
@@ -509,17 +514,12 @@ def _make_packed_kernel(
             out = mask_valid(acc, new_off)
             return out.astype(buf.dtype), new_off
 
-        # static per-chain consumption, to center each chain on the tile
-        def chain_crops(layout):
-            start = sum(-conv_meta[ci][0] for ci in layout)
-            end = sum(conv_meta[ci][0] + conv_meta[ci][1] - 1 for ci in layout)
-            return start, end
-
         n_chains = len(chain_layout)
 
         total = jnp.zeros((tile_blocks, PC), dtype=jnp.float32)
         for layout in chain_layout:
-            start, end = chain_crops(layout)
+            # static per-chain consumption, to center each chain on the tile
+            start, end = _chain_crops(conv_meta, layout)
             extra_s = halo_blocks - start
             extra_e = halo_blocks - end
             h = x_tile[extra_s : x_tile.shape[0] - extra_e, :]
