@@ -1,0 +1,117 @@
+"""Robustness fuzzing for the text frontend.
+
+The reference leaned on gruut to never crash on arbitrary input; these
+pin the same contract for the in-tree frontend: any string in, a valid
+(possibly empty) sentence list out, and every id in the voice table's
+range.
+"""
+
+import random
+import string
+
+import pytest
+
+from larynx_tpu.text.frontend import sentences
+from larynx_tpu.text.ids import phonemes_to_ids
+from larynx_tpu.text.ipa import INVENTORIES
+from larynx_tpu.text.langs import resolve_lang
+
+LANGS = sorted(INVENTORIES)
+
+
+def _table_for(lang):
+    # synthetic table over the language's inventory + markers
+    symbols = ["_", "#", "|", "‖", "ˈ", "ˌ", "²"] + list(INVENTORIES[lang])
+    return {s: i for i, s in enumerate(symbols)}
+
+
+def _check(text, lang="en-us"):
+    table = _table_for(lang)
+    for sent in sentences(text, lang=lang):
+        word_phonemes = [w.phonemes for w in sent if w.phonemes]
+        ids = phonemes_to_ids(word_phonemes, table)
+        assert all(isinstance(i, int) for i in ids)
+        assert all(0 <= i < len(table) for i in ids)
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "",
+        " ",
+        "\n\t\r",
+        ".",
+        "...!!!???",
+        "((()))[[[]]]{{{}}}",
+        "1234567890" * 10,
+        "-3.14159 1e99 0x1F 1/2 3:45",
+        "$5,000,000.99 and £3 and 42%",
+        "word" * 200,
+        "ALLCAPS WORDS AND MiXeD cAsE",
+        "emoji 🤖🔥 and ünïcödé diacritics and 中文 and العربية",
+        "a" * 5000,
+        "tab\tseparated\twords",
+        "hyphen-ated co-operate re-enter",
+        "it's they're we've o'clock 'quoted'",
+        "ends with number 42",
+        "\x00\x01 control chars \x7f",
+    ],
+)
+def test_arbitrary_text_never_crashes(text):
+    _check(text)
+
+
+@pytest.mark.parametrize("lang", LANGS)
+def test_random_unicode_all_languages(lang):
+    rng = random.Random(hash(lang) & 0xFFFF)
+    pools = [
+        string.ascii_letters + string.digits + string.punctuation + "  ",
+        "äöüßéèêàçñøåæœčšžіњћ",
+        "абвгдеёжзийклмнопрстуфхцчшщъыьэюя",
+    ]
+    for _ in range(20):
+        text = "".join(
+            rng.choice(rng.choice(pools)) for _ in range(rng.randint(0, 120))
+        )
+        _check(text, lang)
+
+
+def test_malformed_ssml_degrades_gracefully():
+    # unclosed/unknown tags must not raise
+    for markup in (
+        "<speak><s>unclosed",
+        "<speak><voice></voice></speak>",
+        "<speak><break time='nonsense'/>hi</speak>",
+        "<notssml>plain</notssml>",
+        "<speak><phoneme ph=''>x</phoneme></speak>",
+    ):
+        try:
+            list(sentences(markup, lang="en-us", ssml=True))
+        except Exception as err:
+            # XML that cannot parse at all may raise a clear error; anything
+            # else (KeyError/IndexError/...) is a robustness bug
+            assert "xml" in type(err).__name__.lower() or "Parse" in str(
+                type(err).__name__
+            ), err
+
+
+def test_every_language_pangramish_sentence():
+    texts = {
+        "de-de": "Zwölf Boxkämpfer jagen Viktor quer über den großen Sylter Deich.",
+        "en-us": "The quick brown fox jumps over the lazy dog, obviously!",
+        "es-es": "El veloz murciélago hindú comía feliz cardillo y kiwi.",
+        "fr-fr": "Portez ce vieux whisky au juge blond qui fume.",
+        "it-it": "Pranzo d'acqua fa volti sghembi.",
+        "nl": "Pa's wijze lynx bezag vroom het fikse aquaduct.",
+        "ru-ru": "Съешь же ещё этих мягких французских булок, да выпей чаю.",
+        "sv-se": "Flygande bäckasiner söka hwila på mjuka tuvor.",
+        "sw": "Gari langu linaloangama limejaa na mikunga.",
+    }
+    for lang, text in texts.items():
+        table = _table_for(lang)
+        got_any = False
+        for sent in sentences(text, lang=resolve_lang(lang)):
+            word_phonemes = [w.phonemes for w in sent if w.phonemes]
+            ids = phonemes_to_ids(word_phonemes, table)
+            got_any = got_any or len(ids) > 4
+        assert got_any, lang
