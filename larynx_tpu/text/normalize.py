@@ -443,6 +443,120 @@ NUMBER_TO_WORDS: typing.Dict[str, typing.Callable[[int], str]] = {
     "sw": sw_number_to_words,
 }
 
+def de_ordinal_to_words(n: int) -> str:
+    special = {1: "erste", 3: "dritte", 7: "siebte", 8: "achte"}
+    if n in special:
+        return special[n]
+    return de_number_to_words(n) + ("ste" if n >= 20 else "te")
+
+
+def fr_ordinal_to_words(n: int) -> str:
+    if n == 1:
+        return "premier"
+    card = fr_number_to_words(n)
+    if card.endswith("e"):
+        card = card[:-1]
+    if card.endswith("cinq"):
+        card += "u"
+    elif card.endswith("neuf"):
+        card = card[:-1] + "v"
+    return card + "ième"
+
+
+def es_ordinal_to_words(n: int) -> str:
+    table = {
+        1: "primero", 2: "segundo", 3: "tercero", 4: "cuarto", 5: "quinto",
+        6: "sexto", 7: "séptimo", 8: "octavo", 9: "noveno", 10: "décimo",
+    }
+    # ordinals past ten are commonly read as cardinals in Spanish
+    return table.get(n) or es_number_to_words(n)
+
+
+def it_ordinal_to_words(n: int) -> str:
+    table = {
+        1: "primo", 2: "secondo", 3: "terzo", 4: "quarto", 5: "quinto",
+        6: "sesto", 7: "settimo", 8: "ottavo", 9: "nono", 10: "decimo",
+    }
+    if n in table:
+        return table[n]
+    card = it_number_to_words(n)
+    # final vowel drops before -esimo, except the stressed -tre compounds
+    # (ventitreesimo)
+    if card and card[-1] in "aeio" and not card.endswith(("tre", "tré")):
+        card = card[:-1]
+    return card.replace("tré", "tre") + "esimo"
+
+
+def nl_ordinal_to_words(n: int) -> str:
+    special = {1: "eerste", 3: "derde", 8: "achtste"}
+    if n in special:
+        return special[n]
+    return nl_number_to_words(n) + ("de" if n < 20 else "ste")
+
+
+def ru_ordinal_to_words(n: int) -> str:
+    table = {
+        1: "первый", 2: "второй", 3: "третий", 4: "четвёртый", 5: "пятый",
+        6: "шестой", 7: "седьмой", 8: "восьмой", 9: "девятый", 10: "десятый",
+        11: "одиннадцатый", 12: "двенадцатый", 13: "тринадцатый",
+        14: "четырнадцатый", 15: "пятнадцатый", 16: "шестнадцатый",
+        17: "семнадцатый", 18: "восемнадцатый", 19: "девятнадцатый",
+        20: "двадцатый", 30: "тридцатый", 40: "сороковой",
+        50: "пятидесятый", 60: "шестидесятый", 70: "семидесятый",
+        80: "восьмидесятый", 90: "девяностый", 100: "сотый",
+        1000: "тысячный",
+    }
+    if n in table:
+        return table[n]
+    if 20 < n < 100 and n % 10:
+        return ru_number_to_words(n - n % 10) + " " + table[n % 10]
+    return ru_number_to_words(n)
+
+
+def sv_ordinal_to_words(n: int) -> str:
+    table = {
+        1: "första", 2: "andra", 3: "tredje", 4: "fjärde", 5: "femte",
+        6: "sjätte", 7: "sjunde", 8: "åttonde", 9: "nionde", 10: "tionde",
+        11: "elfte", 12: "tolfte",
+    }
+    if n in table:
+        return table[n]
+    if 20 < n < 100 and n % 10:
+        # compounds ordinalize the final element: tjugoförsta
+        return sv_number_to_words(n - n % 10) + table[n % 10]
+    card = sv_number_to_words(n)
+    return card + ("nde" if card.endswith("o") else "de")
+
+
+def sw_ordinal_to_words(n: int) -> str:
+    table = {1: "kwanza", 2: "pili"}
+    return "wa " + table.get(n, sw_number_to_words(n))
+
+
+ORDINAL_TO_WORDS = {
+    "en-us": en_ordinal_to_words,
+    "de-de": de_ordinal_to_words,
+    "es-es": es_ordinal_to_words,
+    "fr-fr": fr_ordinal_to_words,
+    "it-it": it_ordinal_to_words,
+    "nl": nl_ordinal_to_words,
+    "ru-ru": ru_ordinal_to_words,
+    "sv-se": sv_ordinal_to_words,
+    "sw": sw_ordinal_to_words,
+}
+
+# language-typical written ordinal forms ("1er", "3:e", "2-й", "4º", "5e")
+_ORDINAL_FORMS = {
+    "fr-fr": re.compile(r"^(\d+)(er|ère|ere|e|ème|eme)$"),
+    "es-es": re.compile(r"^(\d+)[ºª°]$"),
+    "it-it": re.compile(r"^(\d+)[ºª°]$"),
+    "nl": re.compile(r"^(\d+)(e|de|ste)$"),
+    "sv-se": re.compile(r"^(\d+):(e|a)$"),
+    "ru-ru": re.compile(r"^(\d+)-(й|я|е|го|му|х|ых|ой)$"),
+    "de-de": re.compile(r"^(\d+)\.$"),
+}
+
+
 _DECIMAL_POINT = {
     "en-us": "point",
     "de-de": "Komma",
@@ -506,11 +620,12 @@ def normalize_token(token: str, lang: str = "en-us") -> typing.Optional[str]:
     m = re.match(r"^(\d+)_(ordinal|year|cardinal)$", token)
     if m:
         value, hint = int(m.group(1)), m.group(2)
-        if lang == "en-us":
-            if hint == "ordinal":
-                return en_ordinal_to_words(value)
-            if hint == "year":
-                return en_year_to_words(value)
+        if hint == "ordinal":
+            ordinal_fn = ORDINAL_TO_WORDS.get(lang)
+            if ordinal_fn:
+                return ordinal_fn(value)
+        if hint == "year" and lang == "en-us":
+            return en_year_to_words(value)
         return _spell_number(str(value), lang)
 
     if lang == "en-us":
@@ -519,6 +634,11 @@ def normalize_token(token: str, lang: str = "en-us") -> typing.Optional[str]:
             return en_ordinal_to_words(int(m.group(1)))
         if _YEAR_RE.match(token):
             return en_year_to_words(int(token))
+    else:
+        form = _ORDINAL_FORMS.get(lang)
+        m = form.match(token) if form else None
+        if m:
+            return ORDINAL_TO_WORDS[lang](int(m.group(1)))
 
     m = _CURRENCY_RE.match(token)
     if m:

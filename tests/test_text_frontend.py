@@ -266,3 +266,30 @@ def test_homographs_through_frontend():
     assert pron("I have read the book.", "read") != pron(
         "I like to read books.", "read"
     )
+
+
+def test_ordinals_all_languages():
+    """N_ordinal markers (gruut convention) verbalize in every language,
+    plus the language-typical written forms (1er, 3:e, 2-й, 4º, 21ste)."""
+    from larynx_tpu.text.normalize import normalize_token
+
+    cases = [
+        ("3_ordinal", "de-de", "dritte"),
+        ("21_ordinal", "de-de", "einundzwanzigste"),
+        ("1er", "fr-fr", "premier"),
+        ("5e", "fr-fr", "cinquième"),
+        ("9e", "fr-fr", "neuvième"),
+        ("3º", "es-es", "tercero"),
+        ("3º", "it-it", "terzo"),
+        ("23_ordinal", "it-it", "ventitreesimo"),
+        ("2e", "nl", "tweede"),
+        ("21ste", "nl", "eenentwintigste"),
+        ("2-й", "ru-ru", "второй"),
+        ("47_ordinal", "ru-ru", "сорок седьмой"),
+        ("3:e", "sv-se", "tredje"),
+        ("21_ordinal", "sv-se", "tjugoförsta"),
+        ("2_ordinal", "sw", "wa pili"),
+        ("22_ordinal", "en-us", "twenty second"),
+    ]
+    for token, lang, want in cases:
+        assert normalize_token(token, lang) == want, (token, lang)
