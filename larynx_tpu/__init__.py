@@ -90,6 +90,102 @@ def text_to_speech(
         interleaved_batching = os.environ.get(
             "LARYNX_TPU_INTERLEAVED_BATCHING", ""
         ).lower() in ("1", "true", "yes")
+    jobs = _build_jobs(
+        text, voice_or_lang, vocoder_or_quality, ssml=ssml, backend=backend,
+        half=half, denoiser_strength=denoiser_strength,
+        custom_voices_dir=custom_voices_dir, url_format=url_format,
+    )
+    if not jobs:
+        return
+
+    # Fused fast path: group consecutive same-(voice,vocoder) sentences and
+    # run them batched through one SynthesisEngine.
+    yield from _run_jobs(
+        jobs,
+        tts_settings=tts_settings,
+        vocoder_settings=vocoder_settings,
+        denoiser_strength=denoiser_strength,
+        max_batch=max_batch,
+        seed=seed,
+        half=half,
+        scheduler=scheduler,
+        interleaved=interleaved_batching,
+    )
+
+
+def stream_text_to_speech(
+    text: str,
+    voice_or_lang: str = "en-us",
+    vocoder_or_quality: typing.Union[str, VocoderQuality] = VocoderQuality.HIGH,
+    ssml: bool = False,
+    backend: typing.Optional[InferenceBackend] = None,
+    tts_settings: typing.Optional[typing.Dict[str, typing.Any]] = None,
+    denoiser_strength: float = 0.0,
+    half: bool = False,
+    custom_voices_dir: typing.Optional[typing.Union[str, Path]] = None,
+    url_format: str = DEFAULT_VOICE_URL_FORMAT,
+    seed: typing.Optional[int] = None,
+    chunk_frames: int = 64,
+) -> typing.Iterator[np.ndarray]:
+    """Low-latency streaming synthesis: yields int16 audio chunks.
+
+    Unlike :func:`text_to_speech` (which yields whole sentences), audio
+    arrives in ``chunk_frames``-mel chunks as the vocoder produces them —
+    time-to-first-audio is one chunk instead of a whole utterance.  SSML
+    pauses become silence chunks.  Audio is emitted at fixed gain (no
+    per-utterance peak normalization; the vocoder's tanh bounds the
+    waveform).  Requires the fused HiFi-GAN engine; no reference
+    equivalent (larynx's --raw-stream streams per *sentence*).
+    """
+    noise_scale = 0.667
+    length_scale = 1.0
+    if tts_settings:
+        noise_scale = float(tts_settings.get("noise_scale", noise_scale))
+        length_scale = float(tts_settings.get("length_scale", length_scale))
+
+    jobs = _build_jobs(
+        text, voice_or_lang, vocoder_or_quality, ssml=ssml, backend=backend,
+        half=half, denoiser_strength=denoiser_strength,
+        custom_voices_dir=custom_voices_dir, url_format=url_format,
+    )
+    for index, job in enumerate(jobs):
+        engine = _get_engine(job["tts_model"], job["vocoder_model"], half=half)
+        settings = job["audio_settings"]
+        before = max(0, (job["pause_before_ms"] * settings.sample_rate) // 1000)
+        if before:
+            yield np.zeros(before, dtype=np.int16)
+        if engine is not None and engine.vocoder_kind == "hifi_gan":
+            yield from engine.synthesize_stream(
+                job["ids"],
+                noise_scale=noise_scale,
+                length_scale=length_scale,
+                seed=None if seed is None else seed + index,
+                denoiser_strength=denoiser_strength,
+                chunk_frames=chunk_frames,
+            )
+        else:  # griffin_lim / custom models: one chunk per sentence
+            audio = _sentence_task_fallback(
+                job, tts_settings, {"denoiser_strength": denoiser_strength}
+            )
+            yield audio
+        after = max(0, (job["pause_after_ms"] * settings.sample_rate) // 1000)
+        if after:
+            yield np.zeros(after, dtype=np.int16)
+
+
+def _build_jobs(
+    text,
+    voice_or_lang,
+    vocoder_or_quality,
+    ssml=False,
+    backend=None,
+    half=False,
+    denoiser_strength=0.0,
+    custom_voices_dir=None,
+    url_format=DEFAULT_VOICE_URL_FORMAT,
+):
+    """Frontend + model resolution -> per-sentence job dicts (shared by
+    batch and streaming synthesis)."""
     resolved_name = resolve_voice_name(voice_or_lang)
     try:
         voice_lang, _voice_name, _voice_type = split_voice_name(resolved_name)
@@ -180,22 +276,7 @@ def text_to_speech(
             }
         )
 
-    if not jobs:
-        return
-
-    # Fused fast path: group consecutive same-(voice,vocoder) sentences and
-    # run them batched through one SynthesisEngine.
-    yield from _run_jobs(
-        jobs,
-        tts_settings=tts_settings,
-        vocoder_settings=vocoder_settings,
-        denoiser_strength=denoiser_strength,
-        max_batch=max_batch,
-        seed=seed,
-        half=half,
-        scheduler=scheduler,
-        interleaved=interleaved_batching,
-    )
+    return jobs
 
 
 def _run_jobs(

@@ -202,8 +202,32 @@ def main(argv: typing.Optional[typing.Sequence[str]] = None) -> None:
     # ------------------------------------------------------------------
     import numpy as np
 
-    from larynx_tpu import text_to_speech
+    from larynx_tpu import stream_text_to_speech, text_to_speech
     from larynx_tpu.io.wavfile import write as wav_write
+
+    if args.stream:
+        # chunked low-latency path: PCM to stdout as the vocoder produces it
+        out = sys.stdout.buffer
+        source = " ".join(args.text) if args.text else sys.stdin.read()
+        for chunk in stream_text_to_speech(
+            source,
+            voice_or_lang=args.voice,
+            vocoder_or_quality=args.quality,
+            ssml=args.ssml,
+            tts_settings={
+                "noise_scale": args.noise_scale,
+                "length_scale": args.length_scale,
+            },
+            denoiser_strength=args.denoiser_strength,
+            half=args.half,
+            custom_voices_dir=args.voices_dir,
+            url_format=args.url_format,
+            seed=args.seed,
+            chunk_frames=args.stream_chunk_frames,
+        ):
+            out.write(chunk.tobytes())
+            out.flush()
+        return
 
     if args.output_dir:
         args.output_dir = Path(args.output_dir)
@@ -529,6 +553,16 @@ def get_args(argv: typing.Optional[typing.Sequence[str]] = None):
     parser.add_argument(
         "--raw-stream", action="store_true",
         help="Stream raw 16-bit 22050Hz mono PCM audio to stdout",
+    )
+    parser.add_argument(
+        "--stream", action="store_true",
+        help="Chunked low-latency streaming: raw PCM flows after the first "
+             "vocoder chunk instead of per sentence (fixed gain; implies "
+             "--raw-stream output format)",
+    )
+    parser.add_argument(
+        "--stream-chunk-frames", type=int, default=64,
+        help="Mel frames per --stream chunk (default: 64, ~0.74s of audio)",
     )
     parser.add_argument(
         "--raw-stream-queue-size", default=5,

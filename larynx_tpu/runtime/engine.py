@@ -56,6 +56,28 @@ def _enable_persistent_compile_cache() -> None:
 
 SILENCE_LOG_MEL = float(np.log(1e-5))
 
+
+def stream_halo_frames(voc_cfg: "HiFiGanConfig") -> int:
+    """Mel-frame halo outside which a vocoded sample cannot depend on a
+    chunk boundary: walk the receptive field backward through conv_post,
+    each stage's MRF section and transposed conv, and conv_pre.  Chunked
+    vocoding with this halo is bit-identical to the full run."""
+    from larynx_tpu.ops.mrf_block import chain_halo
+
+    h = 3  # conv_post 'same' halo, samples at the last stage's rate
+    for i in reversed(range(len(voc_cfg.upsample_rates))):
+        u = voc_cfg.upsample_rates[i]
+        k = voc_cfg.upsample_kernel_sizes[i]
+        h += max(
+            chain_halo(kk, dd, 2 if voc_cfg.resblock == "1" else 1)
+            for kk, dd in zip(
+                voc_cfg.resblock_kernel_sizes, voc_cfg.resblock_dilation_sizes
+            )
+        )
+        pad = (k - u) // 2
+        h = -(-(h + (k - 1 - pad)) // u)  # transposed-conv back-map
+    return h + 3  # conv_pre halo (k=7, 'same') in mel frames
+
 # Upper bound on (rows x mel frames) per vocoder invocation.  The HiFi-GAN
 # upsampling stack holds several [B, M*256, ch] activations live; unbounded
 # batch x bucket products blow past HBM.  Rows above this area are vocoded
@@ -257,6 +279,34 @@ class SynthesisEngine:
                         bool(denoise)
                     ](p, mel, zm, bias, s)
                 )
+
+            @functools.partial(
+                jax.jit, static_argnames=("window", "denoise")
+            )
+            def vocode_stream_fn(
+                voc_params, mel, z_mask, start, window, bias_spec,
+                strength, denoise,
+            ):
+                """One haloed chunk at FIXED gain (no per-utterance peak
+                normalization — tanh already bounds the generator), sliced
+                on device so one program serves every chunk position."""
+                mel_c = jax.lax.dynamic_slice_in_dim(mel, start, window, 1)
+                mask_c = jax.lax.dynamic_slice_in_dim(z_mask, start, window, 1)
+                mel_pp = postprocess(mel_c, mask_c)
+                audio = hifi_model.generator(
+                    voc_params,
+                    voc_cfg,
+                    jnp.swapaxes(mel_pp.astype(self.dtype), 1, 2),
+                    use_pallas=use_pallas,
+                ).astype(jnp.float32)
+                if denoise:
+                    audio = hifi_denoiser.denoise(
+                        audio, bias_spec, strength, fft, hop
+                    )
+                scaled = jnp.clip(audio * 32767.0, -32767.0, 32767.0)
+                return scaled.astype(jnp.int16)
+
+            self._vocode_stream = vocode_stream_fn
 
             @jax.jit
             def bias_audio_fn(voc_params):
@@ -500,6 +550,69 @@ class SynthesisEngine:
         parts = self.vocode_launch(mel, z_mask, n, denoiser_strength, key)
         audio_np = self.vocode_collect(parts, mel.shape[0])
         return self.crop_rows(audio_np, y_lengths, n, denoiser_strength)
+
+    def synthesize_stream(
+        self,
+        ids: np.ndarray,
+        noise_scale: float = 0.667,
+        length_scale: float = 1.0,
+        seed: typing.Optional[int] = None,
+        denoiser_strength: float = 0.0,
+        chunk_frames: int = 64,
+        speaker_ids: typing.Optional[typing.Sequence[int]] = None,
+    ) -> typing.Iterator[np.ndarray]:
+        """Chunked synthesis of ONE utterance: yields int16 audio chunks.
+
+        Time-to-first-audio drops from the whole utterance's vocode +
+        transfer to a single chunk's.  Chunks are vocoded with a
+        receptive-field halo over a window clamped inside the mel bucket,
+        so samples are bit-identical to batch synthesis *before* its
+        per-utterance peak normalization — streaming emits at fixed gain
+        (the generator's tanh already bounds the waveform).
+        """
+        assert self.vocoder_kind == "hifi_gan", "streaming needs HiFi-GAN"
+        enc_out, g = self.encode_launch(
+            [ids], length_scale, speaker_ids=speaker_ids
+        )
+        y_lengths = np.asarray(enc_out[4])
+        n_frames = int(y_lengths[0])
+        mel, z_mask, _key = self.decode_launch(
+            enc_out, y_lengths, g, 1, noise_scale=noise_scale, seed=seed
+        )
+        m_bucket = mel.shape[1]
+        up = self.upsample
+
+        denoise = bool(np.any(np.asarray(denoiser_strength) > 0))
+        halo = stream_halo_frames(self.vocoder_cfg)
+        if denoise:
+            fft = self.audio_settings.filter_length
+            hop = self.audio_settings.hop_length
+            halo += fft // hop + 1  # STFT frames straddling the boundary
+        bias = self._get_bias_spec() if denoise else jnp.zeros((1, 1, 1))
+        strength = self._row_param(denoiser_strength, 1, 3)
+
+        window = min(chunk_frames + 2 * halo, m_bucket)
+        prev: typing.Optional[typing.Tuple[typing.Any, int, int]] = None
+        for start in range(0, n_frames, chunk_frames):
+            emit = min(chunk_frames, n_frames - start)
+            # slide the window inward at the edges: its boundaries then
+            # coincide with the true array edges, keeping exactness
+            w_start = min(max(start - halo, 0), m_bucket - window)
+            audio_c = self._vocode_stream(
+                self.vocoder_params, mel, z_mask, w_start, window,
+                bias, strength, denoise,
+            )
+            try:
+                audio_c.copy_to_host_async()
+            except AttributeError:
+                pass
+            if prev is not None:
+                p_audio, p_off, p_n = prev
+                yield np.asarray(p_audio)[0, p_off : p_off + p_n]
+            prev = (audio_c, (start - w_start) * up, emit * up)
+        if prev is not None:
+            p_audio, p_off, p_n = prev
+            yield np.asarray(p_audio)[0, p_off : p_off + p_n]
 
     def _vocode_launch_hifi(self, mel, z_mask, n_valid, denoiser_strength):
         """Vocode [B, M, C] mels, splitting rows so rows*M <= MAX_VOCODE_AREA.

@@ -306,6 +306,87 @@ def create_app(settings: typing.Optional[ServerSettings] = None) -> web.Applicat
         )
         return web.Response(body=wav_bytes, content_type="audio/wav")
 
+    def _streaming_wav_header(sample_rate: int) -> bytes:
+        """RIFF header with unknown-length sizes (0xFFFFFFFF) — the
+        standard container for live PCM streams; players read to EOF."""
+        import struct
+
+        return (
+            b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                    sample_rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", 0xFFFFFFFF)
+        )
+
+    async def api_stream(request: web.Request) -> web.StreamResponse:
+        """Chunked streaming synthesis: audio flows after the first
+        vocoder chunk instead of after the whole utterance.  No reference
+        equivalent (the CLI's --raw-stream streams per sentence)."""
+        voice = request.query.get("voice", "")
+        assert voice, "No voice provided"
+        if request.method == "POST":
+            text = (await request.read()).decode()
+        else:
+            text = request.query.get("text", "")
+        assert text, "No text provided"
+
+        noise_scale = float(request.query.get("noiseScale", settings.noise_scale))
+        length_scale = float(request.query.get("lengthScale", settings.length_scale))
+        ssml = convert_bool(request.query.get("ssml", ""))
+        vocoder = request.query.get("vocoder", settings.quality)
+        denoiser_strength = float(
+            request.query.get("denoiserStrength", settings.denoiser_strength)
+        )
+        chunk_frames = int(request.query.get("chunkFrames", 64))
+
+        tts_model = larynx_tpu.get_tts_model(
+            voice, custom_voices_dir=settings.voices_dir,
+            url_format=settings.url_format, half=settings.half,
+        )
+        assert tts_model is not None, f"Unknown voice: {voice}"
+        sample_rate = tts_model.audio_settings.sample_rate
+
+        resp = web.StreamResponse()
+        resp.content_type = "audio/wav"
+        await resp.prepare(request)
+        await resp.write(_streaming_wav_header(sample_rate))
+
+        loop = asyncio.get_running_loop()
+        queue: "asyncio.Queue[typing.Optional[bytes]]" = asyncio.Queue(maxsize=4)
+
+        def produce():
+            try:
+                for chunk in larynx_tpu.stream_text_to_speech(
+                    text,
+                    voice_or_lang=voice,
+                    vocoder_or_quality=vocoder,
+                    ssml=ssml,
+                    tts_settings={
+                        "noise_scale": noise_scale,
+                        "length_scale": length_scale,
+                    },
+                    denoiser_strength=denoiser_strength,
+                    half=settings.half,
+                    custom_voices_dir=settings.voices_dir,
+                    url_format=settings.url_format,
+                    chunk_frames=chunk_frames,
+                ):
+                    asyncio.run_coroutine_threadsafe(
+                        queue.put(chunk.tobytes()), loop
+                    ).result()
+            finally:
+                asyncio.run_coroutine_threadsafe(queue.put(None), loop).result()
+
+        producer = loop.run_in_executor(executor, produce)
+        while True:
+            data = await queue.get()
+            if data is None:
+                break
+            await resp.write(data)
+        await producer
+        await resp.write_eof()
+        return resp
+
     async def api_phonemes(request: web.Request) -> web.Response:
         """Phoneme inventory for a language with example words and
         synthesized example audio (reference: larynx/server.py:386-438
@@ -509,6 +590,8 @@ def create_app(settings: typing.Optional[ServerSettings] = None) -> web.Applicat
     app["scheduler"] = scheduler
     app.router.add_get("/api/tts", app_say)
     app.router.add_post("/api/tts", app_say)
+    app.router.add_get("/api/stream", api_stream)
+    app.router.add_post("/api/stream", api_stream)
     app.router.add_get("/api/voices", app_voices)
     app.router.add_get("/api/vocoders", app_vocoders)
     app.router.add_get("/api/phonemes", api_phonemes)

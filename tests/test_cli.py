@@ -132,3 +132,29 @@ def test_cli_mark_file(voices_dir, tmp_path, capsysbinary):
         ]
     )
     assert mark_file.read_text().strip() == "m1"
+
+
+def test_cli_stream(voices_dir, capsysbinary):
+    """--stream emits raw PCM chunks (chunked low-latency path)."""
+    from larynx_tpu.__main__ import main
+
+    main(
+        [
+            "Streaming from the command line.",
+            "--voice",
+            "en-us_test_voice-glow_tts",
+            "-q",
+            "low",
+            "--voices-dir",
+            str(voices_dir),
+            "--stream",
+            "--stream-chunk-frames",
+            "16",
+        ]
+    )
+    data = capsysbinary.readouterr().out
+    assert len(data) > 8000 and len(data) % 2 == 0
+    import numpy as np
+
+    audio = np.frombuffer(data, dtype=np.int16)
+    assert np.abs(audio).max() > 0

@@ -176,3 +176,25 @@ def test_index_and_openapi(app_client):
     resp = loop.run_until_complete(client.get("/openapi"))
     html = loop.run_until_complete(resp.text())
     assert "swagger.json" in html and "renderOp" in html
+
+
+def test_api_stream(app_client):
+    """Chunked streaming endpoint: RIFF header + PCM chunks to EOF."""
+    client, loop = app_client
+    resp = loop.run_until_complete(
+        client.get(
+            "/api/stream",
+            params={
+                "voice": "en-us_test_voice-glow_tts",
+                "text": "Streaming synthesis check.",
+                "vocoder": "low",
+                "chunkFrames": "16",
+            },
+        )
+    )
+    assert resp.status == 200
+    body = loop.run_until_complete(resp.read())
+    assert body[:4] == b"RIFF" and body[8:12] == b"WAVE"
+    # unknown-length streaming sizes
+    assert body[4:8] == b"\xff\xff\xff\xff"
+    assert len(body) > 44 + 8000  # header + real audio
