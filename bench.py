@@ -334,8 +334,8 @@ def main() -> None:
             profile_dir = None
 
     times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
+    for _ in range(5):  # median of 5: the remote-TPU tunnel has rare 2-4x
+        t0 = time.perf_counter()  # latency outliers that poison a median of 3
         audio_sec = run_once()
         times.append(time.perf_counter() - t0)
 

@@ -408,7 +408,7 @@ def _run_jobs(
             noise_scale=noise_scale, seed=seed, batch_index=j,
         )
         parts = engine.vocode_launch(
-            mel, z_mask, n, denoiser_strength, key
+            mel, z_mask, n, denoiser_strength, key, y_lengths=y_lengths
         )
         tails[j] = (parts, y_lengths, mel.shape[0], t0)
 
@@ -426,9 +426,9 @@ def _run_jobs(
             elapsed = time.perf_counter() - start
         else:
             parts, y_lengths, b_rows, t0 = tails[j]
-            audio_np = engine.vocode_collect(parts, b_rows)
+            audio_rows = engine.vocode_collect(parts, b_rows)
             audios = engine.crop_rows(
-                audio_np, y_lengths, len(indices), denoiser_strength
+                audio_rows, y_lengths, len(indices), denoiser_strength
             )
             elapsed = time.perf_counter() - t0
 

@@ -148,4 +148,6 @@ def conv_to_time_major(
         )
     if bias is not None:
         out = out + bias.astype(jnp.float32)
-    return out.astype(xp.dtype).reshape(b, nblk * p)
+    # keep the f32 accumulation: the engine consumes audio in f32, so a
+    # round trip through bf16 here would only add output quantization
+    return out.reshape(b, nblk * p)

@@ -57,6 +57,21 @@ def _enable_persistent_compile_cache() -> None:
 SILENCE_LOG_MEL = float(np.log(1e-5))
 
 
+def default_vocoder_half() -> bool:
+    """Production default for vocoder precision: bfloat16 on TPU backends
+    (2x the MXU rate and half the HBM traffic; the tanh-bounded HiFi-GAN
+    waveform is audibly identical), float32 elsewhere (CPU parity tests).
+    ``LARYNX_TPU_VOCODER_PRECISION={bf16,f32}`` overrides."""
+    import os
+
+    pref = os.environ.get("LARYNX_TPU_VOCODER_PRECISION", "").lower()
+    if pref in ("bf16", "bfloat16", "half"):
+        return True
+    if pref in ("f32", "float32", "full"):
+        return False
+    return jax.default_backend() not in ("cpu",)
+
+
 def stream_halo_frames(voc_cfg: "HiFiGanConfig") -> int:
     """Mel-frame halo outside which a vocoded sample cannot depend on a
     chunk boundary: walk the receptive field backward through conv_post,
@@ -101,6 +116,7 @@ class SynthesisEngine:
         vocoder_cfg: typing.Optional[HiFiGanConfig] = None,
         policy: typing.Optional[BucketPolicy] = None,
         half: bool = False,
+        vocoder_half: typing.Optional[bool] = None,
         seed: int = 1234,
         griffin_lim_iters: int = 60,
         use_pallas: typing.Optional[bool] = None,
@@ -127,18 +143,31 @@ class SynthesisEngine:
         self.policy = policy or BucketPolicy(n_sqz=glow_cfg.n_sqz)
         self.seed = seed
         self.half = half
+        # Mixed precision: the flow decoder's iterative reverse path keeps
+        # f32 accuracy for the mel, while the HiFi-GAN stack — tanh-bounded
+        # and conv-dominated — runs bfloat16 on the MXU at 2x the rate.
+        # None = production default: bf16 when ``half`` asks for it OR when
+        # running on a TPU backend (see default_vocoder_half).
+        self.vocoder_half = (
+            vocoder_half
+            if vocoder_half is not None
+            else (half or default_vocoder_half())
+        )
         self.griffin_lim_iters = griffin_lim_iters
         self._lock = threading.Lock()
 
         self.dtype = jnp.bfloat16 if half else jnp.float32
-        cast = lambda t: jax.tree.map(  # noqa: E731
+        self.voc_dtype = jnp.bfloat16 if self.vocoder_half else jnp.float32
+        cast = lambda t, dtype: jax.tree.map(  # noqa: E731
             lambda x: jnp.asarray(
-                x, self.dtype if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else None
+                x, dtype if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else None
             ),
             t,
         )
-        self.glow_params = cast(glow_params)
-        self.vocoder_params = cast(vocoder_params) if vocoder_params else None
+        self.glow_params = cast(glow_params, self.dtype)
+        self.vocoder_params = (
+            cast(vocoder_params, self.voc_dtype) if vocoder_params else None
+        )
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
@@ -233,7 +262,7 @@ class SynthesisEngine:
                 audio = hifi_model.generator(
                     voc_params,
                     voc_cfg,
-                    jnp.swapaxes(mel_pp.astype(self.dtype), 1, 2),
+                    jnp.swapaxes(mel_pp.astype(self.voc_dtype), 1, 2),
                     use_pallas=use_pallas,
                 ).astype(jnp.float32)
                 y_len = jnp.sum(z_mask, axis=1).astype(jnp.int32)
@@ -296,7 +325,7 @@ class SynthesisEngine:
                 audio = hifi_model.generator(
                     voc_params,
                     voc_cfg,
-                    jnp.swapaxes(mel_pp.astype(self.dtype), 1, 2),
+                    jnp.swapaxes(mel_pp.astype(self.voc_dtype), 1, 2),
                     use_pallas=use_pallas,
                 ).astype(jnp.float32)
                 if denoise:
@@ -312,7 +341,7 @@ class SynthesisEngine:
             def bias_audio_fn(voc_params):
                 zeros = jnp.zeros(
                     (1, hifi_denoiser.BIAS_MEL_FRAMES, voc_cfg.num_mels),
-                    dtype=self.dtype,
+                    dtype=self.voc_dtype,
                 )
                 audio = hifi_model.generator(voc_params, voc_cfg, zeros)
                 return hifi_denoiser.compute_bias_spec(
@@ -467,37 +496,51 @@ class SynthesisEngine:
         return mel, z_mask, key
 
     def vocode_launch(
-        self, mel, z_mask, n_valid: int, denoiser_strength: float, key
+        self,
+        mel,
+        z_mask,
+        n_valid: int,
+        denoiser_strength: float,
+        key,
+        y_lengths: typing.Optional[np.ndarray] = None,
     ) -> typing.List[typing.Any]:
-        """Non-blocking vocode dispatch; returns device parts with their
-        host copies already started (concatenate with vocode_collect)."""
+        """Non-blocking vocode dispatch; returns (device part, row indices)
+        pairs with their host copies already started (resolve with
+        vocode_collect)."""
         if self.vocoder_kind == "hifi_gan":
             return self._vocode_launch_hifi(
-                mel, z_mask, n_valid, denoiser_strength
+                mel, z_mask, n_valid, denoiser_strength, y_lengths
             )
         part = self._vocode_gl(None, mel, z_mask, jax.random.fold_in(key, 1))
         try:
             part.copy_to_host_async()
         except AttributeError:
             pass
-        return [part]
+        return [(part, list(range(mel.shape[0])))]
 
     @staticmethod
-    def vocode_collect(parts, b: int) -> np.ndarray:
-        audio = np.concatenate([np.asarray(p) for p in parts], axis=0)
-        if audio.shape[0] < b:  # restore dummy rows for caller indexing
-            pad = np.zeros((b - audio.shape[0],) + audio.shape[1:], audio.dtype)
-            audio = np.concatenate([audio, pad], axis=0)
-        return audio
+    def vocode_collect(parts, b: int) -> typing.List[np.ndarray]:
+        """Resolve vocode parts into per-row int16 arrays (original row
+        order; rows vocoded at different ragged widths may differ in
+        length — callers crop to the valid samples anyway)."""
+        rows: typing.List[typing.Optional[np.ndarray]] = [None] * b
+        for part, idxs in parts:
+            arr = np.asarray(part)
+            for j, i in enumerate(idxs):
+                if i < b:
+                    rows[i] = arr[j]
+        return [
+            r if r is not None else np.zeros((0,), np.int16) for r in rows
+        ]
 
     def crop_rows(
         self,
-        audio_np: np.ndarray,
+        audio_rows: typing.Sequence[np.ndarray],
         y_lengths: np.ndarray,
         n: int,
         denoiser_strength: float,
     ) -> typing.List[np.ndarray]:
-        """Per-sentence valid-sample crops of a batched audio array."""
+        """Per-sentence valid-sample crops of vocode_collect's rows."""
         # denoising is a batch-static jit flag: any positive row strength
         # means every row went through the STFT round trip (same lengths)
         denoised = bool(np.any(np.asarray(denoiser_strength) > 0))
@@ -523,8 +566,8 @@ class SynthesisEngine:
                     nf * self.audio_settings.hop_length
                     + self.audio_settings.filter_length
                 )
-            n_samples = min(n_samples, audio_np.shape[-1])
-            out.append(np.ascontiguousarray(audio_np[i, :n_samples]))
+            n_samples = min(n_samples, audio_rows[i].shape[-1])
+            out.append(np.ascontiguousarray(audio_rows[i][:n_samples]))
         return out
 
     def synthesize_batch(
@@ -547,9 +590,11 @@ class SynthesisEngine:
             enc_out, y_lengths, g, n,
             noise_scale=noise_scale, seed=seed, batch_index=batch_index,
         )
-        parts = self.vocode_launch(mel, z_mask, n, denoiser_strength, key)
-        audio_np = self.vocode_collect(parts, mel.shape[0])
-        return self.crop_rows(audio_np, y_lengths, n, denoiser_strength)
+        parts = self.vocode_launch(
+            mel, z_mask, n, denoiser_strength, key, y_lengths=y_lengths
+        )
+        audio_rows = self.vocode_collect(parts, mel.shape[0])
+        return self.crop_rows(audio_rows, y_lengths, n, denoiser_strength)
 
     def synthesize_stream(
         self,
@@ -614,40 +659,122 @@ class SynthesisEngine:
             p_audio, p_off, p_n = prev
             yield np.asarray(p_audio)[0, p_off : p_off + p_n]
 
-    def _vocode_launch_hifi(self, mel, z_mask, n_valid, denoiser_strength):
+    def _vocode_launch_hifi(
+        self, mel, z_mask, n_valid, denoiser_strength, y_lengths=None
+    ):
         """Vocode [B, M, C] mels, splitting rows so rows*M <= MAX_VOCODE_AREA.
 
         Only the first ``n_valid`` rows carry real sentences; trailing pad
-        rows are skipped when they fall entirely in their own group.
-        Returns device parts with async device->host copies started, so
-        transfers overlap later groups' compute (the host link dominates
-        otherwise); join with :meth:`vocode_collect`.
+        rows are never vocoded.  With ``y_lengths`` the valid rows are
+        sorted by mel length (one device gather) and each row group runs
+        at ITS OWN bucketed frame width — short sentences sharing a batch
+        with long ones stop paying the long rows' compute and, worse, the
+        slow host link's transfer bytes (~41 MB/s through the tunnel).
+        Returns (device part, original row indices) pairs with async
+        device->host copies started, so transfers overlap later groups'
+        compute; join with :meth:`vocode_collect`.
         """
         b, m, _ = mel.shape
         denoise = bool(np.any(np.asarray(denoiser_strength) > 0))
         bias = self._get_bias_spec() if denoise else jnp.zeros((1, 1, 1))
-        strength = self._row_param(denoiser_strength, b, 3)
 
-        group = max(1, MAX_VOCODE_AREA // m)
-        group = 1 << (group.bit_length() - 1)  # floor to power of two
+        # per-row denoiser strengths in original row order
+        str_rows = np.empty((b,), dtype=np.float32)
+        if np.ndim(denoiser_strength) == 0:
+            str_rows[:] = float(denoiser_strength)
+        else:
+            vals = np.asarray(denoiser_strength, dtype=np.float32)
+            str_rows[: len(vals)] = vals
+            str_rows[len(vals):] = vals[-1] if len(vals) else 0.0
+
         if self.mesh is not None:
-            # per-device memory is b / n_data — no need to split below the
-            # mesh width, and groups must divide evenly over it anyway
+            # shard_map path: groups must stay divisible over the data
+            # axis; keep the legacy uniform-width grouping.
+            group = max(1, MAX_VOCODE_AREA // m)
+            group = 1 << (group.bit_length() - 1)
             group = max(group, self._n_data)
+            strength = self._row_param(str_rows, b, 3)
+            parts = []
+            for start in range(0, b, group):
+                if start >= n_valid:
+                    break
+                if group >= b:
+                    mel_g, mask_g, str_g = mel, z_mask, strength
+                else:
+                    mel_g = jax.lax.slice_in_dim(
+                        mel, start, start + group, axis=0
+                    )
+                    mask_g = jax.lax.slice_in_dim(
+                        z_mask, start, start + group, axis=0
+                    )
+                    str_g = jax.lax.slice_in_dim(
+                        strength, start, start + group, axis=0
+                    )
+                part = self._vocode(
+                    self.vocoder_params, mel_g, mask_g, bias, str_g, denoise
+                )
+                try:
+                    part.copy_to_host_async()
+                except AttributeError:  # older jax / non-array
+                    pass
+                parts.append((part, list(range(start, start + group))))
+            return parts
+
+        # ---- single-device: length-sorted ragged groups
+        if y_lengths is not None:
+            lens = np.asarray(y_lengths)[:n_valid].astype(np.int64)
+        else:
+            lens = np.full((n_valid,), m, dtype=np.int64)
+        order = np.argsort(-lens, kind="stable")
+        if np.array_equal(order, np.arange(n_valid)) and n_valid == b:
+            mel_s, mask_s = mel, z_mask
+        else:
+            idx = jnp.asarray(order.astype(np.int32))
+            mel_s = jnp.take(mel, idx, axis=0)
+            mask_s = jnp.take(z_mask, idx, axis=0)
+        sorted_lens = lens[order]
+
+        # denoised rows crop to nf*hop + fft samples, slightly past the
+        # y*up valid length — widen the per-group bucket by the STFT tail
+        margin = (
+            -(-self.audio_settings.filter_length // self.upsample)
+            if denoise
+            else 0
+        )
         parts = []
-        for start in range(0, b, max(group, 1)):
-            if start >= n_valid:
-                break  # all-dummy rows: nothing to synthesize
-            if group >= b:
-                mel_g, mask_g, str_g = mel, z_mask, strength
+        start = 0
+        while start < n_valid:
+            m_g = min(
+                self.policy.mel_bucket(int(sorted_lens[start]) + margin), m
+            )
+            remaining = n_valid - start
+            fit = max(1, MAX_VOCODE_AREA // m_g)
+            # rows at least half the group width ride along; a >=2x length
+            # drop starts a narrower group (bounds padding waste per row to
+            # 2x while keeping the dispatch count low)
+            ext = 1
+            while (
+                start + ext < n_valid
+                and self.policy.mel_bucket(int(sorted_lens[start + ext])) * 2
+                > m_g
+            ):
+                ext += 1
+            # power-of-two group sizes keep the compiled-shape set bounded
+            # (a remainder of 5 runs as 4 + 1, not a one-off (5, m) program)
+            group = 1 << (min(fit, ext, remaining).bit_length() - 1)
+            whole = group == b and m_g == m and n_valid == b
+            if whole:
+                mel_g, mask_g = mel_s, mask_s
             else:
-                mel_g = jax.lax.slice_in_dim(mel, start, start + group, axis=0)
-                mask_g = jax.lax.slice_in_dim(
-                    z_mask, start, start + group, axis=0
+                mel_g = jax.lax.slice(
+                    mel_s, (start, 0, 0), (start + group, m_g, mel.shape[2])
                 )
-                str_g = jax.lax.slice_in_dim(
-                    strength, start, start + group, axis=0
+                mask_g = jax.lax.slice(
+                    mask_s, (start, 0), (start + group, m_g)
                 )
+            str_g = self._row_param(
+                str_rows[order[start : start + group]], group, 3
+            )
             part = self._vocode(
                 self.vocoder_params, mel_g, mask_g, bias, str_g, denoise
             )
@@ -655,7 +782,10 @@ class SynthesisEngine:
                 part.copy_to_host_async()
             except AttributeError:  # older jax / non-array
                 pass
-            parts.append(part)
+            parts.append(
+                (part, [int(order[i]) for i in range(start, start + group)])
+            )
+            start += group
         return parts
 
     def _get_bias_spec(self):

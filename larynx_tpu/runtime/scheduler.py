@@ -33,12 +33,13 @@ class _Job:
 
     def group_key(self):
         """noise/length/denoiser knobs are per-ROW in the engine, so jobs
-        differing only in those still share a batch; the RNG seed and the
+        differing only in those still share a batch; so do jobs in
+        different text buckets (encode pads to the batch max bucket, and
+        the vocoder runs length-sorted ragged groups, so a short sentence
+        riding in a long batch costs little).  Only the RNG seed and the
         denoiser on/off flag (a static jit arg) must match."""
-        bucket = self.engine.policy.text_bucket(len(self.ids))
         return (
             id(self.engine),
-            bucket,
             self.seed,
             self.denoiser_strength > 0,
         )
@@ -162,7 +163,7 @@ class BatchScheduler:
             )
             strengths = [job.denoiser_strength for job in group]
             parts = engine.vocode_launch(
-                mel, z_mask, len(group), strengths, key
+                mel, z_mask, len(group), strengths, key, y_lengths=y_lengths
             )
             return (parts, y_lengths, mel.shape[0], strengths)
         except Exception as err:  # pragma: no cover
@@ -174,9 +175,9 @@ class BatchScheduler:
             if isinstance(tail, Exception):
                 raise tail
             parts, y_lengths, b_rows, strengths = tail
-            audio_np = engine.vocode_collect(parts, b_rows)
+            audio_rows = engine.vocode_collect(parts, b_rows)
             audios = engine.crop_rows(
-                audio_np, y_lengths, len(group), strengths
+                audio_rows, y_lengths, len(group), strengths
             )
             self.batches_run += 1
             self.jobs_run += len(group)

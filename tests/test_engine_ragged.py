@@ -1,0 +1,88 @@
+"""Length-sorted ragged vocoding: equivalence with the uniform-width path.
+
+Mixed-length batches sort rows by mel length and vocode each group at its
+own bucketed frame width (less compute, fewer device->host bytes).  The
+cropped per-sentence audio must be identical to vocoding every row at the
+full batch bucket width: the only difference is how much trailing
+silence-mel padding the conv halo sees, and the valid samples never depend
+on it (mel past the valid frames is the silence constant either way).
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from larynx_tpu.audio import AudioSettings
+from larynx_tpu.models.glow_tts import GlowTTSConfig
+from larynx_tpu.models.glow_tts.model import init_params as glow_init
+from larynx_tpu.models.hifi_gan import HiFiGanConfig
+from larynx_tpu.models.hifi_gan.model import init_params as hifi_init
+from larynx_tpu.runtime.engine import SynthesisEngine
+
+
+@pytest.fixture(scope="module")
+def engine():
+    glow_cfg = GlowTTSConfig(
+        num_symbols=48,
+        hidden_channels=96,
+        filter_channels=192,
+        filter_channels_dp=64,
+        n_layers_enc=2,
+        n_blocks_dec=4,
+    )
+    voc_cfg = HiFiGanConfig(upsample_initial_channel=64)
+    settings = AudioSettings(
+        signal_norm=True, max_norm=1.0, symmetric_norm=True, clip_norm=True
+    )
+    key = jax.random.PRNGKey(0)
+    return SynthesisEngine(
+        glow_init(key, glow_cfg),
+        glow_cfg,
+        settings,
+        vocoder_kind="hifi_gan",
+        vocoder_params=hifi_init(jax.random.fold_in(key, 1), voc_cfg),
+        vocoder_cfg=voc_cfg,
+        seed=7,
+        use_pallas=False,
+        vocoder_half=False,
+    )
+
+
+@pytest.mark.parametrize("denoiser", [0.0, 0.01])
+def test_ragged_matches_uniform(engine, denoiser):
+    rng = np.random.default_rng(1)
+    ids = [
+        rng.integers(1, 48, size=t).astype(np.int64) for t in (8, 44, 17, 30)
+    ]
+    scales = [2.0, 6.0, 3.0, 5.0]
+    n = len(ids)
+
+    enc_out, g = engine.encode_launch(ids, scales)
+    y_lengths = np.asarray(enc_out[4])
+    mel, z_mask, key = engine.decode_launch(
+        enc_out, y_lengths, g, n, noise_scale=0.0, seed=3
+    )
+    assert len(set(int(v) for v in y_lengths[:n])) > 1  # really mixed
+
+    ragged = engine.vocode_launch(
+        mel, z_mask, n, denoiser, key, y_lengths=y_lengths
+    )
+    uniform = engine.vocode_launch(mel, z_mask, n, denoiser, key)
+
+    # the ragged path really ran narrower programs for the short rows
+    widths = sorted({p[0].shape[-1] for p in ragged})
+    assert len(widths) > 1
+
+    rows_r = engine.crop_rows(
+        engine.vocode_collect(ragged, mel.shape[0]), y_lengths, n, denoiser
+    )
+    rows_u = engine.crop_rows(
+        engine.vocode_collect(uniform, mel.shape[0]), y_lengths, n, denoiser
+    )
+    for i, (a, b) in enumerate(zip(rows_r, rows_u)):
+        assert a.shape == b.shape, i
+        # XLA tiles convolutions differently at different widths, so float
+        # results differ in the last ulp -> at most +-1 after int16 rounding
+        diff = np.abs(a.astype(np.int32) - b.astype(np.int32))
+        assert diff.max() <= 1, (i, diff.max())
+        assert np.mean(diff > 0) < 0.01, (i, np.mean(diff > 0))

@@ -79,6 +79,26 @@ def test_scheduler_through_server_path(voices_dir):
     scheduler.shutdown()
 
 
+def test_cross_bucket_coalesce(engine):
+    """Sentences in different text buckets share one device batch: encode
+    pads to the batch max bucket and the ragged vocoder crops each row
+    group back to its own width."""
+    scheduler = BatchScheduler(max_batch=8, max_wait_ms=300.0)
+    rng = np.random.default_rng(5)
+    short = rng.integers(1, 46, size=6).astype(np.int64)
+    long = rng.integers(1, 46, size=60).astype(np.int64)
+
+    f_short = scheduler.submit(engine, short)
+    f_long = scheduler.submit(engine, long)
+    a_short = f_short.result(timeout=300)
+    a_long = f_long.result(timeout=300)
+
+    assert scheduler.jobs_run == 2
+    assert scheduler.batches_run == 1
+    assert 0 < a_short.size < a_long.size
+    scheduler.shutdown()
+
+
 def test_scheduler_error_propagation(engine):
     scheduler = BatchScheduler(max_batch=2, max_wait_ms=5.0)
     bad = np.zeros((3, 3), dtype=np.int64)  # malformed: 2-D id "sequence"
