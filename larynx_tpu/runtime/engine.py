@@ -581,11 +581,16 @@ class SynthesisEngine:
         speaker_ids: typing.Optional[typing.Sequence[int]] = None,
     ) -> typing.List[np.ndarray]:
         """Synthesize a group of sentences (same text bucket) to int16 audio."""
+        import time
+
         n = len(id_seqs)
+        trace = _LOGGER.isEnabledFor(logging.DEBUG)
+        t0 = time.perf_counter() if trace else 0.0
         enc_out, g = self.encode_launch(
             id_seqs, length_scale, speaker_ids=speaker_ids
         )
         y_lengths = np.asarray(enc_out[4])
+        t1 = time.perf_counter() if trace else 0.0
         mel, z_mask, key = self.decode_launch(
             enc_out, y_lengths, g, n,
             noise_scale=noise_scale, seed=seed, batch_index=batch_index,
@@ -593,8 +598,21 @@ class SynthesisEngine:
         parts = self.vocode_launch(
             mel, z_mask, n, denoiser_strength, key, y_lengths=y_lengths
         )
+        t2 = time.perf_counter() if trace else 0.0
         audio_rows = self.vocode_collect(parts, mel.shape[0])
-        return self.crop_rows(audio_rows, y_lengths, n, denoiser_strength)
+        out = self.crop_rows(audio_rows, y_lengths, n, denoiser_strength)
+        if trace:
+            t3 = time.perf_counter()
+            _LOGGER.debug(
+                "engine batch=%d bucket=(%d,%d): encode+sync %.1f ms, "
+                "decode+vocode dispatch %.1f ms, compute+D2H %.1f ms "
+                "(%d part(s), %.1f MB)",
+                n, mel.shape[0], mel.shape[1],
+                1e3 * (t1 - t0), 1e3 * (t2 - t1), 1e3 * (t3 - t2),
+                len(parts),
+                sum(r.nbytes for r in audio_rows) / 1e6,
+            )
+        return out
 
     def synthesize_stream(
         self,
