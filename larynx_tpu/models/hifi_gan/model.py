@@ -119,6 +119,11 @@ def generator(
         elif use_pallas and c <= 128:
             x = fused_mrf(x, pack_mrf_weights(stage_blocks), **mrf_kwargs)
         else:
+            # Wide stages (C >= 256) stay on XLA deliberately: measured on
+            # v5e (bf16, [8, 39104, 256]), XLA's conv path hits ~45% MFU
+            # and a per-chain fused Pallas variant ran 0.89x of it — at
+            # these widths the section is compute-bound, and XLA already
+            # fuses the leaky_relus and tiles the MXU well.
             acc = None
             for j in range(nk):
                 rb = stage_blocks[j]

@@ -140,6 +140,32 @@ def test_fused_mrf_resblock2():
 
 
 # -----------------------------------------------------------------------------
+# Per-chain fused path for wide stages (C > 128)
+
+
+def test_fused_mrf_single_chain_wide():
+    """One chain at C=256 (the per-chain path generator uses when the
+    whole section's weights overflow VMEM but each chain's fit)."""
+    rng = np.random.default_rng(3)
+    c = 256
+    resblocks = _random_stage(rng, c, kernel_sizes=(7,), dilations=((1, 3, 5),))
+    x = rng.standard_normal((1, 200, c)).astype(np.float32)
+
+    ref = np.asarray(_resblock1(resblocks[0], jnp.asarray(x), 7, (1, 3, 5)))
+    out = np.asarray(
+        fused_mrf(
+            jnp.asarray(x),
+            pack_mrf_weights(resblocks),
+            kernel_sizes=(7,),
+            dilations_per_block=((1, 3, 5),),
+            tile=64,
+            interpret=True,
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+# -----------------------------------------------------------------------------
 # Lane-dense (time-packed) vocoder path
 
 
