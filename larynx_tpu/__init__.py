@@ -403,14 +403,12 @@ def _run_jobs(
         enc_out, g, t0 = encodes[j]
         n = len(indices)
         y_lengths = np.asarray(enc_out[4])
-        mel, z_mask, key = engine.decode_launch(
+        parts, b_rows = engine.synthesize_launch(
             enc_out, y_lengths, g, n,
             noise_scale=noise_scale, seed=seed, batch_index=j,
+            denoiser_strength=denoiser_strength,
         )
-        parts = engine.vocode_launch(
-            mel, z_mask, n, denoiser_strength, key, y_lengths=y_lengths
-        )
-        tails[j] = (parts, y_lengths, mel.shape[0], t0)
+        tails[j] = (parts, y_lengths, b_rows, t0)
 
     if units:
         launch_tail(0)

@@ -495,6 +495,37 @@ class SynthesisEngine:
         )
         return mel, z_mask, key
 
+    def synthesize_launch(
+        self,
+        enc_out,
+        y_lengths: np.ndarray,
+        g,
+        n: int,
+        noise_scale: float = 0.667,
+        seed: typing.Optional[int] = None,
+        batch_index: int = 0,
+        denoiser_strength: float = 0.0,
+    ) -> typing.Tuple[typing.List[typing.Any], int]:
+        """Non-blocking decode+vocode dispatch -> (parts, batch rows).
+
+        Negative result (kept as documentation): fusing flow decode +
+        vocoder into ONE jitted program to halve dispatch round trips was
+        measured in-process A/B on the TPU and LOST — SSML workload 1.3x
+        slower (median RTF 0.0070 vs 0.0054: the two-step path overlaps
+        one group's vocode D2H with the next group's decode), server
+        workload dead even (0.00135 both) with a much worse cold start
+        (first-request p50 42 s vs 1.5 s from compiling the large fused
+        program per bucket).  Two dispatches it is.
+        """
+        mel, z_mask, key = self.decode_launch(
+            enc_out, y_lengths, g, n,
+            noise_scale=noise_scale, seed=seed, batch_index=batch_index,
+        )
+        parts = self.vocode_launch(
+            mel, z_mask, n, denoiser_strength, key, y_lengths=y_lengths
+        )
+        return parts, mel.shape[0]
+
     def vocode_launch(
         self,
         mel,
@@ -591,23 +622,21 @@ class SynthesisEngine:
         )
         y_lengths = np.asarray(enc_out[4])
         t1 = time.perf_counter() if trace else 0.0
-        mel, z_mask, key = self.decode_launch(
+        parts, b_rows = self.synthesize_launch(
             enc_out, y_lengths, g, n,
             noise_scale=noise_scale, seed=seed, batch_index=batch_index,
-        )
-        parts = self.vocode_launch(
-            mel, z_mask, n, denoiser_strength, key, y_lengths=y_lengths
+            denoiser_strength=denoiser_strength,
         )
         t2 = time.perf_counter() if trace else 0.0
-        audio_rows = self.vocode_collect(parts, mel.shape[0])
+        audio_rows = self.vocode_collect(parts, b_rows)
         out = self.crop_rows(audio_rows, y_lengths, n, denoiser_strength)
         if trace:
             t3 = time.perf_counter()
             _LOGGER.debug(
-                "engine batch=%d bucket=(%d,%d): encode+sync %.1f ms, "
+                "engine batch=%d rows=%d: encode+sync %.1f ms, "
                 "decode+vocode dispatch %.1f ms, compute+D2H %.1f ms "
                 "(%d part(s), %.1f MB)",
-                n, mel.shape[0], mel.shape[1],
+                n, b_rows,
                 1e3 * (t1 - t0), 1e3 * (t2 - t1), 1e3 * (t3 - t2),
                 len(parts),
                 sum(r.nbytes for r in audio_rows) / 1e6,

@@ -155,17 +155,15 @@ class BatchScheduler:
         try:
             enc_out, g = enc
             y_lengths = np.asarray(enc_out[4])
-            mel, z_mask, key = engine.decode_launch(
+            strengths = [job.denoiser_strength for job in group]
+            parts, b_rows = engine.synthesize_launch(
                 enc_out, y_lengths, g, len(group),
                 noise_scale=[job.noise_scale for job in group],
                 seed=group[0].seed,
                 batch_index=self._batch_counter,
+                denoiser_strength=strengths,
             )
-            strengths = [job.denoiser_strength for job in group]
-            parts = engine.vocode_launch(
-                mel, z_mask, len(group), strengths, key, y_lengths=y_lengths
-            )
-            return (parts, y_lengths, mel.shape[0], strengths)
+            return (parts, y_lengths, b_rows, strengths)
         except Exception as err:  # pragma: no cover
             return err
 

@@ -48,6 +48,41 @@ def engine():
     )
 
 
+@pytest.mark.parametrize("denoiser", [0.0, 0.02])
+def test_synthesize_launch_matches_explicit_two_step(engine, denoiser):
+    """synthesize_launch (the one-call decode+vocode dispatch used by the
+    pipeline and the scheduler) must equal explicit decode_launch +
+    vocode_launch."""
+    rng = np.random.default_rng(2)
+    ids = [rng.integers(1, 48, size=t).astype(np.int64) for t in (10, 14)]
+    n = len(ids)
+
+    enc_out, g = engine.encode_launch(ids, 2.0)
+    y_lengths = np.asarray(enc_out[4])
+
+    parts, b_rows = engine.synthesize_launch(
+        enc_out, y_lengths, g, n, seed=5, batch_index=2,
+        denoiser_strength=denoiser,
+    )
+
+    mel, z_mask, key = engine.decode_launch(
+        enc_out, y_lengths, g, n, seed=5, batch_index=2
+    )
+    ref_parts = engine.vocode_launch(
+        mel, z_mask, n, denoiser, key, y_lengths=y_lengths
+    )
+    rows = engine.crop_rows(
+        engine.vocode_collect(parts, b_rows), y_lengths, n, denoiser
+    )
+    ref_rows = engine.crop_rows(
+        engine.vocode_collect(ref_parts, mel.shape[0]), y_lengths, n, denoiser
+    )
+    for i, (a, r) in enumerate(zip(rows, ref_rows)):
+        assert a.shape == r.shape, i
+        diff = np.abs(a.astype(np.int32) - r.astype(np.int32))
+        assert diff.max() <= 1, (i, diff.max())
+
+
 @pytest.mark.parametrize("denoiser", [0.0, 0.01])
 def test_ragged_matches_uniform(engine, denoiser):
     rng = np.random.default_rng(1)
