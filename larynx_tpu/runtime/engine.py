@@ -399,13 +399,9 @@ class SynthesisEngine:
         return out, np.asarray(out[4]), g
 
     @staticmethod
-    def _row_param(value, b_bucket: int, ndim: int) -> jnp.ndarray:
-        """Scalar or per-row sequence -> [b_bucket, 1, ...] f32 array.
-
-        Synthesis knobs (length/noise scale, denoiser strength) are
-        per-ROW so the scheduler can coalesce requests that differ only in
-        settings into one device batch.
-        """
+    def _row_values(value, b_bucket: int) -> np.ndarray:
+        """Scalar or per-row sequence -> [b_bucket] f32 vector, padding
+        rows filled with the last given value."""
         arr = np.empty((b_bucket,), dtype=np.float32)
         if np.ndim(value) == 0:
             arr[:] = float(value)
@@ -413,6 +409,17 @@ class SynthesisEngine:
             value = np.asarray(value, dtype=np.float32)
             arr[: len(value)] = value
             arr[len(value):] = value[-1] if len(value) else 0.0
+        return arr
+
+    @staticmethod
+    def _row_param(value, b_bucket: int, ndim: int) -> jnp.ndarray:
+        """Scalar or per-row sequence -> [b_bucket, 1, ...] f32 array.
+
+        Synthesis knobs (length/noise scale, denoiser strength) are
+        per-ROW so the scheduler can coalesce requests that differ only in
+        settings into one device batch.
+        """
+        arr = SynthesisEngine._row_values(value, b_bucket)
         return jnp.asarray(arr.reshape((b_bucket,) + (1,) * (ndim - 1)))
 
     def encode_launch(
@@ -671,6 +678,17 @@ class SynthesisEngine:
         mel, z_mask, _key = self.decode_launch(
             enc_out, y_lengths, g, 1, noise_scale=noise_scale, seed=seed
         )
+        if self.mesh is not None:
+            # the chunked vocode program is plain-jit (Pallas calls are
+            # not auto-partitionable); replicate the data-sharded decode
+            # output over the mesh so it runs as redundant per-device
+            # computation alongside the already-replicated params —
+            # streaming is latency-bound, not throughput-bound
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            replicated = NamedSharding(self.mesh, PartitionSpec())
+            mel = jax.device_put(mel, replicated)
+            z_mask = jax.device_put(z_mask, replicated)
         m_bucket = mel.shape[1]
         up = self.upsample
 
@@ -726,20 +744,16 @@ class SynthesisEngine:
         bias = self._get_bias_spec() if denoise else jnp.zeros((1, 1, 1))
 
         # per-row denoiser strengths in original row order
-        str_rows = np.empty((b,), dtype=np.float32)
-        if np.ndim(denoiser_strength) == 0:
-            str_rows[:] = float(denoiser_strength)
-        else:
-            vals = np.asarray(denoiser_strength, dtype=np.float32)
-            str_rows[: len(vals)] = vals
-            str_rows[len(vals):] = vals[-1] if len(vals) else 0.0
+        str_rows = self._row_values(denoiser_strength, b)
 
         if self.mesh is not None:
-            # shard_map path: groups must stay divisible over the data
-            # axis; keep the legacy uniform-width grouping.
+            # shard_map path: uniform-width groups, each a multiple of the
+            # data-axis size so shard_map can split its rows evenly.  The
+            # final window is clamped to the array end (b is itself a
+            # multiple of n_data) — overlapping rows are just re-vocoded
+            # with identical results rather than sliced out of bounds.
             group = max(1, MAX_VOCODE_AREA // m)
-            group = 1 << (group.bit_length() - 1)
-            group = max(group, self._n_data)
+            group = max(group - group % self._n_data, self._n_data)
             strength = self._row_param(str_rows, b, 3)
             parts = []
             for start in range(0, b, group):
@@ -747,7 +761,9 @@ class SynthesisEngine:
                     break
                 if group >= b:
                     mel_g, mask_g, str_g = mel, z_mask, strength
+                    idxs = list(range(b))
                 else:
+                    start = min(start, b - group)
                     mel_g = jax.lax.slice_in_dim(
                         mel, start, start + group, axis=0
                     )
@@ -757,6 +773,7 @@ class SynthesisEngine:
                     str_g = jax.lax.slice_in_dim(
                         strength, start, start + group, axis=0
                     )
+                    idxs = list(range(start, start + group))
                 part = self._vocode(
                     self.vocoder_params, mel_g, mask_g, bias, str_g, denoise
                 )
@@ -764,7 +781,7 @@ class SynthesisEngine:
                     part.copy_to_host_async()
                 except AttributeError:  # older jax / non-array
                     pass
-                parts.append((part, list(range(start, start + group))))
+                parts.append((part, idxs))
             return parts
 
         # ---- single-device: length-sorted ragged groups

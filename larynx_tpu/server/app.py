@@ -353,6 +353,28 @@ def create_app(settings: typing.Optional[ServerSettings] = None) -> web.Applicat
 
         loop = asyncio.get_running_loop()
         queue: "asyncio.Queue[typing.Optional[bytes]]" = asyncio.Queue(maxsize=4)
+        # The producer thread's liveness must NEVER depend on the consumer
+        # coroutine: when the client disconnects mid-stream, aiohttp
+        # cancels this handler, and a put().result() against the full
+        # queue would then block the shared executor thread forever.
+        import threading
+        from concurrent.futures import TimeoutError as FutureTimeout
+
+        gone = threading.Event()
+
+        def put_or_gone(item: typing.Optional[bytes]) -> bool:
+            """Bounded put that gives up once the consumer is gone."""
+            if gone.is_set():
+                return False
+            fut = asyncio.run_coroutine_threadsafe(queue.put(item), loop)
+            while True:
+                try:
+                    fut.result(0.5)
+                    return True
+                except FutureTimeout:
+                    if gone.is_set():
+                        fut.cancel()
+                        return False
 
         def produce():
             try:
@@ -371,20 +393,22 @@ def create_app(settings: typing.Optional[ServerSettings] = None) -> web.Applicat
                     url_format=settings.url_format,
                     chunk_frames=chunk_frames,
                 ):
-                    asyncio.run_coroutine_threadsafe(
-                        queue.put(chunk.tobytes()), loop
-                    ).result()
+                    if not put_or_gone(chunk.tobytes()):
+                        break
             finally:
-                asyncio.run_coroutine_threadsafe(queue.put(None), loop).result()
+                put_or_gone(None)
 
         producer = loop.run_in_executor(executor, produce)
-        while True:
-            data = await queue.get()
-            if data is None:
-                break
-            await resp.write(data)
-        await producer
-        await resp.write_eof()
+        try:
+            while True:
+                data = await queue.get()
+                if data is None:
+                    break
+                await resp.write(data)
+            await producer
+            await resp.write_eof()
+        finally:
+            gone.set()
         return resp
 
     async def api_phonemes(request: web.Request) -> web.Response:
@@ -588,6 +612,7 @@ def create_app(settings: typing.Optional[ServerSettings] = None) -> web.Applicat
 
     app = web.Application(middlewares=[error_middleware, cors_middleware])
     app["scheduler"] = scheduler
+    app["executor"] = executor
     app.router.add_get("/api/tts", app_say)
     app.router.add_post("/api/tts", app_say)
     app.router.add_get("/api/stream", api_stream)

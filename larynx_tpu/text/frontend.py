@@ -54,7 +54,7 @@ def _phonemize_words(
 
 
 def _plain_sentences(text: str, lang: str) -> typing.Iterator[Sentence]:
-    for raw in split_sentences(text):
+    for raw in split_sentences(text, lang):
         words = _phonemize_words(words_of(raw, lang), lang)
         if not words:
             continue
@@ -115,7 +115,7 @@ def _ssml_sentences(text: str, lang: str) -> typing.List[Sentence]:
         if not raw_all.strip() and not phoneme_words:
             return
         seg_lang = resolve_lang(segment_lang) if segment_lang else lang
-        raws = split_sentences(raw_all) if raw_all.strip() else [""]
+        raws = split_sentences(raw_all, seg_lang) if raw_all.strip() else [""]
         for i, raw in enumerate(raws):
             words = _phonemize_words(words_of(raw, seg_lang), seg_lang, segment_spell)
             if i == len(raws) - 1:

@@ -444,9 +444,14 @@ NUMBER_TO_WORDS: typing.Dict[str, typing.Callable[[int], str]] = {
 }
 
 def de_ordinal_to_words(n: int) -> str:
+    # the suffix (and the erste/dritte/... specials) attach to the FINAL
+    # element of a compound: 103 -> hundertdritte, not *hundertdreiste
     special = {1: "erste", 3: "dritte", 7: "siebte", 8: "achte"}
     if n in special:
         return special[n]
+    rest = n % 100
+    if n != rest and 0 < rest < 20:
+        return de_number_to_words(n - rest) + de_ordinal_to_words(rest)
     return de_number_to_words(n) + ("ste" if n >= 20 else "te")
 
 
@@ -488,9 +493,14 @@ def it_ordinal_to_words(n: int) -> str:
 
 
 def nl_ordinal_to_words(n: int) -> str:
+    # like German, the suffix/specials follow the final compound element:
+    # 102 -> honderdtweede, 108 -> honderdachtste
     special = {1: "eerste", 3: "derde", 8: "achtste"}
     if n in special:
         return special[n]
+    rest = n % 100
+    if n != rest and 0 < rest < 20:
+        return nl_number_to_words(n - rest) + nl_ordinal_to_words(rest)
     return nl_number_to_words(n) + ("de" if n < 20 else "ste")
 
 
@@ -510,6 +520,10 @@ def ru_ordinal_to_words(n: int) -> str:
         return table[n]
     if 20 < n < 100 and n % 10:
         return ru_number_to_words(n - n % 10) + " " + table[n % 10]
+    rest = n % 100
+    if n > 100 and 0 < rest:
+        # hundreds/thousands read as cardinal, final element ordinalized
+        return ru_number_to_words(n - rest) + " " + ru_ordinal_to_words(rest)
     return ru_number_to_words(n)
 
 
@@ -524,6 +538,10 @@ def sv_ordinal_to_words(n: int) -> str:
     if 20 < n < 100 and n % 10:
         # compounds ordinalize the final element: tjugoförsta
         return sv_number_to_words(n - n % 10) + table[n % 10]
+    rest = n % 100
+    if n > 100 and 0 < rest:
+        # hundraförsta, tvåhundratolfte, hundratjugoförsta
+        return sv_number_to_words(n - rest) + sv_ordinal_to_words(rest)
     card = sv_number_to_words(n)
     return card + ("nde" if card.endswith("o") else "de")
 

@@ -6,6 +6,7 @@ punctuation into minor/major breaks, and expand number-like tokens through
 :mod:`larynx_tpu.text.normalize`.
 """
 
+import functools
 import re
 import typing
 
@@ -29,17 +30,39 @@ MINOR_PUNCT = {",", ";", ":", "-", "—", "–", "(", ")", "[", "]", "…"}
 # breaks (the golden fixtures have no leading ‖ for "¿Puedes ...?")
 MAJOR_PUNCT = {".", "!", "?", "。"}
 
-# token = word-ish run (letters/digits/' - embedded), or single punctuation
-_TOKEN_RE = re.compile(
-    r"\d+_[a-z]+"  # interpretation markers: 22_ordinal, 1963_year
-    r"|[$€£]?\d+(?::\d{2})?(?:[.,]\d+)*(?:st|nd|rd|th)?"  # numbers/money/time
-    r"|[\w']+(?:[-'’][\w']+)*"  # words incl. apostrophes/hyphens
-    r"|[^\w\s]",  # any single punctuation char
-    re.UNICODE,
-)
+# Language-typical written ordinal tokens that the generic pattern would
+# split apart ("1er" -> 1|er, "3:e" -> 3|:|e, "2-й" -> 2|-|й, "3." -> 3|.).
+# Each entry is an extra alternative tried BEFORE the generic number branch
+# so normalize_token sees the whole form (matching _ORDINAL_FORMS there).
+_ORDINAL_TOKEN = {
+    "fr-fr": r"\d+(?:er|ère|ere|ème|eme|e)\b",
+    "nl": r"\d+(?:ste|de|e)\b",
+    "sv-se": r"\d+:[ea]\b",
+    "ru-ru": r"\d+-(?:го|му|ых|ой|й|я|е|х)\b",
+    "es-es": r"\d+[ºª°]",
+    "it-it": r"\d+[ºª°]",
+    # German ordinals/dates are digit+period mid-sentence ("der 3. Mann",
+    # "am 21. Dezember"); 1-2 digits only, so years keep ending sentences
+    "de-de": r"\d{1,2}\.(?=\s)",
+}
 
 
-def split_sentences(text: str) -> typing.List[str]:
+@functools.lru_cache(maxsize=None)
+def _token_re(lang: str) -> "re.Pattern[str]":
+    """Token = word-ish run (letters/digits/' - embedded), number/money/
+    time (with language-typical ordinal forms), or single punctuation."""
+    ordinal = _ORDINAL_TOKEN.get(lang)
+    return re.compile(
+        r"\d+_[a-z]+"  # interpretation markers: 22_ordinal, 1963_year
+        + (rf"|{ordinal}" if ordinal else "")
+        + r"|[$€£]?\d+(?::\d{2})?(?:[.,]\d+)*(?:st|nd|rd|th)?"  # numbers
+        r"|[\w']+(?:[-'’][\w']+)*"  # words incl. apostrophes/hyphens
+        r"|[^\w\s]",  # any single punctuation char
+        re.UNICODE,
+    )
+
+
+def split_sentences(text: str, lang: str = "en-us") -> typing.List[str]:
     """Split text into sentences, keeping trailing punctuation."""
     text = text.strip()
     if not text:
@@ -57,6 +80,10 @@ def split_sentences(text: str) -> typing.List[str]:
             last_word = candidate.rsplit(" ", 1)[-1].lower()
             if last_word in _ABBREVIATIONS or re.match(r"^\w\.$", last_word):
                 continue
+            # German ordinal/date periods ("der 3. Mann") are not sentence
+            # ends; years and longer numbers still are
+            if lang == "de-de" and re.match(r"^\d{1,2}\.$", last_word):
+                continue
             if candidate:
                 parts.append(chunk[start : m.end()].rstrip())
             start = m.end()
@@ -66,9 +93,9 @@ def split_sentences(text: str) -> typing.List[str]:
     return parts
 
 
-def tokenize(sentence: str) -> typing.List[str]:
+def tokenize(sentence: str, lang: str = "en-us") -> typing.List[str]:
     """Split one sentence into word/punctuation tokens."""
-    return _TOKEN_RE.findall(sentence)
+    return _token_re(lang).findall(sentence)
 
 
 def classify_token(token: str) -> str:
@@ -90,7 +117,7 @@ def words_of(
     ``kind`` is 'word'/'minor'/'major'.
     """
     out: typing.List[typing.Tuple[str, str]] = []
-    for token in tokenize(sentence):
+    for token in tokenize(sentence, lang):
         kind = classify_token(token)
         if kind == "skip":
             continue

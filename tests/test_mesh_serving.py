@@ -111,6 +111,65 @@ def test_mesh_engine_matches_single_device(small_models, monkeypatch):
         assert np.mean(diff != 0) < 0.02, np.mean(diff != 0)
 
 
+def test_mesh_vocode_grouping_overlaps_final_window(
+    small_models, monkeypatch
+):
+    """When the vocode-area cap forces row groups whose width does not
+    divide the padded batch, the final window must clamp to the array end
+    (re-vocoding overlap rows) instead of slicing out of bounds."""
+    import larynx_tpu.runtime.engine as engine_module
+
+    monkeypatch.setenv("LARYNX_TPU_MESH", "on")
+    mesh = serving_mesh()
+    eng = _make_engine(small_models, mesh=mesh)
+    single = _make_engine(small_models, mesh=None)
+
+    rng = np.random.default_rng(3)
+    id_seqs = [
+        np.asarray(rng.integers(1, 40, size=int(n)), dtype=np.int64)
+        for n in rng.integers(6, 14, size=25)
+    ]
+    n = len(id_seqs)
+
+    enc_out, g = eng.encode_launch(id_seqs, 2.0)
+    y_lengths = np.asarray(enc_out[4])
+    b = enc_out[0].shape[0]
+    m = eng.policy.mel_bucket(int(y_lengths[:n].max()))
+    # group = 24 rows of 32: windows [0,24) and the clamped [8,32)
+    monkeypatch.setattr(engine_module, "MAX_VOCODE_AREA", 24 * m)
+    assert b == 32 and n > 24
+
+    parts, b_rows = eng.synthesize_launch(enc_out, y_lengths, g, n, seed=5)
+    assert [p[1][0] for p in parts] == [0, 8]  # clamped second window
+    rows = eng.crop_rows(eng.vocode_collect(parts, b_rows), y_lengths, n, 0.0)
+
+    ref = single.synthesize_batch(id_seqs, seed=5, length_scale=2.0)
+    assert len(rows) == len(ref) == n
+    for a, r in zip(rows, ref):
+        assert a.shape == r.shape
+        diff = np.abs(a.astype(np.int32) - r.astype(np.int32))
+        assert np.max(diff) <= 2, np.max(diff)
+
+
+def test_mesh_engine_streaming(small_models, monkeypatch):
+    """synthesize_stream on a mesh engine must gather the data-sharded
+    decode output onto one device (the chunked Pallas vocode program is
+    not auto-partitionable) and match the single-device stream."""
+    monkeypatch.setenv("LARYNX_TPU_MESH", "on")
+    mesh = serving_mesh()
+    eng = _make_engine(small_models, mesh=mesh)
+    single = _make_engine(small_models, mesh=None)
+
+    ids = np.arange(1, 30, dtype=np.int64)
+    chunks = list(eng.synthesize_stream(ids, seed=5, chunk_frames=16))
+    ref = list(single.synthesize_stream(ids, seed=5, chunk_frames=16))
+    assert len(chunks) == len(ref) > 1
+    a = np.concatenate(chunks).astype(np.int32)
+    r = np.concatenate(ref).astype(np.int32)
+    assert a.shape == r.shape
+    assert np.max(np.abs(a - r)) <= 2
+
+
 def test_mesh_engine_griffin_lim(small_models, monkeypatch):
     monkeypatch.setenv("LARYNX_TPU_MESH", "on")
     mesh = serving_mesh()

@@ -198,3 +198,58 @@ def test_api_stream(app_client):
     # unknown-length streaming sizes
     assert body[4:8] == b"\xff\xff\xff\xff"
     assert len(body) > 44 + 8000  # header + real audio
+
+
+def test_api_stream_client_disconnect_frees_executor(app_client):
+    """A client that aborts mid-stream must not leave the producer thread
+    blocked on the full chunk queue — that would permanently consume one
+    of the shared executor threads and eventually hang every synthesis
+    endpoint."""
+    client, loop = app_client
+
+    async def abort_stream():
+        resp = await client.get(
+            "/api/stream",
+            params={
+                "voice": "en-us_test_voice-glow_tts",
+                "text": "A much longer sentence for the streaming "
+                        "disconnect test, spoken slowly. " * 4,
+                "vocoder": "low",
+                "chunkFrames": "2",  # many chunks -> queue fills
+                "lengthScale": "2.0",
+            },
+        )
+        await resp.content.read(64)  # first bytes only, then hang up
+        resp.close()
+
+    loop.run_until_complete(abort_stream())
+
+    # every executor thread must still be available for normal requests
+    app = client.server.app
+    executor = app["executor"] if "executor" in app else None
+
+    async def tts_ok():
+        resp = await client.get(
+            "/api/tts",
+            params={
+                "voice": "en-us_test_voice-glow_tts",
+                "text": "Still alive.",
+                "vocoder": "low",
+            },
+        )
+        return resp.status, await resp.read()
+
+    async def all_workers_free():
+        # the producer's put gives up within ~0.5 s of the disconnect
+        import concurrent.futures
+        if executor is None:
+            return
+        await asyncio.sleep(0.7)
+        n = executor._max_workers
+        futs = [executor.submit(lambda: 42) for _ in range(n)]
+        done, _ = concurrent.futures.wait(futs, timeout=5.0)
+        assert len(done) == n, "executor thread leaked by aborted stream"
+
+    loop.run_until_complete(all_workers_free())
+    status, body = loop.run_until_complete(tts_ok())
+    assert status == 200 and body[:4] == b"RIFF"

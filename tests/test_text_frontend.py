@@ -293,3 +293,48 @@ def test_ordinals_all_languages():
     ]
     for token, lang, want in cases:
         assert normalize_token(token, lang) == want, (token, lang)
+
+
+def test_written_ordinals_survive_tokenization():
+    """The language-aware tokenizer must keep written ordinal forms as one
+    token so they reach normalize_token at all (regression: '1er' used to
+    split into 1|er and verbalize as 'un er')."""
+    from larynx_tpu.text.tokenize import split_sentences, words_of
+
+    cases = [
+        ("Der 3. Mann", "de-de", ["Der", "dritte", "Mann"]),
+        ("am 21. Dezember", "de-de", ["am", "einundzwanzigste", "Dezember"]),
+        ("le 1er prix", "fr-fr", ["le", "premier", "prix"]),
+        ("la 3ème fois", "fr-fr", ["la", "troisième", "fois"]),
+        ("de 21ste verdieping", "nl", ["de", "eenentwintigste", "verdieping"]),
+        ("глава 2-й том", "ru-ru", ["глава", "второй", "том"]),
+        ("den 3:e boken", "sv-se", ["den", "tredje", "boken"]),
+        ("el 4º piso", "es-es", ["el", "cuarto", "piso"]),
+        ("il 3º piano", "it-it", ["il", "terzo", "piano"]),
+    ]
+    for text, lang, want in cases:
+        got = [tok for kind, tok in words_of(text, lang) if kind == "word"]
+        assert got == want, (text, lang, got)
+
+    # German digit-period: ordinal mid-sentence, sentence end for years
+    assert split_sentences(
+        "Der 3. Mann kam. Es war 1990. Dann ging er.", "de-de"
+    ) == ["Der 3. Mann kam.", "Es war 1990.", "Dann ging er."]
+    # English unchanged
+    assert split_sentences("I was born in 1990. Then I moved.") == [
+        "I was born in 1990.", "Then I moved.",
+    ]
+
+
+def test_compound_ordinals_over_one_hundred():
+    """Ordinal suffixes/specials attach to the final compound element
+    (regression: 103 -> *hundertdreiste)."""
+    from larynx_tpu.text import normalize as N
+
+    assert N.de_ordinal_to_words(101) == "einhunderterste"
+    assert N.de_ordinal_to_words(103) == "einhundertdritte"
+    assert N.de_ordinal_to_words(121) == "einhunderteinundzwanzigste"
+    assert N.nl_ordinal_to_words(102) == "honderdtweede"
+    assert N.nl_ordinal_to_words(108) == "honderdachtste"
+    assert N.ru_ordinal_to_words(121) == "сто двадцать первый"
+    assert N.sv_ordinal_to_words(121) == "etthundratjugoförsta"
