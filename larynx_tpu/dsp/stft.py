@@ -14,6 +14,7 @@ Conventions:
 """
 
 import functools
+import typing
 
 import jax
 import jax.numpy as jnp
@@ -255,23 +256,31 @@ def phase_project(
 @functools.partial(jax.jit, static_argnames=("fft_size", "hop", "n_iters"))
 def griffin_lim(
     magnitudes: jnp.ndarray,
-    key: jax.Array,
+    key: typing.Optional[jax.Array] = None,
     fft_size: int = 1024,
     hop: int = 256,
     n_iters: int = 60,
+    initial_phase: typing.Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Griffin-Lim phase reconstruction, fully on device.
+    """Griffin-Lim phase reconstruction, fully on device — THE shared
+    implementation (the Griffin-Lim vocoder wrapper and the engine's
+    vocode program both call it; do not re-inline the loop).
 
     ``magnitudes``: [B, n_freq, n_frames] linear magnitude.  Matches
     larynx/griffin_lim.py:66-76 (random initial phase, fixed iteration count)
-    but runs as one XLA program with ``lax.fori_loop``.
+    but runs as one XLA program with ``lax.fori_loop``.  Phase starts from
+    ``initial_phase`` when given (parity tests) else uniformly at random
+    from ``key``.
     """
-    angles = (
-        2.0
-        * jnp.pi
-        * jax.random.uniform(key, magnitudes.shape, dtype=jnp.float32)
-    )
-    # angle(exp(2j*pi*u)) wraps into (-pi, pi]; equivalent up to 2*pi phase
+    if initial_phase is None:
+        # angle(exp(2j*pi*u)) wraps into (-pi, pi]; same up to 2*pi phase
+        angles = (
+            2.0
+            * jnp.pi
+            * jax.random.uniform(key, magnitudes.shape, dtype=jnp.float32)
+        )
+    else:
+        angles = initial_phase
     signal = inverse_magnitude_phase(magnitudes, angles, fft_size, hop)
 
     # the loop runs frames-major: transpose once, not per iteration

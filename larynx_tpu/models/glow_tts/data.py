@@ -25,6 +25,21 @@ from larynx_tpu.text.ids import phonemes_to_ids
 _LOGGER = logging.getLogger("larynx_tpu.data")
 
 
+def _pcm_to_float(pcm: np.ndarray) -> np.ndarray:
+    """Any wavfile.read output dtype -> float32 in [-1, 1].
+
+    The in-tree reader returns uint8 (unsigned, centered at 128), int16,
+    int32 (also 24-bit containers), or float arrays depending on the WAV
+    format chunk."""
+    if pcm.dtype == np.uint8:
+        return (pcm.astype(np.float32) - 128.0) / 128.0
+    if pcm.dtype == np.int16:
+        return pcm.astype(np.float32) / 32768.0
+    if pcm.dtype == np.int32:
+        return pcm.astype(np.float32) / 2147483648.0
+    return pcm.astype(np.float32)
+
+
 def mel_targets(audio: jnp.ndarray, settings: AudioSettings, basis) -> jnp.ndarray:
     """waveform [B, T] -> normalized log-mel [B, M, n_mels] (channels-last).
 
@@ -97,9 +112,7 @@ class Dataset:
         rate, pcm = wavfile.read(wav_path)
         if pcm.ndim > 1:
             pcm = pcm[:, 0]
-        audio = pcm.astype(np.float32)
-        if pcm.dtype == np.int16:
-            audio = audio / 32768.0
+        audio = _pcm_to_float(pcm)
 
         all_ids: typing.List[int] = []
         for sent in frontend_sentences(text, lang=self.lang):

@@ -175,6 +175,21 @@ def init_params(key: jax.Array, cfg: GlowTTSConfig) -> Params:
                 wn_rs_b.append(jnp.concatenate([jnp.zeros(hd), b]))
 
         start_w, start_b = _conv_init(next(keys), 1, half, hd)
+        wn = {
+            "in_w": jnp.stack(wn_in_w),
+            "in_b": jnp.stack(wn_in_b),
+            "res_skip_w": jnp.stack(wn_rs_w),
+            "res_skip_b": jnp.stack(wn_rs_b),
+        }
+        if cfg.n_speakers > 1 and cfg.gin_channels > 0:
+            # speaker conditioning 1x1 (reference cond_layer,
+            # glow_tts/layers.py:109-113) — without it a from-scratch
+            # multi-speaker model would silently ignore g in the decoder
+            cw, cb = _conv_init(
+                next(keys), 1, cfg.gin_channels, 2 * hd * cfg.n_block_layers
+            )
+            wn["cond_w"] = cw
+            wn["cond_b"] = cb
         blocks.append(
             {
                 "actnorm": {"logs": jnp.zeros(c_sqz), "bias": jnp.zeros(c_sqz)},
@@ -187,12 +202,7 @@ def init_params(key: jax.Array, cfg: GlowTTSConfig) -> Params:
                     "start_b": start_b,
                     "end_w": jnp.zeros((hd, c_sqz)),
                     "end_b": jnp.zeros(c_sqz),
-                    "wn": {
-                        "in_w": jnp.stack(wn_in_w),
-                        "in_b": jnp.stack(wn_in_b),
-                        "res_skip_w": jnp.stack(wn_rs_w),
-                        "res_skip_b": jnp.stack(wn_rs_b),
-                    },
+                    "wn": wn,
                 },
             }
         )

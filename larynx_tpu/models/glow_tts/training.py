@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from larynx_tpu.models.glow_tts import flows
 from larynx_tpu.models.glow_tts.config import GlowTTSConfig
-from larynx_tpu.models.glow_tts.model import encode
+from larynx_tpu.models.glow_tts.model import encode, speaker_embedding
 
 Params = typing.Dict[str, typing.Any]
 
@@ -96,14 +96,20 @@ def actnorm_ddi_init(
     cfg: GlowTTSConfig,
     mels: jnp.ndarray,
     mel_lengths: jnp.ndarray,
+    speaker_ids: typing.Optional[jnp.ndarray] = None,
 ) -> Params:
     """Data-dependent initialization of every ActNorm from a warmup batch.
 
     Mirrors the reference's ddi mode (glow_tts/layers.py:204-221): each
     block's ActNorm is initialized from the masked mean/variance of ITS
     input (which depends on the already-initialized earlier blocks), so
-    blocks are processed sequentially front-to-back.
+    blocks are processed sequentially front-to-back.  For multi-speaker
+    models pass the warmup batch's ``speaker_ids`` so the couplings run
+    with the same conditioning training will use.
     """
+    g = None
+    if speaker_ids is not None and "emb_g" in params:
+        g = speaker_embedding(params, jnp.asarray(speaker_ids))
     mel_lengths = (mel_lengths // cfg.n_sqz) * cfg.n_sqz
     m = mels.shape[1]
     y_mask = (jnp.arange(m)[None, :] < mel_lengths[:, None]).astype(jnp.float32)
@@ -128,7 +134,7 @@ def actnorm_ddi_init(
         new_bias.append(bias)
 
         block["actnorm"] = {"logs": -logs, "bias": bias}
-        x, _ = flows.flow_step(block, x, sq_mask, cfg, reverse=False)
+        x, _ = flows.flow_step(block, x, sq_mask, cfg, reverse=False, g=g)
 
     updated = dict(params)
     decoder = dict(blocks)

@@ -40,21 +40,9 @@ def mels_to_audio(
     """
     spec = dspmel.linear_from_mel(mels, basis, mel_scaling)  # [B, n_freq, T]
     spec = spec[:, :, :-1]  # reference drops the final frame (:57)
-
-    if initial_phase is None:
-        angles = (
-            2.0 * jnp.pi * jax.random.uniform(key, spec.shape, dtype=jnp.float32)
-        )
-    else:
-        angles = initial_phase
-
-    signal = dsp.inverse_magnitude_phase(spec, angles, fft_size, hop)
-    spec_frames = jnp.swapaxes(spec, -1, -2)
-
-    def body(_, sig):
-        return dsp.phase_project_frames(spec_frames, sig, fft_size, hop)
-
-    return jax.lax.fori_loop(0, n_iters, body, signal)
+    return dsp.griffin_lim(
+        spec, key, fft_size, hop, n_iters, initial_phase=initial_phase
+    )
 
 
 class GriffinLimState:

@@ -197,7 +197,10 @@ def init_discriminators(key: jax.Array) -> Params:
         convs = []
         for c_in, c_out, k, _s, groups in _S_LAYERS:
             convs.append(
-                _conv_init(next(keys), (k, c_in // groups, c_out), c_in * k)
+                # torch fan_in counts only the per-group input channels
+                _conv_init(
+                    next(keys), (k, c_in // groups, c_out), (c_in // groups) * k
+                )
             )
         post = _conv_init(next(keys), (3, 1024, 1), 1024 * 3)
         scales.append({"convs": convs, "post": post})

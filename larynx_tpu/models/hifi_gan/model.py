@@ -101,7 +101,12 @@ def generator(
             x = wide.reshape(wide.shape[0], n_rows, 128)
             c, pack = c_out, 128 // c_out
         else:
-            assert pack == 1, "packed layout cannot widen mid-stack"
+            if pack > 1:
+                # geometry breaks lane alignment mid-stack (e.g. an odd
+                # upsample rate): unpack back to the dense layout — a
+                # free row-major reshape — rather than failing
+                x = x.reshape(x.shape[0], x.shape[1] * pack, c)
+                pack = 1
             x = conv_transpose1d(
                 x, up["w"], up["b"], stride=u, padding=(k - u) // 2
             )

@@ -226,6 +226,9 @@ def fused_mrf(
         # ~8 MB) + per-conv intermediates scale with tile * C. Keep the
         # scoped allocation under the 16 MB limit.
         tile = max(256, min(4096, (1 << 17) // c))
+    # tile starts and widths must respect the 8-row f32 sublane tiling of
+    # DMA'd slices (c=384 would otherwise pick 341 and crash the worker)
+    tile = max(8, tile - tile % 8)
     halo = max(
         chain_halo(k, d, convs_per_unit)
         for k, d in zip(kernel_sizes, dilations_per_block)

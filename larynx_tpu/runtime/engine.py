@@ -365,17 +365,7 @@ class SynthesisEngine:
                 mel_pp = postprocess(mel, z_mask)  # [B, C, M]
                 spec = dspmel.linear_from_mel(mel_pp, self._gl_basis, 1000.0)
                 spec = spec[:, :, :-1]
-                angles = (
-                    2.0 * jnp.pi
-                    * jax.random.uniform(key, spec.shape, dtype=jnp.float32)
-                )
-                signal = dsp.inverse_magnitude_phase(spec, angles, fft, hop)
-                spec_frames = jnp.swapaxes(spec, -1, -2)
-
-                def body(_, sig):
-                    return dsp.phase_project_frames(spec_frames, sig, fft, hop)
-
-                signal = jax.lax.fori_loop(0, gl_iters, body, signal)
+                signal = dsp.griffin_lim(spec, key, fft, hop, gl_iters)
                 y_len = jnp.sum(z_mask, axis=1).astype(jnp.int32)
                 nf = jnp.maximum(y_len - 1, 1)
                 n_valid = nf * hop + fft

@@ -252,3 +252,53 @@ def test_packed_generator_matches_xla(tier):
         params, cfg, mel, use_pallas=True, pallas_interpret=True
     )
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_generator_unpacks_when_alignment_breaks():
+    """A geometry whose odd upsample rate breaks 128-lane alignment
+    mid-stack must fall back to the dense layout (free reshape), not
+    crash (regression: the packed path asserted)."""
+    from larynx_tpu.models.hifi_gan import HiFiGanConfig
+    from larynx_tpu.models.hifi_gan import model as hifi
+
+    cfg = HiFiGanConfig(
+        resblock="2", upsample_initial_channel=32,
+        # stages pack at c=16 then c=8; u=3 gives pack*u*c_out = 192,
+        # not lane-aligned -> unpack; final stage stays dense
+        upsample_rates=(8, 8, 3, 2), upsample_kernel_sizes=(16, 16, 7, 4),
+        resblock_kernel_sizes=(3, 5), resblock_dilation_sizes=((1, 2), (2, 6)),
+    )
+    params = hifi.init_params(jax.random.PRNGKey(0), cfg)
+    mel = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 80), jnp.float32)
+    ref = hifi.generator(params, cfg, mel, use_pallas=False)
+    out = hifi.generator(
+        params, cfg, mel, use_pallas=True, pallas_interpret=True
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_mrf_pad_to_384_tile_aligned():
+    """C in (256, 384] pads to 384 lanes; the auto tile must stay a
+    multiple of 8 rows (the VMEM-budget formula would otherwise pick 341,
+    violating Mosaic's sublane tiling on real hardware)."""
+    rng = np.random.default_rng(7)
+    kernel_sizes = (3,)
+    dilations = ((1, 3),)
+    resblocks = _random_stage(rng, 300, kernel_sizes, dilations)
+    weights = pack_mrf_weights(resblocks)
+
+    x = rng.standard_normal((1, 700, 300)).astype(np.float32)
+    ref = np.asarray(
+        _xla_reference(resblocks, jnp.asarray(x), kernel_sizes, dilations)
+    )
+    out = np.asarray(
+        fused_mrf(
+            jnp.asarray(x),
+            weights,
+            kernel_sizes=kernel_sizes,
+            dilations_per_block=dilations,
+            interpret=True,  # no explicit tile: exercises the auto choice
+        )
+    )
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)

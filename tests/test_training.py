@@ -204,3 +204,39 @@ def test_actnorm_ddi_init_normalizes():
     var = ((z - mean) ** 2 * mask3).sum((0, 1)) / mask3.sum((0, 1))
     np.testing.assert_allclose(mean, 0.0, atol=1e-4)
     np.testing.assert_allclose(var, 1.0, atol=1e-3)
+
+
+def test_actnorm_ddi_init_uses_speaker_conditioning():
+    """For a multi-speaker model the warmup forward must run the couplings
+    with the batch's speaker embeddings: later blocks see conditioned
+    activations, so their init differs from the unconditioned run."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from larynx_tpu.models.glow_tts.training import actnorm_ddi_init
+
+    cfg = dataclasses.replace(SMALL_CFG, n_speakers=4, gin_channels=32)
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    assert "cond_w" in params["decoder"]["coupling"]["wn"]
+    # fresh couplings have zero-init end convs (identity transform), so
+    # conditioning only shows once training has moved them — simulate that
+    params["decoder"]["coupling"]["end_w"] = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(9),
+        params["decoder"]["coupling"]["end_w"].shape,
+    )
+    rng = np.random.default_rng(4)
+    mels = jnp.asarray(
+        (rng.standard_normal((4, 32, 80)) * 3 + 1).astype(np.float32)
+    )
+    mel_lengths = jnp.asarray([32, 28, 30, 24], dtype=jnp.int32)
+    speaker_ids = jnp.asarray([0, 1, 2, 3], dtype=jnp.int32)
+
+    with_g = actnorm_ddi_init(params, cfg, mels, mel_lengths, speaker_ids)
+    without_g = actnorm_ddi_init(params, cfg, mels, mel_lengths)
+
+    # block 0 sees the raw input either way; later blocks must differ
+    logs_w = np.asarray(with_g["decoder"]["actnorm"]["logs"])
+    logs_wo = np.asarray(without_g["decoder"]["actnorm"]["logs"])
+    np.testing.assert_allclose(logs_w[0], logs_wo[0], atol=1e-6)
+    assert np.abs(logs_w[1:] - logs_wo[1:]).max() > 1e-4
