@@ -37,6 +37,7 @@ from larynx_tpu.text.ids import load_phoneme_ids, phonemes_to_ids
 from larynx_tpu.text.langs import resolve_lang
 from larynx_tpu.voices import (
     DEFAULT_VOICE_URL_FORMAT,
+    VOCODER_ALIASES,
     VOCODER_QUALITY,
     download_voice,
     get_voice_download_name,
@@ -661,9 +662,18 @@ def get_vocoder_model(
         _VOCODER_MODEL_CACHE[quality_key] = model
         return model
 
-    model_type, model_name = VOCODER_QUALITY.get(quality_key, quality_key).split(
-        "/", maxsplit=1
-    )
+    resolved = VOCODER_QUALITY.get(quality_key)
+    if resolved is None:
+        # dash-form aliases from the reference VOCODERS data file
+        # ("hifi_gan-universal_large", "waveglow") advertised by --list
+        alias = VOCODER_ALIASES.get(quality_key, quality_key)
+        resolved = alias if "/" in alias else alias.replace("-", "/", 1)
+    if "/" not in resolved:
+        raise ValueError(
+            f"Unknown vocoder {name_or_quality!r} (expected high/medium/"
+            f"low, griffin_lim, or <model_type>/<model_name>)"
+        )
+    model_type, model_name = resolved.split("/", maxsplit=1)
 
     model_dir: typing.Optional[Path] = None
     voices_dirs = get_voices_dirs(custom_voices_dir)

@@ -78,8 +78,9 @@ def get_args(argv=None):
         help="Maximum sentences per batched XLA call (default: 8)",
     )
     parser.add_argument(
-        "--workers", type=int, default=1,
-        help="Synthesis worker threads (default: 1; batching happens per call)",
+        "--workers", type=int, default=ServerSettings.workers,
+        help="Synthesis worker threads (default: %(default)s; concurrent "
+        "requests coalesce into shared device batches)",
     )
     parser.add_argument(
         "--preload-voice",
@@ -97,8 +98,11 @@ def _pid_running(pid: int) -> bool:
     try:
         os.kill(pid, 0)
         return True
-    except (ProcessLookupError, PermissionError):
+    except ProcessLookupError:
         return False
+    except PermissionError:
+        # EPERM: the process exists but belongs to another user
+        return True
 
 
 def main(argv=None) -> None:

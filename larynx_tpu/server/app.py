@@ -10,7 +10,6 @@ event loop stays responsive.
 """
 
 import asyncio
-import io
 import logging
 import os
 import time
@@ -26,7 +25,7 @@ from aiohttp import web
 import larynx_tpu
 from larynx_tpu import text_to_speech
 from larynx_tpu.constants import VocoderQuality
-from larynx_tpu.io.wavfile import write as wav_write
+from larynx_tpu.io.wavfile import wav_bytes as wavfile_bytes
 from larynx_tpu.dsp import ipa_synth
 from larynx_tpu.text import ipa
 from larynx_tpu.text.ids import load_phoneme_ids
@@ -186,9 +185,11 @@ def create_app(settings: typing.Optional[ServerSettings] = None) -> web.Applicat
 
         audios = [r.audio for r in results]
         sample_rate = results[0].sample_rate if results else 22050
-        with io.BytesIO() as wav_io:
-            wav_write(wav_io, sample_rate, np.concatenate(audios))
-            wav_bytes = wav_io.getvalue()
+        # no synthesizable words (whitespace, unmapped symbols) -> empty WAV
+        audio = (
+            np.concatenate(audios) if audios else np.zeros((0,), np.int16)
+        )
+        wav_bytes = wavfile_bytes(sample_rate, audio)
         _LOGGER.info(
             "Synthesized %s byte(s) in %s second(s)",
             len(wav_bytes),
@@ -339,9 +340,15 @@ def create_app(settings: typing.Optional[ServerSettings] = None) -> web.Applicat
         )
         chunk_frames = int(request.query.get("chunkFrames", 64))
 
-        tts_model = larynx_tpu.get_tts_model(
-            voice, custom_voices_dir=settings.voices_dir,
-            url_format=settings.url_format, half=settings.half,
+        # model load (file I/O, param conversion, maybe a voice download)
+        # must not block the event loop — defer to the executor like
+        # text_to_wav does
+        tts_model = await asyncio.get_running_loop().run_in_executor(
+            executor,
+            lambda: larynx_tpu.get_tts_model(
+                voice, custom_voices_dir=settings.voices_dir,
+                url_format=settings.url_format, half=settings.half,
+            ),
         )
         assert tts_model is not None, f"Unknown voice: {voice}"
         sample_rate = tts_model.audio_settings.sample_rate
@@ -480,7 +487,9 @@ def create_app(settings: typing.Optional[ServerSettings] = None) -> web.Applicat
             if "VOICE" in data:
                 voice = data.get("VOICE", [""])[0]
             else:
-                voice = data.get("LOCALE", [""])[0]
+                # same default as the GET path: clients commonly POST only
+                # INPUT_TEXT
+                voice = data.get("LOCALE", ["en-us"])[0]
         else:
             text = request.query.get("INPUT_TEXT", "")
             voice = request.query.get(

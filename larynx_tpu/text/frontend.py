@@ -99,34 +99,63 @@ def _ssml_sentences(text: str, lang: str) -> typing.List[Sentence]:
     pending_marks: typing.List[str] = []
     last_sentence: typing.Optional[Sentence] = None
 
-    segment_text: typing.List[str] = []
-    segment_phoneme_words: typing.Dict[int, typing.List[Word]] = {}
+    # ordered segment contents: text chunks interleaved with explicit
+    # <phoneme> Words — order matters ("I say <phoneme...> loudly" must
+    # not move the phoneme word to the segment end)
+    segment_items: typing.List[typing.Union[str, Word]] = []
     segment_voice = ""
     segment_lang = lang
     segment_spell = False
 
+    def segment_nonempty() -> bool:
+        return any(
+            isinstance(it, Word) or it.strip() for it in segment_items
+        )
+
     def flush() -> typing.Iterator[Sentence]:
-        nonlocal segment_text, pending_pause_ms, pending_marks, last_sentence
-        nonlocal segment_phoneme_words
-        raw_all = " ".join(t for t in segment_text if t.strip())
-        segment_text = []
-        phoneme_words = segment_phoneme_words
-        segment_phoneme_words = {}
-        if not raw_all.strip() and not phoneme_words:
+        nonlocal segment_items, pending_pause_ms, pending_marks, last_sentence
+        items = segment_items
+        segment_items = []
+        if not any(isinstance(it, Word) or it.strip() for it in items):
             return
         seg_lang = resolve_lang(segment_lang) if segment_lang else lang
-        raws = split_sentences(raw_all, seg_lang) if raw_all.strip() else [""]
-        for i, raw in enumerate(raws):
-            words = _phonemize_words(words_of(raw, seg_lang), seg_lang, segment_spell)
-            if i == len(raws) - 1:
-                # explicit <phoneme> words append at segment end
-                for w_list in phoneme_words.values():
-                    words.extend(w_list)
-            if not words:
+
+        # Walk the items in order, closing a sentence whenever a text
+        # chunk completes one; a <phoneme> Word joins the open sentence.
+        open_words: typing.List[Word] = []
+        open_text: typing.List[str] = []
+        closed: typing.List[typing.Tuple[str, typing.List[Word]]] = []
+
+        def close() -> None:
+            if open_words:
+                raw = " ".join(t for t in open_text if t).strip()
+                closed.append((raw, list(open_words)))
+            open_words.clear()
+            open_text.clear()
+
+        for item in items:
+            if isinstance(item, Word):
+                open_words.append(item)
+                open_text.append(item.text)
                 continue
+            if not item.strip():
+                continue
+            raws = split_sentences(item, seg_lang)
+            for i, raw in enumerate(raws):
+                open_words.extend(
+                    _phonemize_words(
+                        words_of(raw, seg_lang), seg_lang, segment_spell
+                    )
+                )
+                open_text.append(raw)
+                if i < len(raws) - 1 or raw.rstrip()[-1:] in ".!?…。":
+                    close()  # chunk completed this sentence
+        close()
+
+        for raw, words in closed:
             sent = Sentence(
-                text=raw or " ".join(w.text for w in words),
-                text_with_ws=(raw or "") + " ",
+                text=raw,
+                text_with_ws=raw + " ",
                 lang=seg_lang,
                 voice=segment_voice,
                 words=words,
@@ -141,43 +170,41 @@ def _ssml_sentences(text: str, lang: str) -> typing.List[Sentence]:
             yield sent
 
     out: typing.List[Sentence] = []
-    idx = 0
     for event in events:
         if isinstance(event, ssml_mod.TextEvent):
             if (
                 event.voice != segment_voice
                 or (event.lang or lang) != segment_lang
                 or event.spell_out != segment_spell
-            ) and (segment_text or segment_phoneme_words):
+            ) and segment_nonempty():
                 out.extend(flush())
             segment_voice = event.voice
             segment_lang = event.lang or lang
             segment_spell = event.spell_out
-            segment_text.append(event.text)
+            segment_items.append(event.text)
         elif isinstance(event, ssml_mod.PhonemesEvent):
             segment_voice = event.voice or segment_voice
             segment_lang = event.lang or segment_lang
-            segment_phoneme_words.setdefault(idx, []).append(
+            segment_items.append(
                 Word(text=event.text, phonemes=list(event.phonemes))
             )
         elif isinstance(event, ssml_mod.BreakEvent):
-            if segment_text or segment_phoneme_words:
+            if segment_nonempty():
                 out.extend(flush())
             # A pause between sentences attaches to the following sentence
             # (pause_before); the reference sums sentence + word pauses
             # (larynx/__init__.py:135-143).
             pending_pause_ms += event.time_ms
         elif isinstance(event, ssml_mod.MarkEvent):
-            if segment_text or segment_phoneme_words:
+            if segment_nonempty():
                 out.extend(flush())
             if last_sentence is not None:
                 last_sentence.marks_after.append(event.name)
             else:
                 pending_marks.append(event.name)
         elif isinstance(event, ssml_mod.BoundaryEvent):
-            if segment_text or segment_phoneme_words:
+            if segment_nonempty():
                 out.extend(flush())
-        idx += 1
 
     out.extend(flush())
     # trailing <break> with no following sentence: attach to the last one

@@ -58,7 +58,9 @@ def parse_time_ms(value: typing.Optional[str]) -> int:
     if not m:
         return 0
     amount = float(m.group(1))
-    unit = m.group(2) or "s"
+    # SSML requires a unit; treat a bare number as milliseconds — reading
+    # time="500" as 500 SECONDS would emit minutes of silence
+    unit = m.group(2) or "ms"
     return int(amount * 1000) if unit == "s" else int(amount)
 
 

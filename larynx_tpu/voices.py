@@ -126,9 +126,14 @@ def resolve_voice_name(voice_name: str) -> str:
 
 
 def split_voice_name(voice_name: str) -> typing.Tuple[str, str, str]:
-    """``<lang>_<name>-<model_type>`` -> (lang, name, model_type)."""
+    """``<lang>_<name>-<model_type>`` -> (lang, name, model_type).
+
+    A name without an explicit model type ("de-de_thorsten") gets the
+    default rather than silently losing its last character."""
     lang, rest = voice_name.split("_", maxsplit=1)
     last_dash = rest.rfind("-")
+    if last_dash < 0:
+        return lang, rest, MODEL_TYPE
     return lang, rest[:last_dash], rest[last_dash + 1 :]
 
 

@@ -120,6 +120,49 @@ def test_marytts_process(app_client):
     assert body[:4] == b"RIFF"
 
 
+def test_marytts_process_post_text_only(app_client, voices_dir):
+    """MaryTTS clients commonly POST only INPUT_TEXT; the POST path must
+    default the locale like GET does (regression: voice='' -> 500)."""
+    import shutil
+
+    # 'en-us' resolves to the registry's language default voice, and the
+    # MaryTTS default quality is high (reference parity); stage both so no
+    # download is attempted
+    default_dir = voices_dir / "en-us" / "mary_ann-glow_tts"
+    if not default_dir.is_dir():
+        shutil.copytree(voices_dir / "en-us" / "test_voice-glow_tts", default_dir)
+    high_dir = voices_dir / "hifi_gan" / "universal_large"
+    if not high_dir.is_dir():
+        shutil.copytree(voices_dir / "hifi_gan" / "vctk_small", high_dir)
+
+    client, loop = app_client
+    resp = loop.run_until_complete(
+        client.post("/process", data={"INPUT_TEXT": "Mary posts hi."})
+    )
+    assert resp.status == 200
+    body = loop.run_until_complete(resp.read())
+    assert body[:4] == b"RIFF"
+
+
+def test_api_tts_unsynthesizable_text_returns_empty_wav(app_client):
+    """Text with no mappable words must not 500 on np.concatenate([])."""
+    client, loop = app_client
+    resp = loop.run_until_complete(
+        client.get(
+            "/api/tts",
+            params={
+                "voice": "en-us_test_voice-glow_tts",
+                "text": "@&%",
+                "vocoder": "low",
+            },
+        )
+    )
+    assert resp.status == 200
+    body = loop.run_until_complete(resp.read())
+    assert body[:4] == b"RIFF"
+    assert len(body) <= 128  # header only, no audio
+
+
 def test_marytts_voices_and_version(app_client):
     client, loop = app_client
     resp = loop.run_until_complete(client.get("/voices"))

@@ -193,6 +193,17 @@ def test_ssml_break_and_mark():
     assert sents[1].pause_before_ms == 750
 
 
+def test_ssml_break_time_units():
+    """Unit-less break times read as milliseconds (500 seconds of silence
+    from time=\"500\" would be catastrophic), seconds need the 's' unit."""
+    for value, want_ms in (("500", 500), ("2s", 2000), ("250ms", 250)):
+        markup = (
+            f'<speak>One. <break time="{value}"/>Two.</speak>'
+        )
+        sents = list(sentences(markup, lang="en", ssml=True))
+        assert sents[1].pause_before_ms == want_ms, value
+
+
 def test_ssml_say_as_spell_out():
     markup = '<speak><say-as interpret-as="spell-out">TTS</say-as></speak>'
     sents = list(sentences(markup, lang="en", ssml=True))
@@ -214,6 +225,30 @@ def test_ssml_phoneme_tag():
     sents = list(sentences(markup, lang="en", ssml=True))
     non_break = [w for w in sents[0] if not w.is_break]
     assert non_break[0].phonemes == ["t", "ˈɛ", "s", "t"]
+
+
+def test_ssml_phoneme_tag_keeps_position():
+    """A mid-sentence <phoneme> word stays in place (regression: it used
+    to be appended after the segment's last sentence)."""
+    markup = (
+        '<speak>I say <phoneme ph="t ˈɛ s t">quux</phoneme> loudly.</speak>'
+    )
+    sents = list(sentences(markup, lang="en", ssml=True))
+    assert len(sents) == 1
+    words = [w.text.lower() for w in sents[0] if not w.is_break]
+    assert words == ["i", "say", "quux", "loudly"]
+    phoneme_word = [w for w in sents[0] if w.text == "quux"][0]
+    assert phoneme_word.phonemes == ["t", "ˈɛ", "s", "t"]
+
+    # and across sentences: the phoneme word belongs to the SECOND one
+    markup2 = (
+        "<speak>First part. Then "
+        '<phoneme ph="b ˈa ɹ">bar</phoneme> ends.</speak>'
+    )
+    sents2 = list(sentences(markup2, lang="en", ssml=True))
+    assert len(sents2) == 2
+    second = [w.text.lower() for w in sents2[1] if not w.is_break]
+    assert second == ["then", "bar", "ends"]
 
 
 def test_suffix_stress_rules():

@@ -35,6 +35,31 @@ def test_split_voice_name():
     assert split_voice_name("nl_bart_de_leeuw-glow_tts") == (
         "nl", "bart_de_leeuw", "glow_tts",
     )
+    # no explicit model type: default, don't chop the last character
+    assert split_voice_name("de-de_thorsten") == (
+        "de-de", "thorsten", "glow_tts",
+    )
+
+
+def test_vocoder_alias_resolution():
+    """Dash-form aliases from the reference VOCODERS file resolve instead
+    of crashing get_vocoder_model; unknown names raise a clear error."""
+    import pytest
+
+    from larynx_tpu import get_vocoder_model
+
+    # dash alias == quality preset (cache hit via the quality key is fine)
+    m = get_vocoder_model(
+        "hifi_gan-vctk_small", no_download=True,
+        custom_voices_dir="/nonexistent",
+    )
+    assert m is None  # resolved cleanly; just not installed there
+
+    with pytest.raises(ValueError, match="Unknown vocoder"):
+        get_vocoder_model(
+            "not_a_vocoder", no_download=True,
+            custom_voices_dir="/nonexistent",
+        )
 
 
 def test_registry_complete():
