@@ -74,6 +74,10 @@ def text_to_speech(
     seed: typing.Optional[int] = None,
     scheduler: typing.Optional[typing.Any] = None,
     interleaved_batching: typing.Optional[bool] = None,
+    no_download: bool = False,
+    audio_settings_overrides: typing.Optional[
+        typing.Dict[str, typing.Any]
+    ] = None,
 ) -> typing.Iterable[TextToSpeechResult]:
     """Synthesize text into per-sentence audio results.
 
@@ -95,6 +99,8 @@ def text_to_speech(
         text, voice_or_lang, vocoder_or_quality, ssml=ssml, backend=backend,
         half=half, denoiser_strength=denoiser_strength,
         custom_voices_dir=custom_voices_dir, url_format=url_format,
+        no_download=no_download,
+        audio_settings_overrides=audio_settings_overrides,
     )
     if not jobs:
         return
@@ -184,6 +190,8 @@ def _build_jobs(
     denoiser_strength=0.0,
     custom_voices_dir=None,
     url_format=DEFAULT_VOICE_URL_FORMAT,
+    no_download=False,
+    audio_settings_overrides=None,
 ):
     """Frontend + model resolution -> per-sentence job dicts (shared by
     batch and streaming synthesis)."""
@@ -218,6 +226,8 @@ def _build_jobs(
                 half=half,
                 custom_voices_dir=custom_voices_dir,
                 url_format=url_format,
+                no_download=no_download,
+                audio_settings_overrides=audio_settings_overrides,
             )
             if tts_model is not None:
                 break
@@ -230,6 +240,7 @@ def _build_jobs(
             denoiser_strength=denoiser_strength,
             custom_voices_dir=custom_voices_dir,
             url_format=url_format,
+            no_download=no_download,
         )
         assert vocoder_model is not None, "Failed to load vocoder"
 
@@ -544,12 +555,16 @@ def get_tts_model(
     url_format: str = DEFAULT_VOICE_URL_FORMAT,
     custom_voices_dir: typing.Optional[typing.Union[str, Path]] = None,
     no_download: bool = False,
+    audio_settings_overrides: typing.Optional[
+        typing.Dict[str, typing.Any]
+    ] = None,
 ) -> typing.Optional[TextToSpeechModel]:
     resolved_name = resolve_voice_name(name or resolve_lang(lang))
 
-    maybe_model = _TTS_MODEL_CACHE.get(resolved_name)
-    if maybe_model is not None:
-        return maybe_model
+    if not audio_settings_overrides:  # overridden models are not cached
+        maybe_model = _TTS_MODEL_CACHE.get(resolved_name)
+        if maybe_model is not None:
+            return maybe_model
 
     model_dir: typing.Optional[Path] = None
     try:
@@ -597,7 +612,10 @@ def get_tts_model(
 
     with open(model_dir / "config.json", "r", encoding="utf-8") as f:
         config = json.load(f)
-        audio_settings = AudioSettings(**config["audio"])
+        audio_config = dict(config["audio"])
+        if audio_settings_overrides:
+            audio_config.update(audio_settings_overrides)
+        audio_settings = AudioSettings(**audio_config)
 
     model = load_tts_model(
         voice_model_type, model_dir, backend=backend, half=half
@@ -605,11 +623,8 @@ def get_tts_model(
     setattr(model, "phoneme_to_id", phoneme_to_id)
     setattr(model, "audio_settings", audio_settings)
 
-    _TTS_MODEL_CACHE[resolved_name] = model
-    if name:
-        _TTS_MODEL_CACHE[name] = model
-    if lang:
-        _TTS_MODEL_CACHE[lang] = model
+    if not audio_settings_overrides:
+        _TTS_MODEL_CACHE[resolved_name] = model
     return model
 
 

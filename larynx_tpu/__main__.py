@@ -131,7 +131,28 @@ def _play_wav(wav_data: bytes, play_command: str) -> None:
 
 
 def _spawn_daemon(port: int, pidfile_path: Path, logfile: Path) -> None:
-    """Launch the HTTP server as a detached process and wait for its pidfile."""
+    """Reuse a live daemon, else launch one and wait until it answers."""
+    if pidfile_path.is_file():
+        try:
+            pid = int(pidfile_path.read_text().strip() or "0")
+        except ValueError:
+            pid = 0
+        alive = False
+        if pid:
+            try:
+                os.kill(pid, 0)
+                alive = True
+            except ProcessLookupError:
+                alive = False
+            except PermissionError:  # exists, other user
+                alive = True
+        if alive:
+            _LOGGER.debug("Daemon already running (pid=%s)", pid)
+            return
+        # stale pidfile from a crashed daemon: remove it so the wait below
+        # watches the NEW server's file, not the corpse's
+        pidfile_path.unlink(missing_ok=True)
+
     server_argv = [
         sys.executable, "-m", "larynx_tpu.server",
         "--host", "127.0.0.1",
@@ -145,6 +166,18 @@ def _spawn_daemon(port: int, pidfile_path: Path, logfile: Path) -> None:
     while not (pidfile_path.is_file() and pidfile_path.stat().st_size > 0):
         time.sleep(0.1)
     _LOGGER.info("Daemon running (pid=%s)", pidfile_path.read_text().strip())
+    # the pidfile appears before the port binds (engine warm-up can take
+    # tens of seconds): wait until the server actually answers
+    deadline = time.monotonic() + 300.0
+    while time.monotonic() < deadline:
+        try:
+            urllib.request.urlopen(
+                f"http://localhost:{port}/version", timeout=2
+            ).read()
+            return
+        except Exception:
+            time.sleep(0.5)
+    raise TimeoutError(f"daemon on port {port} did not come up")
 
 
 def _synthesize_via_daemon(args) -> bytes:
@@ -173,6 +206,19 @@ def _synthesize_via_daemon(args) -> bytes:
 
 def main(argv: typing.Optional[typing.Sequence[str]] = None) -> None:
     args = get_args(argv)
+
+    # --language picks that language's default voice unless --voice is given
+    if not args.voice:
+        args.voice = args.language or "en-us"
+
+    audio_settings_overrides = None
+    if args.config:
+        import json
+
+        with open(args.config, "r", encoding="utf-8") as f:
+            loaded = json.load(f)
+        # accept either a bare audio dict or a full voice config.json
+        audio_settings_overrides = loaded.get("audio", loaded)
 
     backend: typing.Optional[InferenceBackend] = None
     if args.backend:
@@ -246,9 +292,13 @@ def main(argv: typing.Optional[typing.Sequence[str]] = None) -> None:
     if args.text:
         texts: typing.Iterable[str] = args.text
     else:
-        stdin_format = StdinFormat.LINES
-        if args.stdin_format == StdinFormat.AUTO and args.ssml:
-            stdin_format = StdinFormat.DOCUMENT
+        if args.stdin_format == StdinFormat.AUTO:
+            # SSML documents span lines; plain text synthesizes per line
+            stdin_format = (
+                StdinFormat.DOCUMENT if args.ssml else StdinFormat.LINES
+            )
+        else:
+            stdin_format = StdinFormat(args.stdin_format)
         if stdin_format == StdinFormat.DOCUMENT:
             texts = [sys.stdin.read()]
         else:
@@ -300,6 +350,8 @@ def main(argv: typing.Optional[typing.Sequence[str]] = None) -> None:
                 url_format=args.url_format,
                 max_batch=args.max_batch,
                 seed=args.seed,
+                no_download=args.no_download,
+                audio_settings_overrides=audio_settings_overrides,
             )
 
             text_id = ""
@@ -481,8 +533,9 @@ def get_args(argv: typing.Optional[typing.Sequence[str]] = None):
         help="Format of stdin text (default: auto)",
     )
     parser.add_argument(
-        "--voice", "-v", default="en-us",
-        help="Name of voice (expected in <voices-dir>/<language>)",
+        "--voice", "-v", default=None,
+        help="Name of voice (expected in <voices-dir>/<language>; "
+        "defaults to --language's default voice, else en-us)",
     )
     parser.add_argument(
         "--voices-dir",

@@ -107,8 +107,10 @@ class HiFiGanVocoder(VocoderModel):
             self.params,
         )
 
+        from larynx_tpu.runtime.engine import default_use_pallas
+
         cfg = self.model_config
-        use_pallas = jax.default_backend() not in ("cpu",)
+        use_pallas = default_use_pallas()
 
         @jax.jit
         def generate(params, mel):

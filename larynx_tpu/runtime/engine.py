@@ -57,6 +57,17 @@ def _enable_persistent_compile_cache() -> None:
 SILENCE_LOG_MEL = float(np.log(1e-5))
 
 
+def default_use_pallas() -> bool:
+    """Pallas kernels only lower on real TPU backends;
+    ``LARYNX_TPU_NO_PALLAS`` is the kill switch for Mosaic crashes.
+    Shared by the engine and the standalone vocoder wrappers."""
+    import os
+
+    return jax.default_backend() not in ("cpu",) and not os.environ.get(
+        "LARYNX_TPU_NO_PALLAS"
+    )
+
+
 def default_vocoder_half() -> bool:
     """Production default for vocoder precision: bfloat16 on TPU backends
     (2x the MXU rate and half the HBM traffic; the tanh-bounded HiFi-GAN
@@ -124,12 +135,7 @@ class SynthesisEngine:
     ):
         _enable_persistent_compile_cache()
         if use_pallas is None:
-            # Pallas kernels only lower on real TPU backends
-            import os
-
-            use_pallas = jax.default_backend() not in ("cpu",) and not os.environ.get(
-                "LARYNX_TPU_NO_PALLAS"
-            )
+            use_pallas = default_use_pallas()
         self.use_pallas = use_pallas
         # Data-parallel serving mesh: batch rows shard over the "data" axis
         # (the natural multi-chip axis for this model family — sentences are
@@ -538,6 +544,11 @@ class SynthesisEngine:
         if self.vocoder_kind == "hifi_gan":
             return self._vocode_launch_hifi(
                 mel, z_mask, n_valid, denoiser_strength, y_lengths
+            )
+        if self.vocoder_kind != "griffin_lim":
+            raise RuntimeError(
+                f"engine with vocoder_kind={self.vocoder_kind!r} cannot "
+                "vocode (mel-only surface; use phonemes_to_mels)"
             )
         part = self._vocode_gl(None, mel, z_mask, jax.random.fold_in(key, 1))
         try:

@@ -156,11 +156,15 @@ class BatchScheduler:
             enc_out, g = enc
             y_lengths = np.asarray(enc_out[4])
             strengths = [job.denoiser_strength for job in group]
+            # explicitly-seeded requests must be reproducible regardless
+            # of server history: only unseeded batches vary by counter
+            # (the group key already separates jobs by seed)
+            seed = group[0].seed
             parts, b_rows = engine.synthesize_launch(
                 enc_out, y_lengths, g, len(group),
                 noise_scale=[job.noise_scale for job in group],
-                seed=group[0].seed,
-                batch_index=self._batch_counter,
+                seed=seed,
+                batch_index=0 if seed is not None else self._batch_counter,
                 denoiser_strength=strengths,
             )
             return (parts, y_lengths, b_rows, strengths)

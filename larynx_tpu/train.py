@@ -157,7 +157,9 @@ def main(argv=None) -> None:
             ):
                 state, metrics = train_step(state, batch)
                 step += 1
-                losses.append(float(metrics["loss"]))
+                # keep metrics on device: a float() per step would block
+                # on a device->host round trip and serialize dispatch
+                losses.append(metrics["loss"])
                 if step % 10 == 0:
                     _LOGGER.info(
                         "step %s loss %.4f (mle %.4f dur %.4f)",
@@ -172,7 +174,9 @@ def main(argv=None) -> None:
                 "epoch %s done in %.1fs mean loss %.4f",
                 epoch,
                 time.time() - epoch_start,
-                float(np.mean(losses)) if losses else float("nan"),
+                float(np.mean([float(l) for l in losses]))
+                if losses
+                else float("nan"),
             )
     except KeyboardInterrupt:
         _LOGGER.info("Interrupted")

@@ -92,6 +92,86 @@ def test_cli_csv_mode(voices_dir, tmp_path, monkeypatch, capsysbinary):
     assert names == {"utt1.wav", "utt2.wav"}
 
 
+def test_cli_no_download_fails_fast(voices_dir, capsysbinary):
+    """--no-download must not attempt a network fetch for a missing voice."""
+    import larynx_tpu
+
+    larynx_tpu._TTS_MODEL_CACHE.clear()
+    with pytest.raises(AssertionError, match="Failed to load voice"):
+        _run_cli(
+            [
+                "text",
+                "--voice", "en-us_not_installed-glow_tts",
+                "--voices-dir", str(voices_dir),
+                "--no-download",
+            ]
+        )
+
+
+def test_cli_config_audio_overrides(voices_dir, tmp_path, capsysbinary):
+    """--config JSON audio settings override the voice's config.json."""
+    import json
+
+    import larynx_tpu
+
+    larynx_tpu._TTS_MODEL_CACHE.clear()
+    larynx_tpu._VOCODER_MODEL_CACHE.clear()
+    larynx_tpu._ENGINE_CACHE.clear()
+
+    cfg_path = tmp_path / "audio.json"
+    json.dump({"audio": {"sample_rate": 16000}}, open(cfg_path, "w"))
+    _run_cli(
+        [
+            "Config override test.",
+            "--voice", "en-us_test_voice-glow_tts",
+            "--quality", "low",
+            "--voices-dir", str(voices_dir),
+            "--config", str(cfg_path),
+            "--denoiser-strength", "0",
+        ]
+    )
+    out = capsysbinary.readouterr().out
+    rate, audio = wavfile.read(io.BytesIO(out))
+    assert rate == 16000  # overridden sample rate reaches the WAV header
+    larynx_tpu._TTS_MODEL_CACHE.clear()
+    larynx_tpu._ENGINE_CACHE.clear()
+
+
+def test_cli_explicit_stdin_document(voices_dir, capsysbinary, monkeypatch):
+    """--stdin-format document synthesizes multi-line input as ONE text
+    (regression: the explicit choice was ignored without --ssml)."""
+    import larynx_tpu
+
+    larynx_tpu._TTS_MODEL_CACHE.clear()
+    larynx_tpu._VOCODER_MODEL_CACHE.clear()
+    larynx_tpu._ENGINE_CACHE.clear()
+
+    calls = []
+    real_tts = larynx_tpu.text_to_speech
+
+    def counting_tts(*a, **kw):
+        calls.append(kw.get("text") or (a[0] if a else None))
+        return real_tts(*a, **kw)
+
+    # main() does `from larynx_tpu import text_to_speech` at call time
+    monkeypatch.setattr(larynx_tpu, "text_to_speech", counting_tts)
+    _run_cli(
+        [
+            "--voice", "en-us_test_voice-glow_tts",
+            "--quality", "low",
+            "--voices-dir", str(voices_dir),
+            "--stdin-format", "document",
+            "--denoiser-strength", "0",
+        ],
+        stdin_text="First line\nsecond line.\n",
+        monkeypatch=monkeypatch,
+    )
+    out = capsysbinary.readouterr().out
+    assert out[:4] == b"RIFF"
+    # ONE synthesis call carrying the whole document, not one per line
+    assert len(calls) == 1 and "second line" in calls[0]
+
+
 def test_cli_version(capsys):
     from larynx_tpu.__main__ import get_args
 

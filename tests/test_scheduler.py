@@ -59,6 +59,23 @@ def test_concurrent_submits_coalesce(engine):
     scheduler.shutdown()
 
 
+def test_seeded_requests_reproducible_across_history(engine):
+    """An explicitly-seeded request returns identical audio no matter how
+    many batches the server ran before it (regression: the global batch
+    counter fed jax.random.fold_in even for seeded jobs)."""
+    scheduler = BatchScheduler(max_batch=8, max_wait_ms=10.0)
+    ids = np.arange(1, 14, dtype=np.int64)
+
+    first = scheduler.submit(engine, ids, seed=42).result(timeout=300)
+    # advance server history with unseeded traffic
+    for _ in range(3):
+        scheduler.submit(engine, ids).result(timeout=300)
+    again = scheduler.submit(engine, ids, seed=42).result(timeout=300)
+    scheduler.shutdown()
+
+    np.testing.assert_array_equal(first, again)
+
+
 def test_scheduler_through_server_path(voices_dir):
     """text_to_speech with a scheduler produces identical-shaped output."""
     import larynx_tpu
