@@ -253,7 +253,9 @@ def phase_project(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("fft_size", "hop", "n_iters"))
+@functools.partial(
+    jax.jit, static_argnames=("fft_size", "hop", "n_iters", "momentum")
+)
 def griffin_lim(
     magnitudes: jnp.ndarray,
     key: typing.Optional[jax.Array] = None,
@@ -261,6 +263,7 @@ def griffin_lim(
     hop: int = 256,
     n_iters: int = 60,
     initial_phase: typing.Optional[jnp.ndarray] = None,
+    momentum: float = 0.0,
 ) -> jnp.ndarray:
     """Griffin-Lim phase reconstruction, fully on device — THE shared
     implementation (the Griffin-Lim vocoder wrapper and the engine's
@@ -271,6 +274,13 @@ def griffin_lim(
     but runs as one XLA program with ``lax.fori_loop``.  Phase starts from
     ``initial_phase`` when given (parity tests) else uniformly at random
     from ``key``.
+
+    ``momentum`` > 0 enables the Fast Griffin-Lim acceleration
+    (Perraudin et al.; see PAPERS.md "Fast Griffin Lim based Waveform
+    Generation"): t_{n+1} = c_n + momentum * (c_n - c_{n-1}) with
+    c_n = project(t_n).  0.99 converges markedly closer to the target
+    magnitudes at the same iteration count; 0.0 (default) is the
+    reference's plain iteration, kept for parity.
     """
     if initial_phase is None:
         # angle(exp(2j*pi*u)) wraps into (-pi, pi]; same up to 2*pi phase
@@ -285,6 +295,20 @@ def griffin_lim(
 
     # the loop runs frames-major: transpose once, not per iteration
     mag_frames = jnp.swapaxes(magnitudes, -1, -2)
+
+    if momentum:
+
+        def fbody(_, carry):
+            t, prev_c = carry
+            c = phase_project_frames(mag_frames, t, fft_size, hop)
+            return (c + momentum * (c - prev_c), c)
+
+        _, last_c = jax.lax.fori_loop(
+            0, n_iters, fbody, (signal, signal)
+        )
+        # return the last *projection* (a consistent signal), not the
+        # extrapolated iterate
+        return last_c
 
     def body(_, sig):
         return phase_project_frames(mag_frames, sig, fft_size, hop)

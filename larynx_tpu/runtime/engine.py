@@ -130,6 +130,7 @@ class SynthesisEngine:
         vocoder_half: typing.Optional[bool] = None,
         seed: int = 1234,
         griffin_lim_iters: int = 60,
+        griffin_lim_momentum: typing.Optional[float] = None,
         use_pallas: typing.Optional[bool] = None,
         mesh: typing.Optional["jax.sharding.Mesh"] = None,
     ):
@@ -160,6 +161,16 @@ class SynthesisEngine:
             else (half or default_vocoder_half())
         )
         self.griffin_lim_iters = griffin_lim_iters
+        if griffin_lim_momentum is None:
+            # Fast Griffin-Lim (Perraudin et al.) converges much closer to
+            # the target magnitudes at the same iteration count; plain
+            # iteration (0.0) only matters for exact reference parity
+            import os
+
+            griffin_lim_momentum = float(
+                os.environ.get("LARYNX_TPU_GL_MOMENTUM", "0.99")
+            )
+        self.griffin_lim_momentum = griffin_lim_momentum
         self._lock = threading.Lock()
 
         self.dtype = jnp.bfloat16 if half else jnp.float32
@@ -362,6 +373,7 @@ class SynthesisEngine:
             pass  # encode/decode only (phonemes_to_mels surface)
         else:
             gl_iters = self.griffin_lim_iters
+            gl_momentum = self.griffin_lim_momentum
 
             fft = settings.filter_length
             hop = settings.hop_length
@@ -371,7 +383,9 @@ class SynthesisEngine:
                 mel_pp = postprocess(mel, z_mask)  # [B, C, M]
                 spec = dspmel.linear_from_mel(mel_pp, self._gl_basis, 1000.0)
                 spec = spec[:, :, :-1]
-                signal = dsp.griffin_lim(spec, key, fft, hop, gl_iters)
+                signal = dsp.griffin_lim(
+                    spec, key, fft, hop, gl_iters, momentum=gl_momentum
+                )
                 y_len = jnp.sum(z_mask, axis=1).astype(jnp.int32)
                 nf = jnp.maximum(y_len - 1, 1)
                 n_valid = nf * hop + fft

@@ -64,6 +64,41 @@ def test_griffin_lim_parity_fixed_phase(reference_dir):
     np.testing.assert_allclose(signal, signal_ref, rtol=1e-2, atol=2e-2)
 
 
+def test_fast_griffin_lim_converges_better():
+    """FGLA (momentum) must reach a lower spectral-convergence error than
+    plain Griffin-Lim at the same iteration count (Perraudin et al.)."""
+    import jax
+
+    import larynx_tpu.dsp.stft as dsp
+
+    # target magnitudes from a real signal so a consistent solution exists
+    rng = np.random.default_rng(3)
+    t = np.linspace(0, 1, 22050, dtype=np.float32)
+    sig = (
+        0.5 * np.sin(2 * np.pi * 220 * t)
+        + 0.3 * np.sin(2 * np.pi * 660 * t + 1.0)
+        + 0.05 * rng.standard_normal(t.shape).astype(np.float32)
+    )
+    mag, _ = dsp.stft_magnitude_phase(jnp.asarray(sig)[None], 1024, 256)
+
+    def sc_error(audio):
+        # gain-invariant spectral convergence: the ISTFT's un-normalized
+        # overlap-add applies a uniform window gain that GL is indifferent
+        # to (audio is peak-normalized downstream)
+        m, _ = dsp.stft_magnitude_phase(audio, 1024, 256)
+        n = min(m.shape[-1], mag.shape[-1])
+        m, ref = m[..., :n], mag[..., :n]
+        alpha = jnp.vdot(m, ref) / jnp.vdot(m, m)
+        return float(jnp.linalg.norm(alpha * m - ref) / jnp.linalg.norm(ref))
+
+    key = jax.random.PRNGKey(0)
+    plain = dsp.griffin_lim(mag, key, 1024, 256, 30, momentum=0.0)
+    fast = dsp.griffin_lim(mag, key, 1024, 256, 30, momentum=0.99)
+    e_plain, e_fast = sc_error(plain), sc_error(fast)
+    assert np.isfinite(e_fast)
+    assert e_fast < e_plain * 0.9, (e_plain, e_fast)
+
+
 def test_griffin_lim_produces_audio():
     """Sanity: random-key path returns finite, non-silent audio."""
     import jax
