@@ -713,7 +713,9 @@ def get_vocoder_model(
     _LOGGER.debug("Using vocoder at %s", model_dir)
 
     model = load_vocoder_model(
-        VocoderType.HIFI_GAN,
+        VocoderType.WAVEGLOW
+        if model_type == VocoderType.WAVEGLOW.value
+        else VocoderType.HIFI_GAN,
         model_dir,
         backend=backend,
         half=half,
@@ -748,5 +750,11 @@ def load_vocoder_model(
         from larynx_tpu.hifi_gan import HiFiGanVocoder
 
         return HiFiGanVocoder(config, executor=executor)
+    if model_type == VocoderType.WAVEGLOW:
+        # the reference declares this type but never implemented a loader
+        # (larynx/__init__.py:498-508); here it works
+        from larynx_tpu.waveglow import WaveGlowVocoder
+
+        return WaveGlowVocoder(config)
 
     raise ValueError(f"Unknown vocoder model type: {model_type}")

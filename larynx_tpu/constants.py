@@ -30,7 +30,7 @@ class VocoderType(str, Enum):
 
     GRIFFIN_LIM = "griffin_lim"
     HIFI_GAN = "hifi_gan"
-    WAVEGLOW = "waveglow"  # vestigial in the reference; kept for API parity
+    WAVEGLOW = "waveglow"  # declared-only in the reference; implemented here
 
 
 class VocoderQuality(str, Enum):

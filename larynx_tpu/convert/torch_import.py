@@ -47,8 +47,10 @@ def load_torch_state_dict(
                 if candidate in ckpt:
                     key = candidate
                     break
-        if key is not None:
+        if key is not None and key in ckpt:
             ckpt = ckpt[key]
+    if hasattr(ckpt, "state_dict"):  # a pickled whole nn.Module
+        ckpt = ckpt.state_dict()
     return {
         k: v.detach().cpu().float().numpy()
         for k, v in ckpt.items()
@@ -268,3 +270,80 @@ def hifi_gan_params_from_state_dict(
 def _conv_pair(sd: StateDict, prefix: str) -> typing.Dict[str, Array]:
     w, b = _conv(sd, prefix)
     return {"w": w, "b": b}
+
+
+# -----------------------------------------------------------------------------
+# WaveGlow (NVIDIA checkpoint naming; the reference ships the config at
+# local/waveglow/wn_256 but no loader — larynx/__init__.py:498-508)
+
+
+def waveglow_params_from_state_dict(
+    sd: StateDict, cfg
+) -> typing.Dict[str, typing.Any]:
+    """Map an NVIDIA WaveGlow state dict into our pytree.
+
+    Weight norm is folded; the invertible 1x1 convs get their inverses
+    precomputed.  Supports both the fused ``cond_layer`` (the released
+    "amp" checkpoints) and the older per-layer ``cond_layers.{i}``.
+    """
+    wt = _weight(sd, "upsample")  # ConvTranspose1d [C_in, C_out, k]
+    params: typing.Dict[str, typing.Any] = {
+        "upsample": {
+            "w": np.transpose(wt, (2, 0, 1)),
+            "b": sd["upsample.bias"],
+        },
+        "flows": [],
+    }
+
+    ch = cfg.wn_channels
+    for k in range(cfg.flows):
+        w_conv = sd[f"convinv.{k}.conv.weight"][:, :, 0]  # [c_out, c_in]
+        wn_prefix = f"WN.{k}"
+        start_w, start_b = _mat(sd, f"{wn_prefix}.start")
+
+        if f"{wn_prefix}.cond_layer.weight_v" in sd or (
+            f"{wn_prefix}.cond_layer.weight" in sd
+        ):
+            cond_w, cond_b = _mat(sd, f"{wn_prefix}.cond_layer")
+        else:
+            # older layout: one cond conv per WN layer, outputs 2*ch each
+            ws, bs = [], []
+            for i in range(cfg.wn_layers):
+                wi, bi = _mat(sd, f"{wn_prefix}.cond_layers.{i}")
+                ws.append(wi)
+                bs.append(bi)
+            cond_w = np.concatenate(ws, axis=1)
+            cond_b = np.concatenate(bs)
+
+        in_w, in_b, rs_w, rs_b = [], [], [], []
+        for i in range(cfg.wn_layers):
+            wi, bi = _conv(sd, f"{wn_prefix}.in_layers.{i}")
+            in_w.append(wi)
+            in_b.append(bi)
+            wr, br = _mat(sd, f"{wn_prefix}.res_skip_layers.{i}")
+            rs_w.append(wr)
+            rs_b.append(br)
+
+        end_w, end_b = _mat(sd, f"{wn_prefix}.end")
+        params["flows"].append(
+            {
+                "convinv": {
+                    "w": w_conv,
+                    "w_inv": np.linalg.inv(w_conv),
+                },
+                "wn": {
+                    "start_w": start_w,
+                    "start_b": start_b,
+                    "cond_w": cond_w,
+                    "cond_b": cond_b,
+                    "in_w": in_w,
+                    "in_b": in_b,
+                    "res_skip_w": rs_w,
+                    "res_skip_b": rs_b,
+                    "end_w": end_w,
+                    "end_b": end_b,
+                },
+            }
+        )
+    assert ch  # geometry sanity (cfg.wn_channels consistent with weights)
+    return params

@@ -229,7 +229,7 @@ def valid_voice_dir(voice_dir: typing.Union[str, Path]) -> bool:
     voice_dir = Path(voice_dir)
     if not voice_dir.is_dir():
         return False
-    for pattern in ("*.onnx", "*.pth", "*.npz", "*.msgpack"):
+    for pattern in ("*.onnx", "*.pth", "*.pt", "*.npz", "*.msgpack"):
         if any(voice_dir.glob(pattern)):
             return True
     return False

@@ -1,0 +1,125 @@
+"""WaveGlow vocoder wrapper: checkpoint loading + mels_to_audio.
+
+The reference declares ``VocoderType.WAVEGLOW`` and lists the voice
+(larynx/constants.py:31, larynx/VOCODERS:4, local/waveglow/wn_256) but
+``load_vocoder_model`` has no branch for it (larynx/__init__.py:498-508).
+Here it is a working third vocoder family; drop the NVIDIA
+``waveglow_*`` checkpoint into the model dir as ``generator.pth`` (or a
+native ``generator.npz``) and it loads.
+"""
+
+import json
+import logging
+import typing
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from larynx_tpu.audio import audio_float_to_int16
+from larynx_tpu.constants import (
+    InferenceBackend,
+    SettingsType,
+    VocoderModel,
+    VocoderModelConfig,
+)
+from larynx_tpu.models.waveglow import waveglow_config_from_json
+from larynx_tpu.models.waveglow import model as wg_model
+from larynx_tpu.runtime.buckets import BucketPolicy
+
+_LOGGER = logging.getLogger("larynx_tpu.waveglow")
+
+
+def load_waveglow_artifacts(
+    model_dir: Path, backend: typing.Optional[InferenceBackend] = None
+):
+    """Resolve + convert the WaveGlow checkpoint in a model dir."""
+    with open(model_dir / "config.json", "r", encoding="utf-8") as f:
+        cfg = waveglow_config_from_json(json.load(f))
+
+    npz_path = model_dir / "generator.npz"
+    pth_paths = sorted(model_dir.glob("*.pth")) + sorted(
+        model_dir.glob("*.pt")
+    )
+    order: typing.List[Path] = []
+    if backend == InferenceBackend.PYTORCH:
+        order = pth_paths
+    elif backend == InferenceBackend.JAX:
+        order = [npz_path]
+    else:
+        order = [npz_path] + pth_paths
+
+    for path in order:
+        if not path.is_file():
+            continue
+        _LOGGER.debug("Loading WaveGlow checkpoint from %s", path)
+        if path.suffix == ".npz":
+            from larynx_tpu.convert.native import load_params
+
+            return load_params(path), cfg
+        from larynx_tpu.convert.torch_import import (
+            load_torch_state_dict,
+            waveglow_params_from_state_dict,
+        )
+
+        sd = load_torch_state_dict(path, key="model")
+        return waveglow_params_from_state_dict(sd, cfg), cfg
+
+    raise FileNotFoundError(
+        f"No loadable WaveGlow checkpoint (generator.npz/*.pth) in {model_dir}"
+    )
+
+
+class WaveGlowVocoder(VocoderModel):
+    """Vocoder wrapper with the reference's ``mels_to_audio`` surface."""
+
+    def __init__(self, config: VocoderModelConfig, sigma: float = 0.9):
+        super().__init__(config)
+        model_dir = Path(config.model_path)
+        self.params, self.model_config = load_waveglow_artifacts(
+            model_dir, backend=config.backend
+        )
+        self.sigma = sigma
+        self.half = config.half
+        self.policy = BucketPolicy()
+        self._counter = 0
+
+        cfg = self.model_config
+
+        @jax.jit
+        def generate(params, mel, key):
+            # mel [B, n_mels, M] -> audio [B, M * upsample_stride]
+            return wg_model.infer(
+                params, cfg, jnp.swapaxes(mel, 1, 2), key=key, sigma=sigma
+            )
+
+        self._generate = generate
+
+    def mels_to_audio(
+        self,
+        mels: np.ndarray,
+        settings: typing.Optional[SettingsType] = None,
+    ) -> np.ndarray:
+        """Post-processed mels [1, n_mels, M] -> int16 audio."""
+        mels = np.asarray(mels, dtype=np.float32)
+        if mels.ndim == 2:
+            mels = mels[None]
+        frames = mels.shape[-1]
+        bucket = self.policy.mel_bucket(frames)
+        if bucket > frames:
+            pad = np.full(
+                (mels.shape[0], mels.shape[1], bucket - frames),
+                np.log(1e-5),
+                dtype=np.float32,
+            )
+            mels = np.concatenate([mels, pad], axis=-1)
+        self._counter += 1
+        audio = np.asarray(
+            self._generate(
+                self.params, jnp.asarray(mels), jax.random.PRNGKey(self._counter)
+            )
+        )
+        audio = audio[:, : frames * self.model_config.upsample_stride]
+        return audio_float_to_int16(audio.squeeze(0))

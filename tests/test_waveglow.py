@@ -1,0 +1,214 @@
+"""WaveGlow vocoder: invertibility, geometry, training loss, torch import,
+end-to-end wrapper. The reference declares this vocoder type but has no
+implementation (larynx/__init__.py:498-508), so there is no oracle — the
+flow's own invertibility is the structural correctness anchor."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from larynx_tpu.models.waveglow import WaveGlowConfig, waveglow_config_from_json
+from larynx_tpu.models.waveglow import model as wg
+
+SMALL_CFG = WaveGlowConfig(
+    mel_channels=8,
+    flows=4,
+    groups=8,
+    early_every=2,
+    early_size=2,
+    wn_kernel_size=3,
+    wn_channels=32,
+    wn_layers=2,
+    upsample_kernel=128,
+    upsample_stride=64,
+)
+
+
+def _perturbed_params(key, cfg):
+    """Random init with non-zero coupling end convs (zero-init couplings
+    are identity, which would make invertibility trivially true)."""
+    params = wg.init_params(key, cfg)
+    for i, flow in enumerate(params["flows"]):
+        k = jax.random.fold_in(key, 100 + i)
+        flow["wn"]["end_w"] = (
+            0.1 * jax.random.normal(k, flow["wn"]["end_w"].shape)
+        )
+    return params
+
+
+def test_config_channel_accounting():
+    cfg = waveglow_config_from_json(
+        {
+            "mel_channels": 80, "sampling_rate": 22050, "flows": 12,
+            "groups": 8, "early_every": 4, "early_size": 2,
+            "wn_kernel_size": 3, "wn_channels": 256, "wn_layers": 8,
+        }
+    )  # the shipped local/waveglow/wn_256/config.json contents
+    assert [cfg.channels_at_flow(k) for k in (0, 3, 4, 7, 8, 11)] == [
+        8, 8, 6, 6, 4, 4,
+    ]
+    assert cfg.n_remaining == 4
+
+
+def test_forward_inverse_roundtrip():
+    """infer(forward(audio)) must reconstruct the audio exactly — the
+    defining property of the flow."""
+    cfg = SMALL_CFG
+    key = jax.random.PRNGKey(0)
+    params = _perturbed_params(key, cfg)
+
+    m = 6
+    mel = jax.random.normal(jax.random.fold_in(key, 1), (2, m, cfg.mel_channels))
+    audio = 0.5 * jax.random.normal(
+        jax.random.fold_in(key, 2), (2, m * cfg.upsample_stride)
+    )
+
+    z, log_s_total, logdet_w = wg.forward(params, cfg, audio, mel)
+    assert z.shape == (2, m * cfg.upsample_stride // cfg.groups, cfg.groups)
+    assert np.isfinite(np.asarray(log_s_total)).all()
+    assert np.isfinite(np.asarray(logdet_w)).all()
+
+    recon = wg.infer(params, cfg, mel, z=z)
+    np.testing.assert_allclose(
+        np.asarray(recon), np.asarray(audio), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_loss_finite_with_grads():
+    cfg = SMALL_CFG
+    key = jax.random.PRNGKey(3)
+    params = _perturbed_params(key, cfg)
+    m = 4
+    mel = jax.random.normal(jax.random.fold_in(key, 1), (1, m, cfg.mel_channels))
+    audio = 0.3 * jax.random.normal(
+        jax.random.fold_in(key, 2), (1, m * cfg.upsample_stride)
+    )
+    loss, grads = jax.value_and_grad(wg.loss_fn)(params, cfg, audio, mel)
+    assert np.isfinite(float(loss))
+    flat, _ = jax.tree.flatten(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    # end-conv gradients flow (couplings are learning)
+    assert any(
+        float(jnp.abs(f["wn"]["end_w"]).max()) > 0
+        for f in grads["flows"]
+    )
+
+
+def test_infer_from_noise_shapes_and_finiteness():
+    cfg = SMALL_CFG
+    params = wg.init_params(jax.random.PRNGKey(1), cfg)
+    mel = jax.random.normal(jax.random.PRNGKey(2), (1, 5, cfg.mel_channels))
+    audio = wg.infer(params, cfg, mel, key=jax.random.PRNGKey(3), sigma=0.9)
+    assert audio.shape == (1, 5 * cfg.upsample_stride)
+    assert np.isfinite(np.asarray(audio)).all()
+
+
+def test_torch_import_roundtrip(tmp_path):
+    """A synthetic NVIDIA-named state dict (weight-norm pairs, fused cond
+    layer, convinv convs) imports into a params tree whose flow is still
+    exactly invertible (verifies every mapped weight participates)."""
+    torch = pytest.importorskip("torch")
+
+    from larynx_tpu.convert.torch_import import (
+        load_torch_state_dict,
+        waveglow_params_from_state_dict,
+    )
+
+    cfg = SMALL_CFG
+    gen = torch.Generator().manual_seed(0)
+
+    def t(*shape, scale=0.1):
+        return scale * torch.randn(*shape, generator=gen)
+
+    sd = {
+        "upsample.weight": t(cfg.mel_channels, cfg.mel_channels,
+                             cfg.upsample_kernel),
+        "upsample.bias": t(cfg.mel_channels),
+    }
+    ch = cfg.wn_channels
+    cond_in = cfg.mel_channels * cfg.groups
+    for k in range(cfg.flows):
+        c = cfg.channels_at_flow(k)
+        n_half = c // 2
+        q, _ = torch.linalg.qr(torch.randn(c, c, generator=gen))
+        sd[f"convinv.{k}.conv.weight"] = q[:, :, None]
+        p = f"WN.{k}"
+        sd[f"{p}.start.weight_v"] = t(ch, n_half, 1)
+        sd[f"{p}.start.weight_g"] = torch.ones(ch, 1, 1)
+        sd[f"{p}.start.bias"] = t(ch)
+        sd[f"{p}.cond_layer.weight_v"] = t(2 * ch * cfg.wn_layers, cond_in, 1)
+        sd[f"{p}.cond_layer.weight_g"] = torch.ones(2 * ch * cfg.wn_layers, 1, 1)
+        sd[f"{p}.cond_layer.bias"] = t(2 * ch * cfg.wn_layers)
+        for i in range(cfg.wn_layers):
+            sd[f"{p}.in_layers.{i}.weight_v"] = t(2 * ch, ch, cfg.wn_kernel_size)
+            sd[f"{p}.in_layers.{i}.weight_g"] = torch.ones(2 * ch, 1, 1)
+            sd[f"{p}.in_layers.{i}.bias"] = t(2 * ch)
+            rs = 2 * ch if i < cfg.wn_layers - 1 else ch
+            sd[f"{p}.res_skip_layers.{i}.weight_v"] = t(rs, ch, 1)
+            sd[f"{p}.res_skip_layers.{i}.weight_g"] = torch.ones(rs, 1, 1)
+            sd[f"{p}.res_skip_layers.{i}.bias"] = t(rs)
+        sd[f"{p}.end.weight"] = t(2 * n_half, ch, 1)
+        sd[f"{p}.end.bias"] = t(2 * n_half)
+
+    path = tmp_path / "generator.pth"
+    torch.save({"model": sd}, path)
+
+    params = waveglow_params_from_state_dict(
+        load_torch_state_dict(path, key="model"), cfg
+    )
+    m = 4
+    mel = jax.random.normal(jax.random.PRNGKey(5), (1, m, cfg.mel_channels))
+    audio = 0.4 * jax.random.normal(
+        jax.random.PRNGKey(6), (1, m * cfg.upsample_stride)
+    )
+    z, _, _ = wg.forward(params, cfg, audio, mel)
+    recon = wg.infer(params, cfg, mel, z=z)
+    np.testing.assert_allclose(
+        np.asarray(recon), np.asarray(audio), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_waveglow_vocoder_end_to_end(tmp_path):
+    """get_vocoder_model('waveglow') loads a native checkpoint from the
+    reference's waveglow/<model> dir layout and vocodes mels to int16."""
+    import dataclasses
+
+    import larynx_tpu
+    from larynx_tpu.convert.native import save_params
+
+    cfg = dataclasses.replace(SMALL_CFG, mel_channels=80)
+    model_dir = tmp_path / "waveglow" / "wn_256"
+    model_dir.mkdir(parents=True)
+    json.dump(
+        {
+            "mel_channels": 80, "sampling_rate": 22050,
+            "flows": cfg.flows, "groups": cfg.groups,
+            "early_every": cfg.early_every, "early_size": cfg.early_size,
+            "wn_kernel_size": cfg.wn_kernel_size,
+            "wn_channels": cfg.wn_channels, "wn_layers": cfg.wn_layers,
+            "upsample_kernel": cfg.upsample_kernel,
+            "upsample_stride": cfg.upsample_stride,
+        },
+        open(model_dir / "config.json", "w"),
+    )
+    save_params(
+        model_dir / "generator.npz",
+        wg.init_params(jax.random.PRNGKey(0), cfg),
+    )
+
+    larynx_tpu._VOCODER_MODEL_CACHE.clear()
+    voc = larynx_tpu.get_vocoder_model(
+        "waveglow", custom_voices_dir=tmp_path, no_download=True
+    )
+    assert voc is not None
+    mels = np.log(
+        np.maximum(1e-5, np.random.default_rng(0).uniform(0, 2, (80, 20)))
+    ).astype(np.float32)
+    audio = voc.mels_to_audio(mels)
+    assert audio.dtype == np.int16
+    assert audio.shape == (20 * cfg.upsample_stride,)
+    larynx_tpu._VOCODER_MODEL_CACHE.clear()
