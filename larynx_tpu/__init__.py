@@ -536,6 +536,21 @@ def _get_engine(tts_model, vocoder_model, half: bool = False):
                 half=half,
                 mesh=mesh,
             )
+        else:
+            from larynx_tpu.waveglow import WaveGlowVocoder
+
+            if isinstance(vocoder_model, WaveGlowVocoder):
+                engine = SynthesisEngine(
+                    tts_model.params,
+                    tts_model.model_config,
+                    settings,
+                    vocoder_kind="waveglow",
+                    vocoder_params=vocoder_model.params,
+                    vocoder_cfg=vocoder_model.model_config,
+                    half=half,
+                    mesh=mesh,
+                    waveglow_sigma=vocoder_model.sigma,
+                )
     _ENGINE_CACHE[key] = engine
     return engine
 

@@ -131,6 +131,7 @@ class SynthesisEngine:
         seed: int = 1234,
         griffin_lim_iters: int = 60,
         griffin_lim_momentum: typing.Optional[float] = None,
+        waveglow_sigma: float = 0.9,
         use_pallas: typing.Optional[bool] = None,
         mesh: typing.Optional["jax.sharding.Mesh"] = None,
     ):
@@ -161,6 +162,7 @@ class SynthesisEngine:
             else (half or default_vocoder_half())
         )
         self.griffin_lim_iters = griffin_lim_iters
+        self.waveglow_sigma = waveglow_sigma
         if griffin_lim_momentum is None:
             # Fast Griffin-Lim (Perraudin et al.) converges much closer to
             # the target magnitudes at the same iteration count; plain
@@ -199,6 +201,9 @@ class SynthesisEngine:
         if vocoder_kind == "hifi_gan":
             assert vocoder_cfg is not None and vocoder_params is not None
             self.upsample = vocoder_cfg.total_upsample
+        elif vocoder_kind == "waveglow":
+            assert vocoder_cfg is not None and vocoder_params is not None
+            self.upsample = vocoder_cfg.upsample_stride
         elif vocoder_kind == "none":
             self.upsample = audio_settings.hop_length
         else:
@@ -368,6 +373,25 @@ class SynthesisEngine:
                 )
 
             self._bias_audio_fn = bias_audio_fn
+
+        elif self.vocoder_kind == "waveglow":
+            voc_cfg = self.vocoder_cfg
+
+            from larynx_tpu.models.waveglow import model as wg_model
+
+            sigma = self.waveglow_sigma
+
+            @jax.jit
+            def vocode_wg(voc_params, mel, z_mask, key):
+                mel_pp = postprocess(mel, z_mask)  # [B, C, M]
+                audio = wg_model.infer(
+                    voc_params, voc_cfg, jnp.swapaxes(mel_pp, 1, 2),
+                    key=key, sigma=sigma,
+                )
+                y_len = jnp.sum(z_mask, axis=1).astype(jnp.int32)
+                return to_int16(audio, y_len * voc_cfg.upsample_stride)
+
+            self._vocode_gl = vocode_wg  # shares the non-hifi vocode slot
 
         elif self.vocoder_kind == "none":
             pass  # encode/decode only (phonemes_to_mels surface)
@@ -559,12 +583,14 @@ class SynthesisEngine:
             return self._vocode_launch_hifi(
                 mel, z_mask, n_valid, denoiser_strength, y_lengths
             )
-        if self.vocoder_kind != "griffin_lim":
+        if self.vocoder_kind not in ("griffin_lim", "waveglow"):
             raise RuntimeError(
                 f"engine with vocoder_kind={self.vocoder_kind!r} cannot "
                 "vocode (mel-only surface; use phonemes_to_mels)"
             )
-        part = self._vocode_gl(None, mel, z_mask, jax.random.fold_in(key, 1))
+        part = self._vocode_gl(
+            self.vocoder_params, mel, z_mask, jax.random.fold_in(key, 1)
+        )
         try:
             part.copy_to_host_async()
         except AttributeError:
@@ -600,9 +626,9 @@ class SynthesisEngine:
         out: typing.List[np.ndarray] = []
         for i in range(n):
             frames = int(y_lengths[i])
-            if self.vocoder_kind == "hifi_gan":
+            if self.vocoder_kind in ("hifi_gan", "waveglow"):
                 n_samples = frames * self.upsample
-                if denoised:
+                if denoised and self.vocoder_kind == "hifi_gan":
                     nf = dsp.num_frames(
                         n_samples,
                         self.audio_settings.filter_length,

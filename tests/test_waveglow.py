@@ -172,6 +172,45 @@ def test_torch_import_roundtrip(tmp_path):
     )
 
 
+def test_waveglow_engine_batched():
+    """WaveGlow runs as the engine's batched vocode program (bucketed,
+    per-row cropped), not just the per-sentence fallback wrapper."""
+    from larynx_tpu.audio import AudioSettings
+    from larynx_tpu.models.glow_tts import GlowTTSConfig
+    from larynx_tpu.models.glow_tts.model import init_params as glow_init
+    from larynx_tpu.runtime.engine import SynthesisEngine
+
+    glow_cfg = GlowTTSConfig(
+        hidden_channels=64, filter_channels=128, filter_channels_dp=64,
+        n_layers_enc=2, n_blocks_dec=2, n_block_layers=2,
+    )
+    import dataclasses
+
+    # engine mels are 80-channel; hop 256 keeps frame/sample math aligned
+    cfg = dataclasses.replace(SMALL_CFG, mel_channels=80, upsample_stride=256,
+                              upsample_kernel=512)
+    eng = SynthesisEngine(
+        glow_init(jax.random.PRNGKey(0), glow_cfg),
+        glow_cfg,
+        AudioSettings(signal_norm=True, max_norm=1.0, symmetric_norm=True,
+                      clip_norm=True),
+        vocoder_kind="waveglow",
+        vocoder_params=wg.init_params(jax.random.PRNGKey(1), cfg),
+        vocoder_cfg=cfg,
+        seed=7,
+    )
+    rng = np.random.default_rng(0)
+    ids = [rng.integers(1, 40, size=n).astype(np.int64) for n in (12, 8)]
+    out = eng.synthesize_batch(ids, seed=3, length_scale=2.0)
+    assert len(out) == 2
+    for i, audio in enumerate(out):
+        assert audio.dtype == np.int16
+        assert audio.size % cfg.upsample_stride == 0 and audio.size > 0
+        assert np.isfinite(audio.astype(np.float32)).all()
+    # rows differ in length (ragged crop by predicted mel frames)
+    assert out[0].size != out[1].size
+
+
 def test_waveglow_vocoder_end_to_end(tmp_path):
     """get_vocoder_model('waveglow') loads a native checkpoint from the
     reference's waveglow/<model> dir layout and vocodes mels to int16."""
