@@ -148,26 +148,32 @@ def _spawn_daemon(port: int, pidfile_path: Path, logfile: Path) -> None:
                 alive = True
         if alive:
             _LOGGER.debug("Daemon already running (pid=%s)", pid)
-            return
-        # stale pidfile from a crashed daemon: remove it so the wait below
-        # watches the NEW server's file, not the corpse's
-        pidfile_path.unlink(missing_ok=True)
+        else:
+            # stale pidfile from a crashed daemon: remove it so the wait
+            # below watches the NEW server's file, not the corpse's
+            pidfile_path.unlink(missing_ok=True)
 
-    server_argv = [
-        sys.executable, "-m", "larynx_tpu.server",
-        "--host", "127.0.0.1",
-        "--port", str(port),
-        "--pidfile", str(pidfile_path),
-        "--logfile", str(logfile),
-    ]
-    subprocess.Popen(
-        server_argv, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL
-    )
-    while not (pidfile_path.is_file() and pidfile_path.stat().st_size > 0):
-        time.sleep(0.1)
-    _LOGGER.info("Daemon running (pid=%s)", pidfile_path.read_text().strip())
+    if not pidfile_path.is_file():
+        server_argv = [
+            sys.executable, "-m", "larynx_tpu.server",
+            "--host", "127.0.0.1",
+            "--port", str(port),
+            "--pidfile", str(pidfile_path),
+            "--logfile", str(logfile),
+        ]
+        subprocess.Popen(
+            server_argv, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL
+        )
+        while not (
+            pidfile_path.is_file() and pidfile_path.stat().st_size > 0
+        ):
+            time.sleep(0.1)
+        _LOGGER.info(
+            "Daemon running (pid=%s)", pidfile_path.read_text().strip()
+        )
     # the pidfile appears before the port binds (engine warm-up can take
-    # tens of seconds): wait until the server actually answers
+    # tens of seconds) — and an already-running daemon found above may
+    # still be warming up too: wait until the server actually answers
     deadline = time.monotonic() + 300.0
     while time.monotonic() < deadline:
         try:

@@ -96,7 +96,10 @@ def read(file) -> typing.Tuple[int, np.ndarray]:
                     as32[:, :3] = raw
                 else:
                     as32[:, 1:] = raw  # little-endian: place in upper 3 bytes
-                array = as32.view(order + "i4").reshape(-1) >> 8
+                # left-justified in int32 (lowest byte zero), matching
+                # scipy / the reference's vendored reader — full-scale
+                # 24-bit reads as full-scale int32
+                array = as32.view(order + "i4").reshape(-1)
             elif bits == 32:
                 array = np.frombuffer(data, dtype=order + "i4")
             else:

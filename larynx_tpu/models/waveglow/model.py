@@ -43,7 +43,10 @@ def _conv_init(key, k, c_in, c_out, scale=0.05):
 def init_params(key: jax.Array, cfg: "WaveGlowConfig") -> Params:
     from larynx_tpu.models.waveglow.config import WaveGlowConfig  # noqa: F401
 
-    keys = iter(jax.random.split(key, 16 + cfg.flows * (cfg.wn_layers + 8)))
+    # per flow: qr + start + cond + (in + res_skip) per WN layer
+    keys = iter(
+        jax.random.split(key, 8 + cfg.flows * (4 + 2 * cfg.wn_layers))
+    )
     up_w, up_b = _conv_init(
         next(keys), cfg.upsample_kernel, cfg.mel_channels, cfg.mel_channels
     )

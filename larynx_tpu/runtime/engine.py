@@ -588,14 +588,39 @@ class SynthesisEngine:
                 f"engine with vocoder_kind={self.vocoder_kind!r} cannot "
                 "vocode (mel-only surface; use phonemes_to_mels)"
             )
-        part = self._vocode_gl(
-            self.vocoder_params, mel, z_mask, jax.random.fold_in(key, 1)
-        )
-        try:
-            part.copy_to_host_async()
-        except AttributeError:
-            pass
-        return [(part, list(range(mel.shape[0])))]
+        b, m = mel.shape[0], mel.shape[1]
+        group = b
+        if self.vocoder_kind == "waveglow":
+            # WaveGlow holds [rows, M*stride, ~wn_channels*2] WN activations
+            # live across 12 flows — cap rows*frames like the HiFi-GAN
+            # path or long-utterance batches blow HBM (CLAUDE.md gotcha)
+            group = max(1, min(b, MAX_VOCODE_AREA // m))
+        parts = []
+        for start in range(0, b, group):
+            if start >= n_valid:
+                break
+            if group >= b:
+                mel_g, mask_g = mel, z_mask
+                idxs = list(range(b))
+            else:
+                start = min(start, b - group)  # uniform width, one compile
+                mel_g = jax.lax.slice_in_dim(
+                    mel, start, start + group, axis=0
+                )
+                mask_g = jax.lax.slice_in_dim(
+                    z_mask, start, start + group, axis=0
+                )
+                idxs = list(range(start, start + group))
+            part = self._vocode_gl(
+                self.vocoder_params, mel_g, mask_g,
+                jax.random.fold_in(key, 1 + start),
+            )
+            try:
+                part.copy_to_host_async()
+            except AttributeError:
+                pass
+            parts.append((part, idxs))
+        return parts
 
     @staticmethod
     def vocode_collect(parts, b: int) -> typing.List[np.ndarray]:

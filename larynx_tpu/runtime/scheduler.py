@@ -36,11 +36,14 @@ class _Job:
         differing only in those still share a batch; so do jobs in
         different text buckets (encode pads to the batch max bucket, and
         the vocoder runs length-sorted ragged groups, so a short sentence
-        riding in a long batch costs little).  Only the RNG seed and the
-        denoiser on/off flag (a static jit arg) must match."""
+        riding in a long batch costs little).  The denoiser on/off flag
+        (a static jit arg) must match — and an explicitly-SEEDED job gets
+        a singleton group: its decode noise depends on its row index and
+        on batchmate-shaped buckets, so reproducibility requires running
+        it alone (batch 1, own buckets, batch_index 0)."""
         return (
             id(self.engine),
-            self.seed,
+            id(self) if self.seed is not None else None,
             self.denoiser_strength > 0,
         )
 

@@ -42,8 +42,10 @@ _ORDINAL_TOKEN = {
     "es-es": r"\d+[ºª°]",
     "it-it": r"\d+[ºª°]",
     # German ordinals/dates are digit+period mid-sentence ("der 3. Mann",
-    # "am 21. Dezember"); 1-2 digits only, so years keep ending sentences
-    "de-de": r"\d{1,2}\.(?=\s)",
+    # "am 21. Dezember", "am 3., im Mai"); 1-2 digits only, so years keep
+    # ending sentences; NOT at end-of-text, where the period is sentence-
+    # final punctuation
+    "de-de": r"\d{1,2}\.(?=\s|[,;:)])",
 }
 
 

@@ -16,6 +16,7 @@ from pathlib import Path
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 
 from larynx_tpu.audio import AudioSettings
 from larynx_tpu.convert.native import save_params
@@ -121,8 +122,6 @@ def main(argv=None) -> None:
         _LOGGER.info("Saved checkpoint at step %s to %s", step, out_dir)
 
     if args.ddi and not args.resume:
-        import jax.numpy as jnp
-
         from larynx_tpu.models.glow_tts.training import actnorm_ddi_init
 
         first = next(
@@ -174,7 +173,9 @@ def main(argv=None) -> None:
                 "epoch %s done in %.1fs mean loss %.4f",
                 epoch,
                 time.time() - epoch_start,
-                float(np.mean([float(l) for l in losses]))
+                # one device reduction + one scalar transfer, not a
+                # blocking round trip per step
+                float(jnp.mean(jnp.stack(losses)))
                 if losses
                 else float("nan"),
             )

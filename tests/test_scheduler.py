@@ -71,9 +71,18 @@ def test_seeded_requests_reproducible_across_history(engine):
     for _ in range(3):
         scheduler.submit(engine, ids).result(timeout=300)
     again = scheduler.submit(engine, ids, seed=42).result(timeout=300)
+
+    # two CONCURRENT identical seeded requests (e.g. a client retry) must
+    # not perturb each other either — seeded jobs run as singleton groups
+    f_a = scheduler.submit(engine, ids, seed=42)
+    f_b = scheduler.submit(engine, ids, seed=42)
+    conc_a = f_a.result(timeout=300)
+    conc_b = f_b.result(timeout=300)
     scheduler.shutdown()
 
     np.testing.assert_array_equal(first, again)
+    np.testing.assert_array_equal(first, conc_a)
+    np.testing.assert_array_equal(first, conc_b)
 
 
 def test_scheduler_through_server_path(voices_dir):

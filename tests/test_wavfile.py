@@ -31,6 +31,34 @@ def test_roundtrip_mono(dtype):
     np.testing.assert_array_equal(out, data)
 
 
+def test_read_24bit_left_justified(tmp_path):
+    """24-bit PCM reads as FULL-RANGE int32 (lowest byte zero), matching
+    scipy / the reference's vendored reader — regression: a >>8 shift
+    attenuated 24-bit training audio 256x."""
+    import struct
+
+    samples = [8388607, -8388608, 0, 1, -1]  # full-scale 24-bit values
+    payload = b"".join(
+        struct.pack("<i", s << 8)[1:] for s in samples  # 3 LE bytes each
+    )
+    header = (
+        b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 22050, 22050 * 3, 3, 24)
+        + b"data" + struct.pack("<I", len(payload))
+    )
+    path = tmp_path / "s24.wav"
+    path.write_bytes(header + payload)
+
+    rate, data = wavfile.read(path)
+    assert rate == 22050 and data.dtype == np.int32
+    np.testing.assert_array_equal(data, [s << 8 for s in samples])
+    # full-scale 24-bit -> ~full-scale float through the training loader
+    from larynx_tpu.models.glow_tts.data import _pcm_to_float
+
+    f = _pcm_to_float(data)
+    assert f.max() > 0.99 and f.min() < -0.99
+
+
 def test_roundtrip_stereo():
     rng = np.random.default_rng(1)
     data = rng.integers(-30000, 30000, (500, 2)).astype(np.int16)
