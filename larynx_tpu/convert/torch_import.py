@@ -51,11 +51,22 @@ def load_torch_state_dict(
             ckpt = ckpt[key]
     if hasattr(ckpt, "state_dict"):  # a pickled whole nn.Module
         ckpt = ckpt.state_dict()
-    return {
+    out = {
         k: v.detach().cpu().float().numpy()
         for k, v in ckpt.items()
         if hasattr(v, "detach")
     }
+    if not out:
+        raise ValueError(
+            f"{path}: no tensors found"
+            + (
+                f" (looked under key {key!r}; checkpoint has "
+                f"{list(ckpt)[:8]})"
+                if isinstance(ckpt, dict)
+                else ""
+            )
+        )
+    return out
 
 
 # -----------------------------------------------------------------------------
@@ -325,6 +336,12 @@ def waveglow_params_from_state_dict(
             rs_b.append(br)
 
         end_w, end_b = _mat(sd, f"{wn_prefix}.end")
+        got_ch = in_w[0].shape[2] // 2
+        if got_ch != ch:
+            raise ValueError(
+                f"checkpoint wn_channels={got_ch} != config "
+                f"wn_channels={ch} (flow {k})"
+            )
         params["flows"].append(
             {
                 "convinv": {
@@ -345,5 +362,4 @@ def waveglow_params_from_state_dict(
                 },
             }
         )
-    assert ch  # geometry sanity (cfg.wn_channels consistent with weights)
     return params

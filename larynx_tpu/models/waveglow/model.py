@@ -120,19 +120,26 @@ def _upsample_cond(params: Params, cfg, mel: jnp.ndarray) -> jnp.ndarray:
     return spect.reshape(b, blocks, cfg.mel_channels * cfg.groups)
 
 
-def _wn(p: Params, cfg, x0: jnp.ndarray, cond_all: jnp.ndarray) -> jnp.ndarray:
+def _wn(p: Params, cfg, x0: jnp.ndarray, spect_g: jnp.ndarray) -> jnp.ndarray:
     """Conditioned WaveNet stack -> coupling (b, log_s) channels.
 
-    x0: [B, blocks, n_half]; cond_all: [B, blocks, 2*ch*wn_layers]
-    (the flow's fused cond 1x1 output, hoisted by the caller).
+    x0: [B, blocks, n_half]; spect_g: [B, blocks, n_mels*groups].  The
+    fused cond 1x1 is applied PER LAYER (a [2ch]-wide slice of the weight
+    at a time): same FLOPs as one big matmul, 1/wn_layers the live
+    activation bytes — the hoisted [B, blocks, 2ch*layers] product was
+    the peak-HBM buffer at wn_256 geometry.
     """
     ch = p["in_w"][0].shape[2] // 2
     h = matmul1x1(x0, p["start_w"], p["start_b"])
     skip = None
     for i in range(cfg.wn_layers):
         a = conv1d(h, p["in_w"][i], p["in_b"][i], dilation=2**i)
-        a = a + jax.lax.dynamic_slice_in_dim(
-            cond_all, i * 2 * ch, 2 * ch, axis=2
+        a = a + matmul1x1(
+            spect_g,
+            jax.lax.dynamic_slice_in_dim(
+                p["cond_w"], i * 2 * ch, 2 * ch, axis=1
+            ),
+            jax.lax.dynamic_slice_in_dim(p["cond_b"], i * 2 * ch, 2 * ch, 0),
         )
         acts = jnp.tanh(a[..., :ch]) * jax.nn.sigmoid(a[..., ch:])
         rs = matmul1x1(acts, p["res_skip_w"][i], p["res_skip_b"][i])
@@ -178,8 +185,7 @@ def forward(
 
         n_half = x.shape[-1] // 2
         x0, x1 = x[..., :n_half], x[..., n_half:]
-        out = _wn(flow["wn"], cfg, x0, matmul1x1(cond, flow["wn"]["cond_w"],
-                                                 flow["wn"]["cond_b"]))
+        out = _wn(flow["wn"], cfg, x0, cond)
         b_t, log_s = out[..., :n_half], out[..., n_half:]
         x1 = x1 * jnp.exp(log_s) + b_t
         log_s_total = log_s_total + jnp.sum(log_s, axis=(1, 2))
@@ -242,8 +248,7 @@ def infer(
         flow = params["flows"][k]
         n_half = x.shape[-1] // 2
         x0, x1 = x[..., :n_half], x[..., n_half:]
-        out = _wn(flow["wn"], cfg, x0, matmul1x1(cond, flow["wn"]["cond_w"],
-                                                 flow["wn"]["cond_b"]))
+        out = _wn(flow["wn"], cfg, x0, cond)
         b_t, log_s = out[..., :n_half], out[..., n_half:]
         x1 = (x1 - b_t) * jnp.exp(-log_s)
         x = jnp.concatenate([x0, x1], axis=-1)

@@ -379,15 +379,19 @@ class SynthesisEngine:
 
             from larynx_tpu.models.waveglow import model as wg_model
 
-            sigma = self.waveglow_sigma
-
             @jax.jit
-            def vocode_wg(voc_params, mel, z_mask, key):
+            def vocode_wg(voc_params, mel, z_mask, z):
+                """``z`` is the pre-drawn, pre-scaled prior noise
+                [rows, blocks, groups] — drawn once for the WHOLE batch by
+                the caller so a row's audio does not depend on how the
+                batch was split into vocode groups."""
                 mel_pp = postprocess(mel, z_mask)  # [B, C, M]
                 audio = wg_model.infer(
-                    voc_params, voc_cfg, jnp.swapaxes(mel_pp, 1, 2),
-                    key=key, sigma=sigma,
-                )
+                    voc_params,
+                    voc_cfg,
+                    jnp.swapaxes(mel_pp, 1, 2).astype(self.voc_dtype),
+                    z=z.astype(self.voc_dtype),
+                ).astype(jnp.float32)
                 y_len = jnp.sum(z_mask, axis=1).astype(jnp.int32)
                 return to_int16(audio, y_len * voc_cfg.upsample_stride)
 
@@ -583,43 +587,88 @@ class SynthesisEngine:
             return self._vocode_launch_hifi(
                 mel, z_mask, n_valid, denoiser_strength, y_lengths
             )
-        if self.vocoder_kind not in ("griffin_lim", "waveglow"):
+        if self.vocoder_kind == "waveglow":
+            return self._vocode_launch_waveglow(
+                mel, z_mask, n_valid, key, y_lengths
+            )
+        if self.vocoder_kind != "griffin_lim":
             raise RuntimeError(
                 f"engine with vocoder_kind={self.vocoder_kind!r} cannot "
                 "vocode (mel-only surface; use phonemes_to_mels)"
             )
+        part = self._vocode_gl(
+            self.vocoder_params, mel, z_mask, jax.random.fold_in(key, 1)
+        )
+        try:
+            part.copy_to_host_async()
+        except AttributeError:
+            pass
+        return [(part, list(range(mel.shape[0])))]
+
+    def _vocode_launch_waveglow(self, mel, z_mask, n_valid, key, y_lengths):
+        """Length-sorted ragged WaveGlow vocoding with an HBM-scaled cap.
+
+        Like the HiFi-GAN path, valid rows sort by mel length and each
+        group runs at ITS OWN bucketed frame width.  The rows*frames cap
+        is MAX_VOCODE_AREA scaled down by WaveGlow's much larger
+        per-frame activation footprint (each WN layer holds
+        [rows, frames*stride/groups, 2*wn_channels] live).  The prior
+        noise is drawn ONCE for the whole batch and sliced per group, so
+        a row's audio is independent of the grouping.
+        """
+        cfg = self.vocoder_cfg
         b, m = mel.shape[0], mel.shape[1]
-        group = b
-        if self.vocoder_kind == "waveglow":
-            # WaveGlow holds [rows, M*stride, ~wn_channels*2] WN activations
-            # live across 12 flows — cap rows*frames like the HiFi-GAN
-            # path or long-utterance batches blow HBM (CLAUDE.md gotcha)
-            group = max(1, min(b, MAX_VOCODE_AREA // m))
+        # HiFi-GAN's widest stage holds ~[rows, frames*256, 128]; WaveGlow
+        # holds [rows, frames*stride/groups, 2*wn_channels] per WN layer
+        ratio = max(
+            1, (2 * cfg.wn_channels * cfg.upsample_stride // cfg.groups)
+            // (256 * 128)
+        )
+        area = max(64, MAX_VOCODE_AREA // ratio)
+
+        blocks_full = m * cfg.upsample_stride // cfg.groups
+        z_full = self.waveglow_sigma * jax.random.normal(
+            jax.random.fold_in(key, 1), (b, blocks_full, cfg.groups)
+        )
+
+        if y_lengths is not None:
+            lens = np.asarray(y_lengths)[:n_valid].astype(np.int64)
+        else:
+            lens = np.full((n_valid,), m, dtype=np.int64)
+        order = np.argsort(-lens, kind="stable")
+        if np.array_equal(order, np.arange(n_valid)) and n_valid == b:
+            mel_s, mask_s, z_s = mel, z_mask, z_full
+        else:
+            idx = jnp.asarray(order.astype(np.int32))
+            mel_s = jnp.take(mel, idx, axis=0)
+            mask_s = jnp.take(z_mask, idx, axis=0)
+            z_s = jnp.take(z_full, idx, axis=0)
+        sorted_lens = lens[order]
+
         parts = []
-        for start in range(0, b, group):
-            if start >= n_valid:
-                break
-            if group >= b:
-                mel_g, mask_g = mel, z_mask
-                idxs = list(range(b))
-            else:
-                start = min(start, b - group)  # uniform width, one compile
-                mel_g = jax.lax.slice_in_dim(
-                    mel, start, start + group, axis=0
-                )
-                mask_g = jax.lax.slice_in_dim(
-                    z_mask, start, start + group, axis=0
-                )
-                idxs = list(range(start, start + group))
-            part = self._vocode_gl(
-                self.vocoder_params, mel_g, mask_g,
-                jax.random.fold_in(key, 1 + start),
+        start = 0
+        while start < n_valid:
+            m_g = self.policy.mel_bucket(int(sorted_lens[start]))
+            m_g = min(m_g, m)
+            rows = max(1, area // m_g)
+            rows = min(rows, n_valid - start)
+            blocks_g = m_g * cfg.upsample_stride // cfg.groups
+            mel_g = jax.lax.dynamic_slice(
+                mel_s, (start, 0, 0), (rows, m_g, mel_s.shape[2])
             )
+            mask_g = jax.lax.dynamic_slice(
+                mask_s, (start, 0), (rows, m_g)
+            )
+            z_g = jax.lax.dynamic_slice(
+                z_s, (start, 0, 0), (rows, blocks_g, cfg.groups)
+            )
+            part = self._vocode_gl(self.vocoder_params, mel_g, mask_g, z_g)
             try:
                 part.copy_to_host_async()
             except AttributeError:
                 pass
-            parts.append((part, idxs))
+            parts.append((part, [int(i) for i in order[start : start + rows]]))
+            start += rows
         return parts
 
     @staticmethod

@@ -84,16 +84,29 @@ class WaveGlowVocoder(VocoderModel):
         self.sigma = sigma
         self.half = config.half
         self.policy = BucketPolicy()
-        self._counter = 0
+        # itertools.count: atomic under the GIL, so concurrent
+        # mels_to_audio calls never reuse a noise key
+        import itertools
+
+        self._counter = itertools.count(1)
 
         cfg = self.model_config
+        dtype = jnp.bfloat16 if config.half else jnp.float32
+        if config.half:
+            self.params = jax.tree.map(
+                lambda x: jnp.asarray(x).astype(dtype)
+                if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+                else x,
+                self.params,
+            )
 
         @jax.jit
         def generate(params, mel, key):
             # mel [B, n_mels, M] -> audio [B, M * upsample_stride]
             return wg_model.infer(
-                params, cfg, jnp.swapaxes(mel, 1, 2), key=key, sigma=sigma
-            )
+                params, cfg, jnp.swapaxes(mel, 1, 2).astype(dtype),
+                key=key, sigma=sigma,
+            ).astype(jnp.float32)
 
         self._generate = generate
 
@@ -115,10 +128,11 @@ class WaveGlowVocoder(VocoderModel):
                 dtype=np.float32,
             )
             mels = np.concatenate([mels, pad], axis=-1)
-        self._counter += 1
         audio = np.asarray(
             self._generate(
-                self.params, jnp.asarray(mels), jax.random.PRNGKey(self._counter)
+                self.params,
+                jnp.asarray(mels),
+                jax.random.PRNGKey(next(self._counter)),
             )
         )
         audio = audio[:, : frames * self.model_config.upsample_stride]

@@ -211,6 +211,40 @@ def test_waveglow_engine_batched():
     assert out[0].size != out[1].size
 
 
+def test_waveglow_engine_bf16_vocoder():
+    """vocoder_half=True (the production default on TPU backends) must
+    trace and run: the vocode program casts mel and noise to the vocoder
+    dtype (regression: f32 activations hit bf16 conv weights)."""
+    import dataclasses
+
+    from larynx_tpu.audio import AudioSettings
+    from larynx_tpu.models.glow_tts import GlowTTSConfig
+    from larynx_tpu.models.glow_tts.model import init_params as glow_init
+    from larynx_tpu.runtime.engine import SynthesisEngine
+
+    glow_cfg = GlowTTSConfig(
+        hidden_channels=64, filter_channels=128, filter_channels_dp=64,
+        n_layers_enc=2, n_blocks_dec=2, n_block_layers=2,
+    )
+    cfg = dataclasses.replace(SMALL_CFG, mel_channels=80, upsample_stride=256,
+                              upsample_kernel=512)
+    eng = SynthesisEngine(
+        glow_init(jax.random.PRNGKey(0), glow_cfg), glow_cfg,
+        AudioSettings(signal_norm=True, max_norm=1.0, symmetric_norm=True,
+                      clip_norm=True),
+        vocoder_kind="waveglow",
+        vocoder_params=wg.init_params(jax.random.PRNGKey(1), cfg),
+        vocoder_cfg=cfg,
+        vocoder_half=True,
+        seed=7,
+    )
+    out = eng.synthesize_batch(
+        [np.arange(1, 12, dtype=np.int64)], seed=3, length_scale=2.0
+    )
+    assert out[0].dtype == np.int16 and out[0].size > 0
+    assert np.isfinite(out[0].astype(np.float32)).all()
+
+
 def test_waveglow_engine_splits_rows_at_area_cap(monkeypatch):
     """Batches over the vocode-area cap vocode in row groups (the WN
     activations of the whole batch at once would blow HBM), with the
@@ -239,21 +273,33 @@ def test_waveglow_engine_splits_rows_at_area_cap(monkeypatch):
         seed=7,
     )
     rng = np.random.default_rng(1)
-    ids = [rng.integers(1, 40, size=10).astype(np.int64) for _ in range(3)]
+    ids = [
+        rng.integers(1, 40, size=int(n)).astype(np.int64) for n in (10, 14, 7)
+    ]
     enc_out, g = eng.encode_launch(ids, 2.0)
     y_lengths = np.asarray(enc_out[4])
+
+    # unsplit reference first (huge cap -> one group)
+    mel, z_mask, key = eng.decode_launch(enc_out, y_lengths, g, 3, seed=5)
+    ref_parts = eng.vocode_launch(mel, z_mask, 3, 0.0, key, y_lengths=y_lengths)
+    ref_rows = eng.crop_rows(
+        eng.vocode_collect(ref_parts, mel.shape[0]), y_lengths, 3, 0.0
+    )
+
     m = eng.policy.mel_bucket(int(y_lengths[:3].max()))
     monkeypatch.setattr(engine_module, "MAX_VOCODE_AREA", 2 * m)
-
-    mel, z_mask, key = eng.decode_launch(enc_out, y_lengths, g, 3, seed=5)
     parts = eng.vocode_launch(mel, z_mask, 3, 0.0, key, y_lengths=y_lengths)
-    assert len(parts) == 2  # groups of 2 rows: [0,2) and clamped [2,4)
+    assert len(parts) > 1  # actually split
     rows = eng.crop_rows(
         eng.vocode_collect(parts, mel.shape[0]), y_lengths, 3, 0.0
     )
-    for audio in rows:
-        assert audio.dtype == np.int16 and audio.size > 0
-        assert np.isfinite(audio.astype(np.float32)).all()
+    # the prior noise is drawn batch-wide, so a row's audio must not
+    # depend on the grouping (within a couple int16 rounding steps from
+    # the different padded widths)
+    for audio, ref in zip(rows, ref_rows):
+        assert audio.dtype == np.int16 and audio.size == ref.size > 0
+        diff = np.abs(audio.astype(np.int32) - ref.astype(np.int32))
+        assert diff.max() <= 2, diff.max()
 
 
 def test_waveglow_vocoder_end_to_end(tmp_path):
