@@ -383,8 +383,9 @@ class SynthesisEngine:
             def vocode_wg(voc_params, mel, z_mask, z):
                 """``z`` is the pre-drawn, pre-scaled prior noise
                 [rows, blocks, groups] — drawn once for the WHOLE batch by
-                the caller so a row's audio does not depend on how the
-                batch was split into vocode groups."""
+                the caller so a row's audio is (up to padded-tail edge
+                effects) independent of how the batch was split into
+                vocode groups."""
                 mel_pp = postprocess(mel, z_mask)  # [B, C, M]
                 audio = wg_model.infer(
                     voc_params,
@@ -606,29 +607,38 @@ class SynthesisEngine:
         return [(part, list(range(mel.shape[0])))]
 
     def _vocode_launch_waveglow(self, mel, z_mask, n_valid, key, y_lengths):
-        """Length-sorted ragged WaveGlow vocoding with an HBM-scaled cap.
+        """Length-sorted ragged WaveGlow vocoding (sibling of the HiFi
+        path at _vocode_launch_hifi — keep grouping conventions in sync).
 
-        Like the HiFi-GAN path, valid rows sort by mel length and each
-        group runs at ITS OWN bucketed frame width.  The rows*frames cap
-        is MAX_VOCODE_AREA scaled down by WaveGlow's much larger
-        per-frame activation footprint (each WN layer holds
-        [rows, frames*stride/groups, 2*wn_channels] live).  The prior
-        noise is drawn ONCE for the whole batch and sliced per group, so
-        a row's audio is independent of the grouping.
+        Valid rows sort by mel length and each power-of-two-sized group
+        runs at ITS OWN bucketed frame width.  The rows*frames cap is a
+        quarter of MAX_VOCODE_AREA: per (row, frame), WaveGlow keeps
+        several [stride/groups, 2*wn_channels] WN buffers live
+        (~0.25-0.5 MB at wn_256 vs HiFi's ~0.1 MB worst stage).
+
+        The prior noise is drawn ONCE for the whole batch, masked to each
+        row's valid blocks, and sliced per group — so a row's audio is
+        independent of grouping up to the WN receptive field's view of
+        the different padded tails (same order of effect as the HiFi
+        ragged path; crops stay within a couple int16 steps).
         """
         cfg = self.vocoder_cfg
         b, m = mel.shape[0], mel.shape[1]
-        # HiFi-GAN's widest stage holds ~[rows, frames*256, 128]; WaveGlow
-        # holds [rows, frames*stride/groups, 2*wn_channels] per WN layer
-        ratio = max(
-            1, (2 * cfg.wn_channels * cfg.upsample_stride // cfg.groups)
-            // (256 * 128)
-        )
-        area = max(64, MAX_VOCODE_AREA // ratio)
+        area = max(64, MAX_VOCODE_AREA // 4)
 
         blocks_full = m * cfg.upsample_stride // cfg.groups
+        blocks_per_frame = cfg.upsample_stride // cfg.groups
         z_full = self.waveglow_sigma * jax.random.normal(
             jax.random.fold_in(key, 1), (b, blocks_full, cfg.groups)
+        )
+        # zero the prior past each row's valid blocks: the padded tail is
+        # then (near-)silence under any bucket width
+        y_len = jnp.sum(z_mask, axis=1).astype(jnp.int32)
+        valid_blocks = (y_len * blocks_per_frame)[:, None]
+        z_full = jnp.where(
+            (jnp.arange(blocks_full)[None, :] < valid_blocks)[..., None],
+            z_full,
+            0.0,
         )
 
         if y_lengths is not None:
@@ -650,8 +660,14 @@ class SynthesisEngine:
         while start < n_valid:
             m_g = self.policy.mel_bucket(int(sorted_lens[start]))
             m_g = min(m_g, m)
-            rows = max(1, area // m_g)
-            rows = min(rows, n_valid - start)
+            # power-of-two group sizes (a remainder of 5 runs as 4 + 1)
+            # keep the compiled-shape set small — same convention as the
+            # HiFi ragged path
+            fit = max(1, area // m_g)
+            rows = 1 << (fit.bit_length() - 1)
+            remaining = n_valid - start
+            if rows > remaining:
+                rows = 1 << (remaining.bit_length() - 1)
             blocks_g = m_g * cfg.upsample_stride // cfg.groups
             mel_g = jax.lax.dynamic_slice(
                 mel_s, (start, 0, 0), (rows, m_g, mel_s.shape[2])

@@ -268,7 +268,9 @@ def test_waveglow_engine_splits_rows_at_area_cap(monkeypatch):
         AudioSettings(signal_norm=True, max_norm=1.0, symmetric_norm=True,
                       clip_norm=True),
         vocoder_kind="waveglow",
-        vocoder_params=wg.init_params(jax.random.PRNGKey(1), cfg),
+        # perturbed end convs: zero-init couplings are identities that
+        # would make the grouping-invariance check vacuous
+        vocoder_params=_perturbed_params(jax.random.PRNGKey(1), cfg),
         vocoder_cfg=cfg,
         seed=7,
     )
@@ -287,19 +289,24 @@ def test_waveglow_engine_splits_rows_at_area_cap(monkeypatch):
     )
 
     m = eng.policy.mel_bucket(int(y_lengths[:3].max()))
-    monkeypatch.setattr(engine_module, "MAX_VOCODE_AREA", 2 * m)
+    monkeypatch.setattr(engine_module, "MAX_VOCODE_AREA", 4 * m)  # area=m
     parts = eng.vocode_launch(mel, z_mask, 3, 0.0, key, y_lengths=y_lengths)
     assert len(parts) > 1  # actually split
+    # power-of-two group sizes (bounded compiled-shape set)
+    for _, idxs in parts:
+        assert len(idxs) & (len(idxs) - 1) == 0
     rows = eng.crop_rows(
         eng.vocode_collect(parts, mel.shape[0]), y_lengths, 3, 0.0
     )
-    # the prior noise is drawn batch-wide, so a row's audio must not
-    # depend on the grouping (within a couple int16 rounding steps from
-    # the different padded widths)
+    # the prior noise is drawn batch-wide and masked to valid blocks, so
+    # a row's audio matches the unsplit run up to padded-tail edge
+    # effects inside the WN receptive field
     for audio, ref in zip(rows, ref_rows):
         assert audio.dtype == np.int16 and audio.size == ref.size > 0
-        diff = np.abs(audio.astype(np.int32) - ref.astype(np.int32))
-        assert diff.max() <= 2, diff.max()
+        a = audio.astype(np.float64)
+        r = ref.astype(np.float64)
+        corr = np.dot(a, r) / max(np.linalg.norm(a) * np.linalg.norm(r), 1e-9)
+        assert corr > 0.999, corr
 
 
 def test_waveglow_vocoder_end_to_end(tmp_path):
