@@ -221,6 +221,55 @@ def test_index_and_openapi(app_client):
     assert "swagger.json" in html and "renderOp" in html
 
 
+def test_api_tts_waveglow_vocoder(app_client, voices_dir):
+    """vocoder=waveglow synthesizes through the server (the reference
+    declares the type but cannot load it)."""
+    import json as json_mod
+
+    import jax
+
+    from larynx_tpu.convert.native import save_params
+    from larynx_tpu.models.waveglow import WaveGlowConfig
+    from larynx_tpu.models.waveglow import model as wg_model
+
+    wg_dir = voices_dir / "waveglow" / "wn_256"
+    if not wg_dir.is_dir():
+        wg_dir.mkdir(parents=True)
+        cfg = WaveGlowConfig(
+            mel_channels=80, flows=4, groups=8, early_every=2, early_size=2,
+            wn_kernel_size=3, wn_channels=32, wn_layers=2,
+            upsample_kernel=512, upsample_stride=256,
+        )
+        json_mod.dump(
+            {
+                "mel_channels": 80, "sampling_rate": 22050, "flows": 4,
+                "groups": 8, "early_every": 2, "early_size": 2,
+                "wn_kernel_size": 3, "wn_channels": 32, "wn_layers": 2,
+                "upsample_kernel": 512, "upsample_stride": 256,
+            },
+            open(wg_dir / "config.json", "w"),
+        )
+        save_params(
+            wg_dir / "generator.npz",
+            wg_model.init_params(jax.random.PRNGKey(0), cfg),
+        )
+
+    client, loop = app_client
+    resp = loop.run_until_complete(
+        client.get(
+            "/api/tts",
+            params={
+                "voice": "en-us_test_voice-glow_tts",
+                "text": "Waveglow through the server.",
+                "vocoder": "waveglow",
+            },
+        )
+    )
+    assert resp.status == 200
+    body = loop.run_until_complete(resp.read())
+    assert body[:4] == b"RIFF" and len(body) > 2000
+
+
 def test_api_stream(app_client):
     """Chunked streaming endpoint: RIFF header + PCM chunks to EOF."""
     client, loop = app_client
