@@ -656,18 +656,9 @@ class SynthesisEngine:
         sorted_lens = lens[order]
 
         parts = []
-        start = 0
-        while start < n_valid:
-            m_g = self.policy.mel_bucket(int(sorted_lens[start]))
-            m_g = min(m_g, m)
-            # power-of-two group sizes (a remainder of 5 runs as 4 + 1)
-            # keep the compiled-shape set small — same convention as the
-            # HiFi ragged path
-            fit = max(1, area // m_g)
-            rows = 1 << (fit.bit_length() - 1)
-            remaining = n_valid - start
-            if rows > remaining:
-                rows = 1 << (remaining.bit_length() - 1)
+        for start, rows, m_g in self._ragged_group_plan(
+            sorted_lens, n_valid, m, area
+        ):
             blocks_g = m_g * cfg.upsample_stride // cfg.groups
             mel_g = jax.lax.dynamic_slice(
                 mel_s, (start, 0, 0), (rows, m_g, mel_s.shape[2])
@@ -684,7 +675,6 @@ class SynthesisEngine:
             except AttributeError:
                 pass
             parts.append((part, [int(i) for i in order[start : start + rows]]))
-            start += rows
         return parts
 
     @staticmethod
@@ -937,26 +927,9 @@ class SynthesisEngine:
             else 0
         )
         parts = []
-        start = 0
-        while start < n_valid:
-            m_g = min(
-                self.policy.mel_bucket(int(sorted_lens[start]) + margin), m
-            )
-            remaining = n_valid - start
-            fit = max(1, MAX_VOCODE_AREA // m_g)
-            # rows at least half the group width ride along; a >=2x length
-            # drop starts a narrower group (bounds padding waste per row to
-            # 2x while keeping the dispatch count low)
-            ext = 1
-            while (
-                start + ext < n_valid
-                and self.policy.mel_bucket(int(sorted_lens[start + ext])) * 2
-                > m_g
-            ):
-                ext += 1
-            # power-of-two group sizes keep the compiled-shape set bounded
-            # (a remainder of 5 runs as 4 + 1, not a one-off (5, m) program)
-            group = 1 << (min(fit, ext, remaining).bit_length() - 1)
+        for start, group, m_g in self._ragged_group_plan(
+            sorted_lens, n_valid, m, MAX_VOCODE_AREA, margin=margin
+        ):
             whole = group == b and m_g == m and n_valid == b
             if whole:
                 mel_g, mask_g = mel_s, mask_s
@@ -980,8 +953,45 @@ class SynthesisEngine:
             parts.append(
                 (part, [int(order[i]) for i in range(start, start + group)])
             )
-            start += group
         return parts
+
+    def _ragged_group_plan(
+        self,
+        sorted_lens: np.ndarray,
+        n_valid: int,
+        m: int,
+        area: int,
+        margin: int = 0,
+    ) -> typing.List[typing.Tuple[int, int, int]]:
+        """Plan ragged vocode groups over length-DESC-sorted rows:
+        [(start, rows, frame_bucket)], shared by the HiFi-GAN and
+        WaveGlow launch paths.
+
+        Rows at least half the group width ride along; a >=2x length drop
+        starts a narrower group (bounds padding waste per row to 2x while
+        keeping the dispatch count low).  Power-of-two group sizes keep
+        the compiled-shape set bounded (a remainder of 5 runs as 4 + 1,
+        not a one-off (5, m) program).
+        """
+        plan = []
+        start = 0
+        while start < n_valid:
+            m_g = min(
+                self.policy.mel_bucket(int(sorted_lens[start]) + margin), m
+            )
+            remaining = n_valid - start
+            fit = max(1, area // m_g)
+            ext = 1
+            while (
+                start + ext < n_valid
+                and self.policy.mel_bucket(int(sorted_lens[start + ext])) * 2
+                > m_g
+            ):
+                ext += 1
+            group = 1 << (min(fit, ext, remaining).bit_length() - 1)
+            plan.append((start, group, m_g))
+            start += group
+        return plan
 
     def _get_bias_spec(self):
         if self._bias_spec is None:
