@@ -150,6 +150,20 @@ def _make_kernel(
     return kernel
 
 
+def auto_tile(c: int) -> int:
+    """Default time-tile width for ``c`` (lane-padded) channels.
+
+    VMEM budget: section weights (~126 taps * C^2 * 4B at C=128 is
+    ~8 MB) + per-conv intermediates scale with tile * C — keep the
+    scoped allocation under the 16 MB limit.  Tile starts and widths
+    must respect the 8-row f32 sublane tiling of DMA'd slices (c=384
+    would otherwise pick 341 and crash the TPU worker — interpret-mode
+    tests cannot catch that, so this helper is unit-tested directly).
+    """
+    tile = max(256, min(4096, (1 << 17) // c))
+    return max(8, tile - tile % 8)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -222,13 +236,10 @@ def fused_mrf(
         )
 
     if tile is None:
-        # VMEM budget: section weights (~126 taps * C^2 * 4B at C=128 is
-        # ~8 MB) + per-conv intermediates scale with tile * C. Keep the
-        # scoped allocation under the 16 MB limit.
-        tile = max(256, min(4096, (1 << 17) // c))
-    # tile starts and widths must respect the 8-row f32 sublane tiling of
-    # DMA'd slices (c=384 would otherwise pick 341 and crash the worker)
-    tile = max(8, tile - tile % 8)
+        tile = auto_tile(c)
+    else:
+        # explicit tiles must still respect the sublane constraint below
+        tile = max(8, tile - tile % 8)
     halo = max(
         chain_halo(k, d, convs_per_unit)
         for k, d in zip(kernel_sizes, dilations_per_block)

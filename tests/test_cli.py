@@ -92,11 +92,21 @@ def test_cli_csv_mode(voices_dir, tmp_path, monkeypatch, capsysbinary):
     assert names == {"utt1.wav", "utt2.wav"}
 
 
-def test_cli_no_download_fails_fast(voices_dir, capsysbinary):
-    """--no-download must not attempt a network fetch for a missing voice."""
+def test_cli_no_download_fails_fast(voices_dir, capsysbinary, monkeypatch):
+    """--no-download must not attempt a network fetch for a missing voice
+    (get_tts_model swallows download errors, so the fetch must be
+    observed directly)."""
     import larynx_tpu
 
     larynx_tpu._TTS_MODEL_CACHE.clear()
+
+    calls = []
+
+    def spy(*a, **kw):  # record any fetch attempt (errors are swallowed
+        calls.append(a)  # upstream, so raising would not be observable)
+        raise RuntimeError("offline")
+
+    monkeypatch.setattr(larynx_tpu, "download_voice", spy)
     with pytest.raises(AssertionError, match="Failed to load voice"):
         _run_cli(
             [
@@ -106,6 +116,7 @@ def test_cli_no_download_fails_fast(voices_dir, capsysbinary):
                 "--no-download",
             ]
         )
+    assert not calls, "network fetch attempted despite --no-download"
 
 
 def test_cli_config_audio_overrides(voices_dir, tmp_path, capsysbinary):

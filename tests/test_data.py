@@ -26,10 +26,13 @@ def test_pcm_to_float_all_wavfile_dtypes():
         np.testing.assert_allclose(out, f, atol=2 / 127)
 
 
-@pytest.mark.parametrize("dtype", ["uint8", "int16", "int32", "float32"])
+@pytest.mark.parametrize("dtype", ["uint8", "int16", "int32", "float64"])
 def test_dataset_example_consistent_across_pcm_formats(tmp_path, dtype):
     """The same audio stored in different PCM containers must yield the
-    same mel targets (within quantization noise)."""
+    same mel targets (within quantization noise).  The reference file is
+    float32, so every parametrization compares across DIFFERENT container
+    code paths (a float32 case would compare a file against a
+    byte-identical copy of itself)."""
     sr = 22050
     t = np.linspace(0, 0.4, int(sr * 0.4), dtype=np.float32)
     f = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
@@ -43,7 +46,7 @@ def test_dataset_example_consistent_across_pcm_formats(tmp_path, dtype):
     elif dtype == "int32":
         pcm = (f * 2147483647).astype(np.int32)
     else:
-        pcm = f
+        pcm = f.astype(np.float64)
     wavfile.write(wav_dir / "utt1.wav", sr, pcm)
     # float reference alongside
     wavfile.write(wav_dir / "ref.wav", sr, f)

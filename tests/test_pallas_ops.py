@@ -277,6 +277,18 @@ def test_generator_unpacks_when_alignment_breaks():
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
 
 
+def test_auto_tile_sublane_aligned():
+    """The auto tile must be a multiple of 8 rows for every lane width —
+    interpret mode cannot catch the Mosaic sublane violation (real
+    hardware crashes on tile=341 at c=384), so pin the formula itself."""
+    from larynx_tpu.ops.mrf_block import auto_tile
+
+    for c in (128, 256, 384, 512, 640, 1024):
+        tile = auto_tile(c)
+        assert tile % 8 == 0 and tile >= 8, (c, tile)
+    assert auto_tile(384) == 336  # the 341 regression case
+
+
 def test_fused_mrf_pad_to_384_tile_aligned():
     """C in (256, 384] pads to 384 lanes; the auto tile must stay a
     multiple of 8 rows (the VMEM-budget formula would otherwise pick 341,

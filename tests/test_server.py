@@ -319,6 +319,7 @@ def test_api_stream_client_disconnect_frees_executor(app_client):
     # every executor thread must still be available for normal requests
     app = client.server.app
     executor = app["executor"] if "executor" in app else None
+    assert executor is not None, "server no longer exposes its executor"
 
     async def tts_ok():
         resp = await client.get(

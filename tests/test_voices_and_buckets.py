@@ -41,19 +41,53 @@ def test_split_voice_name():
     )
 
 
-def test_vocoder_alias_resolution():
-    """Dash-form aliases from the reference VOCODERS file resolve instead
-    of crashing get_vocoder_model; unknown names raise a clear error."""
+def test_vocoder_alias_resolution(tmp_path):
+    """Dash-form aliases from the reference VOCODERS file resolve to the
+    actual model dir (None is also every silent-failure return, so the
+    positive case must LOAD something); unknown names raise clearly."""
+    import json
+
+    import jax
     import pytest
 
+    import larynx_tpu
     from larynx_tpu import get_vocoder_model
+    from larynx_tpu.constants import VocoderType
+    from larynx_tpu.convert.native import save_params
+    from larynx_tpu.models.hifi_gan import HiFiGanConfig
+    from larynx_tpu.models.hifi_gan.model import init_params as hifi_init
 
-    # dash alias == quality preset (cache hit via the quality key is fine)
-    m = get_vocoder_model(
-        "hifi_gan-vctk_small", no_download=True,
-        custom_voices_dir="/nonexistent",
+    voc_dir = tmp_path / "hifi_gan" / "vctk_small"
+    voc_dir.mkdir(parents=True)
+    cfg = HiFiGanConfig(
+        resblock="2", upsample_initial_channel=32,
+        upsample_rates=(8, 8, 4), upsample_kernel_sizes=(16, 16, 8),
+        resblock_kernel_sizes=(3, 5),
+        resblock_dilation_sizes=((1, 2), (2, 6)),
     )
-    assert m is None  # resolved cleanly; just not installed there
+    json.dump(
+        {
+            "audio": {"num_mels": 80, "sampling_rate": 22050},
+            "model": {
+                "resblock": "2", "upsample_initial_channel": 32,
+                "upsample_rates": [8, 8, 4],
+                "upsample_kernel_sizes": [16, 16, 8],
+                "resblock_kernel_sizes": [3, 5],
+                "resblock_dilation_sizes": [[1, 2], [2, 6]],
+            },
+        },
+        open(voc_dir / "config.json", "w"),
+    )
+    save_params(
+        voc_dir / "generator.npz", hifi_init(jax.random.PRNGKey(0), cfg)
+    )
+
+    larynx_tpu._VOCODER_MODEL_CACHE.clear()
+    m = get_vocoder_model(
+        "hifi_gan-vctk_small", no_download=True, custom_voices_dir=tmp_path
+    )
+    assert m is not None and m.config.model_path == voc_dir
+    larynx_tpu._VOCODER_MODEL_CACHE.clear()
 
     with pytest.raises(ValueError, match="Unknown vocoder"):
         get_vocoder_model(

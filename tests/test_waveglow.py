@@ -98,6 +98,53 @@ def test_loss_finite_with_grads():
     )
 
 
+def test_logdet_matches_numerical_jacobian():
+    """log_s_total + logdet_w_total must equal log|det d z/d audio| — a
+    wrong sign or a dropped blocks-multiplier would keep every other test
+    green while training maximizes the wrong objective."""
+    cfg = WaveGlowConfig(
+        mel_channels=2, flows=2, groups=4, early_every=2, early_size=2,
+        wn_kernel_size=3, wn_channels=8, wn_layers=1,
+        upsample_kernel=8, upsample_stride=4,
+    )
+    key = jax.random.PRNGKey(0)
+    params = _perturbed_params(key, cfg)
+    m = 2
+    mel = jax.random.normal(jax.random.fold_in(key, 1), (1, m, cfg.mel_channels))
+    audio = 0.5 * jax.random.normal(
+        jax.random.fold_in(key, 2), (1, m * cfg.upsample_stride)
+    )
+
+    def flat_forward(a_flat):
+        z, _, _ = wg.forward(params, cfg, a_flat.reshape(1, -1), mel)
+        return z.reshape(-1)
+
+    jac = jax.jacobian(flat_forward)(audio.reshape(-1))
+    _sign, num_logdet = jnp.linalg.slogdet(jac)
+    _z, log_s_total, logdet_w_total = wg.forward(params, cfg, audio, mel)
+    np.testing.assert_allclose(
+        float(num_logdet),
+        float(log_s_total[0] + logdet_w_total[0]),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_mel_conditioning_changes_audio():
+    """Different mels must produce different audio for the same prior
+    noise (a dropped cond path would pass every shape/roundtrip test)."""
+    cfg = SMALL_CFG
+    key = jax.random.PRNGKey(2)
+    params = _perturbed_params(key, cfg)
+    m = 4
+    blocks = m * cfg.upsample_stride // cfg.groups
+    z = jax.random.normal(jax.random.fold_in(key, 1), (1, blocks, cfg.groups))
+    mel_a = jax.random.normal(jax.random.fold_in(key, 2), (1, m, cfg.mel_channels))
+    mel_b = mel_a + 1.0
+    a = np.asarray(wg.infer(params, cfg, mel_a, z=z))
+    b = np.asarray(wg.infer(params, cfg, mel_b, z=z))
+    assert np.abs(a - b).max() > 1e-4
+
+
 def test_infer_from_noise_shapes_and_finiteness():
     cfg = SMALL_CFG
     params = wg.init_params(jax.random.PRNGKey(1), cfg)
@@ -157,9 +204,24 @@ def test_torch_import_roundtrip(tmp_path):
     path = tmp_path / "generator.pth"
     torch.save({"model": sd}, path)
 
-    params = waveglow_params_from_state_dict(
-        load_torch_state_dict(path, key="model"), cfg
+    sd_np = load_torch_state_dict(path, key="model")
+    params = waveglow_params_from_state_dict(sd_np, cfg)
+
+    # value-level check (a flow roundtrip inverts for ANY params, so it
+    # cannot catch mapping/folding bugs): fold weight-norm by hand for
+    # one dilated in_layer and compare against the imported tree
+    v = sd["WN.1.in_layers.1.weight_v"].numpy()
+    g = sd["WN.1.in_layers.1.weight_g"].numpy()
+    norm = np.sqrt((v ** 2).sum(axis=(1, 2), keepdims=True))
+    expect = np.transpose(v * (g / norm), (2, 1, 0))  # -> [k, C_in, C_out]
+    np.testing.assert_allclose(
+        np.asarray(params["flows"][1]["wn"]["in_w"][1]), expect, rtol=1e-6
     )
+    # convinv inverse really is the inverse of the imported weight
+    w = np.asarray(params["flows"][0]["convinv"]["w"])
+    w_inv = np.asarray(params["flows"][0]["convinv"]["w_inv"])
+    np.testing.assert_allclose(w @ w_inv, np.eye(w.shape[0]), atol=1e-5)
+
     m = 4
     mel = jax.random.normal(jax.random.PRNGKey(5), (1, m, cfg.mel_channels))
     audio = 0.4 * jax.random.normal(
