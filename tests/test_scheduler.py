@@ -27,7 +27,7 @@ def engine(voices_dir):
 
 
 def test_concurrent_submits_coalesce(engine):
-    scheduler = BatchScheduler(max_batch=8, max_wait_ms=200.0)
+    scheduler = BatchScheduler(max_batch=8, max_wait_ms=500.0)
     rng = np.random.default_rng(0)
     # same text bucket (lengths < 16)
     seqs = [
@@ -109,7 +109,7 @@ def test_cross_bucket_coalesce(engine):
     """Sentences in different text buckets share one device batch: encode
     pads to the batch max bucket and the ragged vocoder crops each row
     group back to its own width."""
-    scheduler = BatchScheduler(max_batch=8, max_wait_ms=300.0)
+    scheduler = BatchScheduler(max_batch=8, max_wait_ms=1000.0)
     rng = np.random.default_rng(5)
     short = rng.integers(1, 46, size=6).astype(np.int64)
     long = rng.integers(1, 46, size=60).astype(np.int64)
@@ -138,7 +138,7 @@ def test_mixed_settings_coalesce(engine):
     """Jobs differing only in noise/length/denoiser knobs share a batch
     (the knobs are per-row in the engine); per-row length_scale must
     actually stretch the row it belongs to."""
-    scheduler = BatchScheduler(max_batch=8, max_wait_ms=300.0)
+    scheduler = BatchScheduler(max_batch=8, max_wait_ms=1000.0)
     ids = np.arange(1, 13, dtype=np.int64)
 
     f_short = scheduler.submit(engine, ids, length_scale=1.0, noise_scale=0.2)
