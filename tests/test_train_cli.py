@@ -51,6 +51,59 @@ def tiny_dataset(tmp_path_factory, reference_dir):
     return root
 
 
+def test_train_vocoder_cli_end_to_end(tiny_dataset, tmp_path):
+    """Vocoder training: wav dir -> a few GAN steps -> model dir that
+    get_vocoder_model loads and vocodes with."""
+    import larynx_tpu
+    from larynx_tpu.train_vocoder import main as train_vocoder_main
+
+    cfg_path = tmp_path / "voc.json"
+    cfg_path.write_text(
+        json.dumps(
+            {
+                "model": {
+                    "resblock": "2",
+                    "upsample_initial_channel": 32,
+                    "upsample_rates": [8, 8, 4],
+                    "upsample_kernel_sizes": [16, 16, 8],
+                    "resblock_kernel_sizes": [3],
+                    "resblock_dilation_sizes": [[1, 2]],
+                }
+            }
+        ),
+        encoding="utf-8",
+    )
+    voc_dir = tmp_path / "voices" / "hifi_gan" / "tiny"
+    train_vocoder_main(
+        [
+            "--wav-dir", str(tiny_dataset / "wavs"),
+            "--out-dir", str(voc_dir),
+            "--config", str(cfg_path),
+            "--segment-frames", "16",
+            "--batch-size", "2",
+            "--steps", "3",
+            "--checkpoint-every", "1000",
+        ]
+    )
+    assert (voc_dir / "generator.npz").is_file()
+    assert (voc_dir / "config.json").is_file()
+
+    larynx_tpu._VOCODER_MODEL_CACHE.clear()
+    voc = larynx_tpu.get_vocoder_model(
+        "hifi_gan/tiny", custom_voices_dir=tmp_path / "voices",
+        no_download=True,
+    )
+    assert voc is not None
+    mels = np.log(
+        np.maximum(1e-5, np.random.default_rng(0).uniform(0, 2, (80, 24)))
+    ).astype(np.float32)
+    audio = voc.mels_to_audio(mels)
+    assert audio.size == 24 * 256 and np.isfinite(
+        audio.astype(np.float32)
+    ).all()
+    larynx_tpu._VOCODER_MODEL_CACHE.clear()
+
+
 def test_train_cli_end_to_end(tiny_dataset, tmp_path):
     from larynx_tpu.train import main as train_main
 
