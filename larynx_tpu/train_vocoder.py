@@ -63,8 +63,16 @@ def get_args(argv=None):
     parser.add_argument("--wav-dir", required=True, help="Directory of .wav files")
     parser.add_argument("--out-dir", required=True, help="Vocoder model dir to write")
     parser.add_argument(
+        "--family", choices=("hifi_gan", "waveglow"), default="hifi_gan",
+        help="Vocoder family to train (default: hifi_gan)",
+    )
+    parser.add_argument(
         "--quality", choices=list(GEOMETRY), default="low",
-        help="Released geometry preset (default: low)",
+        help="hifi_gan geometry preset (default: low)",
+    )
+    parser.add_argument(
+        "--sigma", type=float, default=1.0,
+        help="waveglow training prior sigma (default: 1.0)",
     )
     parser.add_argument(
         "--config", help="JSON with a model section overriding the preset"
@@ -100,11 +108,138 @@ def _load_corpus(wav_dir: Path, min_samples: int):
     return corpus
 
 
+def _make_mel_fn(settings: AudioSettings, frames: int):
+    """Segment audio [B, T] -> generator-input log-mels [B, frames, n_mels]."""
+    basis = jnp.asarray(
+        mel_basis(
+            settings.sample_rate, settings.filter_length,
+            settings.mel_channels, settings.mel_fmin, settings.mel_fmax,
+        )
+    )
+
+    @jax.jit
+    def make_mels(audio):
+        m = jnp.swapaxes(log_mel(audio, settings, basis), 1, 2)
+        have = m.shape[1]
+        if have >= frames:
+            return m[:, :frames, :]
+        return jnp.pad(
+            m, ((0, 0), (0, frames - have), (0, 0)),
+            constant_values=float(np.log(1e-5)),
+        )
+
+    return make_mels
+
+
+def _sample_batch(rng, corpus, batch_size, seg_samples, up):
+    """Hop-aligned random crops so mel frames line up."""
+    batch_audio = np.empty((batch_size, seg_samples), np.float32)
+    for i in range(batch_size):
+        audio = corpus[rng.integers(len(corpus))]
+        max_off = (audio.shape[0] - seg_samples) // up
+        off = int(rng.integers(max_off + 1)) * up
+        batch_audio[i] = audio[off : off + seg_samples]
+    return batch_audio
+
+
+def _train_waveglow(args) -> None:
+    from larynx_tpu.models.waveglow import (
+        WaveGlowConfig,
+        waveglow_config_from_json,
+    )
+    from larynx_tpu.models.waveglow import model as wg
+
+    if args.config:
+        cfg = waveglow_config_from_json(args.config)
+    else:
+        cfg = WaveGlowConfig()
+    settings = AudioSettings(mel_channels=cfg.mel_channels)
+    up = cfg.upsample_stride
+    seg_samples = args.segment_frames * up
+    corpus = _load_corpus(Path(args.wav_dir), seg_samples + up)
+    if not corpus:
+        raise SystemExit(
+            f"no usable wavs >= {seg_samples} samples in {args.wav_dir}"
+        )
+    _LOGGER.info(
+        "Training waveglow on %d file(s), %d-sample segments",
+        len(corpus), seg_samples,
+    )
+
+    schedule = optax.exponential_decay(
+        args.learning_rate, args.lr_decay_every, args.lr_decay
+    )
+    optimizer = optax.adam(schedule)
+    params = wg.init_params(jax.random.PRNGKey(args.seed), cfg)
+    if args.resume:
+        from larynx_tpu.convert.native import load_params
+
+        params = load_params(args.resume)
+        _LOGGER.info("Resumed from %s", args.resume)
+    opt_state = optimizer.init(params)
+    sigma = args.sigma
+
+    @jax.jit
+    def train_step(params, opt_state, audio, mels):
+        loss, grads = jax.value_and_grad(wg.loss_fn)(
+            params, cfg, audio, mels, sigma
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    make_mels = _make_mel_fn(settings, args.segment_frames)
+    out_dir = Path(args.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    def save(step: int):
+        from larynx_tpu.convert.native import save_params
+
+        json.dump(
+            {
+                f.name: getattr(cfg, f.name)
+                for f in cfg.__dataclass_fields__.values()
+            }
+            if hasattr(cfg, "__dataclass_fields__")
+            else {},
+            open(out_dir / "config.json", "w"),
+        )
+        save_params(out_dir / "generator.npz", jax.device_get(params))
+        _LOGGER.info("Saved waveglow checkpoint at step %s to %s", step, out_dir)
+
+    rng = np.random.default_rng(args.seed)
+    step = 0
+    t0 = time.time()
+    try:
+        while step < args.steps:
+            batch_audio = _sample_batch(
+                rng, corpus, args.batch_size, seg_samples, up
+            )
+            audio_dev = jnp.asarray(batch_audio)
+            params, opt_state, loss = train_step(
+                params, opt_state, audio_dev, make_mels(audio_dev)
+            )
+            step += 1
+            if step % 10 == 0:
+                _LOGGER.info(
+                    "step %s nll %.4f %.2f steps/s",
+                    step, float(loss), step / max(time.time() - t0, 1e-9),
+                )
+            if step % args.checkpoint_every == 0:
+                save(step)
+    except KeyboardInterrupt:
+        _LOGGER.info("Interrupted")
+    finally:
+        save(step)
+
+
 def main(argv=None) -> None:
     args = get_args(argv)
     logging.basicConfig(
         level=logging.DEBUG if args.debug else logging.INFO
     )
+    if args.family == "waveglow":
+        _train_waveglow(args)
+        return
 
     geometry = dict(GEOMETRY[args.quality])
     if args.config:
@@ -147,26 +282,7 @@ def main(argv=None) -> None:
         _LOGGER.info("Resumed generator from %s", args.resume)
     train_step = make_gan_train_step(cfg, settings, gen_opt, disc_opt)
 
-    basis = jnp.asarray(
-        mel_basis(
-            settings.sample_rate, settings.filter_length,
-            settings.mel_channels, settings.mel_fmin, settings.mel_fmax,
-        )
-    )
-    frames = args.segment_frames
-
-    @jax.jit
-    def make_mels(audio):
-        """Segment audio [B, T] -> generator-input log-mels [B, frames, n_mels]."""
-        m = jnp.swapaxes(log_mel(audio, settings, basis), 1, 2)
-        have = m.shape[1]
-        if have >= frames:
-            return m[:, :frames, :]
-        return jnp.pad(
-            m, ((0, 0), (0, frames - have), (0, 0)),
-            constant_values=float(np.log(1e-5)),
-        )
-
+    make_mels = _make_mel_fn(settings, args.segment_frames)
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
 
@@ -194,13 +310,9 @@ def main(argv=None) -> None:
     t0 = time.time()
     try:
         while step < args.steps:
-            batch_audio = np.empty((args.batch_size, seg_samples), np.float32)
-            for i in range(args.batch_size):
-                audio = corpus[rng.integers(len(corpus))]
-                # hop-aligned random crop so mel frames line up
-                max_off = (audio.shape[0] - seg_samples) // up
-                off = int(rng.integers(max_off + 1)) * up
-                batch_audio[i] = audio[off : off + seg_samples]
+            batch_audio = _sample_batch(
+                rng, corpus, args.batch_size, seg_samples, up
+            )
             audio_dev = jnp.asarray(batch_audio)
             batch = {"mels": make_mels(audio_dev), "audio": audio_dev}
             state, metrics = train_step(state, batch)

@@ -104,6 +104,54 @@ def test_train_vocoder_cli_end_to_end(tiny_dataset, tmp_path):
     larynx_tpu._VOCODER_MODEL_CACHE.clear()
 
 
+def test_train_vocoder_cli_waveglow(tiny_dataset, tmp_path):
+    """--family waveglow trains the flow NLL and writes a dir that
+    get_vocoder_model('waveglow') loads."""
+    import larynx_tpu
+    from larynx_tpu.train_vocoder import main as train_vocoder_main
+
+    cfg_path = tmp_path / "wg.json"
+    cfg_path.write_text(
+        json.dumps(
+            {
+                "mel_channels": 80, "sampling_rate": 22050, "flows": 2,
+                "groups": 8, "early_every": 2, "early_size": 2,
+                "wn_kernel_size": 3, "wn_channels": 16, "wn_layers": 1,
+                "upsample_kernel": 512, "upsample_stride": 256,
+            }
+        ),
+        encoding="utf-8",
+    )
+    voc_dir = tmp_path / "voices" / "waveglow" / "wn_256"
+    train_vocoder_main(
+        [
+            "--family", "waveglow",
+            "--wav-dir", str(tiny_dataset / "wavs"),
+            "--out-dir", str(voc_dir),
+            "--config", str(cfg_path),
+            "--segment-frames", "8",
+            "--batch-size", "2",
+            "--steps", "3",
+            "--checkpoint-every", "1000",
+        ]
+    )
+    assert (voc_dir / "generator.npz").is_file()
+
+    larynx_tpu._VOCODER_MODEL_CACHE.clear()
+    voc = larynx_tpu.get_vocoder_model(
+        "waveglow", custom_voices_dir=tmp_path / "voices", no_download=True
+    )
+    assert voc is not None
+    mels = np.log(
+        np.maximum(1e-5, np.random.default_rng(0).uniform(0, 2, (80, 12)))
+    ).astype(np.float32)
+    audio = voc.mels_to_audio(mels)
+    assert audio.size == 12 * 256 and np.isfinite(
+        audio.astype(np.float32)
+    ).all()
+    larynx_tpu._VOCODER_MODEL_CACHE.clear()
+
+
 def test_train_cli_end_to_end(tiny_dataset, tmp_path):
     from larynx_tpu.train import main as train_main
 
