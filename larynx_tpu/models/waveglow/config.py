@@ -27,6 +27,9 @@ class WaveGlowConfig:
     # NVIDIA upsampling: ConvTranspose1d(80, 80, 1024, stride=256)
     upsample_kernel: int = 1024
     upsample_stride: int = 256
+    # prior scale to SAMPLE with at inference (training records its own;
+    # NVIDIA recommends sampling somewhat below the training sigma)
+    sigma: float = 0.9
 
     def channels_at_flow(self, k: int) -> int:
         """Audio channels entering flow k (early outputs peel channels)."""

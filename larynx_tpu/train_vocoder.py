@@ -153,13 +153,19 @@ def _train_waveglow(args) -> None:
         cfg = waveglow_config_from_json(args.config)
     else:
         cfg = WaveGlowConfig()
-    settings = AudioSettings(mel_channels=cfg.mel_channels)
+    # conditioning mels are defined by the model's own geometry: one mel
+    # frame per upsample_stride samples at the model's sample rate
+    settings = AudioSettings(
+        mel_channels=cfg.mel_channels,
+        sample_rate=cfg.sampling_rate,
+        hop_length=cfg.upsample_stride,
+    )
     up = cfg.upsample_stride
     seg_samples = args.segment_frames * up
     corpus = _load_corpus(Path(args.wav_dir), seg_samples + up)
     if not corpus:
         raise SystemExit(
-            f"no usable wavs >= {seg_samples} samples in {args.wav_dir}"
+            f"no usable wavs >= {seg_samples + up} samples in {args.wav_dir}"
         )
     _LOGGER.info(
         "Training waveglow on %d file(s), %d-sample segments",
@@ -192,18 +198,22 @@ def _train_waveglow(args) -> None:
     out_dir.mkdir(parents=True, exist_ok=True)
 
     def save(step: int):
-        from larynx_tpu.convert.native import save_params
+        import dataclasses
 
-        json.dump(
-            {
-                f.name: getattr(cfg, f.name)
-                for f in cfg.__dataclass_fields__.values()
-            }
-            if hasattr(cfg, "__dataclass_fields__")
-            else {},
-            open(out_dir / "config.json", "w"),
+        from larynx_tpu.convert.native import save_params
+        from larynx_tpu.waveglow import _refresh_inverses
+
+        config_out = dataclasses.asdict(cfg)
+        # record the trained prior scale so inference samples from it
+        config_out["sigma"] = sigma
+        with open(out_dir / "config.json", "w", encoding="utf-8") as f:
+            json.dump(config_out, f)
+        # training updates convinv.w but w_inv gets zero gradients —
+        # recompute so the stored inverse matches the trained weight
+        save_params(
+            out_dir / "generator.npz",
+            _refresh_inverses(jax.device_get(params)),
         )
-        save_params(out_dir / "generator.npz", jax.device_get(params))
         _LOGGER.info("Saved waveglow checkpoint at step %s to %s", step, out_dir)
 
     rng = np.random.default_rng(args.seed)
@@ -263,7 +273,9 @@ def main(argv=None) -> None:
 
     corpus = _load_corpus(Path(args.wav_dir), seg_samples + up)
     if not corpus:
-        raise SystemExit(f"no usable wavs >= {seg_samples} samples in {args.wav_dir}")
+        raise SystemExit(
+            f"no usable wavs >= {seg_samples + up} samples in {args.wav_dir}"
+        )
     _LOGGER.info(
         "Training %s vocoder on %d file(s), %d-sample segments",
         args.quality, len(corpus), seg_samples,
@@ -289,19 +301,20 @@ def main(argv=None) -> None:
     def save(step: int):
         from larynx_tpu.convert.native import save_params
 
-        json.dump(
-            {
-                "audio": {
-                    "num_mels": settings.mel_channels,
-                    "sampling_rate": settings.sample_rate,
+        with open(out_dir / "config.json", "w", encoding="utf-8") as f:
+            json.dump(
+                {
+                    "audio": {
+                        "num_mels": settings.mel_channels,
+                        "sampling_rate": settings.sample_rate,
+                    },
+                    "model": {
+                        k: list(v) if isinstance(v, tuple) else v
+                        for k, v in geometry.items()
+                    },
                 },
-                "model": {
-                    k: list(v) if isinstance(v, tuple) else v
-                    for k, v in geometry.items()
-                },
-            },
-            open(out_dir / "config.json", "w"),
-        )
+                f,
+            )
         save_params(out_dir / "generator.npz", jax.device_get(state.gen_params))
         _LOGGER.info("Saved vocoder checkpoint at step %s to %s", step, out_dir)
 

@@ -32,6 +32,21 @@ from larynx_tpu.runtime.buckets import BucketPolicy
 _LOGGER = logging.getLogger("larynx_tpu.waveglow")
 
 
+def _refresh_inverses(params):
+    """Recompute every invertible-1x1 inverse from its weight.
+
+    Training only updates ``w`` (``w_inv`` gets zero gradients), so a
+    trained checkpoint's stored inverse can be stale; inference depends
+    on it being exact."""
+    import numpy as np
+
+    for flow in params.get("flows", []):
+        conv = flow.get("convinv")
+        if conv is not None and "w" in conv:
+            conv["w_inv"] = jnp.asarray(np.linalg.inv(np.asarray(conv["w"])))
+    return params
+
+
 def load_waveglow_artifacts(
     model_dir: Path, backend: typing.Optional[InferenceBackend] = None
 ):
@@ -58,7 +73,7 @@ def load_waveglow_artifacts(
         if path.suffix == ".npz":
             from larynx_tpu.convert.native import load_params
 
-            return load_params(path), cfg
+            return _refresh_inverses(load_params(path)), cfg
         from larynx_tpu.convert.torch_import import (
             load_torch_state_dict,
             waveglow_params_from_state_dict,
@@ -75,13 +90,17 @@ def load_waveglow_artifacts(
 class WaveGlowVocoder(VocoderModel):
     """Vocoder wrapper with the reference's ``mels_to_audio`` surface."""
 
-    def __init__(self, config: VocoderModelConfig, sigma: float = 0.9):
+    def __init__(
+        self, config: VocoderModelConfig, sigma: typing.Optional[float] = None
+    ):
         super().__init__(config)
         model_dir = Path(config.model_path)
         self.params, self.model_config = load_waveglow_artifacts(
             model_dir, backend=config.backend
         )
-        self.sigma = sigma
+        # the model dir's config records the sampling sigma (a model
+        # trained at non-default sigma must not be sampled at 0.9)
+        self.sigma = self.model_config.sigma if sigma is None else sigma
         self.half = config.half
         self.policy = BucketPolicy()
         # itertools.count: atomic under the GIL, so concurrent
@@ -91,6 +110,7 @@ class WaveGlowVocoder(VocoderModel):
         self._counter = itertools.count(1)
 
         cfg = self.model_config
+        sigma = self.sigma  # resolved value, not the ctor's None default
         dtype = jnp.bfloat16 if config.half else jnp.float32
         if config.half:
             self.params = jax.tree.map(

@@ -132,6 +132,7 @@ def test_train_vocoder_cli_waveglow(tiny_dataset, tmp_path):
             "--segment-frames", "8",
             "--batch-size", "2",
             "--steps", "3",
+            "--sigma", "0.7",
             "--checkpoint-every", "1000",
         ]
     )
@@ -142,6 +143,16 @@ def test_train_vocoder_cli_waveglow(tiny_dataset, tmp_path):
         "waveglow", custom_voices_dir=tmp_path / "voices", no_download=True
     )
     assert voc is not None
+    # the trained prior scale is recorded and used at inference
+    assert voc.sigma == pytest.approx(0.7)
+    # the saved 1x1 inverses match the TRAINED weights (regression: w_inv
+    # received zero gradients and stayed at the inverse of the init)
+    for flow in voc.params["flows"]:
+        w = np.asarray(flow["convinv"]["w"])
+        w_inv = np.asarray(flow["convinv"]["w_inv"])
+        np.testing.assert_allclose(
+            w @ w_inv, np.eye(w.shape[0]), atol=1e-4
+        )
     mels = np.log(
         np.maximum(1e-5, np.random.default_rng(0).uniform(0, 2, (80, 12)))
     ).astype(np.float32)
