@@ -114,6 +114,14 @@ def stream_halo_frames(voc_cfg: "HiFiGanConfig") -> int:
 MAX_VOCODE_AREA = 16384
 
 
+def _start_d2h(x) -> None:
+    """Begin an async device->host copy (no-op for non-device arrays)."""
+    try:
+        x.copy_to_host_async()
+    except AttributeError:
+        pass
+
+
 class SynthesisEngine:
     """Owns jitted programs + parameters for one (voice, vocoder) pair."""
 
@@ -178,8 +186,13 @@ class SynthesisEngine:
         self.dtype = jnp.bfloat16 if half else jnp.float32
         self.voc_dtype = jnp.bfloat16 if self.vocoder_half else jnp.float32
         cast = lambda t, dtype: jax.tree.map(  # noqa: E731
+            # probe the dtype WITHOUT materializing the leaf on device
+            # (jnp.asarray(x).dtype would upload every weight twice)
             lambda x: jnp.asarray(
-                x, dtype if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else None
+                x,
+                dtype
+                if jnp.issubdtype(jnp.result_type(x), jnp.floating)
+                else None,
             ),
             t,
         )
@@ -287,7 +300,7 @@ class SynthesisEngine:
                     jnp.swapaxes(mel_pp.astype(self.voc_dtype), 1, 2),
                     use_pallas=use_pallas,
                 ).astype(jnp.float32)
-                y_len = jnp.sum(z_mask, axis=1).astype(jnp.int32)
+                y_len = jnp.sum(z_mask, axis=1, dtype=jnp.int32)
                 n_valid = y_len * upsample
                 if denoise:
                     audio = hifi_denoiser.denoise(
@@ -354,6 +367,15 @@ class SynthesisEngine:
                     audio = hifi_denoiser.denoise(
                         audio, bias_spec, strength, fft, hop
                     )
+                    # the denoiser's un-normalized Hann^2 overlap-add
+                    # multiplies the waveform by sum(w^2)/hop (~1.4985 at
+                    # 1024/256); the batch path absorbs it in per-row peak
+                    # normalization, the fixed-gain stream must divide it
+                    # out or loud samples hard-clip
+                    ola_gain = float(
+                        np.sum(dsp.hann_window(fft) ** 2) / hop
+                    )
+                    audio = audio / ola_gain
                 scaled = jnp.clip(audio * 32767.0, -32767.0, 32767.0)
                 return scaled.astype(jnp.int16)
 
@@ -393,7 +415,7 @@ class SynthesisEngine:
                     jnp.swapaxes(mel_pp, 1, 2).astype(self.voc_dtype),
                     z=z.astype(self.voc_dtype),
                 ).astype(jnp.float32)
-                y_len = jnp.sum(z_mask, axis=1).astype(jnp.int32)
+                y_len = jnp.sum(z_mask, axis=1, dtype=jnp.int32)
                 return to_int16(audio, y_len * voc_cfg.upsample_stride)
 
             self._vocode_gl = vocode_wg  # shares the non-hifi vocode slot
@@ -415,7 +437,7 @@ class SynthesisEngine:
                 signal = dsp.griffin_lim(
                     spec, key, fft, hop, gl_iters, momentum=gl_momentum
                 )
-                y_len = jnp.sum(z_mask, axis=1).astype(jnp.int32)
+                y_len = jnp.sum(z_mask, axis=1, dtype=jnp.int32)
                 nf = jnp.maximum(y_len - 1, 1)
                 n_valid = nf * hop + fft
                 return to_int16(signal, n_valid)
@@ -504,10 +526,7 @@ class SynthesisEngine:
             self.glow_params, ids_dev, lengths_dev,
             self._row_param(length_scale, b_bucket, 2), g,
         )
-        try:
-            out[4].copy_to_host_async()
-        except AttributeError:
-            pass
+        _start_d2h(out[4])
         return out, g
 
     def _speaker_embedding(self, speaker_ids, b_bucket):
@@ -600,10 +619,7 @@ class SynthesisEngine:
         part = self._vocode_gl(
             self.vocoder_params, mel, z_mask, jax.random.fold_in(key, 1)
         )
-        try:
-            part.copy_to_host_async()
-        except AttributeError:
-            pass
+        _start_d2h(part)
         return [(part, list(range(mel.shape[0])))]
 
     def _vocode_launch_waveglow(self, mel, z_mask, n_valid, key, y_lengths):
@@ -633,7 +649,7 @@ class SynthesisEngine:
         )
         # zero the prior past each row's valid blocks: the padded tail is
         # then (near-)silence under any bucket width
-        y_len = jnp.sum(z_mask, axis=1).astype(jnp.int32)
+        y_len = jnp.sum(z_mask, axis=1, dtype=jnp.int32)
         valid_blocks = (y_len * blocks_per_frame)[:, None]
         z_full = jnp.where(
             (jnp.arange(blocks_full)[None, :] < valid_blocks)[..., None],
@@ -670,10 +686,7 @@ class SynthesisEngine:
                 z_s, (start, 0, 0), (rows, blocks_g, cfg.groups)
             )
             part = self._vocode_gl(self.vocoder_params, mel_g, mask_g, z_g)
-            try:
-                part.copy_to_host_async()
-            except AttributeError:
-                pass
+            _start_d2h(part)
             parts.append((part, [int(i) for i in order[start : start + rows]]))
         return parts
 
@@ -808,8 +821,11 @@ class SynthesisEngine:
             from jax.sharding import NamedSharding, PartitionSpec
 
             replicated = NamedSharding(self.mesh, PartitionSpec())
-            mel = jax.device_put(mel, replicated)
-            z_mask = jax.device_put(z_mask, replicated)
+            # only row 0 is streamed: drop the encode padding rows (the
+            # batch was padded to a multiple of n_data) so each chunk
+            # vocodes one row, not n_data redundant ones
+            mel = jax.device_put(mel[:1], replicated)
+            z_mask = jax.device_put(z_mask[:1], replicated)
         m_bucket = mel.shape[1]
         up = self.upsample
 
@@ -833,10 +849,7 @@ class SynthesisEngine:
                 self.vocoder_params, mel, z_mask, w_start, window,
                 bias, strength, denoise,
             )
-            try:
-                audio_c.copy_to_host_async()
-            except AttributeError:
-                pass
+            _start_d2h(audio_c)
             if prev is not None:
                 p_audio, p_off, p_n = prev
                 yield np.asarray(p_audio)[0, p_off : p_off + p_n]
@@ -873,7 +886,9 @@ class SynthesisEngine:
             # final window is clamped to the array end (b is itself a
             # multiple of n_data) — overlapping rows are just re-vocoded
             # with identical results rather than sliced out of bounds.
-            group = max(1, MAX_VOCODE_AREA // m)
+            # The HBM cap is per DEVICE: the group's rows split across
+            # n_data devices, so the global-row budget scales by n_data.
+            group = max(1, (MAX_VOCODE_AREA * self._n_data) // m)
             group = max(group - group % self._n_data, self._n_data)
             strength = self._row_param(str_rows, b, 3)
             parts = []
@@ -898,10 +913,7 @@ class SynthesisEngine:
                 part = self._vocode(
                     self.vocoder_params, mel_g, mask_g, bias, str_g, denoise
                 )
-                try:
-                    part.copy_to_host_async()
-                except AttributeError:  # older jax / non-array
-                    pass
+                _start_d2h(part)
                 parts.append((part, idxs))
             return parts
 
@@ -946,10 +958,7 @@ class SynthesisEngine:
             part = self._vocode(
                 self.vocoder_params, mel_g, mask_g, bias, str_g, denoise
             )
-            try:
-                part.copy_to_host_async()
-            except AttributeError:  # older jax / non-array
-                pass
+            _start_d2h(part)
             parts.append(
                 (part, [int(order[i]) for i in range(start, start + group)])
             )

@@ -135,8 +135,10 @@ def test_mesh_vocode_grouping_overlaps_final_window(
     y_lengths = np.asarray(enc_out[4])
     b = enc_out[0].shape[0]
     m = eng.policy.mel_bucket(int(y_lengths[:n].max()))
-    # group = 24 rows of 32: windows [0,24) and the clamped [8,32)
-    monkeypatch.setattr(engine_module, "MAX_VOCODE_AREA", 24 * m)
+    # the cap is per DEVICE (scaled by n_data=8 for global rows):
+    # group = (3m * 8) / m = 24 rows of 32 -> windows [0,24) and the
+    # clamped [8,32)
+    monkeypatch.setattr(engine_module, "MAX_VOCODE_AREA", 3 * m)
     assert b == 32 and n > 24
 
     parts, b_rows = eng.synthesize_launch(enc_out, y_lengths, g, n, seed=5)
