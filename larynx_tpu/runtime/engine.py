@@ -657,6 +657,38 @@ class SynthesisEngine:
             0.0,
         )
 
+        if self.mesh is not None:
+            # mesh path: the vocode program is plain jit (pure XLA, so
+            # GSPMD partitions it), but groups must stay uniform-width
+            # multiples of the data-axis size so row shards split evenly —
+            # mirrors _vocode_launch_hifi's shard_map branch.  The HBM cap
+            # is per device, so the global-row budget scales by n_data.
+            group = max(1, (area * self._n_data) // m)
+            group = max(group - group % self._n_data, self._n_data)
+            parts = []
+            for start in range(0, b, group):
+                if start >= n_valid:
+                    break
+                if group >= b:
+                    mel_g, mask_g, z_g = mel, z_mask, z_full
+                    idxs = list(range(b))
+                else:
+                    start = min(start, b - group)
+                    mel_g = jax.lax.slice_in_dim(
+                        mel, start, start + group, axis=0
+                    )
+                    mask_g = jax.lax.slice_in_dim(
+                        z_mask, start, start + group, axis=0
+                    )
+                    z_g = jax.lax.slice_in_dim(
+                        z_full, start, start + group, axis=0
+                    )
+                    idxs = list(range(start, start + group))
+                part = self._vocode_gl(self.vocoder_params, mel_g, mask_g, z_g)
+                _start_d2h(part)
+                parts.append((part, idxs))
+            return parts
+
         if y_lengths is not None:
             lens = np.asarray(y_lengths)[:n_valid].astype(np.int64)
         else:
@@ -803,7 +835,14 @@ class SynthesisEngine:
         per-utterance peak normalization — streaming emits at fixed gain
         (the generator's tanh already bounds the waveform).
         """
-        assert self.vocoder_kind == "hifi_gan", "streaming needs HiFi-GAN"
+        if self.vocoder_kind != "hifi_gan":
+            # a real exception (not assert): the server middleware maps it
+            # to a clear error instead of a bare AssertionError, and the
+            # guard survives python -O
+            raise ValueError(
+                "streaming synthesis requires a HiFi-GAN vocoder "
+                f"(engine has vocoder_kind={self.vocoder_kind!r})"
+            )
         enc_out, g = self.encode_launch(
             [ids], length_scale, speaker_ids=speaker_ids
         )

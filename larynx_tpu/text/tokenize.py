@@ -25,6 +25,18 @@ _ABBREVIATIONS = {
     "ca.", "usw.", "d.h.",
 }
 
+# German sentence-starter words (pronouns/adverbs/conjunctions, NOT nouns
+# or articles): after a small-number+period, one of these capitalized means
+# the number ended its sentence ("Er wurde 5. Danach kam ..."), anything
+# else is an ordinal/date ("der 3. Mann", "am 5. Januar" — German nouns are
+# capitalized, so a bare is-uppercase test cannot distinguish the cases).
+_DE_STARTERS = {
+    "Er", "Sie", "Es", "Ich", "Wir", "Ihr", "Man", "Aber", "Doch",
+    "Jedoch", "Dann", "Danach", "Später", "Anschließend", "Schließlich",
+    "Außerdem", "Deshalb", "Daher", "Darum", "Nun", "Jetzt", "Heute",
+    "Morgen", "Gestern", "Zuerst", "Zudem", "Trotzdem", "Dennoch",
+}
+
 MINOR_PUNCT = {",", ";", ":", "-", "—", "–", "(", ")", "[", "]", "…"}
 # NB: Spanish inverted marks (¡ ¿) open a sentence — they are dropped, not
 # breaks (the golden fixtures have no leading ‖ for "¿Puedes ...?")
@@ -80,12 +92,26 @@ def split_sentences(text: str, lang: str = "en-us") -> typing.List[str]:
             candidate = chunk[start : m.start() + 1].strip()
             # Don't split after abbreviations / single initials
             last_word = candidate.rsplit(" ", 1)[-1].lower()
-            if last_word in _ABBREVIATIONS or re.match(r"^\w\.$", last_word):
+            # single initials ("J."); digits are NOT initials — small
+            # numbers get language-aware handling below
+            if last_word in _ABBREVIATIONS or re.match(
+                r"^[^\W\d_]\.$", last_word
+            ):
                 continue
-            # German ordinal/date periods ("der 3. Mann") are not sentence
-            # ends; years and longer numbers still are
+            # German ordinal/date periods ("der 3. Mann", "am 5. Januar")
+            # are not sentence ends; years and longer numbers still are.
+            # A sentence genuinely ending in a small number ("Er wurde 5.
+            # Danach kam ...") is recognized by its continuation being a
+            # capitalized sentence-starter word — ordinals are instead
+            # followed by the (also capitalized) noun they modify.
             if lang == "de-de" and re.match(r"^\d{1,2}\.$", last_word):
-                continue
+                follow = chunk[m.end() :].lstrip()
+                if (
+                    not follow
+                    or follow.split(" ", 1)[0].rstrip(".,!?")
+                    not in _DE_STARTERS
+                ):
+                    continue
             if candidate:
                 parts.append(chunk[start : m.end()].rstrip())
             start = m.end()

@@ -130,15 +130,114 @@ class WaveGlowVocoder(VocoderModel):
 
         self._generate = generate
 
+        @jax.jit
+        def generate_z(params, mel, z):
+            # pre-drawn prior noise [B, blocks, groups]: the chunked long
+            # path slices ONE utterance-wide draw so chunk seams see the
+            # same prior on both sides
+            return wg_model.infer(
+                params, cfg, jnp.swapaxes(mel, 1, 2).astype(dtype),
+                z=z.astype(dtype),
+            ).astype(jnp.float32)
+
+        self._generate_z = generate_z
+
+    def _halo_frames(self) -> int:
+        """Mel frames covering the full compound receptive field.
+
+        Each WN sees 1 + (k-1)·(2^layers − 1) blocks; the 12 flows
+        compose, and a mel frame conditions upsample_kernel/stride
+        output frames through the transposed conv.  A chunk padded by
+        this halo reproduces the unchunked samples in its interior.
+        """
+        cfg = self.model_config
+        rf_wn = 1 + (cfg.wn_kernel_size - 1) * (2**cfg.wn_layers - 1)
+        blocks = cfg.flows * (rf_wn - 1)
+        blocks_per_frame = cfg.upsample_stride // cfg.groups
+        return -(-blocks // blocks_per_frame) + -(
+            -cfg.upsample_kernel // cfg.upsample_stride
+        )
+
     def mels_to_audio(
         self,
         mels: np.ndarray,
         settings: typing.Optional[SettingsType] = None,
     ) -> np.ndarray:
-        """Post-processed mels [1, n_mels, M] -> int16 audio."""
+        """Post-processed mels [1, n_mels, M] -> int16 audio.
+
+        Very long utterances are vocoded in receptive-field-haloed time
+        chunks so the WN activation footprint stays bounded (the engine
+        path caps rows*frames at MAX_VOCODE_AREA/4 for the same reason);
+        interior samples match the unchunked program.
+        """
+        from larynx_tpu.runtime.engine import MAX_VOCODE_AREA
+
         mels = np.asarray(mels, dtype=np.float32)
         if mels.ndim == 2:
             mels = mels[None]
+        frames = mels.shape[-1]
+        cfg = self.model_config
+        stride = cfg.upsample_stride
+        cap = max(256, (MAX_VOCODE_AREA // 4) // mels.shape[0])
+        if frames <= cap:
+            audio = self._vocode_bucketed(mels)
+            return audio_float_to_int16(audio.squeeze(0))
+
+        audio = self._vocode_chunked(mels, cap)
+        return audio_float_to_int16(audio.squeeze(0))
+
+    def _vocode_chunked(
+        self,
+        mels: np.ndarray,
+        cap: int,
+        z_full: typing.Optional[jnp.ndarray] = None,
+    ) -> np.ndarray:
+        """Receptive-field-haloed time chunks over ONE prior draw.
+
+        The prior is drawn utterance-wide (or passed in by tests) and
+        sliced per chunk, so both sides of a seam see the same noise —
+        per-chunk draws would phase-jump at every boundary.
+        """
+        cfg = self.model_config
+        frames = mels.shape[-1]
+        stride = cfg.upsample_stride
+        halo = self._halo_frames()
+        blocks_per_frame = stride // cfg.groups
+        plan = []
+        max_end = 0
+        for start in range(0, frames, cap):
+            lo = max(0, start - halo)
+            hi = min(frames, start + cap + halo)
+            bucket = self.policy.mel_bucket(hi - lo)
+            plan.append((start, lo, hi, bucket))
+            max_end = max(max_end, lo + bucket)
+        if z_full is None:
+            z_full = self.sigma * jax.random.normal(
+                jax.random.PRNGKey(next(self._counter)),
+                (mels.shape[0], max_end * blocks_per_frame, cfg.groups),
+            )
+        chunks: typing.List[np.ndarray] = []
+        for start, lo, hi, bucket in plan:
+            mel_c = mels[:, :, lo:hi]
+            if bucket > hi - lo:
+                pad = np.full(
+                    (mels.shape[0], mels.shape[1], bucket - (hi - lo)),
+                    np.log(1e-5),
+                    dtype=np.float32,
+                )
+                mel_c = np.concatenate([mel_c, pad], axis=-1)
+            z_c = jax.lax.dynamic_slice_in_dim(
+                z_full, lo * blocks_per_frame, bucket * blocks_per_frame, 1
+            )
+            part = np.asarray(
+                self._generate_z(self.params, jnp.asarray(mel_c), z_c)
+            )
+            end = min(frames, start + cap)
+            chunks.append(part[:, (start - lo) * stride : (end - lo) * stride])
+        return np.concatenate(chunks, axis=-1)
+
+    def _vocode_bucketed(self, mels: np.ndarray) -> np.ndarray:
+        """Run the jitted generator at the frames' bucketed width."""
         frames = mels.shape[-1]
         bucket = self.policy.mel_bucket(frames)
         if bucket > frames:
@@ -155,5 +254,4 @@ class WaveGlowVocoder(VocoderModel):
                 jax.random.PRNGKey(next(self._counter)),
             )
         )
-        audio = audio[:, : frames * self.model_config.upsample_stride]
-        return audio_float_to_int16(audio.squeeze(0))
+        return audio[:, : frames * self.model_config.upsample_stride]

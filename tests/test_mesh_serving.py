@@ -189,3 +189,102 @@ def test_mesh_engine_griffin_lim(small_models, monkeypatch):
     )
     assert out[0].dtype == np.int16 and out[0].size > 1000
     assert np.isfinite(out[0].astype(np.float32)).all()
+
+
+def test_mesh_engine_waveglow(small_models, monkeypatch):
+    """WaveGlow engines on a mesh vocode through uniform n_data-multiple
+    row groups over the data-sharded arrays (the program is plain jit —
+    pure XLA, GSPMD-partitionable) and match the single-device engine."""
+    import dataclasses
+
+    from larynx_tpu.models.waveglow import WaveGlowConfig
+    from larynx_tpu.models.waveglow import model as wg
+
+    monkeypatch.setenv("LARYNX_TPU_MESH", "on")
+    mesh = serving_mesh()
+    glow_cfg, glow_params, _, _ = small_models
+    wg_cfg = WaveGlowConfig(
+        mel_channels=80, flows=2, groups=8, early_every=4, early_size=2,
+        wn_kernel_size=3, wn_channels=16, wn_layers=2,
+        upsample_kernel=512, upsample_stride=256,
+    )
+    wg_params = wg.init_params(jax.random.PRNGKey(2), wg_cfg)
+    settings = AudioSettings(
+        signal_norm=True, max_norm=1.0, symmetric_norm=True, clip_norm=True
+    )
+
+    def make(mesh):
+        return SynthesisEngine(
+            glow_params, glow_cfg, settings,
+            vocoder_kind="waveglow",
+            vocoder_params=wg_params, vocoder_cfg=wg_cfg,
+            seed=7, mesh=mesh,
+        )
+
+    rng = np.random.default_rng(0)
+    id_seqs = [
+        np.asarray(rng.integers(1, 40, size=n), dtype=np.int64)
+        for n in (12, 9, 15)
+    ]
+    ref = make(None).synthesize_batch(id_seqs, seed=5, length_scale=2.0)
+    out = make(mesh).synthesize_batch(id_seqs, seed=5, length_scale=2.0)
+    assert len(ref) == len(out) == len(id_seqs)
+    for a, r in zip(out, ref):
+        assert a.dtype == np.int16 and a.shape == r.shape
+        diff = np.abs(a.astype(np.int32) - r.astype(np.int32))
+        assert np.max(diff) <= 2, np.max(diff)
+
+
+def test_mesh_engine_waveglow_grouped_windows(small_models, monkeypatch):
+    """Under a tiny area cap the mesh WaveGlow path must emit uniform
+    n_data-multiple groups with the final window clamped in-bounds."""
+    import dataclasses
+
+    import larynx_tpu.runtime.engine as engine_module
+    from larynx_tpu.models.waveglow import WaveGlowConfig
+    from larynx_tpu.models.waveglow import model as wg
+
+    monkeypatch.setenv("LARYNX_TPU_MESH", "on")
+    mesh = serving_mesh()
+    glow_cfg, glow_params, _, _ = small_models
+    wg_cfg = WaveGlowConfig(
+        mel_channels=80, flows=2, groups=8, early_every=4, early_size=2,
+        wn_kernel_size=3, wn_channels=16, wn_layers=2,
+        upsample_kernel=512, upsample_stride=256,
+    )
+    eng = SynthesisEngine(
+        glow_params, glow_cfg,
+        AudioSettings(signal_norm=True, max_norm=1.0,
+                      symmetric_norm=True, clip_norm=True),
+        vocoder_kind="waveglow",
+        vocoder_params=wg.init_params(jax.random.PRNGKey(2), wg_cfg),
+        vocoder_cfg=wg_cfg,
+        seed=7, mesh=mesh,
+    )
+    rng = np.random.default_rng(3)
+    id_seqs = [
+        np.asarray(rng.integers(1, 40, size=int(n)), dtype=np.int64)
+        for n in rng.integers(6, 14, size=25)
+    ]
+    n = len(id_seqs)
+    enc_out, g = eng.encode_launch(id_seqs, 2.0)
+    y_lengths = np.asarray(enc_out[4])
+    b = enc_out[0].shape[0]
+    m = eng.policy.mel_bucket(int(y_lengths[:n].max()))
+    # waveglow cap is MAX_VOCODE_AREA//4 per device; pick the cap so the
+    # global group is 16 of 32 rows -> windows [0,16) and clamped [16,32)
+    monkeypatch.setattr(engine_module, "MAX_VOCODE_AREA", 8 * m)
+    assert b == 32
+
+    parts, b_rows = eng.synthesize_launch(enc_out, y_lengths, g, n, seed=5)
+    starts = [p[1][0] for p in parts]
+    assert starts == [0, 16], starts
+    for _, idxs in parts:
+        assert len(idxs) % 8 == 0  # n_data multiples
+    rows = eng.crop_rows(
+        eng.vocode_collect(parts, b_rows), y_lengths, n, 0.0
+    )
+    assert len(rows) == n
+    for r in rows:
+        assert r.dtype == np.int16 and r.size > 0
+        assert np.isfinite(r.astype(np.float32)).all()

@@ -97,3 +97,26 @@ def test_stream_duration_matches_batch(engine):
     b = batch.astype(np.float64)
     corr = np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
     assert corr > 0.9999, corr
+
+
+def test_stream_requires_hifi_gan_raises_value_error():
+    """Non-HiFi engines must reject streaming with a real exception (the
+    server maps it to an error response; a bare assert would vanish
+    under python -O)."""
+    from larynx_tpu.audio import AudioSettings
+    from larynx_tpu.models.glow_tts import GlowTTSConfig
+    from larynx_tpu.models.glow_tts.model import init_params as glow_init
+    from larynx_tpu.runtime.engine import SynthesisEngine
+
+    glow_cfg = GlowTTSConfig(
+        hidden_channels=64, filter_channels=128, filter_channels_dp=64,
+        n_layers_enc=2, n_blocks_dec=2, n_block_layers=2,
+    )
+    eng = SynthesisEngine(
+        glow_init(jax.random.PRNGKey(0), glow_cfg), glow_cfg,
+        AudioSettings(signal_norm=True, max_norm=1.0,
+                      symmetric_norm=True, clip_norm=True),
+        vocoder_kind="griffin_lim", seed=7, griffin_lim_iters=2,
+    )
+    with pytest.raises(ValueError, match="HiFi-GAN"):
+        next(eng.synthesize_stream(np.arange(1, 10, dtype=np.int64)))

@@ -373,3 +373,24 @@ def test_compound_ordinals_over_one_hundred():
     assert N.nl_ordinal_to_words(108) == "honderdachtste"
     assert N.ru_ordinal_to_words(121) == "сто двадцать первый"
     assert N.sv_ordinal_to_words(121) == "etthundratjugoförsta"
+
+
+def test_german_number_sentence_end_splits():
+    """A German sentence legitimately ending in a small number splits when
+    the continuation is a capitalized sentence-starter word; ordinal/date
+    uses (noun or month continuation) still merge."""
+    from larynx_tpu.text.tokenize import split_sentences
+
+    assert split_sentences(
+        "Er wurde 5. Danach kam seine Schwester.", "de-de"
+    ) == ["Er wurde 5.", "Danach kam seine Schwester."]
+    assert split_sentences("Sie zählte bis 10. Dann lief sie los.", "de-de") == [
+        "Sie zählte bis 10.", "Dann lief sie los.",
+    ]
+    # ordinal + noun / month stays one sentence
+    assert split_sentences("Der 3. Mann kam spät.", "de-de") == [
+        "Der 3. Mann kam spät."
+    ]
+    assert split_sentences("Wir treffen uns am 5. Januar im Park.", "de-de") == [
+        "Wir treffen uns am 5. Januar im Park."
+    ]

@@ -411,3 +411,90 @@ def test_waveglow_vocoder_end_to_end(tmp_path):
     assert audio.dtype == np.int16
     assert audio.shape == (20 * cfg.upsample_stride,)
     larynx_tpu._VOCODER_MODEL_CACHE.clear()
+
+
+def test_waveglow_wrapper_chunks_long_utterance(monkeypatch, tmp_path):
+    """A single very long utterance through the standalone wrapper must
+    vocode in receptive-field-haloed time chunks (bounded WN footprint,
+    mirroring the engine's area cap) and reproduce the unchunked program's
+    interior samples over the SAME utterance-wide prior draw."""
+    import dataclasses
+
+    from larynx_tpu.constants import VocoderModelConfig
+    from larynx_tpu.convert.native import save_params
+    from larynx_tpu.waveglow import WaveGlowVocoder
+
+    cfg = dataclasses.replace(SMALL_CFG, mel_channels=16)
+    model_dir = tmp_path / "waveglow" / "wn_small"
+    model_dir.mkdir(parents=True)
+    json.dump(
+        {
+            "mel_channels": cfg.mel_channels, "sampling_rate": 22050,
+            "flows": cfg.flows, "groups": cfg.groups,
+            "early_every": cfg.early_every, "early_size": cfg.early_size,
+            "wn_kernel_size": cfg.wn_kernel_size,
+            "wn_channels": cfg.wn_channels, "wn_layers": cfg.wn_layers,
+            "upsample_kernel": cfg.upsample_kernel,
+            "upsample_stride": cfg.upsample_stride,
+        },
+        open(model_dir / "config.json", "w"),
+    )
+    save_params(
+        model_dir / "generator.npz",
+        _perturbed_params(jax.random.PRNGKey(0), cfg),
+    )
+    voc = WaveGlowVocoder(
+        VocoderModelConfig(model_path=str(model_dir))
+    )
+
+    frames = 300
+    cap = 96
+    mels = np.log(
+        np.maximum(
+            1e-5,
+            np.random.default_rng(0).uniform(0, 2, (1, cfg.mel_channels, frames)),
+        )
+    ).astype(np.float32)
+
+    # shared utterance-wide prior, sized for both the chunk plan's widest
+    # window and the unchunked full bucket
+    bpf = cfg.upsample_stride // cfg.groups
+    full_bucket = voc.policy.mel_bucket(frames)
+    halo = voc._halo_frames()
+    max_end = 0
+    for start in range(0, frames, cap):
+        lo = max(0, start - halo)
+        hi = min(frames, start + cap + halo)
+        max_end = max(max_end, lo + voc.policy.mel_bucket(hi - lo))
+    n_blocks = max(max_end, full_bucket) * bpf
+    z_full = voc.sigma * jax.random.normal(
+        jax.random.PRNGKey(99), (1, n_blocks, cfg.groups)
+    )
+
+    chunked = voc._vocode_chunked(mels, cap, z_full=z_full)
+
+    # unchunked oracle: same prior, full width
+    pad = np.full(
+        (1, cfg.mel_channels, full_bucket - frames), np.log(1e-5), np.float32
+    )
+    mel_full = np.concatenate([mels, pad], axis=-1)
+    ref = np.asarray(
+        voc._generate_z(
+            voc.params,
+            jnp.asarray(mel_full),
+            z_full[:, : full_bucket * bpf],
+        )
+    )[:, : frames * cfg.upsample_stride]
+
+    assert chunked.shape == ref.shape
+    np.testing.assert_allclose(chunked, ref, rtol=1e-4, atol=1e-4)
+
+    # and the public surface actually takes the chunked path under a tiny
+    # engine cap, producing the right length with no seam blowups
+    import larynx_tpu.runtime.engine as engine_module
+
+    monkeypatch.setattr(engine_module, "MAX_VOCODE_AREA", 4 * cap)
+    audio = voc.mels_to_audio(mels.squeeze(0))
+    assert audio.dtype == np.int16
+    assert audio.shape == (frames * cfg.upsample_stride,)
+    assert np.isfinite(audio.astype(np.float32)).all()
