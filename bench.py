@@ -176,7 +176,6 @@ def _make_voice_dirs(quality: str):
     from larynx_tpu.convert.native import save_params
     from larynx_tpu.models.glow_tts import config_from_voice_json
     from larynx_tpu.models.glow_tts.model import init_params as gi
-    from larynx_tpu.models.hifi_gan import hifi_gan_config_from_json
     from larynx_tpu.models.hifi_gan.model import init_params as hi
 
     root = Path(tempfile.mkdtemp(prefix="bench_voices_"))
@@ -348,11 +347,16 @@ def main() -> None:
 
     synth_time = float(np.median(times))
     rtf = synth_time / audio_sec
+    run_rtfs = [round(t / audio_sec, 6) for t in times]
     result = {
         "metric": metric,
         "value": round(rtf, 6),
         "unit": "synth_sec_per_audio_sec",
         "vs_baseline": round(BASELINES.get(quality, 0.25) / rtf, 2),
+        # per-trial RTFs: the tunnel has ±20% run-to-run variance, so the
+        # spread distinguishes a real regression from a congested window
+        "value_runs": run_rtfs,
+        "value_spread": round(max(run_rtfs) - min(run_rtfs), 6),
         "audio_sec_per_run": round(audio_sec, 2),
         "synth_sec_per_run": round(synth_time, 4),
         "warmup_sec": round(warmup_time, 2),

@@ -210,7 +210,21 @@ def _synthesize_via_daemon(args) -> bytes:
 # -----------------------------------------------------------------------------
 
 
+def _apply_platform_override() -> None:
+    """Honor ``LARYNX_TPU_PLATFORM`` (e.g. ``cpu``) before any backend
+    initializes.  Some managed environments pin ``JAX_PLATFORMS`` at the
+    interpreter level (sitecustomize), so a plain env var cannot force
+    CPU — ``jax.config`` can, as long as it runs before first device use
+    (packaging smoke tests and CPU-only hosts rely on this)."""
+    platform = os.environ.get("LARYNX_TPU_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
 def main(argv: typing.Optional[typing.Sequence[str]] = None) -> None:
+    _apply_platform_override()
     args = get_args(argv)
 
     # --language picks that language's default voice unless --voice is given

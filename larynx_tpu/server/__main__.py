@@ -106,6 +106,9 @@ def _pid_running(pid: int) -> bool:
 
 
 def main(argv=None) -> None:
+    from larynx_tpu.__main__ import _apply_platform_override
+
+    _apply_platform_override()
     args = get_args(argv)
 
     log_args = {"level": logging.DEBUG if args.debug else logging.INFO}

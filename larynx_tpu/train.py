@@ -13,8 +13,6 @@ import shutil
 import time
 from pathlib import Path
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 
