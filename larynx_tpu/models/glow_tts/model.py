@@ -280,15 +280,24 @@ def expand_and_decode(
     x_logs: jnp.ndarray,
     w_ceil: jnp.ndarray,
     y_lengths: jnp.ndarray,
-    key: jax.Array,
+    key: typing.Optional[jax.Array],
     mel_max_length: int,
     noise_scale: jnp.ndarray = 1.0,
     g: typing.Optional[jnp.ndarray] = None,
+    row_keys: typing.Optional[jnp.ndarray] = None,
 ):
     """(x_m [B,T,C], durations [B,T]) -> mel [B, M, C], mel mask [B, M].
 
     ``mel_max_length`` (M) is the static mel bucket; callers guarantee
     M >= max(y_lengths) and M % n_sqz == 0.
+
+    ``row_keys`` ([B, 2] uint32, one PRNG key per row) replaces ``key``:
+    each row's latent noise is drawn from ITS OWN key with frame-major
+    layout, so a row's noise depends only on its key — not on the batch
+    size, its row index, or the mel bucket (threefry bits are
+    counter-indexed, making the [:M] prefix of a wider draw identical).
+    This is what lets explicitly-seeded serving requests share a batch
+    and stay reproducible (runtime/scheduler.py).
     """
     b, t, c = x_m.shape
     m = mel_max_length
@@ -310,7 +319,12 @@ def expand_and_decode(
     z_logs = z_logs * valid
 
     z_mask = sequence_mask(y_lengths, m).astype(x_m.dtype)  # [B, M]
-    noise = jax.random.normal(key, (b, m, c), dtype=x_m.dtype)
+    if row_keys is not None:
+        noise = jax.vmap(
+            lambda k: jax.random.normal(k, (m, c), dtype=x_m.dtype)
+        )(row_keys)
+    else:
+        noise = jax.random.normal(key, (b, m, c), dtype=x_m.dtype)
     z = (
         z_m + jnp.exp(z_logs) * noise * jnp.asarray(noise_scale, x_m.dtype)
     ) * z_mask[..., None]

@@ -265,6 +265,39 @@ class SynthesisEngine:
 
         self._decode = decode_fn
 
+        engine_seed = self.seed
+
+        @functools.partial(jax.jit, static_argnames=("mel_max",))
+        def decode_rowseed_fn(params, x_m, x_logs, w_ceil, y_lengths,
+                              row_seeds, seeded_mask, batch_index,
+                              noise_scale, mel_max, g=None):
+            """Decode with per-row noise keys: an explicitly-seeded row's
+            key comes ONLY from its seed (legacy PRNGKey bit layout), an
+            unseeded row's from (engine seed, batch counter, row) — so
+            seeded rows reproduce regardless of batch composition or
+            server history (runtime/scheduler.py batches them)."""
+            b = x_m.shape[0]
+            anon_base = jax.random.fold_in(
+                jax.random.PRNGKey(engine_seed), batch_index
+            )
+
+            def row_key(seeded, s, r):
+                user = jnp.stack([jnp.uint32(0), s])  # == PRNGKey(s), s<2^32
+                anon = jax.random.fold_in(anon_base, r)
+                return jnp.where(seeded, user, anon)
+
+            row_keys = jax.vmap(row_key)(
+                seeded_mask, row_seeds, jnp.arange(b, dtype=jnp.uint32)
+            )
+            mel, z_mask = glow_model.expand_and_decode(
+                params, cfg, x_m, x_logs, w_ceil, y_lengths, None,
+                mel_max_length=mel_max, noise_scale=noise_scale, g=g,
+                row_keys=row_keys,
+            )
+            return mel, z_mask
+
+        self._decode_rowseed = decode_rowseed_fn
+
         def postprocess(mel, z_mask):
             # [B, M, C] -> [B, C, M] denorm chain, silence in padded frames
             mel_cm = jnp.swapaxes(mel.astype(jnp.float32), 1, 2)
@@ -547,13 +580,37 @@ class SynthesisEngine:
         noise_scale: float = 0.667,
         seed: typing.Optional[int] = None,
         batch_index: int = 0,
+        row_seeds: typing.Optional[
+            typing.Sequence[typing.Optional[int]]
+        ] = None,
     ):
-        """Non-blocking flow-decoder dispatch -> (mel, z_mask, key)."""
+        """Non-blocking flow-decoder dispatch -> (mel, z_mask, key).
+
+        ``row_seeds`` (one entry per sentence; None = unseeded) switches
+        to per-row noise keys: a seeded row's latent noise depends only
+        on its own seed, so seeded requests can share a batch and stay
+        reproducible.  Mutually exclusive with the scalar ``seed``.
+        """
         x_m, x_logs, _logw, w_ceil, y_lengths_dev, _mask = enc_out
         mel_bucket = self.policy.mel_bucket(int(y_lengths[:n].max()))
         key = jax.random.fold_in(
             jax.random.PRNGKey(self.seed if seed is None else seed), batch_index
         )
+        if row_seeds is not None:
+            b = x_m.shape[0]
+            seeds = np.zeros((b,), dtype=np.uint32)
+            mask = np.zeros((b,), dtype=bool)
+            for r, s in enumerate(row_seeds[:b]):
+                if s is not None:
+                    seeds[r] = np.uint32(int(s) & 0xFFFFFFFF)
+                    mask[r] = True
+            mel, z_mask = self._decode_rowseed(
+                self.glow_params, x_m, x_logs, w_ceil, y_lengths_dev,
+                jnp.asarray(seeds), jnp.asarray(mask),
+                jnp.uint32(batch_index),
+                self._row_param(noise_scale, b, 3), mel_bucket, g,
+            )
+            return mel, z_mask, key
         mel, z_mask = self._decode(
             self.glow_params, x_m, x_logs, w_ceil, y_lengths_dev,
             key, self._row_param(noise_scale, x_m.shape[0], 3), mel_bucket, g,
@@ -570,6 +627,9 @@ class SynthesisEngine:
         seed: typing.Optional[int] = None,
         batch_index: int = 0,
         denoiser_strength: float = 0.0,
+        row_seeds: typing.Optional[
+            typing.Sequence[typing.Optional[int]]
+        ] = None,
     ) -> typing.Tuple[typing.List[typing.Any], int]:
         """Non-blocking decode+vocode dispatch -> (parts, batch rows).
 
@@ -585,6 +645,7 @@ class SynthesisEngine:
         mel, z_mask, key = self.decode_launch(
             enc_out, y_lengths, g, n,
             noise_scale=noise_scale, seed=seed, batch_index=batch_index,
+            row_seeds=row_seeds,
         )
         parts = self.vocode_launch(
             mel, z_mask, n, denoiser_strength, key, y_lengths=y_lengths

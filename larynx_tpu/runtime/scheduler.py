@@ -37,13 +37,22 @@ class _Job:
         different text buckets (encode pads to the batch max bucket, and
         the vocoder runs length-sorted ragged groups, so a short sentence
         riding in a long batch costs little).  The denoiser on/off flag
-        (a static jit arg) must match — and an explicitly-SEEDED job gets
-        a singleton group: its decode noise depends on its row index and
-        on batchmate-shaped buckets, so reproducibility requires running
-        it alone (batch 1, own buckets, batch_index 0)."""
+        (a static jit arg) must match.
+
+        Explicitly-SEEDED jobs also batch when the vocoder is
+        deterministic (HiFi-GAN): the engine draws each row's latent
+        noise from its OWN seed (decode_launch row_seeds), so a seeded
+        row's audio does not depend on its row index, the batch counter,
+        or server history.  Stochastic vocoders (griffin_lim phase init,
+        waveglow prior) still key their noise off the batch, so seeded
+        jobs there keep singleton groups."""
+        seeded_singleton = (
+            self.seed is not None
+            and getattr(self.engine, "vocoder_kind", "") != "hifi_gan"
+        )
         return (
             id(self.engine),
-            id(self) if self.seed is not None else None,
+            id(self) if seeded_singleton else None,
             self.denoiser_strength > 0,
         )
 
@@ -159,17 +168,41 @@ class BatchScheduler:
             enc_out, g = enc
             y_lengths = np.asarray(enc_out[4])
             strengths = [job.denoiser_strength for job in group]
-            # explicitly-seeded requests must be reproducible regardless
-            # of server history: only unseeded batches vary by counter
-            # (the group key already separates jobs by seed)
-            seed = group[0].seed
-            parts, b_rows = engine.synthesize_launch(
-                enc_out, y_lengths, g, len(group),
-                noise_scale=[job.noise_scale for job in group],
-                seed=seed,
-                batch_index=0 if seed is not None else self._batch_counter,
-                denoiser_strength=strengths,
+            deterministic_vocoder = (
+                getattr(engine, "vocoder_kind", "") == "hifi_gan"
             )
+            if (
+                group[0].seed is not None and not deterministic_vocoder
+            ):
+                # stochastic vocoder (griffin_lim phase / waveglow prior)
+                # keys its noise off the batch: the singleton seeded group
+                # reproduces through the scalar path at batch_index 0
+                parts, b_rows = engine.synthesize_launch(
+                    enc_out, y_lengths, g, len(group),
+                    noise_scale=[job.noise_scale for job in group],
+                    seed=group[0].seed,
+                    batch_index=0,
+                    denoiser_strength=strengths,
+                )
+            elif any(job.seed is not None for job in group):
+                # per-row noise keys: each seeded row reproduces from its
+                # own seed regardless of batchmates or server history;
+                # unseeded rows vary by the batch counter as usual
+                parts, b_rows = engine.synthesize_launch(
+                    enc_out, y_lengths, g, len(group),
+                    noise_scale=[job.noise_scale for job in group],
+                    batch_index=self._batch_counter,
+                    denoiser_strength=strengths,
+                    row_seeds=[job.seed for job in group],
+                )
+            else:
+                parts, b_rows = engine.synthesize_launch(
+                    enc_out, y_lengths, g, len(group),
+                    noise_scale=[job.noise_scale for job in group],
+                    seed=None,
+                    batch_index=self._batch_counter,
+                    denoiser_strength=strengths,
+                )
             return (parts, y_lengths, b_rows, strengths)
         except Exception as err:  # pragma: no cover
             return err

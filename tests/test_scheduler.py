@@ -72,8 +72,11 @@ def test_seeded_requests_reproducible_across_history(engine):
         scheduler.submit(engine, ids).result(timeout=300)
     again = scheduler.submit(engine, ids, seed=42).result(timeout=300)
 
-    # two CONCURRENT identical seeded requests (e.g. a client retry) must
-    # not perturb each other either — seeded jobs run as singleton groups
+    # two CONCURRENT identical seeded requests (e.g. a client retry)
+    # coalesce into ONE batch; each row draws noise from its own seed so
+    # they match each other exactly.  Against the singleton run the
+    # padded program shapes differ (batch bucket 1 vs 2), so equality is
+    # up to int16 rounding — the noise itself is bucket-independent.
     f_a = scheduler.submit(engine, ids, seed=42)
     f_b = scheduler.submit(engine, ids, seed=42)
     conc_a = f_a.result(timeout=300)
@@ -81,8 +84,9 @@ def test_seeded_requests_reproducible_across_history(engine):
     scheduler.shutdown()
 
     np.testing.assert_array_equal(first, again)
-    np.testing.assert_array_equal(first, conc_a)
-    np.testing.assert_array_equal(first, conc_b)
+    np.testing.assert_array_equal(conc_a, conc_b)
+    assert conc_a.shape == first.shape
+    assert np.max(np.abs(conc_a.astype(np.int32) - first.astype(np.int32))) <= 2
 
 
 def test_scheduler_through_server_path(voices_dir):
@@ -152,3 +156,61 @@ def test_mixed_settings_coalesce(engine):
     ratio = a_long.size / max(a_short.size, 1)
     assert 2.0 < ratio < 4.5, ratio
     scheduler.shutdown()
+
+
+def test_seeded_requests_coalesce_and_reproduce(engine):
+    """VERDICT r2 item 10: seeded jobs with a deterministic vocoder
+    (HiFi-GAN) batch together — each row's latent noise comes from its
+    OWN seed — and every request reproduces bit-exactly when the same
+    set is resubmitted in a different arrival order."""
+    rng = np.random.default_rng(7)
+    seqs = [
+        rng.integers(1, 46, size=int(n)).astype(np.int64)
+        for n in rng.integers(8, 15, size=8)
+    ]
+    seeds = [100 + i for i in range(8)]
+
+    def run_batch(order):
+        scheduler = BatchScheduler(max_batch=8, max_wait_ms=2000.0)
+        barrier = threading.Barrier(8)
+        futures = {}
+        lock = threading.Lock()
+
+        def submit(i):
+            barrier.wait()
+            f = scheduler.submit(engine, seqs[i], seed=seeds[i])
+            with lock:
+                futures[i] = f
+        threads = [
+            threading.Thread(target=submit, args=(i,)) for i in order
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        audios = {i: futures[i].result(timeout=300) for i in order}
+        batches = scheduler.batches_run
+        scheduler.shutdown()
+        return audios, batches
+
+    first, batches_a = run_batch(list(range(8)))
+    again, batches_b = run_batch(list(reversed(range(8))))
+
+    # the 8 seeded requests coalesced (not 8 singleton batches)
+    assert batches_a <= 2, batches_a
+    assert batches_b <= 2, batches_b
+    for i in range(8):
+        np.testing.assert_array_equal(first[i], again[i])
+
+    # and a seeded request is invariant to running alone vs in the batch
+    solo_sched = BatchScheduler(max_batch=8, max_wait_ms=10.0)
+    solo = solo_sched.submit(engine, seqs[3], seed=seeds[3]).result(
+        timeout=300
+    )
+    solo_sched.shutdown()
+    a = first[3].astype(np.int32)
+    b = solo.astype(np.int32)
+    assert a.shape == b.shape
+    # batchmates only change padded-bucket widths; row math is row-local,
+    # so any residual difference is bounded by int16 rounding
+    assert np.max(np.abs(a - b)) <= 2
