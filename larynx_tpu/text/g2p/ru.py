@@ -1,12 +1,34 @@
-"""Russian G2P — Cyrillic mapping with palatalization.
+"""Russian G2P — Cyrillic segment mapping + lexical stress system.
 
-Inventory (local/ru-ru/*/phonemes.txt): plain + palatalized (ʲ) consonants,
-vowels a e i o u ɨ (long variants mark stress); stress position is not
-predictable without a dictionary, so the first vowel is lengthened as an
-approximation when the word has 2+ vowels.
+Segment style follows the gruut lexicon entries pinned by the golden
+fixtures (local/ru-ru/*/samples/test_phonemes.csv): orthographic vowel
+quality (no akanye — unstressed ``о`` stays ``o``, matching "говорите"
+-> ``ɡ o v o rʲ iː tʲ e``), palatalized consonants before soft vowels/ь,
+and STRESS ENCODED AS VOWEL LENGTH (the ru-ru voice inventory has no
+ə/ɐ/stress marks; ``aː`` vs ``a`` is the stress contrast the voices
+were trained on).
+
+Stress placement — the part the reference delegated to gruut's
+full lexicon — comes from a layered system (see ru_stress.py for the
+data):
+
+1. ``ё`` is inherently stressed.
+2. Exact-form lexicon (mobile-stress forms enumerated: "гОлову" vs
+   "головА").
+3. Stem lexicon via ending stripping: fixed-stress stems carry their
+   stressed vowel; end-stressed stems (язык-, говор-) stress the first
+   ending vowel, falling back to the last stem vowel for bare forms
+   ("язы́к" vs "языкА́", "говорИт"/"говорИли").
+4. Derivational suffix rules (-ение/-ание/-ация antepenult-of-suffix,
+   -изм/-ист final, ...).
+5. Defaults: monosyllables are stressed unless clitics (бы/не/ли/же...,
+   matching the fixtures' unstressed "бы" but stressed "вы"/"на");
+   polysyllables default to the penult.
 """
 
 import typing
+
+from larynx_tpu.text.g2p.ru_stress import stress_index
 
 _SOFT_VOWELS = {"е": "e", "ё": "o", "ю": "u", "я": "a", "и": "i"}
 _HARD_VOWELS = {"а": "a", "э": "e", "о": "o", "у": "u", "ы": "ɨ"}
@@ -19,12 +41,12 @@ _UNPAIRED = {
     "ж": "ʐ", "ш": "ʂ", "ц": "t͡s", "ч": "t͡ɕ", "щ": "ɕː", "й": "j",
 }
 _VOWEL_SYMBOLS = {"a", "e", "i", "o", "u", "ɨ"}
+# always-hard consonants: a following и is phonetically [ɨ] (жи/ши/ци)
+_ALWAYS_HARD = {"ж", "ш", "ц"}
 
 
-def phonemize(word: str) -> typing.List[str]:
-    w = word.lower().strip()
-    if not w:
-        return []
+def _segments(w: str) -> typing.List[str]:
+    """Cyrillic -> unstressed phoneme list (palatalization resolved)."""
     out: typing.List[str] = []
     i = 0
     n = len(w)
@@ -49,6 +71,10 @@ def phonemize(word: str) -> typing.List[str]:
         if ch in _SOFT_VOWELS:
             vowel = _SOFT_VOWELS[ch]
             prev = w[i - 1] if i > 0 else ""
+            if ch == "и" and prev in _ALWAYS_HARD:
+                out.append("ɨ")
+                i += 1
+                continue
             # word-initial / post-vowel / post-sign soft vowels get a glide
             if ch != "и" and (
                 i == 0
@@ -61,10 +87,20 @@ def phonemize(word: str) -> typing.List[str]:
             continue
         # ь palatalizes the previous consonant (already handled); ъ separates
         i += 1
+    return out
 
-    # mark "stress" by lengthening the first vowel (approximation)
+
+def phonemize(word: str) -> typing.List[str]:
+    w = word.lower().strip()
+    if not w:
+        return []
+    out = _segments(w)
+
     vowel_idx = [k for k, p in enumerate(out) if p in _VOWEL_SYMBOLS]
-    if len(vowel_idx) >= 2:
-        k = vowel_idx[0]
+    if not vowel_idx:
+        return out
+    stressed = stress_index(w, len(vowel_idx))
+    if stressed is not None and 0 <= stressed < len(vowel_idx):
+        k = vowel_idx[stressed]
         out[k] = out[k] + "ː"
     return out
