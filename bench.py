@@ -35,7 +35,13 @@ from larynx_tpu.runtime.engine import SynthesisEngine
 from larynx_tpu.text.frontend import sentences
 from larynx_tpu.text.ids import phonemes_to_ids
 
-BASELINES = {"high": 0.25, "medium": 0.06, "low": 0.05, "griffin_lim": 0.05}
+# waveglow has no reference number (the type is declared but has no loader,
+# larynx/__init__.py:498-508); it serves the "high"-quality role, so its
+# vs_baseline is computed against the high-quality reference RTF
+BASELINES = {
+    "high": 0.25, "medium": 0.06, "low": 0.05, "griffin_lim": 0.05,
+    "waveglow": 0.25,
+}
 
 VOCODER_GEOMETRY = {
     # quality -> HiFiGanConfig kwargs (the released vocoder geometries)
@@ -91,6 +97,21 @@ def build_engine(quality: str, half: bool) -> SynthesisEngine:
         return SynthesisEngine(
             glow_params, glow_cfg, audio_settings,
             vocoder_kind="griffin_lim", half=half, seed=1234,
+        )
+    if quality == "waveglow":
+        from larynx_tpu.models.waveglow import WaveGlowConfig
+        from larynx_tpu.models.waveglow import model as wg_model
+
+        wg_cfg = WaveGlowConfig()  # NVIDIA wn_256 geometry (local/waveglow)
+        return SynthesisEngine(
+            glow_params, glow_cfg, audio_settings,
+            vocoder_kind="waveglow",
+            vocoder_params=wg_model.init_params(
+                jax.random.fold_in(key, 2), wg_cfg
+            ),
+            vocoder_cfg=wg_cfg,
+            half=half,
+            seed=1234,
         )
     hifi_cfg = HiFiGanConfig(**VOCODER_GEOMETRY[quality])
     return SynthesisEngine(
@@ -301,7 +322,7 @@ def main() -> None:
     quality = _flag("--quality", "high")
     batch = int(_flag("--batch", "8"))
     workload = _flag("--workload", "pangram")
-    denoiser = 0.0 if quality == "griffin_lim" else 0.005
+    denoiser = 0.0 if quality in ("griffin_lim", "waveglow") else 0.005
 
     latencies: list = []
     if workload in ("book", "ssml"):
