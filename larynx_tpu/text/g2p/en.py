@@ -695,7 +695,6 @@ comment k ˈɑ m ɛ n t
 community k ə m j ˈu n ə t i
 company k ˈʌ m p ə n i
 compare k ə m p ˈɛ ɹ
-computer k ə m p j ˈu t ɚ
 concern k ə n s ˈɚ n
 condition k ə n d ˈɪ ʃ ə n
 conference k ˈɑ n f ɹ ə n s
@@ -746,7 +745,6 @@ debate d ə b ˈeɪ t
 december d ɪ s ˈɛ m b ɚ
 decide d ə s ˈaɪ d
 decision d ə s ˈɪ ʒ ə n
-deep d ˈi p
 defense d ɪ f ˈɛ n s
 degree d ɪ ɡ ˈɹ i
 demand d ɪ m ˈæ n d
@@ -839,7 +837,6 @@ expert ˈɛ k s p ɚ t
 explain ɪ k s p l ˈeɪ n
 express ɪ k s p ˈɹ ɛ s
 extra ˈɛ k s t ɹ ə
-face f ˈeɪ s
 factor f ˈæ k t ɚ
 factory f ˈæ k t ɚ i
 fail f ˈeɪ l
@@ -914,7 +911,6 @@ grand ɡ ɹ ˈæ n d
 grass ɡ ɹ ˈæ s
 gray ɡ ɹ ˈeɪ
 grew ɡ ɹ ˈu
-ground ɡ ɹ ˈaʊ n d
 growth ɡ ɹ ˈoʊ θ
 guard ɡ ˈɑ ɹ d
 guess ɡ ˈɛ s
@@ -1062,7 +1058,6 @@ middle m ˈɪ d ə l
 midnight m ˈɪ d n aɪ t
 military m ˈɪ l ə t ˌɛ ɹ i
 milk m ˈɪ l k
-mind m ˈaɪ n d
 mine m ˈaɪ n
 minister m ˈɪ n ə s t ɚ
 minor m ˈaɪ n ɚ
@@ -1105,7 +1100,6 @@ normal n ˈɔ ɹ m ə l
 nose n ˈoʊ z
 note n ˈoʊ t
 notice n ˈoʊ t ə s
-number n ˈʌ m b ɚ
 nurse n ˈɚ s
 object ˈɑ b d͡ʒ ɛ k t
 occur ə k ˈɚ
@@ -1403,7 +1397,6 @@ therefore ð ˈɛ ɹ f ɔ ɹ
 thick θ ˈɪ k
 thin θ ˈɪ n
 third θ ˈɚ d
-thought θ ˈɔ t
 threat θ ɹ ˈɛ t
 throat θ ɹ ˈoʊ t
 throughout θ ɹ u ˈaʊ t
@@ -1765,12 +1758,2207 @@ written ɹ ˈɪ t ə n
 wrote ɹ ˈoʊ t
 younger j ˈʌ ŋ ɡ ɚ
 yours j ˈɔ ɹ z
+abandon ə b ˈæ n d ə n
+absence ˈæ b s ə n s
+absent ˈæ b s ə n t
+absolute ˈæ b s ə l ˌu t
+absorb ə b z ˈɔ ɹ b
+abstract ˈæ b s t ɹ æ k t
+abuse ə b j ˈu s
+academy ə k ˈæ d ə m i
+accent ˈæ k s ɛ n t
+accident ˈæ k s ə d ə n t
+accompany ə k ˈʌ m p ə n i
+accomplish ə k ˈɑ m p l ɪ ʃ
+accurate ˈæ k j ɚ ə t
+accuse ə k j ˈu z
+ache ˈeɪ k
+acid ˈæ s ə d
+acknowledge ə k n ˈɑ l ɪ d͡ʒ
+acquire ə k w ˈaɪ ɚ
+acre ˈeɪ k ɚ
+actor ˈæ k t ɚ
+actress ˈæ k t ɹ ə s
+adapt ə d ˈæ p t
+addition ə d ˈɪ ʃ ə n
+adequate ˈæ d ə k w ə t
+adjust ə d͡ʒ ˈʌ s t
+administration æ d m ˌɪ n ə s t ɹ ˈeɪ ʃ ə n
+admire æ d m ˈaɪ ɚ
+adopt ə d ˈɑ p t
+advance æ d v ˈæ n s
+advantage æ d v ˈæ n t ɪ d͡ʒ
+advertise ˈæ d v ɚ t ˌaɪ z
+advice æ d v ˈaɪ s
+advise æ d v ˈaɪ z
+affair ə f ˈɛ ɹ
+afford ə f ˈɔ ɹ d
+agreement ə ɡ ˈɹ i m ə n t
+agriculture ˈæ ɡ ɹ ə k ˌʌ l t͡ʃ ɚ
+aid ˈeɪ d
+aim ˈeɪ m
+airplane ˈɛ ɹ p l ˌeɪ n
+airport ˈɛ ɹ p ˌɔ ɹ t
+alarm ə l ˈɑ ɹ m
+album ˈæ l b ə m
+alcohol ˈæ l k ə h ˌɔ l
+alike ə l ˈaɪ k
+alley ˈæ l i
+aloud ə l ˈaʊ d
+alphabet ˈæ l f ə b ˌɛ t
+alter ˈɔ l t ɚ
+aluminum ə l ˈu m ə n ə m
+amaze ə m ˈeɪ z
+ambition æ m b ˈɪ ʃ ə n
+ambulance ˈæ m b j ə l ə n s
+amuse ə m j ˈu z
+analyze ˈæ n ə l ˌaɪ z
+ankle ˈæ ŋ k ə l
+anniversary ˌæ n ə v ˈɚ s ɚ i
+annoy ə n ˈɔɪ
+ant ˈæ n t
+anxious ˈæ ŋ k ʃ ə s
+apologize ə p ˈɑ l ə d͡ʒ ˌaɪ z
+apology ə p ˈɑ l ə d͡ʒ i
+apparent ə p ˈɛ ɹ ə n t
+appeal ə p ˈi l
+appearance ə p ˈɪ ɹ ə n s
+appetite ˈæ p ə t ˌaɪ t
+applaud ə p l ˈɔ d
+appoint ə p ˈɔɪ n t
+appointment ə p ˈɔɪ n t m ə n t
+appreciate ə p ˈɹ i ʃ i ˌeɪ t
+appropriate ə p ˈɹ oʊ p ɹ i ə t
+approval ə p ˈɹ u v ə l
+approve ə p ˈɹ u v
+apron ˈeɪ p ɹ ə n
+architect ˈɑ ɹ k ə t ˌɛ k t
+arise ɚ ˈaɪ z
+arithmetic ɚ ˈɪ θ m ə t ˌɪ k
+arrange ɚ ˈeɪ n d͡ʒ
+arrangement ɚ ˈeɪ n d͡ʒ m ə n t
+arrest ɚ ˈɛ s t
+arrival ɚ ˈaɪ v ə l
+arrow ˈɛ ɹ oʊ
+artificial ˌɑ ɹ t ə f ˈɪ ʃ ə l
+ash ˈæ ʃ
+ashamed ə ʃ ˈeɪ m d
+aside ə s ˈaɪ d
+aspect ˈæ s p ɛ k t
+assign ə s ˈaɪ n
+assignment ə s ˈaɪ n m ə n t
+assist ə s ˈɪ s t
+assistant ə s ˈɪ s t ə n t
+assume ə s ˈu m
+assure ə ʃ ˈʊ ɹ
+astonish ə s t ˈɑ n ɪ ʃ
+athlete ˈæ θ l i t
+atmosphere ˈæ t m ə s f ˌɪ ɹ
+atom ˈæ t ə m
+attach ə t ˈæ t͡ʃ
+attend ə t ˈɛ n d
+attitude ˈæ t ə t ˌu d
+attorney ə t ˈɚ n i
+attract ə t ˈɹ æ k t
+attractive ə t ˈɹ æ k t ɪ v
+audience ˈɔ d i ə n s
+authority ə θ ˈɔ ɹ ə t i
+automatic ˌɔ t ə m ˈæ t ɪ k
+automobile ˈɔ t ə m oʊ b ˌi l
+avenue ˈæ v ə n ˌu
+awake ə w ˈeɪ k
+award ə w ˈɔ ɹ d
+awful ˈɔ f ə l
+awkward ˈɔ k w ɚ d
+bacon b ˈeɪ k ə n
+bacteria b æ k t ˈɪ ɹ i ə
+badge b ˈæ d͡ʒ
+bake b ˈeɪ k
+balloon b ə l ˈu n
+banana b ə n ˈæ n ə
+bandage b ˈæ n d ɪ d͡ʒ
+barber b ˈɑ ɹ b ɚ
+bare b ˈɛ ɹ
+barely b ˈɛ ɹ l i
+bargain b ˈɑ ɹ ɡ ə n
+bark b ˈɑ ɹ k
+barn b ˈɑ ɹ n
+barrel b ˈɛ ɹ ə l
+baseball b ˈeɪ s b ˌɔ l
+basement b ˈeɪ s m ə n t
+basket b ˈæ s k ə t
+basketball b ˈæ s k ə t b ˌɔ l
+bat b ˈæ t
+bath b ˈæ θ
+bathe b ˈeɪ ð
+battery b ˈæ t ɚ i
+bay b ˈeɪ
+bead b ˈi d
+beam b ˈi m
+bean b ˈi n
+beard b ˈɪ ɹ d
+beast b ˈi s t
+beaver b ˈi v ɚ
+bee b ˈi
+beef b ˈi f
+beer b ˈɪ ɹ
+beetle b ˈi t ə l
+beg b ˈɛ ɡ
+belief b ɪ l ˈi f
+belly b ˈɛ l i
+belt b ˈɛ l t
+bench b ˈɛ n t͡ʃ
+bend b ˈɛ n d
+berry b ˈɛ ɹ i
+bet b ˈɛ t
+bicycle b ˈaɪ s ɪ k ə l
+bind b ˈaɪ n d
+biology b aɪ ˈɑ l ə d͡ʒ i
+birth b ˈɚ θ
+biscuit b ˈɪ s k ə t
+bite b ˈaɪ t
+blade b l ˈeɪ d
+blank b l ˈæ ŋ k
+blanket b l ˈæ ŋ k ə t
+blast b l ˈæ s t
+blaze b l ˈeɪ z
+bleed b l ˈi d
+blend b l ˈɛ n d
+bless b l ˈɛ s
+blink b l ˈɪ ŋ k
+bloom b l ˈu m
+blossom b l ˈɑ s ə m
+boast b ˈoʊ s t
+bold b ˈoʊ l d
+bomb b ˈɑ m
+bond b ˈɑ n d
+bonus b ˈoʊ n ə s
+bore b ˈɔ ɹ
+borrow b ˈɑ ɹ oʊ
+boss b ˈɔ s
+bounce b ˈaʊ n s
+bound b ˈaʊ n d
+boundary b ˈaʊ n d ɹ i
+bowl b ˈoʊ l
+brake b ˈɹ eɪ k
+brand b ˈɹ æ n d
+brass b ˈɹ æ s
+breast b ˈɹ ɛ s t
+breed b ˈɹ i d
+breeze b ˈɹ i z
+brick b ˈɹ ɪ k
+bride b ˈɹ aɪ d
+brilliant b ˈɹ ɪ l j ə n t
+brim b ˈɹ ɪ m
+broad b ˈɹ ɔ d
+broadcast b ˈɹ ɔ d k ˌæ s t
+bronze b ˈɹ ɑ n z
+brook b ˈɹ ʊ k
+broom b ˈɹ u m
+brush b ˈɹ ʌ ʃ
+bubble b ˈʌ b ə l
+bucket b ˈʌ k ə t
+bud b ˈʌ d
+bug b ˈʌ ɡ
+bullet b ˈʊ l ə t
+bump b ˈʌ m p
+bunch b ˈʌ n t͡ʃ
+bundle b ˈʌ n d ə l
+burden b ˈɚ d ə n
+burst b ˈɚ s t
+bury b ˈɛ ɹ i
+bus b ˈʌ s
+bush b ˈʊ ʃ
+butter b ˈʌ t ɚ
+butterfly b ˈʌ t ɚ f l ˌaɪ
+buyer b ˈaɪ ɚ
+cab k ˈæ b
+cabbage k ˈæ b ɪ d͡ʒ
+cabin k ˈæ b ə n
+cabinet k ˈæ b ə n ə t
+cable k ˈeɪ b ə l
+calendar k ˈæ l ə n d ɚ
+calf k ˈæ f
+camel k ˈæ m ə l
+camp k ˈæ m p
+campus k ˈæ m p ə s
+canal k ə n ˈæ l
+cancel k ˈæ n s ə l
+candle k ˈæ n d ə l
+candy k ˈæ n d i
+cannon k ˈæ n ə n
+canoe k ə n ˈu
+canvas k ˈæ n v ə s
+canyon k ˈæ n j ə n
+cap k ˈæ p
+capable k ˈeɪ p ə b ə l
+capacity k ə p ˈæ s ə t i
+cape k ˈeɪ p
+capture k ˈæ p t͡ʃ ɚ
+carbon k ˈɑ ɹ b ə n
+cardboard k ˈɑ ɹ d b ˌɔ ɹ d
+careless k ˈɛ ɹ l ə s
+cargo k ˈɑ ɹ ɡ oʊ
+carpenter k ˈɑ ɹ p ə n t ɚ
+carpet k ˈɑ ɹ p ə t
+carriage k ˈɛ ɹ ɪ d͡ʒ
+carrot k ˈɛ ɹ ə t
+cart k ˈɑ ɹ t
+cartoon k ɑ ɹ t ˈu n
+carve k ˈɑ ɹ v
+cash k ˈæ ʃ
+castle k ˈæ s ə l
+casual k ˈæ ʒ u ə l
+catalog k ˈæ t ə l ˌɔ ɡ
+category k ˈæ t ə ɡ ˌɔ ɹ i
+caterpillar k ˈæ t ɚ p ˌɪ l ɚ
+cattle k ˈæ t ə l
+caution k ˈɔ ʃ ə n
+cave k ˈeɪ v
+cease s ˈi s
+ceiling s ˈi l ɪ ŋ
+celebrate s ˈɛ l ə b ˌɹ eɪ t
+celebration ˌs ɛ l ə b ˈɹ eɪ ʃ ə n
+cellar s ˈɛ l ɚ
+cement s ə m ˈɛ n t
+cemetery s ˈɛ m ə t ˌɛ ɹ i
+cent s ˈɛ n t
+certificate s ɚ t ˈɪ f ɪ k ə t
+chain t͡ʃ ˈeɪ n
+chairman t͡ʃ ˈɛ ɹ m ə n
+chalk t͡ʃ ˈɔ k
+chamber t͡ʃ ˈeɪ m b ɚ
+channel t͡ʃ ˈæ n ə l
+characteristic k ˌɛ ɹ ə k t ɚ ˈɪ s t ɪ k
+charity t͡ʃ ˈɛ ɹ ə t i
+charm t͡ʃ ˈɑ ɹ m
+chase t͡ʃ ˈeɪ s
+chat t͡ʃ ˈæ t
+cheat t͡ʃ ˈi t
+cheek t͡ʃ ˈi k
+cheer t͡ʃ ˈɪ ɹ
+chemical k ˈɛ m ɪ k ə l
+chemistry k ˈɛ m ə s t ɹ i
+cherry t͡ʃ ˈɛ ɹ i
+chew t͡ʃ ˈu
+chimney t͡ʃ ˈɪ m n i
+chin t͡ʃ ˈɪ n
+china t͡ʃ ˈaɪ n ə
+chip t͡ʃ ˈɪ p
+chop t͡ʃ ˈɑ p
+christmas k ˈɹ ɪ s m ə s
+circumstance s ˈɚ k ə m s t ˌæ n s
+circus s ˈɚ k ə s
+civil s ˈɪ v ə l
+civilization s ˌɪ v ə l ə z ˈeɪ ʃ ə n
+clap k l ˈæ p
+classroom k l ˈæ s ɹ ˌu m
+clay k l ˈeɪ
+clerk k l ˈɚ k
+client k l ˈaɪ ə n t
+cliff k l ˈɪ f
+climate k l ˈaɪ m ə t
+clip k l ˈɪ p
+cloth k l ˈɔ θ
+clothing k l ˈoʊ ð ɪ ŋ
+clown k l ˈaʊ n
+clue k l ˈu
+coal k ˈoʊ l
+code k ˈoʊ d
+coin k ˈɔɪ n
+collar k ˈɑ l ɚ
+colleague k ˈɑ l i ɡ
+collection k ə l ˈɛ k ʃ ə n
+colony k ˈɑ l ə n i
+column k ˈɑ l ə m
+comb k ˈoʊ m
+combination k ˌɑ m b ə n ˈeɪ ʃ ə n
+combine k ə m b ˈaɪ n
+comedy k ˈɑ m ə d i
+comfort k ˈʌ m f ɚ t
+comma k ˈɑ m ə
+commerce k ˈɑ m ɚ s
+commercial k ə m ˈɚ ʃ ə l
+commission k ə m ˈɪ ʃ ə n
+commit k ə m ˈɪ t
+committee k ə m ˈɪ t i
+communicate k ə m j ˈu n ə k ˌeɪ t
+communication k ə m j ˌu n ə k ˈeɪ ʃ ə n
+companion k ə m p ˈæ n j ə n
+comparison k ə m p ˈɛ ɹ ə s ə n
+compete k ə m p ˈi t
+competition k ˌɑ m p ə t ˈɪ ʃ ə n
+complain k ə m p l ˈeɪ n
+complaint k ə m p l ˈeɪ n t
+complex k ə m p l ˈɛ k s
+complicate k ˈɑ m p l ə k ˌeɪ t
+compose k ə m p ˈoʊ z
+composition k ˌɑ m p ə z ˈɪ ʃ ə n
+compromise k ˈɑ m p ɹ ə m ˌaɪ z
+conceal k ə n s ˈi l
+concentrate k ˈɑ n s ə n t ˌɹ eɪ t
+concept k ˈɑ n s ɛ p t
+concert k ˈɑ n s ɚ t
+conclude k ə n k l ˈu d
+conclusion k ə n k l ˈu ʒ ə n
+concrete k ˈɑ n k ɹ i t
+confess k ə n f ˈɛ s
+confidence k ˈɑ n f ə d ə n s
+confident k ˈɑ n f ə d ə n t
+confirm k ə n f ˈɚ m
+confuse k ə n f j ˈu z
+confusion k ə n f j ˈu ʒ ə n
+connection k ə n ˈɛ k ʃ ə n
+conquer k ˈɑ ŋ k ɚ
+conscience k ˈɑ n ʃ ə n s
+conscious k ˈɑ n ʃ ə s
+consequence k ˈɑ n s ə k w ˌɛ n s
+considerable k ə n s ˈɪ d ɚ ə b ə l
+consideration k ə n s ˌɪ d ɚ ˈeɪ ʃ ə n
+consist k ə n s ˈɪ s t
+constant k ˈɑ n s t ə n t
+constitution k ˌɑ n s t ə t ˈu ʃ ə n
+construct k ə n s t ˈɹ ʌ k t
+construction k ə n s t ˈɹ ʌ k ʃ ə n
+consult k ə n s ˈʌ l t
+consume k ə n s ˈu m
+consumer k ə n s ˈu m ɚ
+contact k ˈɑ n t æ k t
+container k ə n t ˈeɪ n ɚ
+contemporary k ə n t ˈɛ m p ɚ ˌɛ ɹ i
+continent k ˈɑ n t ə n ə n t
+contribute k ə n t ˈɹ ɪ b j u t
+contribution k ˌɑ n t ɹ ə b j ˈu ʃ ə n
+convenient k ə n v ˈi n j ə n t
+convince k ə n v ˈɪ n s
+cookie k ˈʊ k i
+copper k ˈɑ p ɚ
+cord k ˈɔ ɹ d
+core k ˈɔ ɹ
+cork k ˈɔ ɹ k
+corporation k ˌɔ ɹ p ɚ ˈeɪ ʃ ə n
+costume k ˈɑ s t u m
+cottage k ˈɑ t ɪ d͡ʒ
+cough k ˈɔ f
+council k ˈaʊ n s ə l
+count k ˈaʊ n t
+counter k ˈaʊ n t ɚ
+county k ˈaʊ n t i
+crack k ˈɹ æ k
+craft k ˈɹ æ f t
+crash k ˈɹ æ ʃ
+crawl k ˈɹ ɔ l
+cream k ˈɹ i m
+creature k ˈɹ i t͡ʃ ɚ
+creek k ˈɹ i k
+creep k ˈɹ i p
+criminal k ˈɹ ɪ m ə n ə l
+crisis k ˈɹ aɪ s ə s
+critic k ˈɹ ɪ t ɪ k
+critical k ˈɹ ɪ t ɪ k ə l
+criticism k ˈɹ ɪ t ə s ˌɪ z ə m
+crop k ˈɹ ɑ p
+crown k ˈɹ aʊ n
+cruel k ˈɹ u ə l
+crush k ˈɹ ʌ ʃ
+crust k ˈɹ ʌ s t
+crystal k ˈɹ ɪ s t ə l
+cube k j ˈu b
+cucumber k j ˈu k ʌ m b ɚ
+cupboard k ˈʌ b ɚ d
+cure k j ˈʊ ɹ
+curl k ˈɚ l
+curtain k ˈɚ t ə n
+curve k ˈɚ v
+cushion k ˈʊ ʃ ə n
+dairy d ˈɛ ɹ i
+daisy d ˈeɪ z i
+dam d ˈæ m
+damp d ˈæ m p
+dare d ˈɛ ɹ
+darkness d ˈɑ ɹ k n ə s
+dash d ˈæ ʃ
+database d ˈeɪ t ə b ˌeɪ s
+dawn d ˈɔ n
+deaf d ˈɛ f
+dealer d ˈi l ɚ
+debt d ˈɛ t
+decade d ˈɛ k eɪ d
+decay d ɪ k ˈeɪ
+deceive d ɪ s ˈi v
+declare d ɪ k l ˈɛ ɹ
+decline d ɪ k l ˈaɪ n
+decorate d ˈɛ k ɚ ˌeɪ t
+deed d ˈi d
+deer d ˈɪ ɹ
+defeat d ɪ f ˈi t
+defend d ɪ f ˈɛ n d
+define d ɪ f ˈaɪ n
+definition d ˌɛ f ə n ˈɪ ʃ ə n
+delay d ɪ l ˈeɪ
+deliberate d ɪ l ˈɪ b ɚ ə t
+delicate d ˈɛ l ɪ k ə t
+delight d ɪ l ˈaɪ t
+deliver d ɪ l ˈɪ v ɚ
+delivery d ɪ l ˈɪ v ɚ i
+demonstrate d ˈɛ m ə n s t ˌɹ eɪ t
+dentist d ˈɛ n t ə s t
+deny d ɪ n ˈaɪ
+depart d ɪ p ˈɑ ɹ t
+department d ɪ p ˈɑ ɹ t m ə n t
+depend d ɪ p ˈɛ n d
+deposit d ɪ p ˈɑ z ə t
+depth d ˈɛ p θ
+deputy d ˈɛ p j ə t i
+derive d ɚ ˈaɪ v
+descend d ɪ s ˈɛ n d
+description d ɪ s k ˈɹ ɪ p ʃ ə n
+deserve d ɪ z ˈɚ v
+desire d ɪ z ˈaɪ ɚ
+desperate d ˈɛ s p ɚ ə t
+destination d ˌɛ s t ə n ˈeɪ ʃ ə n
+destroy d ɪ s t ˈɹ ɔɪ
+destruction d ɪ s t ˈɹ ʌ k ʃ ə n
+detective d ɪ t ˈɛ k t ɪ v
+development d ɪ v ˈɛ l ə p m ə n t
+devil d ˈɛ v ə l
+devote d ɪ v ˈoʊ t
+diagram d ˈaɪ ə ɡ ɹ ˌæ m
+dial d ˈaɪ ə l
+diamond d ˈaɪ m ə n d
+diary d ˈaɪ ɚ i
+dig d ˈɪ ɡ
+dim d ˈɪ m
+dime d ˈaɪ m
+dine d ˈaɪ n
+dip d ˈɪ p
+direct d ɚ ˈɛ k t
+dirt d ˈɚ t
+disagree d ˌɪ s ə ɡ ˈɹ i
+disappear d ˌɪ s ə p ˈɪ ɹ
+disappoint d ˌɪ s ə p ˈɔɪ n t
+disaster d ɪ z ˈæ s t ɚ
+discipline d ˈɪ s ə p l ə n
+discovery d ɪ s k ˈʌ v ɚ i
+dish d ˈɪ ʃ
+dismiss d ɪ s m ˈɪ s
+display d ɪ s p l ˈeɪ
+distant d ˈɪ s t ə n t
+distinct d ɪ s t ˈɪ ŋ k t
+distinguish d ɪ s t ˈɪ ŋ ɡ w ɪ ʃ
+distribute d ɪ s t ˈɹ ɪ b j u t
+district d ˈɪ s t ɹ ɪ k t
+disturb d ɪ s t ˈɚ b
+ditch d ˈɪ t͡ʃ
+dive d ˈaɪ v
+divide d ɪ v ˈaɪ d
+division d ɪ v ˈɪ ʒ ə n
+divorce d ɪ v ˈɔ ɹ s
+dock d ˈɑ k
+documentary d ˌɑ k j ə m ˈɛ n t ɚ i
+dollars d ˈɑ l ɚ z
+dolphin d ˈɑ l f ə n
+domestic d ə m ˈɛ s t ɪ k
+dominant d ˈɑ m ə n ə n t
+donate d ˈoʊ n eɪ t
+donkey d ˈɑ ŋ k i
+dot d ˈɑ t
+downstairs d ˌaʊ n s t ˈɛ ɹ z
+downtown d ˌaʊ n t ˈaʊ n
+drag d ˈɹ æ ɡ
+dragon d ˈɹ æ ɡ ə n
+drain d ˈɹ eɪ n
+drama d ˈɹ ɑ m ə
+dramatic d ɹ ə m ˈæ t ɪ k
+drawer d ˈɹ ɔ ɹ
+drawing d ˈɹ ɔ ɪ ŋ
+dreadful d ˈɹ ɛ d f ə l
+drift d ˈɹ ɪ f t
+drill d ˈɹ ɪ l
+drip d ˈɹ ɪ p
+driven d ˈɹ ɪ v ə n
+drown d ˈɹ aʊ n
+drum d ˈɹ ʌ m
+drunk d ˈɹ ʌ ŋ k
+duck d ˈʌ k
+dull d ˈʌ l
+dumb d ˈʌ m
+dump d ˈʌ m p
+dungeon d ˈʌ n d͡ʒ ə n
+dusty d ˈʌ s t i
+dynamic d aɪ n ˈæ m ɪ k
+eager ˈi ɡ ɚ
+eagle ˈi ɡ ə l
+ear ˈɪ ɹ
+earn ˈɚ n
+earthquake ˈɚ θ k w ˌeɪ k
+ease ˈi z
+east ˈi s t
+economic ˌɛ k ə n ˈɑ m ɪ k
+economics ˌɛ k ə n ˈɑ m ɪ k s
+edit ˈɛ d ə t
+edition ə d ˈɪ ʃ ə n
+editor ˈɛ d ə t ɚ
+educate ˈɛ d͡ʒ ə k ˌeɪ t
+eel ˈi l
+effective ə f ˈɛ k t ɪ v
+efficient ə f ˈɪ ʃ ə n t
+eighth ˈeɪ t θ
+elbow ˈɛ l b oʊ
+elder ˈɛ l d ɚ
+elect ə l ˈɛ k t
+electricity ə l ˌɛ k t ˈɹ ɪ s ə t i
+electronic ə l ˌɛ k t ˈɹ ɑ n ɪ k
+elegant ˈɛ l ə ɡ ə n t
+element ˈɛ l ə m ə n t
+elementary ˌɛ l ə m ˈɛ n t ɹ i
+elephant ˈɛ l ə f ə n t
+elevator ˈɛ l ə v ˌeɪ t ɚ
+eliminate ə l ˈɪ m ə n ˌeɪ t
+elsewhere ˈɛ l s w ˌɛ ɹ
+embarrass ɪ m b ˈɛ ɹ ə s
+emerge ə m ˈɚ d͡ʒ
+emotional ə m ˈoʊ ʃ ə n ə l
+emperor ˈɛ m p ɚ ɚ
+emphasis ˈɛ m f ə s ə s
+emphasize ˈɛ m f ə s ˌaɪ z
+empire ˈɛ m p aɪ ɚ
+employ ɪ m p l ˈɔɪ
+employer ɪ m p l ˈɔɪ ɚ
+employment ɪ m p l ˈɔɪ m ə n t
+enable ɪ n ˈeɪ b ə l
+encounter ɪ n k ˈaʊ n t ɚ
+encourage ɪ n k ˈɚ ɪ d͡ʒ
+enemy ˈɛ n ə m i
+engage ɪ n ɡ ˈeɪ d͡ʒ
+enormous ə n ˈɔ ɹ m ə s
+ensure ɪ n ʃ ˈʊ ɹ
+enthusiasm ɪ n θ ˈu z i ˌæ z ə m
+entertain ˌɛ n t ɚ t ˈeɪ n
+entrance ˈɛ n t ɹ ə n s
+entry ˈɛ n t ɹ i
+envelope ˈɛ n v ə l ˌoʊ p
+envy ˈɛ n v i
+episode ˈɛ p ə s ˌoʊ d
+equally ˈi k w ə l i
+equation ɪ k w ˈeɪ ʒ ə n
+era ˈɛ ɹ ə
+erase ɚ ˈeɪ s
+essay ˈɛ s eɪ
+essential ə s ˈɛ n ʃ ə l
+estate ə s t ˈeɪ t
+evaluate ɪ v ˈæ l j u ˌeɪ t
+eventually ɪ v ˈɛ n t͡ʃ u ə l i
+everyday ˈɛ v ɹ i d ˌeɪ
+exam ɪ ɡ z ˈæ m
+examination ɪ ɡ z ˌæ m ə n ˈeɪ ʃ ə n
+exceed ɪ k s ˈi d
+excellence ˈɛ k s ə l ə n s
+exception ɪ k s ˈɛ p ʃ ə n
+excess ˈɛ k s ɛ s
+exhaust ɪ ɡ z ˈɔ s t
+exhibit ɪ ɡ z ˈɪ b ə t
+exit ˈɛ ɡ z ə t
+expand ɪ k s p ˈæ n d
+expansion ɪ k s p ˈæ n ʃ ə n
+expense ɪ k s p ˈɛ n s
+explanation ˌɛ k s p l ə n ˈeɪ ʃ ə n
+explode ɪ k s p l ˈoʊ d
+explore ɪ k s p l ˈɔ ɹ
+explosion ɪ k s p l ˈoʊ ʒ ə n
+expose ɪ k s p ˈoʊ z
+expression ɪ k s p ˈɹ ɛ ʃ ə n
+extend ɪ k s t ˈɛ n d
+extension ɪ k s t ˈɛ n ʃ ə n
+extent ɪ k s t ˈɛ n t
+external ɪ k s t ˈɚ n ə l
+extraordinary ɪ k s t ˈɹ ɔ ɹ d ə n ˌɛ ɹ i
+extreme ɪ k s t ˈɹ i m
+fabric f ˈæ b ɹ ɪ k
+fade f ˈeɪ d
+failure f ˈeɪ l j ɚ
+faint f ˈeɪ n t
+fairy f ˈɛ ɹ i
+fake f ˈeɪ k
+fame f ˈeɪ m
+fancy f ˈæ n s i
+fantastic f æ n t ˈæ s t ɪ k
+fantasy f ˈæ n t ə s i
+fare f ˈɛ ɹ
+farewell f ˌɛ ɹ w ˈɛ l
+fasten f ˈæ s ə n
+fatal f ˈeɪ t ə l
+fate f ˈeɪ t
+faucet f ˈɔ s ə t
+favor f ˈeɪ v ɚ
+feast f ˈi s t
+feather f ˈɛ ð ɚ
+fee f ˈi
+feeble f ˈi b ə l
+female f ˈi m eɪ l
+fence f ˈɛ n s
+fever f ˈi v ɚ
+fiber f ˈaɪ b ɚ
+fiction f ˈɪ k ʃ ə n
+fierce f ˈɪ ɹ s
+fifth f ˈɪ f θ
+fig f ˈɪ ɡ
+financial f ə n ˈæ n ʃ ə l
+firefighter f ˈaɪ ɚ f ˌaɪ t ɚ
+fireplace f ˈaɪ ɚ p l ˌeɪ s
+firmly f ˈɚ m l i
+fisherman f ˈɪ ʃ ɚ m ə n
+fist f ˈɪ s t
+fitness f ˈɪ t n ə s
+flag f l ˈæ ɡ
+flame f l ˈeɪ m
+flash f l ˈæ ʃ
+flavor f l ˈeɪ v ɚ
+flee f l ˈi
+fleet f l ˈi t
+flesh f l ˈɛ ʃ
+flexible f l ˈɛ k s ə b ə l
+float f l ˈoʊ t
+flock f l ˈɑ k
+flood f l ˈʌ d
+flour f l ˈaʊ ɚ
+fluid f l ˈu ə d
+flush f l ˈʌ ʃ
+foam f ˈoʊ m
+fog f ˈɔ ɡ
+fold f ˈoʊ l d
+folk f ˈoʊ k
+fond f ˈɑ n d
+fool f ˈu l
+football f ˈʊ t b ˌɔ l
+forbid f ɚ b ˈɪ d
+force f ˈɔ ɹ s
+forecast f ˈɔ ɹ k ˌæ s t
+forehead f ˈɔ ɹ h ˌɛ d
+foreign f ˈɔ ɹ ə n
+foreigner f ˈɔ ɹ ə n ɚ
+forgive f ɚ ɡ ˈɪ v
+fork f ˈɔ ɹ k
+formal f ˈɔ ɹ m ə l
+format f ˈɔ ɹ m æ t
+formation f ɔ ɹ m ˈeɪ ʃ ə n
+former f ˈɔ ɹ m ɚ
+formula f ˈɔ ɹ m j ə l ə
+fort f ˈɔ ɹ t
+fortunate f ˈɔ ɹ t͡ʃ ə n ə t
+fortune f ˈɔ ɹ t͡ʃ ə n
+forum f ˈɔ ɹ ə m
+fossil f ˈɑ s ə l
+foundation f aʊ n d ˈeɪ ʃ ə n
+fountain f ˈaʊ n t ə n
+fox f ˈɑ k s
+fraction f ˈɹ æ k ʃ ə n
+fragile f ˈɹ æ d͡ʒ ə l
+freedom f ˈɹ i d ə m
+freeze f ˈɹ i z
+freight f ˈɹ eɪ t
+frequency f ˈɹ i k w ə n s i
+frequent f ˈɹ i k w ə n t
+friendship f ˈɹ ɛ n d ʃ ˌɪ p
+frog f ˈɹ ɔ ɡ
+frost f ˈɹ ɔ s t
+frown f ˈɹ aʊ n
+froze f ˈɹ oʊ z
+frozen f ˈɹ oʊ z ə n
+fry f ˈɹ aɪ
+fuel f j ˈu ə l
+fundamental f ˌʌ n d ə m ˈɛ n t ə l
+funeral f j ˈu n ɚ ə l
+fur f ˈɚ
+furious f j ˈʊ ɹ i ə s
+furnace f ˈɚ n ə s
+furniture f ˈɚ n ɪ t͡ʃ ɚ
+further f ˈɚ ð ɚ
+furthermore f ˈɚ ð ɚ m ˌɔ ɹ
+fury f j ˈʊ ɹ i
+gain ɡ ˈeɪ n
+galaxy ɡ ˈæ l ə k s i
+gallery ɡ ˈæ l ɚ i
+gallon ɡ ˈæ l ə n
+gamble ɡ ˈæ m b ə l
+gap ɡ ˈæ p
+garage ɡ ɚ ˈɑ ʒ
+garbage ɡ ˈɑ ɹ b ɪ d͡ʒ
+garlic ɡ ˈɑ ɹ l ɪ k
+gasoline ɡ ˈæ s ə l ˌi n
+gaze ɡ ˈeɪ z
+gear ɡ ˈɪ ɹ
+gene d͡ʒ ˈi n
+generate d͡ʒ ˈɛ n ɚ ˌeɪ t
+generous d͡ʒ ˈɛ n ɚ ə s
+genius d͡ʒ ˈi n j ə s
+genuine d͡ʒ ˈɛ n j u ə n
+geography d͡ʒ i ˈɑ ɡ ɹ ə f i
+gesture d͡ʒ ˈɛ s t͡ʃ ɚ
+ghost ɡ ˈoʊ s t
+giant d͡ʒ ˈaɪ ə n t
+giggle ɡ ˈɪ ɡ ə l
+ginger d͡ʒ ˈɪ n d͡ʒ ɚ
+giraffe d͡ʒ ɚ ˈæ f
+glance ɡ l ˈæ n s
+globe ɡ l ˈoʊ b
+glory ɡ l ˈɔ ɹ i
+glove ɡ l ˈʌ v
+glow ɡ l ˈoʊ
+glue ɡ l ˈu
+goat ɡ ˈoʊ t
+goodbye ɡ ʊ d b ˈaɪ
+goods ɡ ˈʊ d z
+goose ɡ ˈu s
+gossip ɡ ˈɑ s ə p
+govern ɡ ˈʌ v ɚ n
+governor ɡ ˈʌ v ɚ n ɚ
+grab ɡ ˈɹ æ b
+grace ɡ ˈɹ eɪ s
+grade ɡ ˈɹ eɪ d
+gradual ɡ ˈɹ æ d͡ʒ u ə l
+grain ɡ ˈɹ eɪ n
+grammar ɡ ˈɹ æ m ɚ
+grant ɡ ˈɹ æ n t
+grape ɡ ˈɹ eɪ p
+graph ɡ ˈɹ æ f
+grasp ɡ ˈɹ æ s p
+grave ɡ ˈɹ eɪ v
+gravity ɡ ˈɹ æ v ə t i
+grease ɡ ˈɹ i s
+greet ɡ ˈɹ i t
+grief ɡ ˈɹ i f
+grin ɡ ˈɹ ɪ n
+grind ɡ ˈɹ aɪ n d
+grip ɡ ˈɹ ɪ p
+grocery ɡ ˈɹ oʊ s ɚ i
+groom ɡ ˈɹ u m
+groan ɡ ˈɹ oʊ n
+guarantee ɡ ˌɛ ɹ ə n t ˈi
+guilt ɡ ˈɪ l t
+guilty ɡ ˈɪ l t i
+guitar ɡ ɪ t ˈɑ ɹ
+gulf ɡ ˈʌ l f
+gum ɡ ˈʌ m
+gym d͡ʒ ˈɪ m
+habit h ˈæ b ə t
+hail h ˈeɪ l
+hallway h ˈɔ l w ˌeɪ
+halt h ˈɔ l t
+hammer h ˈæ m ɚ
+handsome h ˈæ n s ə m
+harbor h ˈɑ ɹ b ɚ
+hardware h ˈɑ ɹ d w ˌɛ ɹ
+harsh h ˈɑ ɹ ʃ
+harvest h ˈɑ ɹ v ə s t
+haste h ˈeɪ s t
+hat h ˈæ t
+hatch h ˈæ t͡ʃ
+hawk h ˈɔ k
+hay h ˈeɪ
+hazard h ˈæ z ɚ d
+headache h ˈɛ d ˌeɪ k
+headline h ˈɛ d l ˌaɪ n
+headquarters h ˈɛ d k w ˌɔ ɹ t ɚ z
+heal h ˈi l
+heap h ˈi p
+heaven h ˈɛ v ə n
+heavily h ˈɛ v ə l i
+heel h ˈi l
+height h ˈaɪ t
+helicopter h ˈɛ l ə k ˌɑ p t ɚ
+hell h ˈɛ l
+helmet h ˈɛ l m ə t
+helpful h ˈɛ l p f ə l
+hen h ˈɛ n
+herd h ˈɚ d
+heritage h ˈɛ ɹ ə t ɪ d͡ʒ
+hero h ˈɪ ɹ oʊ
+hesitate h ˈɛ z ə t ˌeɪ t
+hint h ˈɪ n t
+hip h ˈɪ p
+hire h ˈaɪ ɚ
+historian h ɪ s t ˈɔ ɹ i ə n
+historic h ɪ s t ˈɔ ɹ ɪ k
+historical h ɪ s t ˈɔ ɹ ɪ k ə l
+hobby h ˈɑ b i
+hockey h ˈɑ k i
+hollow h ˈɑ l oʊ
+holy h ˈoʊ l i
+homework h ˈoʊ m w ˌɚ k
+honor ˈɑ n ɚ
+hook h ˈʊ k
+hop h ˈɑ p
+horizon h ɚ ˈaɪ z ə n
+horn h ˈɔ ɹ n
+horror h ˈɔ ɹ ɚ
+household h ˈaʊ s h ˌoʊ l d
+housing h ˈaʊ z ɪ ŋ
+hug h ˈʌ ɡ
+hum h ˈʌ m
+humble h ˈʌ m b ə l
+humor h j ˈu m ɚ
+hunger h ˈʌ ŋ ɡ ɚ
+hunt h ˈʌ n t
+hunter h ˈʌ n t ɚ
+hurricane h ˈɚ ə k ˌeɪ n
+hurry h ˈɚ i
+hut h ˈʌ t
+hydrogen h ˈaɪ d ɹ ə d͡ʒ ə n
+icon ˈaɪ k ɑ n
+ideal aɪ d ˈi ə l
+identify aɪ d ˈɛ n t ə f ˌaɪ
+identity aɪ d ˈɛ n t ə t i
+idle ˈaɪ d ə l
+ignore ɪ ɡ n ˈɔ ɹ
+illegal ɪ l ˈi ɡ ə l
+illness ˈɪ l n ə s
+illustrate ˈɪ l ə s t ˌɹ eɪ t
+imagination ɪ m ˌæ d͡ʒ ə n ˈeɪ ʃ ə n
+imitate ˈɪ m ə t ˌeɪ t
+immediate ɪ m ˈi d i ə t
+immense ɪ m ˈɛ n s
+immigrant ˈɪ m ə ɡ ɹ ə n t
+implement ˈɪ m p l ə m ə n t
+imply ɪ m p l ˈaɪ
+importance ɪ m p ˈɔ ɹ t ə n s
+impose ɪ m p ˈoʊ z
+impress ɪ m p ˈɹ ɛ s
+impression ɪ m p ˈɹ ɛ ʃ ə n
+improvement ɪ m p ˈɹ u v m ə n t
+incident ˈɪ n s ə d ə n t
+include ɪ n k l ˈu d
+income ˈɪ n k ʌ m
+incredible ɪ n k ˈɹ ɛ d ə b ə l
+independence ˌɪ n d ə p ˈɛ n d ə n s
+independent ˌɪ n d ə p ˈɛ n d ə n t
+index ˈɪ n d ɛ k s
+indicate ˈɪ n d ə k ˌeɪ t
+individual ˌɪ n d ə v ˈɪ d͡ʒ u ə l
+industrial ɪ n d ˈʌ s t ɹ i ə l
+infant ˈɪ n f ə n t
+infection ɪ n f ˈɛ k ʃ ə n
+inflation ɪ n f l ˈeɪ ʃ ə n
+influence ˈɪ n f l u ə n s
+inform ɪ n f ˈɔ ɹ m
+ingredient ɪ n ɡ ˈɹ i d i ə n t
+initial ə n ˈɪ ʃ ə l
+injure ˈɪ n d͡ʒ ɚ
+injury ˈɪ n d͡ʒ ɚ i
+ink ˈɪ ŋ k
+inner ˈɪ n ɚ
+innocent ˈɪ n ə s ə n t
+input ˈɪ n p ˌʊ t
+inquire ɪ n k w ˈaɪ ɚ
+insect ˈɪ n s ɛ k t
+insist ɪ n s ˈɪ s t
+inspect ɪ n s p ˈɛ k t
+inspire ɪ n s p ˈaɪ ɚ
+install ɪ n s t ˈɔ l
+instant ˈɪ n s t ə n t
+instinct ˈɪ n s t ɪ ŋ k t
+institute ˈɪ n s t ə t ˌu t
+instruction ɪ n s t ˈɹ ʌ k ʃ ə n
+instrument ˈɪ n s t ɹ ə m ə n t
+insurance ɪ n ʃ ˈʊ ɹ ə n s
+intelligence ɪ n t ˈɛ l ə d͡ʒ ə n s
+intelligent ɪ n t ˈɛ l ə d͡ʒ ə n t
+intend ɪ n t ˈɛ n d
+intense ɪ n t ˈɛ n s
+intention ɪ n t ˈɛ n ʃ ə n
+internal ɪ n t ˈɚ n ə l
+interpret ɪ n t ˈɚ p ɹ ə t
+interrupt ˌɪ n t ɚ ˈʌ p t
+introduction ˌɪ n t ɹ ə d ˈʌ k ʃ ə n
+invent ɪ n v ˈɛ n t
+invention ɪ n v ˈɛ n ʃ ə n
+invest ɪ n v ˈɛ s t
+investigate ɪ n v ˈɛ s t ə ɡ ˌeɪ t
+invitation ˌɪ n v ə t ˈeɪ ʃ ə n
+invite ɪ n v ˈaɪ t
+ivory ˈaɪ v ɹ i
+jail d͡ʒ ˈeɪ l
+jam d͡ʒ ˈæ m
+jar d͡ʒ ˈɑ ɹ
+jaw d͡ʒ ˈɔ
+jazz d͡ʒ ˈæ z
+jealous d͡ʒ ˈɛ l ə s
+jeans d͡ʒ ˈi n z
+jelly d͡ʒ ˈɛ l i
+jewel d͡ʒ ˈu ə l
+jewelry d͡ʒ ˈu ə l ɹ i
+joint d͡ʒ ˈɔɪ n t
+journal d͡ʒ ˈɚ n ə l
+journalist d͡ʒ ˈɚ n ə l ə s t
+judgment d͡ʒ ˈʌ d͡ʒ m ə n t
+juice d͡ʒ ˈu s
+junction d͡ʒ ˈʌ ŋ k ʃ ə n
+jungle d͡ʒ ˈʌ ŋ ɡ ə l
+junior d͡ʒ ˈu n j ɚ
+junk d͡ʒ ˈʌ ŋ k
+jury d͡ʒ ˈʊ ɹ i
+justice d͡ʒ ˈʌ s t ə s
+justify d͡ʒ ˈʌ s t ə f ˌaɪ
+kangaroo k ˌæ ŋ ɡ ɚ ˈu
+keen k ˈi n
+kettle k ˈɛ t ə l
+keyboard k ˈi b ˌɔ ɹ d
+kidney k ˈɪ d n i
+kingdom k ˈɪ ŋ d ə m
+kiss k ˈɪ s
+kit k ˈɪ t
+kite k ˈaɪ t
+kitten k ˈɪ t ə n
+kneel n ˈi l
+knit n ˈɪ t
+knob n ˈɑ b
+knot n ˈɑ t
+lab l ˈæ b
+label l ˈeɪ b ə l
+labor l ˈeɪ b ɚ
+laboratory l ˈæ b ɹ ə t ˌɔ ɹ i
+lace l ˈeɪ s
+ladder l ˈæ d ɚ
+lamb l ˈæ m
+lamp l ˈæ m p
+landlord l ˈæ n d l ˌɔ ɹ d
+landscape l ˈæ n d s k ˌeɪ p
+lane l ˈeɪ n
+lantern l ˈæ n t ɚ n
+lap l ˈæ p
+laptop l ˈæ p t ˌɑ p
+laundry l ˈɔ n d ɹ i
+lawn l ˈɔ n
+layer l ˈeɪ ɚ
+lazy l ˈeɪ z i
+leaf l ˈi f
+league l ˈi ɡ
+leak l ˈi k
+lean l ˈi n
+leap l ˈi p
+leather l ˈɛ ð ɚ
+lecture l ˈɛ k t͡ʃ ɚ
+legend l ˈɛ d͡ʒ ə n d
+leisure l ˈi ʒ ɚ
+lemon l ˈɛ m ə n
+lend l ˈɛ n d
+length l ˈɛ ŋ k θ
+lens l ˈɛ n z
+leopard l ˈɛ p ɚ d
+lettuce l ˈɛ t ə s
+liberal l ˈɪ b ɚ ə l
+liberty l ˈɪ b ɚ t i
+license l ˈaɪ s ə n s
+lid l ˈɪ d
+lift l ˈɪ f t
+lightning l ˈaɪ t n ɪ ŋ
+limb l ˈɪ m
+lime l ˈaɪ m
+linen l ˈɪ n ə n
+lion l ˈaɪ ə n
+liquid l ˈɪ k w ə d
+literary l ˈɪ t ɚ ˌɛ ɹ i
+literature l ˈɪ t ɚ ə t͡ʃ ɚ
+litter l ˈɪ t ɚ
+liver l ˈɪ v ɚ
+lizard l ˈɪ z ɚ d
+load l ˈoʊ d
+loaf l ˈoʊ f
+loan l ˈoʊ n
+lobby l ˈɑ b i
+lobster l ˈɑ b s t ɚ
+locate l ˈoʊ k eɪ t
+location l oʊ k ˈeɪ ʃ ə n
+log l ˈɔ ɡ
+logic l ˈɑ d͡ʒ ɪ k
+logical l ˈɑ d͡ʒ ɪ k ə l
+loose l ˈu s
+lord l ˈɔ ɹ d
+lorry l ˈɔ ɹ i
+lot l ˈɑ t
+lotion l ˈoʊ ʃ ə n
+loyal l ˈɔɪ ə l
+luck l ˈʌ k
+luggage l ˈʌ ɡ ɪ d͡ʒ
+lumber l ˈʌ m b ɚ
+lump l ˈʌ m p
+lung l ˈʌ ŋ
+luxury l ˈʌ k ʃ ɚ i
+machinery m ə ʃ ˈi n ɚ i
+magazine m ˈæ ɡ ə z ˌi n
+magic m ˈæ d͡ʒ ɪ k
+magnet m ˈæ ɡ n ə t
+magnificent m æ ɡ n ˈɪ f ə s ə n t
+maid m ˈeɪ d
+male m ˈeɪ l
+mall m ˈɔ l
+mammal m ˈæ m ə l
+management m ˈæ n ɪ d͡ʒ m ə n t
+mankind m ˌæ n k ˈaɪ n d
+manner m ˈæ n ɚ
+mansion m ˈæ n ʃ ə n
+manual m ˈæ n j u ə l
+manufacture m ˌæ n j ə f ˈæ k t͡ʃ ɚ
+map m ˈæ p
+marble m ˈɑ ɹ b ə l
+margin m ˈɑ ɹ d͡ʒ ə n
+marine m ɚ ˈi n
+marker m ˈɑ ɹ k ɚ
+marvelous m ˈɑ ɹ v ə l ə s
+mask m ˈæ s k
+massive m ˈæ s ɪ v
+mat m ˈæ t
+mate m ˈeɪ t
+mathematics m ˌæ θ ə m ˈæ t ɪ k s
+mature m ə t͡ʃ ˈʊ ɹ
+maximum m ˈæ k s ə m ə m
+mayor m ˈeɪ ɚ
+meadow m ˈɛ d oʊ
+meaning m ˈi n ɪ ŋ
+means m ˈi n z
+meanwhile m ˈi n w ˌaɪ l
+mechanic m ə k ˈæ n ɪ k
+mechanical m ə k ˈæ n ɪ k ə l
+mechanism m ˈɛ k ə n ˌɪ z ə m
+medal m ˈɛ d ə l
+medium m ˈi d i ə m
+melody m ˈɛ l ə d i
+melt m ˈɛ l t
+membership m ˈɛ m b ɚ ʃ ˌɪ p
+memorial m ə m ˈɔ ɹ i ə l
+mental m ˈɛ n t ə l
+menu m ˈɛ n j u
+merchant m ˈɚ t͡ʃ ə n t
+mercy m ˈɚ s i
+mere m ˈɪ ɹ
+merry m ˈɛ ɹ i
+mess m ˈɛ s
+meter m ˈi t ɚ
+microphone m ˈaɪ k ɹ ə f ˌoʊ n
+microscope m ˈaɪ k ɹ ə s k ˌoʊ p
+microwave m ˈaɪ k ɹ ə w ˌeɪ v
+mild m ˈaɪ l d
+mill m ˈɪ l
+mineral m ˈɪ n ɚ ə l
+minimum m ˈɪ n ə m ə m
+minority m ə n ˈɔ ɹ ə t i
+miracle m ˈɪ ɹ ə k ə l
+mischief m ˈɪ s t͡ʃ ə f
+miserable m ˈɪ z ɚ ə b ə l
+misery m ˈɪ z ɚ i
+mixture m ˈɪ k s t͡ʃ ɚ
+mobile m ˈoʊ b ə l
+modest m ˈɑ d ə s t
+moisture m ˈɔɪ s t͡ʃ ɚ
+mole m ˈoʊ l
+monitor m ˈɑ n ə t ɚ
+monk m ˈʌ ŋ k
+monster m ˈɑ n s t ɚ
+monthly m ˈʌ n θ l i
+monument m ˈɑ n j ə m ə n t
+mood m ˈu d
+moral m ˈɔ ɹ ə l
+moreover m ɔ ɹ ˈoʊ v ɚ
+mosquito m ə s k ˈi t oʊ
+moss m ˈɔ s
+motion m ˈoʊ ʃ ə n
+motivate m ˈoʊ t ə v ˌeɪ t
+motor m ˈoʊ t ɚ
+motorcycle m ˈoʊ t ɚ s ˌaɪ k ə l
+mouse m ˈaʊ s
+moustache m ˈʌ s t æ ʃ
+mud m ˈʌ d
+mule m j ˈu l
+multiple m ˈʌ l t ə p ə l
+multiply m ˈʌ l t ə p l ˌaɪ
+murder m ˈɚ d ɚ
+muscle m ˈʌ s ə l
+museum m j u z ˈi ə m
+mushroom m ˈʌ ʃ ɹ ˌu m
+musical m j ˈu z ɪ k ə l
+musician m j u z ˈɪ ʃ ə n
+mystery m ˈɪ s t ɚ i
+nail n ˈeɪ l
+naked n ˈeɪ k ə d
+nap n ˈæ p
+napkin n ˈæ p k ə n
+narrative n ˈɛ ɹ ə t ɪ v
+nasty n ˈæ s t i
+native n ˈeɪ t ɪ v
+naval n ˈeɪ v ə l
+navy n ˈeɪ v i
+nearby n ˌɪ ɹ b ˈaɪ
+neat n ˈi t
+needle n ˈi d ə l
+negative n ˈɛ ɡ ə t ɪ v
+neglect n ɪ ɡ l ˈɛ k t
+negotiate n ə ɡ ˈoʊ ʃ i ˌeɪ t
+neighborhood n ˈeɪ b ɚ h ˌʊ d
+nephew n ˈɛ f j u
+nerve n ˈɚ v
+nest n ˈɛ s t
+net n ˈɛ t
+neutral n ˈu t ɹ ə l
+nevertheless n ˌɛ v ɚ ð ə l ˈɛ s
+nickel n ˈɪ k ə l
+niece n ˈi s
+nightmare n ˈaɪ t m ˌɛ ɹ
+ninth n ˈaɪ n θ
+nitrogen n ˈaɪ t ɹ ə d͡ʒ ə n
+noble n ˈoʊ b ə l
+nod n ˈɑ d
+noisy n ˈɔɪ z i
+nonsense n ˈɑ n s ɛ n s
+northern n ˈɔ ɹ ð ɚ n
+notebook n ˈoʊ t b ˌʊ k
+notion n ˈoʊ ʃ ə n
+novel n ˈɑ v ə l
+nuclear n ˈu k l i ɚ
+numerous n ˈu m ɚ ə s
+nut n ˈʌ t
+nutrition n u t ˈɹ ɪ ʃ ə n
+oak ˈoʊ k
+oar ˈɔ ɹ
+oath ˈoʊ θ
+obey oʊ b ˈeɪ
+objection ə b d͡ʒ ˈɛ k ʃ ə n
+obligation ˌɑ b l ə ɡ ˈeɪ ʃ ə n
+observation ˌɑ b z ɚ v ˈeɪ ʃ ə n
+observe ə b z ˈɚ v
+obstacle ˈɑ b s t ə k ə l
+obtain ə b t ˈeɪ n
+obvious ˈɑ b v i ə s
+occasion ə k ˈeɪ ʒ ə n
+occasional ə k ˈeɪ ʒ ə n ə l
+occupation ˌɑ k j ə p ˈeɪ ʃ ə n
+occupy ˈɑ k j ə p ˌaɪ
+odd ˈɑ d
+odor ˈoʊ d ɚ
+offend ə f ˈɛ n d
+offense ə f ˈɛ n s
+olive ˈɑ l ɪ v
+onion ˈʌ n j ə n
+onto ˈɑ n t u
+operate ˈɑ p ɚ ˌeɪ t
+operator ˈɑ p ɚ ˌeɪ t ɚ
+opponent ə p ˈoʊ n ə n t
+oppose ə p ˈoʊ z
+opposite ˈɑ p ə z ə t
+oral ˈɔ ɹ ə l
+orbit ˈɔ ɹ b ə t
+orchestra ˈɔ ɹ k ə s t ɹ ə
+organ ˈɔ ɹ ɡ ə n
+organic ɔ ɹ ɡ ˈæ n ɪ k
+organize ˈɔ ɹ ɡ ə n ˌaɪ z
+origin ˈɔ ɹ ə d͡ʒ ə n
+orphan ˈɔ ɹ f ə n
+ounce ˈaʊ n s
+outcome ˈaʊ t k ˌʌ m
+outdoor ˈaʊ t d ˌɔ ɹ
+outer ˈaʊ t ɚ
+outfit ˈaʊ t f ˌɪ t
+outline ˈaʊ t l ˌaɪ n
+output ˈaʊ t p ˌʊ t
+outstanding aʊ t s t ˈæ n d ɪ ŋ
+oven ˈʌ v ə n
+overcome ˌoʊ v ɚ k ˈʌ m
+overlook ˌoʊ v ɚ l ˈʊ k
+overnight ˌoʊ v ɚ n ˈaɪ t
+overseas ˌoʊ v ɚ s ˈi z
+owe ˈoʊ
+owl ˈaʊ l
+oxygen ˈɑ k s ə d͡ʒ ə n
+oyster ˈɔɪ s t ɚ
+pace p ˈeɪ s
+pack p ˈæ k
+package p ˈæ k ɪ d͡ʒ
+pad p ˈæ d
+paddle p ˈæ d ə l
+painful p ˈeɪ n f ə l
+painter p ˈeɪ n t ɚ
+painting p ˈeɪ n t ɪ ŋ
+pajamas p ə d͡ʒ ˈɑ m ə z
+palace p ˈæ l ə s
+pale p ˈeɪ l
+palm p ˈɑ m
+pan p ˈæ n
+pancake p ˈæ n k ˌeɪ k
+panel p ˈæ n ə l
+panic p ˈæ n ɪ k
+pant p ˈæ n t
+parade p ɚ ˈeɪ d
+paradise p ˈɛ ɹ ə d ˌaɪ s
+paragraph p ˈɛ ɹ ə ɡ ɹ ˌæ f
+parallel p ˈɛ ɹ ə l ˌɛ l
+parcel p ˈɑ ɹ s ə l
+pardon p ˈɑ ɹ d ə n
+parliament p ˈɑ ɹ l ə m ə n t
+parrot p ˈɛ ɹ ə t
+participate p ɑ ɹ t ˈɪ s ə p ˌeɪ t
+particle p ˈɑ ɹ t ɪ k ə l
+passage p ˈæ s ɪ d͡ʒ
+passion p ˈæ ʃ ə n
+passport p ˈæ s p ˌɔ ɹ t
+password p ˈæ s w ˌɚ d
+pasta p ˈɑ s t ə
+paste p ˈeɪ s t
+pastry p ˈeɪ s t ɹ i
+pat p ˈæ t
+patch p ˈæ t͡ʃ
+patience p ˈeɪ ʃ ə n s
+patrol p ə t ˈɹ oʊ l
+pause p ˈɔ z
+pave p ˈeɪ v
+paw p ˈɔ
+payment p ˈeɪ m ə n t
+pea p ˈi
+peaceful p ˈi s f ə l
+peach p ˈi t͡ʃ
+peak p ˈi k
+peanut p ˈi n ˌʌ t
+pear p ˈɛ ɹ
+pearl p ˈɚ l
+peasant p ˈɛ z ə n t
+peculiar p ə k j ˈu l j ɚ
+pedal p ˈɛ d ə l
+peel p ˈi l
+peer p ˈɪ ɹ
+penalty p ˈɛ n ə l t i
+penny p ˈɛ n i
+pension p ˈɛ n ʃ ə n
+pepper p ˈɛ p ɚ
+percent p ɚ s ˈɛ n t
+percentage p ɚ s ˈɛ n t ɪ d͡ʒ
+perception p ɚ s ˈɛ p ʃ ə n
+performance p ɚ f ˈɔ ɹ m ə n s
+perfume p ɚ f j ˈu m
+permanent p ˈɚ m ə n ə n t
+permission p ɚ m ˈɪ ʃ ə n
+personality p ˌɚ s ə n ˈæ l ə t i
+perspective p ɚ s p ˈɛ k t ɪ v
+persuade p ɚ s w ˈeɪ d
+pet p ˈɛ t
+petrol p ˈɛ t ɹ ə l
+phase f ˈeɪ z
+phenomenon f ə n ˈɑ m ə n ˌɑ n
+philosophy f ə l ˈɑ s ə f i
+photograph f ˈoʊ t ə ɡ ɹ ˌæ f
+photographer f ə t ˈɑ ɡ ɹ ə f ɚ
+physician f ə z ˈɪ ʃ ə n
+physics f ˈɪ z ɪ k s
+pickle p ˈɪ k ə l
+picnic p ˈɪ k n ɪ k
+pie p ˈaɪ
+pig p ˈɪ ɡ
+pigeon p ˈɪ d͡ʒ ə n
+pile p ˈaɪ l
+pill p ˈɪ l
+pillow p ˈɪ l oʊ
+pilot p ˈaɪ l ə t
+pin p ˈɪ n
+pinch p ˈɪ n t͡ʃ
+pine p ˈaɪ n
+pineapple p ˈaɪ n ˌæ p ə l
+pint p ˈaɪ n t
+pioneer p ˌaɪ ə n ˈɪ ɹ
+pipe p ˈaɪ p
+pirate p ˈaɪ ɹ ə t
+pistol p ˈɪ s t ə l
+pit p ˈɪ t
+pitch p ˈɪ t͡ʃ
+pity p ˈɪ t i
+pizza p ˈi t s ə
+plain p l ˈeɪ n
+platform p l ˈæ t f ˌɔ ɹ m
+pleasant p l ˈɛ z ə n t
+plenty p l ˈɛ n t i
+plot p l ˈɑ t
+plow p l ˈaʊ
+plug p l ˈʌ ɡ
+plum p l ˈʌ m
+plumber p l ˈʌ m ɚ
+plunge p l ˈʌ n d͡ʒ
+plus p l ˈʌ s
+poet p ˈoʊ ə t
+poetry p ˈoʊ ə t ɹ i
+poison p ˈɔɪ z ə n
+pole p ˈoʊ l
+polish p ˈɑ l ɪ ʃ
+polite p ə l ˈaɪ t
+politician p ˌɑ l ə t ˈɪ ʃ ə n
+pollution p ə l ˈu ʃ ə n
+pond p ˈɑ n d
+pony p ˈoʊ n i
+pop p ˈɑ p
+porch p ˈɔ ɹ t͡ʃ
+port p ˈɔ ɹ t
+porter p ˈɔ ɹ t ɚ
+portion p ˈɔ ɹ ʃ ə n
+portrait p ˈɔ ɹ t ɹ ə t
+pose p ˈoʊ z
+possess p ə z ˈɛ s
+possession p ə z ˈɛ ʃ ə n
+possibility p ˌɑ s ə b ˈɪ l ə t i
+post p ˈoʊ s t
+postage p ˈoʊ s t ɪ d͡ʒ
+postpone p oʊ s t p ˈoʊ n
+pot p ˈɑ t
+potato p ə t ˈeɪ t oʊ
+potential p ə t ˈɛ n ʃ ə l
+pour p ˈɔ ɹ
+poverty p ˈɑ v ɚ t i
+powder p ˈaʊ d ɚ
+practical p ˈɹ æ k t ɪ k ə l
+praise p ˈɹ eɪ z
+pray p ˈɹ eɪ
+prayer p ˈɹ ɛ ɹ
+preach p ˈɹ i t͡ʃ
+precious p ˈɹ ɛ ʃ ə s
+precise p ɹ ɪ s ˈaɪ s
+predict p ɹ ɪ d ˈɪ k t
+prefer p ɹ ɪ f ˈɚ
+pregnant p ˈɹ ɛ ɡ n ə n t
+preparation p ˌɹ ɛ p ɚ ˈeɪ ʃ ə n
+presence p ˈɹ ɛ z ə n s
+presentation p ˌɹ ɛ z ə n t ˈeɪ ʃ ə n
+preserve p ɹ ɪ z ˈɚ v
+pretend p ɹ ɪ t ˈɛ n d
+previous p ˈɹ i v i ə s
+prey p ˈɹ eɪ
+priest p ˈɹ i s t
+primary p ˈɹ aɪ m ˌɛ ɹ i
+prime p ˈɹ aɪ m
+prince p ˈɹ ɪ n s
+princess p ˈɹ ɪ n s ɛ s
+principal p ˈɹ ɪ n s ə p ə l
+principle p ˈɹ ɪ n s ə p ə l
+print p ˈɹ ɪ n t
+printer p ˈɹ ɪ n t ɚ
+priority p ɹ aɪ ˈɔ ɹ ə t i
+prison p ˈɹ ɪ z ə n
+prisoner p ˈɹ ɪ z ə n ɚ
+privacy p ˈɹ aɪ v ə s i
+privilege p ˈɹ ɪ v ə l ɪ d͡ʒ
+probable p ˈɹ ɑ b ə b ə l
+procedure p ɹ ə s ˈi d͡ʒ ɚ
+proceed p ɹ ə s ˈi d
+procession p ɹ ə s ˈɛ ʃ ə n
+production p ɹ ə d ˈʌ k ʃ ə n
+profession p ɹ ə f ˈɛ ʃ ə n
+professional p ɹ ə f ˈɛ ʃ ə n ə l
+profile p ˈɹ oʊ f aɪ l
+profit p ˈɹ ɑ f ə t
+prohibit p ɹ oʊ h ˈɪ b ə t
+prominent p ˈɹ ɑ m ə n ə n t
+promote p ɹ ə m ˈoʊ t
+prompt p ˈɹ ɑ m p t
+pronounce p ɹ ə n ˈaʊ n s
+proof p ˈɹ u f
+proper p ˈɹ ɑ p ɚ
+property p ˈɹ ɑ p ɚ t i
+proportion p ɹ ə p ˈɔ ɹ ʃ ə n
+proposal p ɹ ə p ˈoʊ z ə l
+propose p ɹ ə p ˈoʊ z
+prospect p ˈɹ ɑ s p ɛ k t
+protection p ɹ ə t ˈɛ k ʃ ə n
+protein p ˈɹ oʊ t i n
+proverb p ˈɹ ɑ v ɚ b
+province p ˈɹ ɑ v ə n s
+provision p ɹ ə v ˈɪ ʒ ə n
+psychology s aɪ k ˈɑ l ə d͡ʒ i
+pub p ˈʌ b
+publication p ˌʌ b l ə k ˈeɪ ʃ ə n
+publish p ˈʌ b l ɪ ʃ
+publisher p ˈʌ b l ɪ ʃ ɚ
+pudding p ˈʊ d ɪ ŋ
+puddle p ˈʌ d ə l
+pump p ˈʌ m p
+pumpkin p ˈʌ m p k ə n
+punch p ˈʌ n t͡ʃ
+punish p ˈʌ n ɪ ʃ
+punishment p ˈʌ n ɪ ʃ m ə n t
+pupil p j ˈu p ə l
+puppy p ˈʌ p i
+purchase p ˈɚ t͡ʃ ə s
+pure p j ˈʊ ɹ
+purple p ˈɚ p ə l
+purse p ˈɚ s
+pursue p ɚ s ˈu
+puzzle p ˈʌ z ə l
+qualify k w ˈɑ l ə f ˌaɪ
+quantity k w ˈɑ n t ə t i
+quarrel k w ˈɔ ɹ ə l
+quart k w ˈɔ ɹ t
+quest k w ˈɛ s t
+quit k w ˈɪ t
+quote k w ˈoʊ t
+rack ɹ ˈæ k
+radar ɹ ˈeɪ d ɑ ɹ
+radical ɹ ˈæ d ɪ k ə l
+rag ɹ ˈæ ɡ
+rage ɹ ˈeɪ d͡ʒ
+raid ɹ ˈeɪ d
+rail ɹ ˈeɪ l
+railroad ɹ ˈeɪ l ɹ ˌoʊ d
+railway ɹ ˈeɪ l w ˌeɪ
+rainbow ɹ ˈeɪ n b ˌoʊ
+raisin ɹ ˈeɪ z ə n
+rake ɹ ˈeɪ k
+rally ɹ ˈæ l i
+ranch ɹ ˈæ n t͡ʃ
+random ɹ ˈæ n d ə m
+rank ɹ ˈæ ŋ k
+rapid ɹ ˈæ p ə d
+rare ɹ ˈɛ ɹ
+rat ɹ ˈæ t
+ratio ɹ ˈeɪ ʃ i ˌoʊ
+raw ɹ ˈɔ
+ray ɹ ˈeɪ
+razor ɹ ˈeɪ z ɚ
+reader ɹ ˈi d ɚ
+reality ɹ i ˈæ l ə t i
+rear ɹ ˈɪ ɹ
+reasonable ɹ ˈi z ə n ə b ə l
+recall ɹ ɪ k ˈɔ l
+receipt ɹ ɪ s ˈi t
+recipe ɹ ˈɛ s ə p i
+recognition ˌɹ ɛ k ə ɡ n ˈɪ ʃ ə n
+recommend ˌɹ ɛ k ə m ˈɛ n d
+recover ɹ ɪ k ˈʌ v ɚ
+recovery ɹ ɪ k ˈʌ v ɚ i
+reduction ɹ ɪ d ˈʌ k ʃ ə n
+refer ɹ ɪ f ˈɚ
+reference ɹ ˈɛ f ɹ ə n s
+reflection ɹ ɪ f l ˈɛ k ʃ ə n
+reform ɹ ɪ f ˈɔ ɹ m
+refrigerator ɹ ɪ f ˈɹ ɪ d͡ʒ ɚ ˌeɪ t ɚ
+refugee ˌɹ ɛ f j u d͡ʒ ˈi
+regard ɹ ɪ ɡ ˈɑ ɹ d
+regime ɹ ə ʒ ˈi m
+register ɹ ˈɛ d͡ʒ ə s t ɚ
+regret ɹ ɪ ɡ ˈɹ ɛ t
+regular ɹ ˈɛ ɡ j ə l ɚ
+regulation ˌɹ ɛ ɡ j ə l ˈeɪ ʃ ə n
+rehearse ɹ ɪ h ˈɚ s
+reign ɹ ˈeɪ n
+rein ɹ ˈeɪ n
+relate ɹ ɪ l ˈeɪ t
+relation ɹ ɪ l ˈeɪ ʃ ə n
+relative ɹ ˈɛ l ə t ɪ v
+relax ɹ ɪ l ˈæ k s
+relevant ɹ ˈɛ l ə v ə n t
+relief ɹ ɪ l ˈi f
+relieve ɹ ɪ l ˈi v
+religious ɹ ɪ l ˈɪ d͡ʒ ə s
+rely ɹ ɪ l ˈaɪ
+remark ɹ ɪ m ˈɑ ɹ k
+remarkable ɹ ɪ m ˈɑ ɹ k ə b ə l
+remedy ɹ ˈɛ m ə d i
+remind ɹ ɪ m ˈaɪ n d
+remote ɹ ɪ m ˈoʊ t
+removal ɹ ɪ m ˈu v ə l
+rent ɹ ˈɛ n t
+repair ɹ ɪ p ˈɛ ɹ
+reply ɹ ɪ p l ˈaɪ
+reporter ɹ ɪ p ˈɔ ɹ t ɚ
+representative ˌɹ ɛ p ɹ ɪ z ˈɛ n t ə t ɪ v
+reproduce ˌɹ i p ɹ ə d ˈu s
+reptile ɹ ˈɛ p t aɪ l
+republic ɹ ɪ p ˈʌ b l ɪ k
+reputation ˌɹ ɛ p j ə t ˈeɪ ʃ ə n
+request ɹ ɪ k w ˈɛ s t
+requirement ɹ ɪ k w ˈaɪ ɚ m ə n t
+rescue ɹ ˈɛ s k j u
+resemble ɹ ɪ z ˈɛ m b ə l
+reservation ˌɹ ɛ z ɚ v ˈeɪ ʃ ə n
+reserve ɹ ɪ z ˈɚ v
+residence ɹ ˈɛ z ə d ə n s
+resident ɹ ˈɛ z ə d ə n t
+resign ɹ ɪ z ˈaɪ n
+resist ɹ ɪ z ˈɪ s t
+resistance ɹ ɪ z ˈɪ s t ə n s
+resolution ˌɹ ɛ z ə l ˈu ʃ ə n
+resolve ɹ ɪ z ˈɑ l v
+resort ɹ ɪ z ˈɔ ɹ t
+responsible ɹ ɪ s p ˈɑ n s ə b ə l
+restaurant ɹ ˈɛ s t ɚ ˌɑ n t
+restore ɹ ɪ s t ˈɔ ɹ
+restrict ɹ ɪ s t ˈɹ ɪ k t
+resume ɹ ɪ z ˈu m
+retail ɹ ˈi t eɪ l
+retain ɹ ɪ t ˈeɪ n
+retire ɹ ɪ t ˈaɪ ɚ
+retreat ɹ ɪ t ˈɹ i t
+revenge ɹ ɪ v ˈɛ n d͡ʒ
+revenue ɹ ˈɛ v ə n ˌu
+reverse ɹ ɪ v ˈɚ s
+revolution ˌɹ ɛ v ə l ˈu ʃ ə n
+reward ɹ ɪ w ˈɔ ɹ d
+rhythm ɹ ˈɪ ð ə m
+rib ɹ ˈɪ b
+ribbon ɹ ˈɪ b ə n
+rice ɹ ˈaɪ s
+rid ɹ ˈɪ d
+riddle ɹ ˈɪ d ə l
+ridge ɹ ˈɪ d͡ʒ
+ridiculous ɹ ɪ d ˈɪ k j ə l ə s
+rifle ɹ ˈaɪ f ə l
+rigid ɹ ˈɪ d͡ʒ ə d
+rim ɹ ˈɪ m
+riot ɹ ˈaɪ ə t
+rip ɹ ˈɪ p
+ripe ɹ ˈaɪ p
+rival ɹ ˈaɪ v ə l
+roar ɹ ˈɔ ɹ
+roast ɹ ˈoʊ s t
+rob ɹ ˈɑ b
+robot ɹ ˈoʊ b ɑ t
+rocket ɹ ˈɑ k ə t
+rod ɹ ˈɑ d
+role ɹ ˈoʊ l
+roll ɹ ˈoʊ l
+roof ɹ ˈu f
+root ɹ ˈu t
+rope ɹ ˈoʊ p
+rose ɹ ˈoʊ z
+rot ɹ ˈɑ t
+rough ɹ ˈʌ f
+route ɹ ˈu t
+routine ɹ u t ˈi n
+row ɹ ˈoʊ
+royal ɹ ˈɔɪ ə l
+rub ɹ ˈʌ b
+rubber ɹ ˈʌ b ɚ
+rude ɹ ˈu d
+rug ɹ ˈʌ ɡ
+ruin ɹ ˈu ə n
+rumor ɹ ˈu m ɚ
+rural ɹ ˈʊ ɹ ə l
+rust ɹ ˈʌ s t
+sack s ˈæ k
+sacred s ˈeɪ k ɹ ə d
+sacrifice s ˈæ k ɹ ə f ˌaɪ s
+saddle s ˈæ d ə l
+sail s ˈeɪ l
+sailor s ˈeɪ l ɚ
+saint s ˈeɪ n t
+sake s ˈeɪ k
+salad s ˈæ l ə d
+salary s ˈæ l ɚ i
+sale s ˈeɪ l
+salmon s ˈæ m ə n
+sample s ˈæ m p ə l
+sandwich s ˈæ n d w ɪ t͡ʃ
+satellite s ˈæ t ə l ˌaɪ t
+satisfaction ˌs æ t ə s f ˈæ k ʃ ə n
+satisfactory ˌs æ t ə s f ˈæ k t ɚ i
+satisfy s ˈæ t ə s f ˌaɪ
+sauce s ˈɔ s
+saucer s ˈɔ s ɚ
+sausage s ˈɔ s ɪ d͡ʒ
+scan s k ˈæ n
+scandal s k ˈæ n d ə l
+scar s k ˈɑ ɹ
+scarce s k ˈɛ ɹ s
+scare s k ˈɛ ɹ
+scarf s k ˈɑ ɹ f
+scatter s k ˈæ t ɚ
+scenario s ə n ˈɛ ɹ i ˌoʊ
+scenery s ˈi n ɚ i
+schedule s k ˈɛ d͡ʒ u l
+scheme s k ˈi m
+scholar s k ˈɑ l ɚ
+scholarship s k ˈɑ l ɚ ʃ ˌɪ p
+scientific s ˌaɪ ə n t ˈɪ f ɪ k
+scissors s ˈɪ z ɚ z
+scold s k ˈoʊ l d
+scoop s k ˈu p
+scope s k ˈoʊ p
+scorn s k ˈɔ ɹ n
+scout s k ˈaʊ t
+scrap s k ˈɹ æ p
+scrape s k ˈɹ eɪ p
+scratch s k ˈɹ æ t͡ʃ
+scream s k ˈɹ i m
+screw s k ˈɹ u
+script s k ˈɹ ɪ p t
+scrub s k ˈɹ ʌ b
+sculpture s k ˈʌ l p t͡ʃ ɚ
+seal s ˈi l
+seaside s ˈi s ˌaɪ d
+secondary s ˈɛ k ə n d ˌɛ ɹ i
+secretary s ˈɛ k ɹ ə t ˌɛ ɹ i
+sector s ˈɛ k t ɚ
+secure s ə k j ˈʊ ɹ
+seed s ˈi d
+seek s ˈi k
+seize s ˈi z
+seldom s ˈɛ l d ə m
+select s ə l ˈɛ k t
+selection s ə l ˈɛ k ʃ ə n
+self s ˈɛ l f
+selfish s ˈɛ l f ɪ ʃ
+semester s ə m ˈɛ s t ɚ
+senate s ˈɛ n ə t
+senator s ˈɛ n ə t ɚ
+sensation s ɛ n s ˈeɪ ʃ ə n
+sensible s ˈɛ n s ə b ə l
+sensitive s ˈɛ n s ə t ɪ v
+separation ˌs ɛ p ɚ ˈeɪ ʃ ə n
+sequence s ˈi k w ə n s
+servant s ˈɚ v ə n t
+session s ˈɛ ʃ ə n
+settlement s ˈɛ t ə l m ə n t
+severe s ə v ˈɪ ɹ
+sew s ˈoʊ
+shade ʃ ˈeɪ d
+shadow ʃ ˈæ d oʊ
+shaft ʃ ˈæ f t
+shall ʃ ˈæ l
+shallow ʃ ˈæ l oʊ
+shame ʃ ˈeɪ m
+shampoo ʃ æ m p ˈu
+shark ʃ ˈɑ ɹ k
+shave ʃ ˈeɪ v
+shed ʃ ˈɛ d
+sheep ʃ ˈi p
+sheet ʃ ˈi t
+shelf ʃ ˈɛ l f
+shell ʃ ˈɛ l
+shelter ʃ ˈɛ l t ɚ
+shepherd ʃ ˈɛ p ɚ d
+shield ʃ ˈi l d
+shift ʃ ˈɪ f t
+shine ʃ ˈaɪ n
+shiny ʃ ˈaɪ n i
+shirt ʃ ˈɚ t
+shock ʃ ˈɑ k
+shore ʃ ˈɔ ɹ
+shortage ʃ ˈɔ ɹ t ɪ d͡ʒ
+shortly ʃ ˈɔ ɹ t l i
+shot ʃ ˈɑ t
+shove ʃ ˈʌ v
+shovel ʃ ˈʌ v ə l
+shower ʃ ˈaʊ ɚ
+shrimp ʃ ˈɹ ɪ m p
+shrink ʃ ˈɹ ɪ ŋ k
+shrug ʃ ˈɹ ʌ ɡ
+shy ʃ ˈaɪ
+sigh s ˈaɪ
+signature s ˈɪ ɡ n ə t͡ʃ ɚ
+significance s ɪ ɡ n ˈɪ f ɪ k ə n s
+significant s ɪ ɡ n ˈɪ f ɪ k ə n t
+silk s ˈɪ l k
+silly s ˈɪ l i
+sin s ˈɪ n
+sincere s ɪ n s ˈɪ ɹ
+singer s ˈɪ ŋ ɚ
+sink s ˈɪ ŋ k
+sip s ˈɪ p
+site s ˈaɪ t
+sixth s ˈɪ k s θ
+skate s k ˈeɪ t
+skeleton s k ˈɛ l ə t ə n
+sketch s k ˈɛ t͡ʃ
+ski s k ˈi
+skip s k ˈɪ p
+skirt s k ˈɚ t
+skull s k ˈʌ l
+slam s l ˈæ m
+slap s l ˈæ p
+slave s l ˈeɪ v
+sled s l ˈɛ d
+sleeve s l ˈi v
+slender s l ˈɛ n d ɚ
+slice s l ˈaɪ s
+slide s l ˈaɪ d
+slight s l ˈaɪ t
+slightly s l ˈaɪ t l i
+slim s l ˈɪ m
+slip s l ˈɪ p
+slipper s l ˈɪ p ɚ
+slope s l ˈoʊ p
+slot s l ˈɑ t
+smash s m ˈæ ʃ
+smell s m ˈɛ l
+smooth s m ˈu ð
+snack s n ˈæ k
+snake s n ˈeɪ k
+snap s n ˈæ p
+sneeze s n ˈi z
+sniff s n ˈɪ f
+soak s ˈoʊ k
+soap s ˈoʊ p
+soccer s ˈɑ k ɚ
+sock s ˈɑ k
+soda s ˈoʊ d ə
+sofa s ˈoʊ f ə
+solar s ˈoʊ l ɚ
+sole s ˈoʊ l
+solid s ˈɑ l ə d
+somehow s ˈʌ m h ˌaʊ
+sore s ˈɔ ɹ
+sorrow s ˈɑ ɹ oʊ
+soul s ˈoʊ l
+soup s ˈu p
+sour s ˈaʊ ɚ
+southern s ˈʌ ð ɚ n
+spade s p ˈeɪ d
+spare s p ˈɛ ɹ
+spark s p ˈɑ ɹ k
+sparrow s p ˈɛ ɹ oʊ
+speaker s p ˈi k ɚ
+spear s p ˈɪ ɹ
+specialist s p ˈɛ ʃ ə l ə s t
+species s p ˈi ʃ i z
+spectacle s p ˈɛ k t ə k ə l
+speed s p ˈi d
+spell s p ˈɛ l
+sphere s f ˈɪ ɹ
+spice s p ˈaɪ s
+spider s p ˈaɪ d ɚ
+spill s p ˈɪ l
+spin s p ˈɪ n
+spine s p ˈaɪ n
+spiritual s p ˈɪ ɹ ɪ t͡ʃ u ə l
+spit s p ˈɪ t
+spite s p ˈaɪ t
+splash s p l ˈæ ʃ
+splendid s p l ˈɛ n d ə d
+split s p l ˈɪ t
+spoil s p ˈɔɪ l
+sponsor s p ˈɑ n s ɚ
+spoon s p ˈu n
+spray s p ˈɹ eɪ
+sprinkle s p ˈɹ ɪ ŋ k ə l
+spy s p ˈaɪ
+squad s k w ˈɑ d
+square s k w ˈɛ ɹ
+squeeze s k w ˈi z
+squirrel s k w ˈɚ ə l
+stab s t ˈæ b
+stable s t ˈeɪ b ə l
+stack s t ˈæ k
+stadium s t ˈeɪ d i ə m
+stake s t ˈeɪ k
+stale s t ˈeɪ l
+stamp s t ˈæ m p
+stare s t ˈɛ ɹ
+starve s t ˈɑ ɹ v
+statement s t ˈeɪ t m ə n t
+statistics s t ə t ˈɪ s t ɪ k s
+statue s t ˈæ t͡ʃ u
+steady s t ˈɛ d i
+steak s t ˈeɪ k
+steal s t ˈi l
+steam s t ˈi m
+steel s t ˈi l
+steep s t ˈi p
+steer s t ˈɪ ɹ
+stem s t ˈɛ m
+stiff s t ˈɪ f
+stimulate s t ˈɪ m j ə l ˌeɪ t
+sting s t ˈɪ ŋ
+stir s t ˈɚ
+stitch s t ˈɪ t͡ʃ
+stocking s t ˈɑ k ɪ ŋ
+stomach s t ˈʌ m ə k
+stoop s t ˈu p
+storage s t ˈɔ ɹ ɪ d͡ʒ
+stove s t ˈoʊ v
+strain s t ˈɹ eɪ n
+strap s t ˈɹ æ p
+strategy s t ˈɹ æ t ə d͡ʒ i
+straw s t ˈɹ ɔ
+strawberry s t ˈɹ ɔ b ˌɛ ɹ i
+strict s t ˈɹ ɪ k t
+string s t ˈɹ ɪ ŋ
+strip s t ˈɹ ɪ p
+stripe s t ˈɹ aɪ p
+stroke s t ˈɹ oʊ k
+struggle s t ˈɹ ʌ ɡ ə l
+stubborn s t ˈʌ b ɚ n
+studio s t ˈu d i ˌoʊ
+stuff s t ˈʌ f
+stumble s t ˈʌ m b ə l
+submit s ə b m ˈɪ t
+substance s ˈʌ b s t ə n s
+substantial s ə b s t ˈæ n ʃ ə l
+substitute s ˈʌ b s t ə t ˌu t
+subtle s ˈʌ t ə l
+subtract s ə b t ˈɹ æ k t
+suburb s ˈʌ b ɚ b
+subway s ˈʌ b w ˌeɪ
+succeed s ə k s ˈi d
+suck s ˈʌ k
+sufficient s ə f ˈɪ ʃ ə n t
+suggestion s ə ɡ d͡ʒ ˈɛ s t͡ʃ ə n
+suit s ˈu t
+suitable s ˈu t ə b ə l
+suitcase s ˈu t k ˌeɪ s
+sum s ˈʌ m
+summary s ˈʌ m ɚ i
+summit s ˈʌ m ə t
+sunrise s ˈʌ n ɹ ˌaɪ z
+sunset s ˈʌ n s ˌɛ t
+sunshine s ˈʌ n ʃ ˌaɪ n
+superior s u p ˈɪ ɹ i ɚ
+supermarket s ˈu p ɚ m ˌɑ ɹ k ə t
+supper s ˈʌ p ɚ
+supreme s u p ˈɹ i m
+surgeon s ˈɚ d͡ʒ ə n
+surgery s ˈɚ d͡ʒ ɚ i
+surplus s ˈɚ p l ʌ s
+surround s ɚ ˈaʊ n d
+survival s ɚ v ˈaɪ v ə l
+suspicion s ə s p ˈɪ ʃ ə n
+swallow s w ˈɑ l oʊ
+swamp s w ˈɑ m p
+swan s w ˈɑ n
+swear s w ˈɛ ɹ
+sweat s w ˈɛ t
+sweater s w ˈɛ t ɚ
+sweep s w ˈi p
+swell s w ˈɛ l
+swift s w ˈɪ f t
+swing s w ˈɪ ŋ
+sword s ˈɔ ɹ d
+symbol s ˈɪ m b ə l
+sympathy s ˈɪ m p ə θ i
+symptom s ˈɪ m p t ə m
+tab t ˈæ b
+tablet t ˈæ b l ə t
+tackle t ˈæ k ə l
+tag t ˈæ ɡ
+tailor t ˈeɪ l ɚ
+tale t ˈeɪ l
+talent t ˈæ l ə n t
+tame t ˈeɪ m
+tank t ˈæ ŋ k
+tap t ˈæ p
+tape t ˈeɪ p
+taxi t ˈæ k s i
+teaspoon t ˈi s p ˌu n
+technical t ˈɛ k n ɪ k ə l
+technique t ɛ k n ˈi k
+teenager t ˈi n ˌeɪ d͡ʒ ɚ
+telephone t ˈɛ l ə f ˌoʊ n
+telescope t ˈɛ l ə s k ˌoʊ p
+temper t ˈɛ m p ɚ
+temple t ˈɛ m p ə l
+temporary t ˈɛ m p ɚ ˌɛ ɹ i
+tempt t ˈɛ m p t
+tend t ˈɛ n d
+tendency t ˈɛ n d ə n s i
+tender t ˈɛ n d ɚ
+tennis t ˈɛ n ə s
+tense t ˈɛ n s
+tension t ˈɛ n ʃ ə n
+tent t ˈɛ n t
+tenth t ˈɛ n θ
+terrific t ɚ ˈɪ f ɪ k
+territory t ˈɛ ɹ ə t ˌɔ ɹ i
+terror t ˈɛ ɹ ɚ
+texture t ˈɛ k s t͡ʃ ɚ
+theater θ ˈi ə t ɚ
+theme θ ˈi m
+therapy θ ˈɛ ɹ ə p i
+thief θ ˈi f
+thirst θ ˈɚ s t
+thread θ ˈɹ ɛ d
+threaten θ ˈɹ ɛ t ə n
+throne θ ˈɹ oʊ n
+thumb θ ˈʌ m
+thunder θ ˈʌ n d ɚ
+thus ð ˈʌ s
+tide t ˈaɪ d
+tidy t ˈaɪ d i
+tiger t ˈaɪ ɡ ɚ
+tight t ˈaɪ t
+tile t ˈaɪ l
+timber t ˈɪ m b ɚ
+tin t ˈɪ n
+tip t ˈɪ p
+tire t ˈaɪ ɚ
+tissue t ˈɪ ʃ u
+toast t ˈoʊ s t
+tobacco t ə b ˈæ k oʊ
+toe t ˈoʊ
+toilet t ˈɔɪ l ə t
+tomato t ə m ˈeɪ t oʊ
+tomb t ˈu m
+ton t ˈʌ n
+topic t ˈɑ p ɪ k
+torch t ˈɔ ɹ t͡ʃ
+torture t ˈɔ ɹ t͡ʃ ɚ
+toss t ˈɔ s
+tourist t ˈʊ ɹ ə s t
+tournament t ˈʊ ɹ n ə m ə n t
+towel t ˈaʊ ə l
+tower t ˈaʊ ɚ
+toy t ˈɔɪ
+trace t ˈɹ eɪ s
+tractor t ˈɹ æ k t ɚ
+traditional t ɹ ə d ˈɪ ʃ ə n ə l
+tragedy t ˈɹ æ d͡ʒ ə d i
+trail t ˈɹ eɪ l
+trailer t ˈɹ eɪ l ɚ
+trainer t ˈɹ eɪ n ɚ
+transform t ɹ æ n s f ˈɔ ɹ m
+transition t ɹ æ n z ˈɪ ʃ ə n
+translate t ɹ æ n z l ˈeɪ t
+translation t ɹ æ n z l ˈeɪ ʃ ə n
+transportation ˌt ɹ æ n s p ɚ t ˈeɪ ʃ ə n
+trap t ˈɹ æ p
+trash t ˈɹ æ ʃ
+tray t ˈɹ eɪ
+treasure t ˈɹ ɛ ʒ ɚ
+treaty t ˈɹ i t i
+tremble t ˈɹ ɛ m b ə l
+tremendous t ɹ ə m ˈɛ n d ə s
+trend t ˈɹ ɛ n d
+triangle t ˈɹ aɪ ˌæ ŋ ɡ ə l
+tribe t ˈɹ aɪ b
+trick t ˈɹ ɪ k
+trim t ˈɹ ɪ m
+triumph t ˈɹ aɪ ə m f
+troop t ˈɹ u p
+trophy t ˈɹ oʊ f i
+tropical t ˈɹ ɑ p ɪ k ə l
+trunk t ˈɹ ʌ ŋ k
+tub t ˈʌ b
+tube t ˈu b
+tune t ˈu n
+tunnel t ˈʌ n ə l
+turkey t ˈɚ k i
+turtle t ˈɚ t ə l
+twin t w ˈɪ n
+twist t w ˈɪ s t
+typical t ˈɪ p ɪ k ə l
+ultimate ˈʌ l t ə m ə t
+umbrella ʌ m b ˈɹ ɛ l ə
+unable ʌ n ˈeɪ b ə l
+undergo ˌʌ n d ɚ ɡ ˈoʊ
+underground ˈʌ n d ɚ ɡ ɹ ˌaʊ n d
+underneath ˌʌ n d ɚ n ˈi θ
+understanding ˌʌ n d ɚ s t ˈæ n d ɪ ŋ
+underwear ˈʌ n d ɚ w ˌɛ ɹ
+unemployment ˌʌ n ɪ m p l ˈɔɪ m ə n t
+unexpected ˌʌ n ɪ k s p ˈɛ k t ə d
+unfair ʌ n f ˈɛ ɹ
+unfortunate ʌ n f ˈɔ ɹ t͡ʃ ə n ə t
+unhappy ʌ n h ˈæ p i
+uniform j ˈu n ə f ˌɔ ɹ m
+union j ˈu n j ə n
+unique j u n ˈi k
+unite j u n ˈaɪ t
+unity j ˈu n ə t i
+universal j ˌu n ə v ˈɚ s ə l
+universe j ˈu n ə v ˌɚ s
+unknown ʌ n n ˈoʊ n
+unlike ʌ n l ˈaɪ k
+unlikely ʌ n l ˈaɪ k l i
+unusual ʌ n j ˈu ʒ u ə l
+upper ˈʌ p ɚ
+urban ˈɚ b ə n
+urge ˈɚ d͡ʒ
+urgent ˈɚ d͡ʒ ə n t
+useful j ˈu s f ə l
+useless j ˈu s l ə s
+user j ˈu z ɚ
+utility j u t ˈɪ l ə t i
+vacation v eɪ k ˈeɪ ʃ ə n
+vacuum v ˈæ k j u m
+vague v ˈeɪ ɡ
+vain v ˈeɪ n
+valid v ˈæ l ə d
+valley v ˈæ l i
+valuable v ˈæ l j ə b ə l
+van v ˈæ n
+vanish v ˈæ n ɪ ʃ
+vary v ˈɛ ɹ i
+vast v ˈæ s t
+vegetable v ˈɛ d͡ʒ t ə b ə l
+vein v ˈeɪ n
+velvet v ˈɛ l v ə t
+venture v ˈɛ n t͡ʃ ɚ
+verb v ˈɚ b
+verse v ˈɚ s
+vertical v ˈɚ t ɪ k ə l
+vessel v ˈɛ s ə l
+veteran v ˈɛ t ɚ ə n
+via v ˈaɪ ə
+vibrate v ˈaɪ b ɹ eɪ t
+vice v ˈaɪ s
+victim v ˈɪ k t ə m
+villain v ˈɪ l ə n
+vine v ˈaɪ n
+vinegar v ˈɪ n ə ɡ ɚ
+violent v ˈaɪ ə l ə n t
+violet v ˈaɪ ə l ə t
+violin v ˌaɪ ə l ˈɪ n
+virtue v ˈɚ t͡ʃ u
+virus v ˈaɪ ɹ ə s
+visible v ˈɪ z ə b ə l
+vision v ˈɪ ʒ ə n
+visitor v ˈɪ z ə t ɚ
+visual v ˈɪ ʒ u ə l
+vital v ˈaɪ t ə l
+vitamin v ˈaɪ t ə m ə n
+vivid v ˈɪ v ə d
+vocabulary v oʊ k ˈæ b j ə l ˌɛ ɹ i
+volcano v ɑ l k ˈeɪ n oʊ
+volume v ˈɑ l j u m
+voluntary v ˈɑ l ə n t ˌɛ ɹ i
+volunteer v ˌɑ l ə n t ˈɪ ɹ
+vote v ˈoʊ t
+voyage v ˈɔɪ ɪ d͡ʒ
+wage w ˈeɪ d͡ʒ
+wagon w ˈæ ɡ ə n
+waist w ˈeɪ s t
+wake w ˈeɪ k
+wallet w ˈɑ l ə t
+wander w ˈɑ n d ɚ
+warmth w ˈɔ ɹ m θ
+warning w ˈɔ ɹ n ɪ ŋ
+warrior w ˈɔ ɹ i ɚ
+wasp w ˈɑ s p
+wax w ˈæ k s
+weak w ˈi k
+weakness w ˈi k n ə s
+wealth w ˈɛ l θ
+wealthy w ˈɛ l θ i
+weave w ˈi v
+web w ˈɛ b
+website w ˈɛ b s ˌaɪ t
+wedding w ˈɛ d ɪ ŋ
+weed w ˈi d
+weekend w ˈi k ˌɛ n d
+weekly w ˈi k l i
+weep w ˈi p
+weigh w ˈeɪ
+weird w ˈɪ ɹ d
+welfare w ˈɛ l f ˌɛ ɹ
+whale w ˈeɪ l
+wheat w ˈi t
+whenever w ɛ n ˈɛ v ɚ
+whereas w ɛ ɹ ˈæ z
+wherever w ɛ ɹ ˈɛ v ɚ
+whip w ˈɪ p
+whistle w ˈɪ s ə l
+whoever h u ˈɛ v ɚ
+wicked w ˈɪ k ə d
+widow w ˈɪ d oʊ
+width w ˈɪ d θ
+wilderness w ˈɪ l d ɚ n ə s
+willing w ˈɪ l ɪ ŋ
+wipe w ˈaɪ p
+wire w ˈaɪ ɚ
+wisdom w ˈɪ z d ə m
+wise w ˈaɪ z
+wit w ˈɪ t
+witch w ˈɪ t͡ʃ
+withdraw w ɪ ð d ˈɹ ɔ
+witness w ˈɪ t n ə s
+wolf w ˈʊ l f
+wool w ˈʊ l
+workshop w ˈɚ k ʃ ˌɑ p
+worm w ˈɚ m
+worship w ˈɚ ʃ ə p
+worthy w ˈɚ ð i
+wound w ˈu n d
+wrap ɹ ˈæ p
+wreck ɹ ˈɛ k
+wrist ɹ ˈɪ s t
+yarn j ˈɑ ɹ n
+yawn j ˈɔ n
+yearly j ˈɪ ɹ l i
+yell j ˈɛ l
+yield j ˈi l d
+yogurt j ˈoʊ ɡ ɚ t
+yolk j ˈoʊ k
+zebra z ˈi b ɹ ə
+zoo z ˈu
 """
 
 LEXICON: typing.Dict[str, typing.List[str]] = {}
 for _line in _LEXICON_RAW.strip().splitlines():
     _parts = _line.split()
     LEXICON[_parts[0]] = _parts[1:]
+
+
+_SIBILANTS = {"s", "z", "ʃ", "ʒ", "t͡ʃ", "d͡ʒ"}
+_VOICELESS = {"p", "t", "k", "f", "θ", "s", "ʃ", "t͡ʃ", "h"}
+
+
+def _plural_phones(stem: typing.List[str]) -> typing.List[str]:
+    last = stem[-1].lstrip("ˈˌ")
+    if last in _SIBILANTS:
+        return stem + ["ə", "z"]
+    if last in _VOICELESS:
+        return stem + ["s"]
+    return stem + ["z"]
+
+
+def _past_phones(stem: typing.List[str]) -> typing.List[str]:
+    last = stem[-1].lstrip("ˈˌ")
+    if last in {"t", "d"}:
+        return stem + ["ə", "d"]
+    if last in _VOICELESS:
+        return stem + ["t"]
+    return stem + ["d"]
+
+
+def _derive_inflections() -> None:
+    """Expand the hand-authored roots with regular inflected forms.
+
+    gruut's en-us lexicon carried the inflections as first-class entries;
+    deriving them at import (roots stay the authored source of truth)
+    gives the same exact-match coverage without hand-writing ~5 spelling
+    variants per root.  Hand entries always win — irregulars (ran, wrote,
+    feet, …) are authored directly and never overwritten.  Over-generated
+    keys for words that do not inflect ("thes") are unreachable in real
+    text and cost only memory.
+    """
+    derived: typing.Dict[str, typing.List[str]] = {}
+    for word, phones in LEXICON.items():
+        if not word.isalpha() or len(word) < 2:
+            continue
+        last = phones[-1].lstrip("ˈˌ")
+
+        # plural / 3rd-person -s (+es after sibilant spellings, y->ies)
+        if word.endswith(("s", "sh", "ch", "x", "z")):
+            derived.setdefault(word + "es", _plural_phones(phones))
+        elif word.endswith("y") and len(word) > 2 and word[-2] not in "aeiou":
+            derived.setdefault(word[:-1] + "ies", _plural_phones(phones))
+        else:
+            derived.setdefault(word + "s", _plural_phones(phones))
+
+        # past -ed (e + d, y -> ied, else + ed)
+        if word.endswith("e"):
+            derived.setdefault(word + "d", _past_phones(phones))
+        elif word.endswith("y") and len(word) > 2 and word[-2] not in "aeiou":
+            derived.setdefault(word[:-1] + "ied", _past_phones(phones))
+        else:
+            derived.setdefault(word + "ed", _past_phones(phones))
+
+        # progressive -ing (drop silent e)
+        ing_stem = word[:-1] if word.endswith("e") and last != "i" else word
+        derived.setdefault(ing_stem + "ing", phones + ["ɪ", "ŋ"])
+
+        # agentive/comparative -er (schwa-r; drop silent e)
+        derived.setdefault(ing_stem + "er", phones + ["ɚ"])
+
+        # adverbial -ly
+        if not word.endswith("ly"):
+            derived.setdefault(word + "ly", phones + ["l", "i"])
+
+    for key, phones in derived.items():
+        if key not in LEXICON:
+            LEXICON[key] = phones
+
+
+_derive_inflections()
 
 
 # -----------------------------------------------------------------------------
@@ -1993,14 +4181,95 @@ _HOMOGRAPHS: typing.Dict[str, typing.Tuple[typing.List[str], typing.List[str]]] 
     "increase": (["ˈɪ", "n", "k", "ɹ", "i", "s"],
                  ["ɪ", "n", "k", "ˈɹ", "i", "s"]),
     "live": (["l", "ˈaɪ", "v"], ["l", "ˈɪ", "v"]),  # adj vs verb
+    "lives": (["l", "ˈaɪ", "v", "z"], ["l", "ˈɪ", "v", "z"]),
     "wind": (["w", "ˈɪ", "n", "d"], ["w", "ˈaɪ", "n", "d"]),  # noun vs verb
     "bow": (["b", "ˈoʊ"], ["b", "ˈaʊ"]),  # ribbon vs bend
+    "tear": (["t", "ˈɪ", "ɹ"], ["t", "ˈɛ", "ɹ"]),  # drop vs rip
+    "close": (["k", "l", "ˈoʊ", "s"], ["k", "l", "ˈoʊ", "z"]),
+    "use": (["j", "ˈu", "s"], ["j", "ˈu", "z"]),
+    "house": (["h", "ˈaʊ", "s"], ["h", "ˈaʊ", "z"]),
+    "excuse": (["ɪ", "k", "s", "k", "j", "ˈu", "s"],
+               ["ɪ", "k", "s", "k", "j", "ˈu", "z"]),
+    "separate": (["s", "ˈɛ", "p", "ɹ", "ə", "t"],
+                 ["s", "ˈɛ", "p", "ə", "ɹ", "ˌeɪ", "t"]),
+    "graduate": (["ɡ", "ɹ", "ˈæ", "d͡ʒ", "u", "ə", "t"],
+                 ["ɡ", "ɹ", "ˈæ", "d͡ʒ", "u", "ˌeɪ", "t"]),
+    "estimate": (["ˈɛ", "s", "t", "ə", "m", "ə", "t"],
+                 ["ˈɛ", "s", "t", "ə", "m", "ˌeɪ", "t"]),
+    "alternate": (["ˈɔ", "l", "t", "ɚ", "n", "ə", "t"],
+                  ["ˈɔ", "l", "t", "ɚ", "n", "ˌeɪ", "t"]),
+    "associate": (["ə", "s", "ˈoʊ", "ʃ", "i", "ə", "t"],
+                  ["ə", "s", "ˈoʊ", "ʃ", "i", "ˌeɪ", "t"]),
+    "delegate": (["d", "ˈɛ", "l", "ə", "ɡ", "ə", "t"],
+                 ["d", "ˈɛ", "l", "ə", "ɡ", "ˌeɪ", "t"]),
+    "duplicate": (["d", "ˈu", "p", "l", "ə", "k", "ə", "t"],
+                  ["d", "ˈu", "p", "l", "ə", "k", "ˌeɪ", "t"]),
+    "moderate": (["m", "ˈɑ", "d", "ɚ", "ə", "t"],
+                 ["m", "ˈɑ", "d", "ɚ", "ˌeɪ", "t"]),
+    "invalid": (["ˈɪ", "n", "v", "ə", "l", "ə", "d"],
+                ["ɪ", "n", "v", "ˈæ", "l", "ə", "d"]),  # noun vs adj
+    "perfect": (["p", "ˈɚ", "f", "ɪ", "k", "t"],
+                ["p", "ɚ", "f", "ˈɛ", "k", "t"]),  # adj vs verb
+    "convert": (["k", "ˈɑ", "n", "v", "ɚ", "t"],
+                ["k", "ə", "n", "v", "ˈɚ", "t"]),
+    "insert": (["ˈɪ", "n", "s", "ɚ", "t"], ["ɪ", "n", "s", "ˈɚ", "t"]),
+    "export": (["ˈɛ", "k", "s", "p", "ɔ", "ɹ", "t"],
+               ["ɪ", "k", "s", "p", "ˈɔ", "ɹ", "t"]),
+    "import": (["ˈɪ", "m", "p", "ɔ", "ɹ", "t"],
+               ["ɪ", "m", "p", "ˈɔ", "ɹ", "t"]),
+    "impact": (["ˈɪ", "m", "p", "æ", "k", "t"],
+               ["ɪ", "m", "p", "ˈæ", "k", "t"]),
+    "insult": (["ˈɪ", "n", "s", "ʌ", "l", "t"],
+               ["ɪ", "n", "s", "ˈʌ", "l", "t"]),
+    "progress": (["p", "ˈɹ", "ɑ", "ɡ", "ɹ", "ɛ", "s"],
+                 ["p", "ɹ", "ə", "ɡ", "ˈɹ", "ɛ", "s"]),
+    "protest": (["p", "ˈɹ", "oʊ", "t", "ɛ", "s", "t"],
+                ["p", "ɹ", "ə", "t", "ˈɛ", "s", "t"]),
+    "suspect": (["s", "ˈʌ", "s", "p", "ɛ", "k", "t"],
+                ["s", "ə", "s", "p", "ˈɛ", "k", "t"]),
+    "survey": (["s", "ˈɚ", "v", "eɪ"], ["s", "ɚ", "v", "ˈeɪ"]),
+    "transfer": (["t", "ɹ", "ˈæ", "n", "s", "f", "ɚ"],
+                 ["t", "ɹ", "æ", "n", "s", "f", "ˈɚ"]),
+    "transport": (["t", "ɹ", "ˈæ", "n", "s", "p", "ɔ", "ɹ", "t"],
+                  ["t", "ɹ", "æ", "n", "s", "p", "ˈɔ", "ɹ", "t"]),
+    "upset": (["ˈʌ", "p", "s", "ɛ", "t"], ["ʌ", "p", "s", "ˈɛ", "t"]),
+    "compound": (["k", "ˈɑ", "m", "p", "aʊ", "n", "d"],
+                 ["k", "ə", "m", "p", "ˈaʊ", "n", "d"]),
+    "conflict": (["k", "ˈɑ", "n", "f", "l", "ɪ", "k", "t"],
+                 ["k", "ə", "n", "f", "l", "ˈɪ", "k", "t"]),
+    "contract": (["k", "ˈɑ", "n", "t", "ɹ", "æ", "k", "t"],
+                 ["k", "ə", "n", "t", "ɹ", "ˈæ", "k", "t"]),
+    "contrast": (["k", "ˈɑ", "n", "t", "ɹ", "æ", "s", "t"],
+                 ["k", "ə", "n", "t", "ɹ", "ˈæ", "s", "t"]),
+    "convict": (["k", "ˈɑ", "n", "v", "ɪ", "k", "t"],
+                ["k", "ə", "n", "v", "ˈɪ", "k", "t"]),
+    "decrease": (["d", "ˈi", "k", "ɹ", "i", "s"],
+                 ["d", "ɪ", "k", "ˈɹ", "i", "s"]),
+    "discount": (["d", "ˈɪ", "s", "k", "aʊ", "n", "t"],
+                 ["d", "ɪ", "s", "k", "ˈaʊ", "n", "t"]),
+    "escort": (["ˈɛ", "s", "k", "ɔ", "ɹ", "t"],
+               ["ɪ", "s", "k", "ˈɔ", "ɹ", "t"]),
+    "extract": (["ˈɛ", "k", "s", "t", "ɹ", "æ", "k", "t"],
+                ["ɪ", "k", "s", "t", "ɹ", "ˈæ", "k", "t"]),
+    "refund": (["ˈɹ", "i", "f", "ʌ", "n", "d"],
+               ["ɹ", "ɪ", "f", "ˈʌ", "n", "d"]),
+    "reject": (["ˈɹ", "i", "d͡ʒ", "ɛ", "k", "t"],
+               ["ɹ", "ɪ", "d͡ʒ", "ˈɛ", "k", "t"]),
 }
 
 # Past-tense homographs: pronunciation flips after perfect-tense cues.
 _PAST_HOMOGRAPHS: typing.Dict[str, typing.Tuple[typing.List[str], typing.List[str]]] = {
     "read": (["ˈɹ", "i", "d"], ["ˈɹ", "ɛ", "d"]),
     "lead": (["l", "ˈi", "d"], ["l", "ˈɛ", "d"]),  # verb; the metal is past-form
+    "dove": (["d", "ˈʌ", "v"], ["d", "ˈoʊ", "v"]),  # bird; past of dive
+    "wound": (["w", "ˈu", "n", "d"], ["w", "ˈaʊ", "n", "d"]),  # injury; past of wind
+}
+
+# "bass" flips on topic words rather than syntax: the fish is [bæs],
+# the music sense (default) is [beɪs].
+_BASS_FISH_CUES = {
+    "fish", "fishing", "caught", "catch", "lake", "river", "sea",
+    "fresh", "smallmouth", "largemouth", "striped",
 }
 
 _VERB_CUES = {
@@ -2035,6 +4304,10 @@ def phonemize(word: str, prev: str = "", nxt: str = "") -> typing.List[str]:
     if w in _PAST_HOMOGRAPHS:
         base, past = _PAST_HOMOGRAPHS[w]
         return list(past) if prev.lower() in _PAST_CUES else list(base)
+    if w == "bass":
+        if prev.lower() in _BASS_FISH_CUES or nxt.lower() in _BASS_FISH_CUES:
+            return ["b", "ˈæ", "s"]
+        return ["b", "ˈeɪ", "s"]
 
     if w in LEXICON:
         return list(LEXICON[w])

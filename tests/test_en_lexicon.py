@@ -1,0 +1,140 @@
+"""English lexicon scale, pronunciation pins, homographs, OOV stress.
+
+The reference's English quality came from gruut's full en-us lexicon
+(/root/reference/larynx/__init__.py:71-73).  The in-tree replacement is
+a hand-authored root lexicon + import-time derivational expansion
+(text/g2p/en.py).  ``tests/golden/en_pronunciations.tsv`` pins 1000+
+word -> phoneme mappings (sampled roots + derived inflections);
+homograph and OOV-stress behavior is hand-verified here.
+"""
+
+import os
+
+import pytest
+
+from larynx_tpu.text.g2p.en import (
+    LEXICON,
+    _HOMOGRAPHS,
+    _PAST_HOMOGRAPHS,
+    phonemize,
+)
+
+_GOLDEN = os.path.join(
+    os.path.dirname(__file__), "golden", "en_pronunciations.tsv"
+)
+
+
+def _load_golden():
+    rows = []
+    with open(_GOLDEN, encoding="utf-8") as handle:
+        for line in handle:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            word, phones = line.split("\t")
+            rows.append((word, phones.split()))
+    return rows
+
+
+_ROWS = _load_golden()
+
+
+def test_fixture_is_substantial():
+    assert len(_ROWS) >= 1000
+
+
+def test_pinned_pronunciations():
+    misses = [
+        (w, want, phonemize(w))
+        for w, want in _ROWS
+        if phonemize(w) != want
+    ]
+    assert not misses, f"{len(misses)} misses: {misses[:10]}"
+
+
+def test_lexicon_scale():
+    # VERDICT round-2 contract: >=15-20k entries with stress
+    assert len(LEXICON) >= 20000
+    stressed = sum(
+        1
+        for p in LEXICON.values()
+        if any(s.startswith(("ˈ", "ˌ")) for s in p)
+    )
+    assert stressed / len(LEXICON) > 0.95
+
+
+def test_homograph_count():
+    assert len(_HOMOGRAPHS) + len(_PAST_HOMOGRAPHS) >= 20
+
+
+@pytest.mark.parametrize(
+    "word,prev,nxt,expected",
+    [
+        # noun/verb stress alternation via syntactic cue
+        ("record", "the", "", ["ˈɹ", "ɛ", "k", "ɚ", "d"]),
+        ("record", "to", "", ["ɹ", "ɪ", "k", "ˈɔ", "ɹ", "d"]),
+        ("present", "a", "", ["p", "ˈɹ", "ɛ", "z", "ə", "n", "t"]),
+        ("present", "will", "", ["p", "ɹ", "ɪ", "z", "ˈɛ", "n", "t"]),
+        ("permit", "a", "", ["p", "ˈɚ", "m", "ɪ", "t"]),
+        ("permit", "won't", "", ["p", "ɚ", "m", "ˈɪ", "t"]),
+        ("import", "the", "", ["ˈɪ", "m", "p", "ɔ", "ɹ", "t"]),
+        ("import", "to", "", ["ɪ", "m", "p", "ˈɔ", "ɹ", "t"]),
+        ("contract", "the", "", ["k", "ˈɑ", "n", "t", "ɹ", "æ", "k", "t"]),
+        ("contract", "may", "", ["k", "ə", "n", "t", "ɹ", "ˈæ", "k", "t"]),
+        # voicing alternation
+        ("use", "the", "", ["j", "ˈu", "s"]),
+        ("use", "to", "", ["j", "ˈu", "z"]),
+        ("close", "to", "", ["k", "l", "ˈoʊ", "z"]),
+        ("house", "the", "", ["h", "ˈaʊ", "s"]),
+        # vowel-quality alternation
+        ("tear", "a", "", ["t", "ˈɪ", "ɹ"]),
+        ("tear", "to", "", ["t", "ˈɛ", "ɹ"]),
+        ("wind", "the", "", ["w", "ˈɪ", "n", "d"]),
+        ("wind", "to", "", ["w", "ˈaɪ", "n", "d"]),
+        # -ate noun/adjective vs verb
+        ("separate", "a", "", ["s", "ˈɛ", "p", "ɹ", "ə", "t"]),
+        ("separate", "to", "",
+         ["s", "ˈɛ", "p", "ə", "ɹ", "ˌeɪ", "t"]),
+        ("estimate", "an", "", ["ˈɛ", "s", "t", "ə", "m", "ə", "t"]),
+        ("estimate", "to", "",
+         ["ˈɛ", "s", "t", "ə", "m", "ˌeɪ", "t"]),
+        # past-tense flips
+        ("read", "have", "", ["ˈɹ", "ɛ", "d"]),
+        ("read", "to", "", ["ˈɹ", "i", "d"]),
+        ("dove", "she", "", ["d", "ˈoʊ", "v"]),
+        ("dove", "the", "", ["d", "ˈʌ", "v"]),
+        # topic-cued
+        ("bass", "", "fishing", ["b", "ˈæ", "s"]),
+        ("bass", "the", "", ["b", "ˈeɪ", "s"]),
+    ],
+)
+def test_homographs_in_context(word, prev, nxt, expected):
+    assert phonemize(word, prev=prev, nxt=nxt) == expected
+
+
+@pytest.mark.parametrize(
+    "word,stressed_syllable",
+    [
+        # OOV words (not in the lexicon): the affix stress rules must
+        # place primary stress on the right syllable (index among vowels)
+        ("flibbertigibbet", 0),  # default initial
+        ("zorbination", 2),      # -tion -> penult
+        ("quizzical", 0),        # -ical -> antepenult
+        ("morbidity", 1),        # -ity -> antepenult
+        ("cromulent", 0),
+        ("blogosphere", 0),
+    ],
+)
+def test_oov_stress_position(word, stressed_syllable):
+    assert word not in LEXICON
+    phones = phonemize(word)
+    vowels = [
+        i
+        for i, p in enumerate(phones)
+        if p.lstrip("ˈˌ") != p or p in
+        {"aɪ", "aʊ", "eɪ", "i", "oʊ", "u", "æ", "ɑ", "ɔ", "ɔɪ", "ə",
+         "ɚ", "ɛ", "ɪ", "ʊ", "ʌ"}
+    ]
+    primary = [k for k, i in enumerate(vowels) if phones[i].startswith("ˈ")]
+    assert primary, (word, phones)
+    assert primary[0] == stressed_syllable, (word, phones)
