@@ -30,6 +30,7 @@ _RULES = [
     ("oi", "oi"), ("oy", "oi"), ("ou", "ou"),
     ("ia", "ja"), ("ie", "je"), ("io", "jo"), ("iu", "ju"),
     ("ua", "wa"), ("ue", "we"), ("ui", "wi"), ("uo", "wo"),
+    ("uy", "wi"),
     # single letters
     ("a", "a"), ("b", "b"), ("d", "d"), ("e", "e"), ("f", "f"),
     ("h", ""),  # silent
@@ -43,6 +44,8 @@ _RULES = [
 def _context(word: str, i: int):
     ch = word[i]
     nxt = word[i + 1] if i + 1 < len(word) else ""
+    if word.startswith("ch", i):
+        return 2, ["t͡ʃ"]
     if ch == "c":
         if nxt in ("e", "i", "é", "í"):
             return 1, ["θ"]
@@ -77,14 +80,30 @@ def phonemize(word: str) -> typing.List[str]:
     plain = "".join(_ACCENTED.get(c, c) for c in w)
 
     if accent_pos is not None:
-        # phonemize in two halves so we know which symbol carries stress
-        before = apply_rules(plain[:accent_pos], _RULES, _context)
-        rest = apply_rules(plain[accent_pos:], _RULES, _context)
-        if rest:
-            for i, p in enumerate(rest):
-                if p in VOWELS:
-                    rest[i] = "ˈ" + p
-                    break
+        # phonemize in two halves so we know which symbol carries stress.
+        # Two orthographic subtleties at the split point: an accented i/u
+        # BREAKS a would-be diphthong (di-a in "día"), while an accented
+        # strong vowel after i/u keeps the glide ("adiós" -> d jo).
+        split = accent_pos
+        head: typing.List[str] = []
+        if w[accent_pos] in "íú":
+            head = [plain[accent_pos]]
+            split_end = accent_pos + 1
+        elif accent_pos > 0 and plain[accent_pos - 1] in "iu" and plain[
+            accent_pos
+        ] in "aeo":
+            glide = "j" if plain[accent_pos - 1] == "i" else "w"
+            head = [glide + plain[accent_pos]]
+            split = accent_pos - 1
+            split_end = accent_pos + 1
+        else:
+            split_end = accent_pos
+        before = apply_rules(plain[:split], _RULES, _context)
+        rest = head + apply_rules(plain[split_end:], _RULES, _context)
+        for i, p in enumerate(rest):
+            if p in VOWELS:
+                rest[i] = "ˈ" + p
+                break
         return before + rest
 
     phonemes = apply_rules(plain, _RULES, _context)

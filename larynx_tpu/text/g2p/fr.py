@@ -1,8 +1,16 @@
-"""French G2P — rule-based.
+"""French G2P — rule engine + function-word/irregular lexicon.
 
 Inventory (local/fr-fr/*/phonemes.txt): a b d e f i j k l m n o p s t u v w
 y z ø ŋ œ œ̃ ɑ̃ ɔ ɔ̃ ə ɛ ɛ̃ ɡ ɥ ɲ ʁ ʃ ʒ + ˈ ˌ.  Stress falls on the final
-full vowel of the word.
+full vowel (ə is never stressed).
+
+The reference reached French through gruut's fr lexicon
+(/root/reference/larynx/__init__.py:71-73); here an ordered-rule engine
+covers the regular orthography (silent finals, nasal vowels, digraphs,
+glides, -er/-ez verb endings, closed-syllable e) and ``_EXCEPTIONS``
+carries the function words and irregulars whose spelling lies
+(est, femme, monsieur, six, …).  tests/golden/fr_pronunciations.tsv
+pins 100+ hand-verified words.
 """
 
 import typing
@@ -18,16 +26,23 @@ _RULES = [
     ("ain", "ɛ̃"), ("aim", "ɛ̃"), ("ein", "ɛ̃"),
     ("ien", "j ɛ̃"),
     ("tion", "s j ɔ̃"),
+    ("ailler", "a j e"), ("eiller", "ɛ j e"), ("ouiller", "u j e"),
+    ("euiller", "œ j e"), ("iller", "i j e"),
+    ("eille", "ɛ j"), ("eil", "ɛ j"),
+    ("aille", "a j"), ("ail", "a j"),
+    ("euille", "œ j"), ("euil", "œ j"), ("ueil", "œ j"),
+    ("ouille", "u j"), ("ouil", "u j"),
     ("ill", "i j"),
     ("ou", "u"), ("où", "u"), ("oû", "u"),
     ("oi", "w a"), ("oy", "w a j"),
     ("au", "o"),
     ("ai", "ɛ"), ("ei", "ɛ"), ("ay", "ɛ j"),
-    ("eu", "ø"), ("œu", "œ"), ("œ", "œ"),
+    ("eu", "ø"), ("œu", "œ"), ("œ", "œ"), ("oeu", "œ"), ("oe", "œ"),
+    ("ui", "ɥ i"),
     ("ch", "ʃ"),
     ("gn", "ɲ"),
     ("ph", "f"),
-    ("qu", "k"),
+    ("qu", "k"), ("q", "k"),
     ("th", "t"),
     ("ç", "s"),
     ("é", "e"), ("è", "ɛ"), ("ê", "ɛ"), ("ë", "ɛ"),
@@ -44,6 +59,12 @@ _RULES = [
 ]
 
 _SILENT_FINALS = set("dstxzpg")
+_ORAL_VOWEL_LETTERS = "aeiouyéèêëàâîïôûù"
+_CONSONANTS = set("bcdfgjklmnpqrstvwxz")
+_DOUBLE_MAP = {
+    "b": "b", "d": "d", "f": "f", "l": "l", "m": "m", "n": "n",
+    "p": "p", "r": "ʁ", "s": "s", "t": "t", "v": "v", "z": "z",
+}
 
 
 def _context(word: str, i: int):
@@ -51,28 +72,75 @@ def _context(word: str, i: int):
     nxt = word[i + 1] if i + 1 < len(word) else ""
     nxt2 = word[i + 2] if i + 2 < len(word) else ""
 
-    # nasal vowels: vowel + n/m not followed by a vowel
-    if ch in "ao" and nxt in "nm" and nxt2 not in "aeiouyéèêh" and nxt2 != nxt:
+    # digraphs the single-letter context rules must not shadow
+    if word.startswith("ch", i):
+        return 2, ["ʃ"]
+    if word.startswith("gn", i) and i > 0:
+        return 2, ["ɲ"]
+    # s + tion keeps the [t] (question)
+    if word.startswith("tion", i) and i > 0 and word[i - 1] == "s":
+        return 4, ["t", "j", "ɔ̃"]
+    # word-final -ien(s) is [j ɛ̃] (bien, ancien); elsewhere i-glide +
+    # nasal handling yields [j ɑ̃] (patient, orient)
+    if word.startswith("ien", i) and word[i + 3 :] in ("", "s"):
+        return len(word) - i, ["j", "ɛ̃"]
+
+    # nasal vowels: vowel + n/m in coda (followed by consonant or word
+    # end; NOT by a vowel, h, or a doubled n/m).  "" would count as a
+    # member of any probe string, so the word-end case is explicit.
+    def _coda(blockers: str) -> bool:
+        return nxt2 == "" or (nxt2 not in blockers and nxt2 != nxt)
+
+    if ch in "ao" and nxt and nxt in "nm" and _coda(_ORAL_VOWEL_LETTERS + "h"):
         return 2, ["ɑ̃"] if ch == "a" else ["ɔ̃"]
-    if ch == "e" and nxt in "nm" and nxt2 not in "aeiouyéèê" and nxt2 != nxt:
+    if ch == "e" and nxt and nxt in "nm" and _coda(_ORAL_VOWEL_LETTERS):
         return 2, ["ɑ̃"]
-    if ch == "i" and nxt in "nm" and nxt2 not in "aeiouyéèê" and nxt2 != nxt:
+    if ch == "i" and nxt and nxt in "nm" and _coda(_ORAL_VOWEL_LETTERS):
         return 2, ["ɛ̃"]
-    if ch == "u" and nxt == "n" and nxt2 not in "aeiouyéèê" and nxt2 != "n":
+    if ch == "u" and nxt == "n" and (nxt2 == "" or (nxt2 not in _ORAL_VOWEL_LETTERS and nxt2 != "n")):
         return 2, ["œ̃"]
 
     if ch == "c":
-        if nxt in "eiyéè":
+        if nxt and nxt in "eiyéè":
             return 1, ["s"]
+        if nxt == "c" and not (nxt2 and nxt2 in "eiyéè"):
+            return 2, ["k"]
         return 1, ["k"]
     if ch == "g":
-        if nxt in "eiyéè":
+        if nxt and nxt in "eiyéè":
             return 1, ["ʒ"]
-        if nxt == "u" and nxt2 in "eiyéè":
+        if nxt == "u" and nxt2 and nxt2 in "eiyéè":
             return 2, ["ɡ"]  # silent u
         return 1, ["ɡ"]
-    if ch == "s" and i > 0 and word[i - 1] in "aeiouyéè" and nxt in "aeiouyéè":
+    if (
+        ch == "s"
+        and i > 0
+        and word[i - 1] in "aeiouyéè"
+        and nxt
+        and nxt in "aeiouyéè"
+    ):
         return 1, ["z"]  # intervocalic s
+    # doubled consonants collapse to one sound (c/g doubles are left to
+    # their context rules above: "accent" needs [k s])
+    if nxt == ch and ch in _DOUBLE_MAP:
+        return 2, [_DOUBLE_MAP[ch]]
+    # verb/noun endings -er, -ez say [e] with a silent consonant
+    if i + 2 == len(word) and i >= 2 and word[i:] in ("er", "ez"):
+        return 2, ["e"]
+    # closed-syllable e (followed by a coda consonant): mer, avec, cette
+    if (
+        ch == "e"
+        and nxt in _CONSONANTS
+        and (nxt2 == "" or nxt2 in _CONSONANTS)
+        and not (nxt in _SILENT_FINALS and nxt2 == "")
+    ):
+        return 1, ["ɛ"]
+    # o before a final [z] syllable is close [o] (chose, rose)
+    if ch == "o" and nxt in "sz" and nxt2 == "e" and i + 3 == len(word):
+        return 1, ["o"]
+    # i before a vowel glides to j (premier, bien is caught earlier)
+    if ch == "i" and nxt and nxt in "aeouéèê" and i > 0:
+        return 1, ["j"]
     # final silent letters
     if i + 1 == len(word) and len(word) > 1:
         if ch in _SILENT_FINALS:
@@ -81,14 +149,152 @@ def _context(word: str, i: int):
             return 1, []  # mute final e
         if word.endswith("es") and i == len(word) - 2 and len(word) > 3:
             return 2, []
-    if word.startswith("ent", i) and i + 3 == len(word) and len(word) > 4:
-        return 3, []  # silent verb ending -ent
     return None
+
+
+# Function words and irregulars the rules cannot derive.  Hand-verified
+# against standard French (metropolitan, the gruut fr-fr convention).
+_EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
+    "le": ("l", "ə"),
+    "les": ("l", "e"),
+    "des": ("d", "e"),
+    "mes": ("m", "e"),
+    "tes": ("t", "e"),
+    "ses": ("s", "e"),
+    "ces": ("s", "e"),
+    "et": ("e",),
+    "est": ("ɛ",),
+    "es": ("ɛ",),
+    "que": ("k", "ə"),
+    "qu'il": ("k", "i", "l"),
+    "qu'elle": ("k", "ɛ", "l"),
+    "femme": ("f", "a", "m"),
+    "femmes": ("f", "a", "m"),
+    "monsieur": ("m", "ə", "s", "j", "ø"),
+    "messieurs": ("m", "e", "s", "j", "ø"),
+    "temps": ("t", "ɑ̃"),
+    "printemps": ("p", "ʁ", "ɛ̃", "t", "ɑ̃"),
+    "corps": ("k", "ɔ", "ʁ"),
+    "fils": ("f", "i", "s"),
+    "pays": ("p", "e", "i"),
+    "paysage": ("p", "e", "i", "z", "a", "ʒ"),
+    "hier": ("i", "ɛ", "ʁ"),
+    "yeux": ("j", "ø"),
+    "oeil": ("œ", "j"),
+    "œil": ("œ", "j"),
+    "aujourd'hui": ("o", "ʒ", "u", "ʁ", "d", "ɥ", "i"),
+    "six": ("s", "i", "s"),
+    "dix": ("d", "i", "s"),
+    "huit": ("ɥ", "i", "t"),
+    "neuf": ("n", "œ", "f"),
+    "vingt": ("v", "ɛ̃"),
+    "second": ("s", "ə", "ɡ", "ɔ̃"),
+    "seconde": ("s", "ə", "ɡ", "ɔ̃", "d"),
+    "blanc": ("b", "l", "ɑ̃"),
+    "blancs": ("b", "l", "ɑ̃"),
+    "estomac": ("ɛ", "s", "t", "ɔ", "m", "a"),
+    "tabac": ("t", "a", "b", "a"),
+    "ville": ("v", "i", "l"),
+    "villes": ("v", "i", "l"),
+    "village": ("v", "i", "l", "a", "ʒ"),
+    "mille": ("m", "i", "l"),
+    "tranquille": ("t", "ʁ", "ɑ̃", "k", "i", "l"),
+    "oui": ("w", "i"),
+    "sept": ("s", "ɛ", "t"),
+    "août": ("u", "t"),
+    "monde": ("m", "ɔ̃", "d"),
+    "grande": ("ɡ", "ʁ", "ɑ̃", "d"),
+    "examen": ("ɛ", "ɡ", "z", "a", "m", "ɛ̃"),
+    "ennui": ("ɑ̃", "n", "ɥ", "i"),
+    "ennemi": ("ɛ", "n", "m", "i"),
+    "solennel": ("s", "ɔ", "l", "a", "n", "ɛ", "l"),
+    "gentil": ("ʒ", "ɑ̃", "t", "i"),
+    "outil": ("u", "t", "i"),
+    "fusil": ("f", "y", "z", "i"),
+    "sourcil": ("s", "u", "ʁ", "s", "i"),
+    "clef": ("k", "l", "e"),
+    "clé": ("k", "l", "e"),
+    "pied": ("p", "j", "e"),
+    "pieds": ("p", "j", "e"),
+    "assied": ("a", "s", "j", "e"),
+    "nez": ("n", "e"),
+    "chez": ("ʃ", "e"),
+    "eux": ("ø",),
+    "deuxième": ("d", "ø", "z", "j", "ɛ", "m"),
+    "sens": ("s", "ɑ̃", "s"),
+    "tous": ("t", "u", "s"),
+    "plus": ("p", "l", "y", "s"),
+    "fives": ("f", "i", "v"),
+    "jeanne": ("ʒ", "a", "n"),
+    "jean": ("ʒ", "ɑ̃"),
+    "caen": ("k", "ɑ̃"),
+    "paon": ("p", "ɑ̃"),
+    "faon": ("f", "ɑ̃"),
+    "taon": ("t", "ɑ̃"),
+    "oignon": ("ɔ", "ɲ", "ɔ̃"),
+    "poêle": ("p", "w", "a", "l"),
+    "moelle": ("m", "w", "a", "l"),
+    "soeur": ("s", "œ", "ʁ"),
+    "sœur": ("s", "œ", "ʁ"),
+    "coeur": ("k", "œ", "ʁ"),
+    "cœur": ("k", "œ", "ʁ"),
+    "oeuf": ("œ", "f"),
+    "œuf": ("œ", "f"),
+    "oeufs": ("ø",),
+    "boeuf": ("b", "œ", "f"),
+    "bœuf": ("b", "œ", "f"),
+    "choeur": ("k", "œ", "ʁ"),
+    "chœur": ("k", "œ", "ʁ"),
+    "chorale": ("k", "ɔ", "ʁ", "a", "l"),
+    "chaos": ("k", "a", "o"),
+    "écho": ("e", "k", "o"),
+    "orchestre": ("ɔ", "ʁ", "k", "ɛ", "s", "t", "ʁ"),
+    "technique": ("t", "ɛ", "k", "n", "i", "k"),
+    "christ": ("k", "ʁ", "i", "s", "t"),
+    "chrétien": ("k", "ʁ", "e", "t", "j", "ɛ̃"),
+    "psychologie": ("p", "s", "i", "k", "ɔ", "l", "ɔ", "ʒ", "i"),
+    "archéologie": ("a", "ʁ", "k", "e", "ɔ", "l", "ɔ", "ʒ", "i"),
+    "été": ("e", "t", "e"),
+    "être": ("ɛ", "t", "ʁ"),
+    "eut": ("y",),
+    "eu": ("y",),
+    "eau": ("o",),
+    "eaux": ("o",),
+    "haut": ("o",),
+    "donc": ("d", "ɔ̃", "k"),
+    "parce": ("p", "a", "ʁ", "s", "ə"),
+    "hiver": ("i", "v", "ɛ", "ʁ"),
+    "fer": ("f", "ɛ", "ʁ"),
+    "mer": ("m", "ɛ", "ʁ"),
+    "amer": ("a", "m", "ɛ", "ʁ"),
+    "cher": ("ʃ", "ɛ", "ʁ"),
+    "fier": ("f", "j", "ɛ", "ʁ"),
+    "super": ("s", "y", "p", "ɛ", "ʁ"),
+    "cancer": ("k", "ɑ̃", "s", "ɛ", "ʁ"),
+    "albert": ("a", "l", "b", "ɛ", "ʁ"),
+    "automne": ("o", "t", "ɔ", "n"),
+    "condamner": ("k", "ɔ̃", "d", "a", "n", "e"),
+    "baptême": ("b", "a", "t", "ɛ", "m"),
+    "compter": ("k", "ɔ̃", "t", "e"),
+    "sculpteur": ("s", "k", "y", "l", "t", "œ", "ʁ"),
+    "longtemps": ("l", "ɔ̃", "t", "ɑ̃"),
+    "moins": ("m", "w", "ɛ̃"),
+    "néanmoins": ("n", "e", "ɑ̃", "m", "w", "ɛ̃"),
+    "loin": ("l", "w", "ɛ̃"),
+    "besoin": ("b", "ə", "z", "w", "ɛ̃"),
+    "point": ("p", "w", "ɛ̃"),
+    "poing": ("p", "w", "ɛ̃"),
+    "coing": ("k", "w", "ɛ̃"),
+    "bientôt": ("b", "j", "ɛ̃", "t", "o"),
+}
 
 
 def phonemize(word: str) -> typing.List[str]:
     w = word.lower().strip()
     if not w:
         return []
+    hit = _EXCEPTIONS.get(w)
+    if hit is not None:
+        return stress_nth_vowel_from_end(list(hit), VOWELS, n=1)
     phonemes = apply_rules(w, _RULES, _context)
     return stress_nth_vowel_from_end(phonemes, VOWELS, n=1)

@@ -17,10 +17,10 @@ _RULES = [
     ("gli", "ʎ"), ("gn", "ɲ"),
     ("chi", "k i"), ("che", "k e"), ("ch", "k"),
     ("ghi", "ɡ i"), ("ghe", "ɡ e"), ("gh", "ɡ"),
-    ("ci", "t͡ʃ"), ("ce", "t͡ʃ e"),
-    ("gi", "d͡ʒ"), ("ge", "d͡ʒ e"),
+    ("ce", "t͡ʃ e"),
+    ("ge", "d͡ʒ e"),
     ("qu", "k w"),
-    ("zz", "t͡s"),
+    ("zz", "t t͡s"),
     ("ɛ", "ɛ"), ("ɔ", "ɔ"),  # pre-substituted accented vowels (è, ò)
     ("a", "a"), ("b", "b"), ("c", "k"), ("d", "d"), ("e", "e"),
     ("f", "f"), ("g", "ɡ"), ("h", ""), ("i", "i"), ("j", "j"),
@@ -31,34 +31,126 @@ _RULES = [
 ]
 
 
+_SOFT = {"c": "t͡ʃ", "g": "d͡ʒ"}
+
+
 def _context(word: str, i: int):
     ch = word[i]
     nxt = word[i + 1] if i + 1 < len(word) else ""
+    nxt2 = word[i + 2] if i + 2 < len(word) else ""
     prev = word[i - 1] if i > 0 else ""
-    # ci/gi before a/o/u: i is silent (cia -> t͡ʃ a)
-    if word.startswith("ci", i) and i + 2 < len(word) + 1 and nxt == "i":
-        nxt2 = word[i + 2] if i + 2 < len(word) else ""
+    prev2 = word[i - 2] if i > 1 else ""
+
+    # chi/ghi + vowel: the i is a glide (occhio -> k k j o)
+    if ch in "cg" and word.startswith("h", i + 1) and nxt2 == "i":
+        nxt3 = word[i + 3] if i + 3 < len(word) else ""
+        hard = "k" if ch == "c" else "ɡ"
+        if nxt3 and nxt3 in "aeou":
+            return 3, [hard, "j"]
+        return 3, [hard, "i"]
+    # c/g before i: the i is silent before a vowel (giorno -> d͡ʒ o),
+    # a real vowel otherwise (città -> t͡ʃ i, cinque -> t͡ʃ i n)
+    if ch in "cg" and nxt == "i":
         if nxt2 in "aou":
-            return 2, ["t͡ʃ"]
-    if word.startswith("gi", i) and nxt == "i":
-        nxt2 = word[i + 2] if i + 2 < len(word) else ""
-        if nxt2 in "aou":
-            return 2, ["d͡ʒ"]
+            return 2, [_SOFT[ch]]
+        if nxt2 == "e":  # cielo -> t͡ʃ e
+            return 3, [_SOFT[ch], "e"]
+        return 2, [_SOFT[ch], "i"]
+    # doubled c/g before front vowels: geminate affricate
+    # (faccia -> t t͡ʃ, oggi -> d d͡ʒ)
+    if ch in "cg" and nxt == ch and nxt2 in "ei":
+        first = "t" if ch == "c" else "d"
+        if nxt2 == "e":
+            return 2, [first, _SOFT[ch]]
+        sub = _context(word, i + 1)
+        if sub is not None:
+            length, phones = sub
+            return 1 + length, [first] + phones
+    # gli: palatal lateral; word-final (or the article "gli") keeps
+    # the i as a vowel
+    if word.startswith("gli", i):
+        if i + 3 == len(word):
+            return 3, ["ʎ", "i"]
+        if word[i + 3] in "aeou":
+            return 3, ["ʎ"]
+    # uo is always open o (uomo, buono, cuore)
+    if ch == "u" and nxt == "o":
+        return 2, ["w", "ɔ"]
     # intervocalic s is voiced
-    if ch == "s" and prev in "aeiou" and nxt in "aeiou":
+    if ch == "s" and prev and prev in "aeiou" and nxt and nxt in "aeiou":
         return 1, ["z"]
-    # i before vowel is a glide
-    if ch == "i" and nxt in "aeou" and prev not in "cg":
+    # i before vowel is a glide; i after a vowel at word end closes a
+    # falling diphthong (lui, mai) — but not after the glide u of qu/gu
+    if ch == "i" and nxt and nxt in "aeou" and prev not in "cg":
         return 1, ["j"]
-    if ch == "u" and nxt in "aeio":
+    if (
+        ch == "i"
+        and nxt == ""
+        and prev in "aeou"
+        and not (prev == "u" and prev2 in "qg")
+    ):
+        return 1, ["j"]
+    if ch == "u" and nxt and (nxt in "ae" or (nxt == "i" and prev in "qg")):
         return 1, ["w"]
     return None
+
+
+# Lexical open-vowel quality (ɛ/ɔ) and voiced z — not recoverable from
+# spelling; hand-verified standard Italian for high-frequency words.
+_EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
+    "bene": ("b", "ɛ", "n", "e"),
+    "bello": ("b", "ɛ", "l", "l", "o"),
+    "bella": ("b", "ɛ", "l", "l", "a"),
+    "sette": ("s", "ɛ", "t", "t", "e"),
+    "otto": ("ɔ", "t", "t", "o"),
+    "nove": ("n", "ɔ", "v", "e"),
+    "notte": ("n", "ɔ", "t", "t", "e"),
+    "donna": ("d", "ɔ", "n", "n", "a"),
+    "oggi": ("ɔ", "d", "d͡ʒ", "i"),
+    "cosa": ("k", "ɔ", "z", "a"),
+    "posto": ("p", "ɔ", "s", "t", "o"),
+    "porta": ("p", "ɔ", "r", "t", "a"),
+    "forte": ("f", "ɔ", "r", "t", "e"),
+    "tempo": ("t", "ɛ", "m", "p", "o"),
+    "festa": ("f", "ɛ", "s", "t", "a"),
+    "terra": ("t", "ɛ", "r", "r", "a"),
+    "guerra": ("ɡ", "w", "ɛ", "r", "r", "a"),
+    "dieci": ("d", "j", "ɛ", "t͡ʃ", "i"),
+    "ieri": ("j", "ɛ", "r", "i"),
+    "lei": ("l", "ɛ", "j"),
+    "sei": ("s", "ɛ", "j"),
+    "piede": ("p", "j", "ɛ", "d", "e"),
+    "zero": ("d͡z", "ɛ", "r", "o"),
+    "mezzo": ("m", "ɛ", "d", "d͡z", "o"),
+    "pranzo": ("p", "r", "a", "n", "d͡z", "o"),
+    "zona": ("d͡z", "ɔ", "n", "a"),
+    "uovo": ("w", "ɔ", "v", "o"),
+    "erba": ("ɛ", "r", "b", "a"),
+    "estate": ("e", "s", "t", "a", "t", "e"),
+    "petto": ("p", "ɛ", "t", "t", "o"),
+    "letto": ("l", "ɛ", "t", "t", "o"),
+    "gente": ("d͡ʒ", "ɛ", "n", "t", "e"),
+    "niente": ("n", "j", "ɛ", "n", "t", "e"),
+    "insieme": ("i", "n", "s", "j", "ɛ", "m", "e"),
+    "sedia": ("s", "ɛ", "d", "j", "a"),
+    "strada": ("s", "t", "r", "a", "d", "a"),
+    "parola": ("p", "a", "r", "ɔ", "l", "a"),
+    "sempre": ("s", "ɛ", "m", "p", "r", "e"),
+    "adesso": ("a", "d", "ɛ", "s", "s", "o"),
+    "gnocchi": ("ɲ", "ɔ", "k", "k", "i"),
+    "due": ("d", "u", "e"),
+    "però": ("p", "e", "r", "ɔ"),
+    "perché": ("p", "e", "r", "k", "e"),
+}
 
 
 def phonemize(word: str) -> typing.List[str]:
     w = word.lower().strip()
     if not w:
         return []
+    hit = _EXCEPTIONS.get(w)
+    if hit is not None:
+        return stress_nth_vowel_from_end(list(hit), VOWELS, n=2)
     accent_pos = next((i for i, c in enumerate(w) if c in _ACCENTED), None)
     if accent_pos is not None:
         before = apply_rules(

@@ -1,0 +1,79 @@
+"""Per-language golden pronunciation sets (expanded beyond the 5-sentence
+reference fixtures).
+
+The reference relied on gruut's per-language lexicons
+(/root/reference/larynx/__init__.py:71-73); the in-tree rule engines +
+exception lexicons are validated here against hand-verified IPA for
+100+ high-frequency words per language.  Fixtures live at
+``tests/golden/<lang>_pronunciations.tsv`` (word<TAB>space-separated
+IPA, stress markers stripped); every emitted symbol must also exist in
+the corresponding released voice's phoneme inventory.
+"""
+
+import os
+
+import pytest
+
+from larynx_tpu.text.g2p import de, es, fr, it
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+
+LANGS = {
+    "fr": (fr.phonemize, "fr-fr/gilles_le_blanc-glow_tts"),
+    "de": (de.phonemize, "de-de/eva_k-glow_tts"),
+    "es": (es.phonemize, "es-es/carlfm-glow_tts"),
+    "it": (it.phonemize, "it-it/lisa-glow_tts"),
+}
+
+MIN_WORDS = 100
+
+
+def _load(lang):
+    path = os.path.join(GOLDEN_DIR, f"{lang}_pronunciations.tsv")
+    rows = []
+    with open(path, encoding="utf-8") as handle:
+        for line in handle:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            word, phones = line.split("\t")
+            rows.append((word, phones.split()))
+    return rows
+
+
+def _strip_stress(phones):
+    return [p.lstrip("ˈˌ'²") for p in phones if p.lstrip("ˈˌ'²")]
+
+
+@pytest.mark.parametrize("lang", sorted(LANGS))
+def test_fixture_size(lang):
+    assert len(_load(lang)) >= MIN_WORDS
+
+
+@pytest.mark.parametrize("lang", sorted(LANGS))
+def test_golden_pronunciations(lang):
+    phonemize = LANGS[lang][0]
+    misses = []
+    for word, want in _load(lang):
+        got = _strip_stress(phonemize(word))
+        if got != want:
+            misses.append((word, want, got))
+    assert not misses, f"{len(misses)} misses: {misses[:10]}"
+
+
+@pytest.mark.parametrize("lang", sorted(LANGS))
+def test_fixture_symbols_in_voice_inventory(lang, reference_dir):
+    voice = LANGS[lang][1]
+    inv_path = reference_dir / "local" / voice / "phonemes.txt"
+    inventory = {
+        line.split()[1]
+        for line in inv_path.read_text(encoding="utf-8").splitlines()
+        if len(line.split()) >= 2
+    }
+    unknown = {
+        p
+        for _, phones in _load(lang)
+        for p in phones
+        if p not in inventory
+    }
+    assert not unknown, f"symbols outside {voice} inventory: {sorted(unknown)}"
