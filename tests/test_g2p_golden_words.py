@@ -14,7 +14,7 @@ import os
 
 import pytest
 
-from larynx_tpu.text.g2p import de, es, fr, it
+from larynx_tpu.text.g2p import de, es, fr, it, nl, sv
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 
@@ -23,6 +23,8 @@ LANGS = {
     "de": (de.phonemize, "de-de/eva_k-glow_tts"),
     "es": (es.phonemize, "es-es/carlfm-glow_tts"),
     "it": (it.phonemize, "it-it/lisa-glow_tts"),
+    "nl": (nl.phonemize, "nl/bart_de_leeuw-glow_tts"),
+    "sv": (sv.phonemize, "sv-se/talesyntese-glow_tts"),
 }
 
 MIN_WORDS = 100
