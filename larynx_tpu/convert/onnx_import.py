@@ -333,7 +333,105 @@ def _eval_node(node, inputs) -> typing.Optional[np.ndarray]:
         return np.broadcast_to(inputs[0], np.broadcast_shapes(inputs[0].shape, tuple(shape))).copy()
     if op == "Cast":
         return inputs[0].astype(_DTYPES.get(attrs.get("to", 1), np.float32))
+    if op == "Transpose":
+        perm = attrs.get("perm")
+        return np.transpose(inputs[0], perm)
+    if op == "Neg":
+        return -inputs[0]
+    if op == "Exp":
+        return np.exp(inputs[0])
+    if op == "Log":
+        return np.log(inputs[0])
+    if op == "MatMul":
+        return np.matmul(inputs[0], inputs[1])
+    if op == "Concat":
+        return np.concatenate(inputs, axis=int(attrs.get("axis", 0)))
+    if op == "Gather":
+        axis = int(attrs.get("axis", 0))
+        return np.take(inputs[0], inputs[1].astype(np.int64), axis=axis)
+    if op == "Slice":
+        # opset >= 10: starts/ends/axes/steps as inputs
+        starts = [int(v) for v in np.asarray(inputs[1]).reshape(-1)]
+        ends = [int(v) for v in np.asarray(inputs[2]).reshape(-1)]
+        axes = (
+            [int(v) for v in np.asarray(inputs[3]).reshape(-1)]
+            if len(inputs) > 3 and inputs[3] is not None
+            else list(range(len(starts)))
+        )
+        steps = (
+            [int(v) for v in np.asarray(inputs[4]).reshape(-1)]
+            if len(inputs) > 4 and inputs[4] is not None
+            else [1] * len(starts)
+        )
+        slices = [slice(None)] * inputs[0].ndim
+        for ax, st, en, sp in zip(axes, starts, ends, steps):
+            slices[ax] = slice(st, en, sp)
+        return inputs[0][tuple(slices)]
+    if op == "Shape":
+        return np.asarray(inputs[0].shape, dtype=np.int64)
+    if op == "ConstantOfShape":
+        value = attrs.get("value")
+        fill = np.asarray(value).reshape(-1)[0] if value is not None else 0.0
+        shape = [int(v) for v in np.asarray(inputs[0]).reshape(-1)]
+        return np.full(shape, fill)
+    if op == "Range":
+        return np.arange(
+            int(np.asarray(inputs[0])),
+            int(np.asarray(inputs[1])),
+            int(np.asarray(inputs[2])),
+            dtype=np.int64,
+        )
+    if op == "Where":
+        return np.where(inputs[0], inputs[1], inputs[2])
     return None
+
+
+# Ops a traced FlowGenerator / HiFi-GAN export contains that the importer
+# deliberately does NOT execute — weights are recovered from initializers
+# (+ constant folding), not by running the graph.  Anything outside this
+# union and the _eval_node foldables is reported as unsupported.
+KNOWN_RUNTIME_OPS = {
+    "Conv", "ConvTranspose", "Gemm", "LeakyRelu", "Relu", "Sigmoid",
+    "Tanh", "Softmax", "Softplus", "LayerNormalization", "ReduceMean",
+    "ReduceMax", "ReduceMin", "Pad", "Split", "Gather", "GatherElements",
+    "ScatterND", "CumSum", "Clip", "Min", "Max", "Floor", "Ceil",
+    "Equal", "Greater", "Less", "Not", "And", "Or", "Erf", "Einsum",
+    "Resize", "Tile", "TopK", "NonZero", "GreaterOrEqual", "LessOrEqual",
+    "Dropout", "RandomNormalLike", "RandomNormal", "Loop", "If",
+}
+
+_FOLDABLE_OPS = {
+    "Constant", "Identity", "Mul", "Div", "Add", "Sub", "Pow", "Sqrt",
+    "Reciprocal", "Abs", "ReduceL2", "ReduceSum", "Unsqueeze", "Squeeze",
+    "Reshape", "Expand", "Cast", "Transpose", "Neg", "Exp", "Log",
+    "MatMul", "Concat", "Gather", "Slice", "Shape", "ConstantOfShape",
+    "Range", "Where",
+}
+
+
+def unsupported_op_kinds(
+    nodes: typing.Sequence[typing.Dict[str, typing.Any]],
+) -> typing.List[str]:
+    """Op types in the graph the importer neither folds nor recognizes."""
+    kinds = {node["op_type"] for node in nodes}
+    return sorted(kinds - _FOLDABLE_OPS - KNOWN_RUNTIME_OPS)
+
+
+def _diagnose_missing(path, sd: "StateDict", err: KeyError) -> "OnnxParseError":
+    """Precise failure for a graph whose params can't be mapped by name."""
+    _, nodes = read_onnx_graph(path)
+    unknown = unsupported_op_kinds(nodes)
+    numeric = sum(1 for k in sd if k.split(".")[0].isdigit() or k.isdigit())
+    msg = [f"ONNX import: missing parameter {err.args[0]!r}"]
+    if unknown:
+        msg.append(f"graph contains unsupported op kinds: {', '.join(unknown)}")
+    if numeric > len(sd) // 2:
+        msg.append(
+            f"{numeric}/{len(sd)} initializers have numeric (constant-folded)"
+            " names — re-export with do_constant_folding=False so parameter"
+            " names survive"
+        )
+    return OnnxParseError("; ".join(msg))
 
 
 def fold_weight_norm_nodes(
@@ -416,12 +514,18 @@ def onnx_state_dict(path: typing.Union[str, Path]) -> StateDict:
 def glow_tts_params_from_onnx(path: typing.Union[str, Path], cfg: GlowTTSConfig):
     sd = onnx_state_dict(path)
     sd = {k: v.astype(np.float32) if v.dtype == np.float16 else v for k, v in sd.items()}
-    return glow_tts_params_from_state_dict(sd, cfg)
+    try:
+        return glow_tts_params_from_state_dict(sd, cfg)
+    except KeyError as err:
+        raise _diagnose_missing(path, sd, err) from err
 
 
 def hifi_gan_params_from_onnx(path: typing.Union[str, Path], cfg):
     sd = onnx_state_dict(path)
     sd = {k: v.astype(np.float32) if v.dtype == np.float16 else v for k, v in sd.items()}
-    return hifi_gan_params_from_state_dict(
-        sd, cfg.upsample_rates, cfg.resblock_kernel_sizes, resblock=cfg.resblock
-    )
+    try:
+        return hifi_gan_params_from_state_dict(
+            sd, cfg.upsample_rates, cfg.resblock_kernel_sizes, resblock=cfg.resblock
+        )
+    except KeyError as err:
+        raise _diagnose_missing(path, sd, err) from err
