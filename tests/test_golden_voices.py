@@ -1,11 +1,17 @@
-"""Characterization test in the reference's style.
+"""Refactor guard in the reference's test style (NOT absolute correctness).
 
 Mirrors tests/test_text_to_speech.py:34-105 in the reference: for each
 golden sample (committed WAV + sentence text), run the FULL real pipeline
 and assert fuzzy invariants — mean signal energy above a floor (not
-silence) and duration within tolerance of the golden sample.  The golden
-WAVs were produced by this pipeline (seed 7) with the synthetic test voice,
-so this guards end-to-end behavior across refactors.
+silence) and duration within tolerance of the golden sample.
+
+Scope caveat: the golden WAVs are SELF-PRODUCED by this pipeline with a
+random-init synthetic voice (seed 7) — they pin the pipeline's behavior
+against refactors, nothing more.  Absolute waveform correctness is
+anchored elsewhere: the torch-oracle parity suites
+(test_glow_tts_parity.py, test_waveform_parity.py) check the math
+against the reference implementation directly; no released checkpoints
+exist in this environment to anchor real voices.
 """
 
 import json
