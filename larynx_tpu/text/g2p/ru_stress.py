@@ -201,6 +201,13 @@ _STEM_RAW = """
 н+ов ст+ар д+обр кр+асн б+ел т+ёпл х+олодн тр+удн гл+авн
 в+ажн р+азн крас+ив своб+одн об+ычн посл+едн
 хор+ош м+аленьк р+усск
+гриб+ жук+ кит+ луч+ петух+ плащ+ пруд+ столб+ холм+ шалаш+
+еж+ уж+ борщ+ плот+ кнут+ прут+ хлыст+ дрозд+ лещ+ крот+ клоп+
+жен+ сестр+ звезд+ гнезд+ ведр+ лун+ трав+
+волн+ гроз+ дыр+ игл+ коз+ нор+ скал+ сосн+ стрел+ строк+
+струн+ щек+ тюрьм+ судьб+
+голуб+ плох+ глух+ слеп+ крив+
+плет+ плел+ спас+ цвел+
 """
 
 _ENDINGS = (
