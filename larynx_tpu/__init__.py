@@ -414,9 +414,11 @@ def _run_jobs(
         engine, indices = units[j]
         enc_out, g, t0 = encodes[j]
         n = len(indices)
-        y_lengths = np.asarray(enc_out[4])
-        parts, b_rows = engine.synthesize_launch(
-            enc_out, y_lengths, g, n,
+        # predictive bucket: the decode dispatch overlaps the y_lengths
+        # device->host round trip (engine.synthesize_launch_predicted)
+        parts, b_rows, y_lengths = engine.synthesize_launch_predicted(
+            enc_out, g, n,
+            max_id_len=max(len(jobs[i]["ids"]) for i in indices),
             noise_scale=noise_scale, seed=seed, batch_index=j,
             denoiser_strength=denoiser_strength,
         )

@@ -14,6 +14,7 @@ sentences/requests plus static-shape reuse is where the TPU build wins.
 """
 
 import functools
+import math
 import logging
 import threading
 import typing
@@ -182,6 +183,11 @@ class SynthesisEngine:
             )
         self.griffin_lim_momentum = griffin_lim_momentum
         self._lock = threading.Lock()
+        # Predictive decode-bucket state: upper-bound estimate of mel
+        # frames per input token, learned from observed batches (see
+        # synthesize_launch_predicted).  0.0 = no observation yet.
+        self._frames_per_token = 0.0
+        self._bucket_mispredicts = 0
 
         self.dtype = jnp.bfloat16 if half else jnp.float32
         self.voc_dtype = jnp.bfloat16 if self.vocoder_half else jnp.float32
@@ -583,6 +589,7 @@ class SynthesisEngine:
         row_seeds: typing.Optional[
             typing.Sequence[typing.Optional[int]]
         ] = None,
+        mel_bucket_override: typing.Optional[int] = None,
     ):
         """Non-blocking flow-decoder dispatch -> (mel, z_mask, key).
 
@@ -592,7 +599,11 @@ class SynthesisEngine:
         reproducible.  Mutually exclusive with the scalar ``seed``.
         """
         x_m, x_logs, _logw, w_ceil, y_lengths_dev, _mask = enc_out
-        mel_bucket = self.policy.mel_bucket(int(y_lengths[:n].max()))
+        mel_bucket = (
+            mel_bucket_override
+            if mel_bucket_override is not None
+            else self.policy.mel_bucket(int(y_lengths[:n].max()))
+        )
         key = jax.random.fold_in(
             jax.random.PRNGKey(self.seed if seed is None else seed), batch_index
         )
@@ -651,6 +662,70 @@ class SynthesisEngine:
             mel, z_mask, n, denoiser_strength, key, y_lengths=y_lengths
         )
         return parts, mel.shape[0]
+
+    def synthesize_launch_predicted(
+        self,
+        enc_out,
+        g,
+        n: int,
+        max_id_len: int,
+        noise_scale: float = 0.667,
+        seed: typing.Optional[int] = None,
+        batch_index: int = 0,
+        denoiser_strength: float = 0.0,
+        row_seeds: typing.Optional[
+            typing.Sequence[typing.Optional[int]]
+        ] = None,
+    ):
+        """Decode without waiting for the y_lengths device->host sync.
+
+        The only host decision the decode dispatch needs is the mel
+        BUCKET; the per-row lengths live on device (``y_lengths_dev``)
+        and mask correctly at any bucket >= the true maximum.  So we
+        predict the bucket from a learned frames-per-token upper bound,
+        dispatch immediately, and resolve the exact lengths WHILE the
+        decode runs — the ~30 ms tunnel round trip (see CLAUDE.md phase
+        breakdown) overlaps device compute instead of preceding it.  A
+        misprediction (true max exceeds the predicted bucket) costs one
+        discarded decode and a redispatch at the exact bucket; the
+        estimator is deliberately an upper bound so this is rare.
+
+        Returns (parts, batch_rows, y_lengths).
+        """
+        ratio = self._frames_per_token
+        decoded = None
+        if ratio > 0.0 and max_id_len > 0 and row_seeds is None:
+            pred_frames = int(math.ceil(max_id_len * ratio * 1.15))
+            bucket = self.policy.mel_bucket(pred_frames)
+            decoded = self.decode_launch(
+                enc_out, None, g, n,
+                noise_scale=noise_scale, seed=seed, batch_index=batch_index,
+                mel_bucket_override=bucket,
+            )
+        # resolves the copy started at encode_launch; overlaps the decode
+        y_lengths = np.asarray(enc_out[4])
+        actual = int(y_lengths[:n].max())
+        if max_id_len > 0:
+            obs = actual / max_id_len
+            self._frames_per_token = (
+                obs
+                if obs > self._frames_per_token
+                else 0.99 * self._frames_per_token + 0.01 * obs
+            )
+        if decoded is not None and actual <= bucket:
+            mel, z_mask, key = decoded
+        else:
+            if decoded is not None:
+                self._bucket_mispredicts += 1
+            mel, z_mask, key = self.decode_launch(
+                enc_out, y_lengths, g, n,
+                noise_scale=noise_scale, seed=seed, batch_index=batch_index,
+                row_seeds=row_seeds,
+            )
+        parts = self.vocode_launch(
+            mel, z_mask, n, denoiser_strength, key, y_lengths=y_lengths
+        )
+        return parts, mel.shape[0], y_lengths
 
     def vocode_launch(
         self,
@@ -854,10 +929,10 @@ class SynthesisEngine:
         enc_out, g = self.encode_launch(
             id_seqs, length_scale, speaker_ids=speaker_ids
         )
-        y_lengths = np.asarray(enc_out[4])
         t1 = time.perf_counter() if trace else 0.0
-        parts, b_rows = self.synthesize_launch(
-            enc_out, y_lengths, g, n,
+        parts, b_rows, y_lengths = self.synthesize_launch_predicted(
+            enc_out, g, n,
+            max_id_len=max((len(s) for s in id_seqs), default=0),
             noise_scale=noise_scale, seed=seed, batch_index=batch_index,
             denoiser_strength=denoiser_strength,
         )

@@ -121,3 +121,71 @@ def test_ragged_matches_uniform(engine, denoiser):
         diff = np.abs(a.astype(np.int32) - b.astype(np.int32))
         assert diff.max() <= 1, (i, diff.max())
         assert np.mean(diff > 0) < 0.01, (i, np.mean(diff > 0))
+
+
+def test_predicted_bucket_matches_synced_path(engine):
+    """synthesize_launch_predicted (decode dispatched on a learned bucket
+    while y_lengths syncs) must produce the same audio as the classic
+    sync-then-decode path — when the predicted bucket equals the exact
+    one the result is bit-identical; a wider predicted bucket may differ
+    by padded-program rounding only (same +-1 LSB contract as the bucket
+    tests above)."""
+    rng = np.random.default_rng(5)
+    ids = [rng.integers(1, 48, size=t).astype(np.int64) for t in (12, 16)]
+    n = len(ids)
+
+    # classic path (also warms the frames-per-token estimator)
+    engine._frames_per_token = 0.0
+    enc_out, g = engine.encode_launch(ids, 1.0)
+    y_lengths = np.asarray(enc_out[4])
+    parts, b_rows = engine.synthesize_launch(
+        enc_out, y_lengths, g, n, seed=3, batch_index=0
+    )
+    ref = engine.crop_rows(engine.vocode_collect(parts, b_rows), y_lengths, n, 0.0)
+
+    # seed the estimator with the observed ratio, then run predicted
+    engine._frames_per_token = float(y_lengths[:n].max()) / max(
+        len(s) for s in ids
+    )
+    before = engine._bucket_mispredicts
+    enc_out2, g2 = engine.encode_launch(ids, 1.0)
+    parts2, b_rows2, y2 = engine.synthesize_launch_predicted(
+        enc_out2, g2, n, max_id_len=max(len(s) for s in ids),
+        seed=3, batch_index=0,
+    )
+    assert engine._bucket_mispredicts == before  # upper bound held
+    got = engine.crop_rows(engine.vocode_collect(parts2, b_rows2), y2, n, 0.0)
+
+    np.testing.assert_array_equal(y2, y_lengths)
+    for a, b in zip(ref, got):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=1)
+
+
+def test_predicted_bucket_mispredict_falls_back(engine):
+    """A too-small learned ratio must trigger the redispatch fallback and
+    still produce audio identical to the classic path."""
+    rng = np.random.default_rng(6)
+    ids = [rng.integers(1, 48, size=t).astype(np.int64) for t in (12, 16)]
+    n = len(ids)
+
+    # large length_scale pushes the true mel length past the smallest
+    # bucket, so the absurd ratio below cannot luck into a valid bucket
+    enc_out, g = engine.encode_launch(ids, 12.0)
+    y_lengths = np.asarray(enc_out[4])
+    parts, b_rows = engine.synthesize_launch(
+        enc_out, y_lengths, g, n, seed=4, batch_index=0
+    )
+    ref = engine.crop_rows(engine.vocode_collect(parts, b_rows), y_lengths, n, 0.0)
+
+    engine._frames_per_token = 1e-3  # absurdly low -> guaranteed mispredict
+    before = engine._bucket_mispredicts
+    enc_out2, g2 = engine.encode_launch(ids, 12.0)
+    parts2, b_rows2, y2 = engine.synthesize_launch_predicted(
+        enc_out2, g2, n, max_id_len=max(len(s) for s in ids),
+        seed=4, batch_index=0,
+    )
+    assert engine._bucket_mispredicts == before + 1
+    got = engine.crop_rows(engine.vocode_collect(parts2, b_rows2), y2, n, 0.0)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(a, b)  # fallback = the exact bucket
