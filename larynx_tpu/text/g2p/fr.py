@@ -97,7 +97,9 @@ def _context(word: str, i: int):
         return 2, ["ɑ̃"]
     if ch == "i" and nxt and nxt in "nm" and _coda(_ORAL_VOWEL_LETTERS):
         return 2, ["ɛ̃"]
-    if ch == "u" and nxt == "n" and (nxt2 == "" or (nxt2 not in _ORAL_VOWEL_LETTERS and nxt2 != "n")):
+    if ch == "u" and nxt == "n" and (
+        nxt2 == "" or (nxt2 not in _ORAL_VOWEL_LETTERS and nxt2 != "n")
+    ):
         return 2, ["œ̃"]
 
     if ch == "c":
