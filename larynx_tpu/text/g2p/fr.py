@@ -28,6 +28,7 @@ _RULES = [
     ("tion", "s j ɔ̃"),
     ("ailler", "a j e"), ("eiller", "ɛ j e"), ("ouiller", "u j e"),
     ("euiller", "œ j e"), ("iller", "i j e"),
+    ("eilli", "ɛ j i"),
     ("eille", "ɛ j"), ("eil", "ɛ j"),
     ("aille", "a j"), ("ail", "a j"),
     ("euille", "œ j"), ("euil", "œ j"), ("ueil", "œ j"),
@@ -38,7 +39,8 @@ _RULES = [
     ("au", "o"),
     ("ai", "ɛ"), ("ei", "ɛ"), ("ay", "ɛ j"),
     ("eu", "ø"), ("œu", "œ"), ("œ", "œ"), ("oeu", "œ"), ("oe", "œ"),
-    ("ui", "ɥ i"),
+    ("uin", "ɥ ɛ̃"), ("uill", "ɥ i j"), ("ui", "ɥ i"),
+    ("aî", "ɛ"),
     ("ch", "ʃ"),
     ("gn", "ɲ"),
     ("ph", "f"),
@@ -137,11 +139,34 @@ def _context(word: str, i: int):
         and not (nxt in _SILENT_FINALS and nxt2 == "")
     ):
         return 1, ["ɛ"]
+    # sc before front vowels is [s] (science, scène)
+    if word.startswith("sc", i) and nxt2 and nxt2 in "eiyéè":
+        return 2, ["s"]
+    # word-final -et says [ɛ] (juillet, violet; "et" itself is a lexicon
+    # entry)
+    if i + 2 == len(word) and i >= 1 and word[i:] == "et":
+        return 2, ["ɛ"]
+    # plural/verbal -es is silent (tables, sciences); the e is NOT schwa
+    if (
+        word.endswith("es")
+        and i == len(word) - 2
+        and len(word) > 3
+        and ch == "e"
+    ):
+        return 2, []
     # o before a final [z] syllable is close [o] (chose, rose)
     if ch == "o" and nxt in "sz" and nxt2 == "e" and i + 3 == len(word):
         return 1, ["o"]
-    # i before a vowel glides to j (premier, bien is caught earlier)
-    if ch == "i" and nxt and nxt in "aeouéèê" and i > 0:
+    # i before a vowel glides to j (premier, bien is caught earlier) —
+    # except before a FINAL mute e (pharmacie, vie: the -ie is [i])
+    if (
+        ch == "i"
+        and nxt
+        and nxt in "aeouéèê"
+        and i > 0
+        and not (nxt == "e" and i + 2 == len(word))
+        and not (word.endswith("es") and i + 3 == len(word))
+    ):
         return 1, ["j"]
     # final silent letters
     if i + 1 == len(word) and len(word) > 1:
@@ -203,6 +228,23 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     "tranquille": ("t", "ʁ", "ɑ̃", "k", "i", "l"),
     "oui": ("w", "i"),
     "sept": ("s", "ɛ", "t"),
+    "dix-sept": ("d", "i", "s", "ɛ", "t"),
+    "dix-huit": ("d", "i", "z", "ɥ", "i", "t"),
+    "dix-neuf": ("d", "i", "z", "n", "œ", "f"),
+    "soixante": ("s", "w", "a", "s", "ɑ̃", "t"),
+    "soixante-dix": ("s", "w", "a", "s", "ɑ̃", "t", "d", "i", "s"),
+    "quatre-vingt": ("k", "a", "t", "ʁ", "ə", "v", "ɛ̃"),
+    "quatre-vingts": ("k", "a", "t", "ʁ", "ə", "v", "ɛ̃"),
+    "quatre-vingt-dix": ("k", "a", "t", "ʁ", "ə", "v", "ɛ̃", "d", "i", "s"),
+    "million": ("m", "i", "l", "j", "ɔ̃"),
+    "millions": ("m", "i", "l", "j", "ɔ̃"),
+    "milliard": ("m", "i", "l", "j", "a", "ʁ"),
+    "milliards": ("m", "i", "l", "j", "a", "ʁ"),
+    "week-end": ("w", "i", "k", "ɛ", "n", "d"),
+    "email": ("i", "m", "ɛ", "l"),
+    "internet": ("ɛ̃", "t", "ɛ", "ʁ", "n", "ɛ", "t"),
+    "football": ("f", "u", "t", "b", "o", "l"),
+    "tennis": ("t", "e", "n", "i", "s"),
     "août": ("u", "t"),
     "monde": ("m", "ɔ̃", "d"),
     "grande": ("ɡ", "ʁ", "ɑ̃", "d"),
