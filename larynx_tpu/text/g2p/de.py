@@ -129,8 +129,9 @@ def _context(word: str, i: int):
         _tail_map = {"d": "t"}  # final devoicing inside the ending
         if tail in ("er", "ern", "ert"):
             return len(tail), ["ɐ"] + [_tail_map.get(c, c) for c in tail[2:]]
+        # NOT -ent: German -ent loans are stressed [ɛnt] (Student, Moment)
         if tail in ("e", "en", "el", "em", "es", "et", "eln", "elt",
-                    "end", "ent"):
+                    "end"):
             return len(tail), ["ə"] + [_tail_map.get(c, c) for c in tail[1:]]
     # open-syllable vowel lengthening: vowel + single consonant + vowel
     if (
@@ -209,6 +210,20 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     "wirklich": ("v", "ɪ", "ʁ", "k", "l", "ɪ", "ç"),
     "deutschland": ("d", "ɔʏ̯", "t͡ʃ", "l", "a", "n", "t"),
     "herr": ("h", "ɛ", "ʁ"),
+    "krankenhaus": ("k", "ʁ", "a", "ŋ", "k", "ə", "n", "h", "aʊ̯", "s"),
+    "wissenschaft": ("v", "ɪ", "s", "ə", "n", "ʃ", "a", "f", "t"),
+    "straßenbahn": ("ʃ", "t", "ʁ", "aː", "s", "ə", "n", "b", "aː", "n"),
+    "haltestelle": ("h", "a", "l", "t", "ə", "ʃ", "t", "ɛ", "l", "ə"),
+    "million": ("m", "ɪ", "l", "j", "oː", "n"),
+    "millionen": ("m", "ɪ", "l", "j", "oː", "n", "ə", "n"),
+    "milliarde": ("m", "ɪ", "l", "j", "a", "ʁ", "d", "ə"),
+    "computer": ("k", "ɔ", "m", "p", "j", "uː", "t", "ɐ"),
+    "telefon": ("t", "eː", "l", "eː", "f", "oː", "n"),
+    "november": ("n", "oː", "v", "ɛ", "m", "b", "ɐ"),
+    "universität": ("ʔ", "ʊ", "n", "iː", "v", "ɛ", "ʁ", "z", "iː", "t", "ɛː", "t"),
+    "cousin": ("k", "uː", "z", "ɛ̃ː"),
+    "orange": ("ʔ", "oː", "ʁ", "ãː", "ʒ", "ə"),
+    "violett": ("v", "iː", "oː", "l", "ɛ", "t"),
     "mit": ("m", "ɪ", "t"),
     "von": ("f", "ɔ", "n"),
     "man": ("m", "a", "n"),
