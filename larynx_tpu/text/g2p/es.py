@@ -25,9 +25,9 @@ _RULES = [
     ("qu", "k"),
     ("gü", "g w"),  # güe -> g w e
     # diphthongs (rising -> glide symbols, falling -> unit symbols)
-    ("ai", "ai"), ("ay", "ai"), ("au", "au"),
-    ("ei", "ei"), ("ey", "ei"), ("eu", "eu"),
-    ("oi", "oi"), ("oy", "oi"), ("ou", "ou"),
+    ("ai", "ai"), ("au", "au"),
+    ("ei", "ei"), ("eu", "eu"),
+    ("oi", "oi"), ("ou", "ou"),
     ("ia", "ja"), ("ie", "je"), ("io", "jo"), ("iu", "ju"),
     ("ua", "wa"), ("ue", "we"), ("ui", "wi"), ("uo", "wo"),
     ("uy", "wi"),
@@ -46,6 +46,12 @@ def _context(word: str, i: int):
     nxt = word[i + 1] if i + 1 < len(word) else ""
     if word.startswith("ch", i):
         return 2, ["t͡ʃ"]
+    # ay/ey/oy are diphthongs word-finally only (hoy); intervocalic y
+    # is the consonant (mayo -> m a ʝ o)
+    if ch in "aeo" and nxt == "y":
+        if i + 2 == len(word):
+            return 2, [{"a": "ai", "e": "ei", "o": "oi"}[ch]]
+        return 1, [ch]
     if ch == "c":
         if nxt in ("e", "i", "é", "í"):
             return 1, ["θ"]
@@ -68,6 +74,30 @@ def _context(word: str, i: int):
             return 2, [f"w{nxt}"]
         return 1, ["u"]
     return None
+
+
+def _apply_rules_span(word: str, start: int, stop: int) -> typing.List[str]:
+    """apply_rules limited to word[start:stop], with rule context drawn
+    from the FULL word (accent handling splits words at the stressed
+    vowel; the halves must not look like word edges)."""
+    out: typing.List[str] = []
+    i = start
+    while i < stop:
+        claimed = _context(word, i)
+        if claimed is not None:
+            length, phones = claimed
+            out.extend(phones)
+            i += length
+            continue
+        for pattern, phones in _RULES:
+            if word.startswith(pattern, i) and i + len(pattern) <= stop:
+                if phones:
+                    out.extend(phones.split())
+                i += len(pattern)
+                break
+        else:
+            i += 1
+    return out
 
 
 def phonemize(word: str) -> typing.List[str]:
@@ -98,8 +128,11 @@ def phonemize(word: str) -> typing.List[str]:
             split_end = accent_pos + 1
         else:
             split_end = accent_pos
-        before = apply_rules(plain[:split], _RULES, _context)
-        rest = head + apply_rules(plain[split_end:], _RULES, _context)
+        # both halves walk the FULL word so boundary context survives
+        # (policía: the c sees the following i; miércoles: the r after
+        # the split is not word-initial)
+        before = _apply_rules_span(plain, 0, split)
+        rest = head + _apply_rules_span(plain, split_end, len(plain))
         for i, p in enumerate(rest):
             if p in VOWELS:
                 rest[i] = "ˈ" + p
