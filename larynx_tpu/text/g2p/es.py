@@ -7,7 +7,11 @@ Diphthongs are single symbols.
 
 import typing
 
-from larynx_tpu.text.g2p.rules import apply_rules, stress_nth_vowel_from_end
+from larynx_tpu.text.g2p.rules import (
+    apply_rules,
+    apply_rules_span,
+    stress_nth_vowel_from_end,
+)
 
 VOWELS = {
     "a", "e", "i", "o", "u",
@@ -76,30 +80,6 @@ def _context(word: str, i: int):
     return None
 
 
-def _apply_rules_span(word: str, start: int, stop: int) -> typing.List[str]:
-    """apply_rules limited to word[start:stop], with rule context drawn
-    from the FULL word (accent handling splits words at the stressed
-    vowel; the halves must not look like word edges)."""
-    out: typing.List[str] = []
-    i = start
-    while i < stop:
-        claimed = _context(word, i)
-        if claimed is not None:
-            length, phones = claimed
-            out.extend(phones)
-            i += length
-            continue
-        for pattern, phones in _RULES:
-            if word.startswith(pattern, i) and i + len(pattern) <= stop:
-                if phones:
-                    out.extend(phones.split())
-                i += len(pattern)
-                break
-        else:
-            i += 1
-    return out
-
-
 def phonemize(word: str) -> typing.List[str]:
     w = word.lower().strip()
     if not w:
@@ -131,8 +111,10 @@ def phonemize(word: str) -> typing.List[str]:
         # both halves walk the FULL word so boundary context survives
         # (policía: the c sees the following i; miércoles: the r after
         # the split is not word-initial)
-        before = _apply_rules_span(plain, 0, split)
-        rest = head + _apply_rules_span(plain, split_end, len(plain))
+        before = apply_rules_span(plain, 0, split, _RULES, _context)
+        rest = head + apply_rules_span(
+            plain, split_end, len(plain), _RULES, _context
+        )
         for i, p in enumerate(rest):
             if p in VOWELS:
                 rest[i] = "ˈ" + p

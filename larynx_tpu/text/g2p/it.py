@@ -6,7 +6,11 @@ s t t͡s t͡ʃ u v w z ŋ ɔ ɛ ɡ ɱ ɲ ʃ ʎ + ˈ ˌ.
 
 import typing
 
-from larynx_tpu.text.g2p.rules import apply_rules, stress_nth_vowel_from_end
+from larynx_tpu.text.g2p.rules import (
+    apply_rules,
+    apply_rules_span,
+    stress_nth_vowel_from_end,
+)
 
 VOWELS = {"a", "e", "i", "o", "u", "ɔ", "ɛ"}
 
@@ -41,6 +45,15 @@ def _context(word: str, i: int):
     prev = word[i - 1] if i > 0 else ""
     prev2 = word[i - 2] if i > 1 else ""
 
+    # sci: the i is a marker before a/o/u (sciare -> ʃa), a vowel
+    # otherwise (pesci -> ʃi, uscire -> ʃi)
+    if word.startswith("sci", i):
+        nxt3 = word[i + 3] if i + 3 < len(word) else ""
+        if nxt3 and nxt3 in "aou":
+            return 3, ["ʃ"]
+        if nxt3 == "e":
+            return 4, ["ʃ", "e"]
+        return 3, ["ʃ", "i"]
     # chi/ghi + vowel: the i is a glide (occhio -> k k j o)
     if ch in "cg" and word.startswith("h", i + 1) and nxt2 == "i":
         nxt3 = word[i + 3] if i + 3 < len(word) else ""
@@ -51,7 +64,7 @@ def _context(word: str, i: int):
     # c/g before i: the i is silent before a vowel (giorno -> d͡ʒ o),
     # a real vowel otherwise (città -> t͡ʃ i, cinque -> t͡ʃ i n)
     if ch in "cg" and nxt == "i":
-        if nxt2 in "aou":
+        if nxt2 and nxt2 in "aou":
             return 2, [_SOFT[ch]]
         if nxt2 == "e":  # cielo -> t͡ʃ e
             return 3, [_SOFT[ch], "e"]
@@ -86,7 +99,7 @@ def _context(word: str, i: int):
     if (
         ch == "i"
         and nxt == ""
-        and prev in "aeou"
+        and prev and prev in "aeou"
         and not (prev == "u" and prev2 in "qg")
     ):
         return 1, ["j"]
@@ -134,6 +147,12 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     "insieme": ("i", "n", "s", "j", "ɛ", "m", "e"),
     "sedia": ("s", "ɛ", "d", "j", "a"),
     "strada": ("s", "t", "r", "a", "d", "a"),
+    "farmacia": ("f", "a", "r", "m", "a", "t͡ʃ", "i", "a"),
+    "polizia": ("p", "o", "l", "i", "t͡s", "i", "a"),
+    "zio": ("t͡s", "i", "o"),
+    "zia": ("t͡s", "i", "a"),
+    "compagnia": ("k", "o", "m", "p", "a", "ɲ", "i", "a"),
+    "scienza": ("ʃ", "ɛ", "n", "t͡s", "a"),
     "parola": ("p", "a", "r", "ɔ", "l", "a"),
     "sempre": ("s", "ɛ", "m", "p", "r", "e"),
     "adesso": ("a", "d", "ɛ", "s", "s", "o"),
@@ -153,17 +172,17 @@ def phonemize(word: str) -> typing.List[str]:
         return stress_nth_vowel_from_end(list(hit), VOWELS, n=2)
     accent_pos = next((i for i, c in enumerate(w) if c in _ACCENTED), None)
     if accent_pos is not None:
-        before = apply_rules(
-            "".join(_ACCENTED.get(c, c) for c in w[:accent_pos]), _RULES, _context
+        # both halves walk the FULL (accent-stripped) word so boundary
+        # context survives ("già": gi+à is one soft-g unit)
+        stressed = _ACCENTED[w[accent_pos]]
+        plain = "".join(
+            (stressed if i == accent_pos else _ACCENTED.get(c, c))
+            for i, c in enumerate(w)
         )
-        rest_txt = _ACCENTED[w[accent_pos]] + "".join(
-            _ACCENTED.get(c, c) for c in w[accent_pos + 1 :]
+        before = apply_rules_span(plain, 0, accent_pos, _RULES, _context)
+        rest = ["ˈ" + stressed] + apply_rules_span(
+            plain, accent_pos + 1, len(plain), _RULES, _context
         )
-        rest = apply_rules(rest_txt, _RULES, _context)
-        for i, p in enumerate(rest):
-            if p in VOWELS:
-                rest[i] = "ˈ" + p
-                break
         return before + rest
     phonemes = apply_rules(w, _RULES, _context)
     return stress_nth_vowel_from_end(phonemes, VOWELS, n=2)

@@ -56,3 +56,37 @@ def stress_nth_vowel_from_end(
     out = list(phonemes)
     out[idx] = marker + out[idx]
     return out
+
+
+def apply_rules_span(
+    word: str,
+    start: int,
+    stop: int,
+    rules: typing.Sequence[Rule],
+    context_rules=None,
+) -> typing.List[str]:
+    """apply_rules over word[start:stop] with context drawn from the FULL
+    word.  Accent handling splits words at the stressed vowel; the halves
+    must not look like word edges (Spanish "policía" needs the c to see
+    its i; Italian "già" needs gi+à to read as one unit).  A context rule
+    may consume past ``stop`` (marker letters merging with the stressed
+    vowel); plain rules are clipped to the span."""
+    out: typing.List[str] = []
+    i = start
+    while i < stop:
+        if context_rules is not None:
+            claimed = context_rules(word, i)
+            if claimed is not None:
+                length, phones = claimed
+                out.extend(phones)
+                i += length
+                continue
+        for pattern, phones in rules:
+            if word.startswith(pattern, i) and i + len(pattern) <= stop:
+                if phones:
+                    out.extend(phones.split())
+                i += len(pattern)
+                break
+        else:
+            i += 1
+    return out
