@@ -28,6 +28,7 @@ _RULES = [
     ("ieuw", "i w"), ("eeuw", "eː w"),
     ("ie", "i"),
     ("éé", "eː"), ("é", "eː"), ("è", "ɛ"), ("ë", "ɛ"), ("ï", "i"),
+    ("th", "t"),
     ("a", "ɑ"), ("b", "b"), ("c", "k"), ("d", "d"), ("e", "ɛ"),
     ("f", "f"), ("g", "ɣ"), ("h", "h"), ("i", "ɪ"), ("j", "j"),
     ("k", "k"), ("l", "l"), ("m", "m"), ("n", "n"), ("o", "ɔ"),
@@ -59,6 +60,30 @@ def _context(word: str, i: int):
     # doubled consonants are single sounds
     if nxt == ch and ch in _DOUBLE_MAP:
         return 2, [_DOUBLE_MAP[ch]]
+    # c softens before front vowels (december, cijfer)
+    if ch == "c" and nxt and nxt in "ei":
+        return 1, ["s"]
+    # i between vowels is a glide (groeien, draaien)
+    if ch == "i" and prev and prev in _VOWEL_LETTERS and nxt == "e":
+        return 1, ["j"]
+    # unstressed e in a NON-final syllable before n/r + consonant:
+    # compound linkers and suffixes (ziekenhuis, wetenschap, zaterdag,
+    # bakkerij) — the word must go on with more vowels, so the stressed
+    # -ent/-ens finals (president) stay full
+    if (
+        ch == "e"
+        and nxt in "nr"
+        and nxt2 and nxt2 not in _VOWEL_LETTERS
+        and _n_vowel_letters(word[:i]) >= 1
+        and _n_vowel_letters(word[i + 2 :]) >= 1
+    ):
+        return 2, ["ə", {"r": "ɹ"}.get(nxt, nxt)]
+    # the -erij suffix is [ə ɹ ɛi] (bakkerij)
+    if word.endswith("erij") and i == len(word) - 4:
+        return 4, ["ə", "ɹ", "ɛi"]
+    # final single o is long and open (radio, kilo)
+    if ch == "o" and i + 1 == len(word) and len(word) > 1:
+        return 1, ["oː"]
     # unstressed e in final syllables of polysyllables: -e/-en/-el/... ;
     # -er(d/s/en) vocalizes to ə + ɹ
     if ch == "n" and nxt == "k":
@@ -121,6 +146,14 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     "moeilijk": ("m", "u", "j", "l", "ə", "k"),
     "eigenlijk": ("ɛi", "ɣ", "ə", "l", "ə", "k"),
     "natuurlijk": ("n", "ɑ", "t", "yː", "ɹ", "l", "ə", "k"),
+    "geschiedenis": ("ɣ", "ə", "s", "x", "i", "d", "ə", "n", "ɪ", "s"),
+    "geleden": ("ɣ", "ə", "l", "eː", "d", "ə", "n"),
+    "genoeg": ("ɣ", "ə", "n", "u", "x"),
+    "gelukkig": ("ɣ", "ə", "l", "ʏ", "k", "ə", "x"),
+    "gezicht": ("ɣ", "ə", "z", "ɪ", "x", "t"),
+    "bedankt": ("b", "ə", "d", "ɑ", "ŋ", "k", "t"),
+    "miljoen": ("m", "ɪ", "l", "j", "u", "n"),
+    "miljard": ("m", "ɪ", "l", "j", "ɑ", "r", "t"),
 }
 
 
