@@ -33,6 +33,7 @@ _RULES = [
     ("stj", "ɧ"), ("skj", "ɧ"), ("sj", "ɧ"),
     ("tj", "ɕ"), ("kj", "ɕ"),
     ("ng", "ŋ"),
+    ("é", "eː"),
     ("ck", "k"),
     ("k", "k"),
     ("b", "b"), ("d", "d"), ("f", "f"), ("h", "h"), ("j", "j"),
@@ -146,6 +147,14 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     "nord": ("n", "uː", "r", "d"),
     "lärare": ("l", "ɛː", "r", "a", "r", "ɛ"),
     "torg": ("t", "ɔ", "r", "j"),
+    "augusti": ("a", "ɡ", "ɵ", "s", "t", "ɪ"),
+    "miljon": ("m", "ɪ", "l", "j", "uː", "n"),
+    "miljoner": ("m", "ɪ", "l", "j", "uː", "n", "ɛ", "r"),
+    "telefon": ("t", "eː", "l", "eː", "f", "uː", "n"),
+    "bibliotek": ("b", "ɪ", "b", "l", "ɪ", "uː", "t", "eː", "k"),
+    "apotek": ("a", "p", "uː", "t", "eː", "k"),
+    "universitet": ("ʉː", "n", "ɪ", "v", "ɛ", "r", "s", "ɪ", "t", "eː", "t"),
+    "sjukhus": ("ɧ", "ʉː", "k", "h", "ʉː", "s"),
 }
 
 
