@@ -3879,6 +3879,614 @@ yogurt j ˈoʊ ɡ ɚ t
 yolk j ˈoʊ k
 zebra z ˈi b ɹ ə
 zoo z ˈu
+abundant ə b ˈʌ n d ə n t
+accelerate æ k s ˈɛ l ɚ ˌeɪ t
+accessible æ k s ˈɛ s ə b ə l
+accommodate ə k ˈɑ m ə d ˌeɪ t
+accomplishment ə k ˈɑ m p l ɪ ʃ m ə n t
+accountant ə k ˈaʊ n t ə n t
+accuracy ˈæ k j ɚ ə s i
+acquisition ˌæ k w ə z ˈɪ ʃ ə n
+adolescent ˌæ d ə l ˈɛ s ə n t
+aesthetic ɛ s θ ˈɛ t ɪ k
+affection ə f ˈɛ k ʃ ə n
+aggressive ə ɡ ˈɹ ɛ s ɪ v
+agony ˈæ ɡ ə n i
+alert ə l ˈɚ t
+algorithm ˈæ l ɡ ə ɹ ˌɪ ð ə m
+alien ˈeɪ l i ə n
+alliance ə l ˈaɪ ə n s
+ally ˈæ l aɪ
+ambassador æ m b ˈæ s ə d ɚ
+ambitious æ m b ˈɪ ʃ ə s
+amendment ə m ˈɛ n d m ə n t
+ample ˈæ m p ə l
+anticipate æ n t ˈɪ s ə p ˌeɪ t
+anxiety æ ŋ z ˈaɪ ə t i
+apparatus ˌæ p ɚ ˈæ t ə s
+appliance ə p l ˈaɪ ə n s
+applicant ˈæ p l ə k ə n t
+appreciation ə p ɹ ˌi ʃ i ˈeɪ ʃ ə n
+apprentice ə p ˈɹ ɛ n t ə s
+arbitrary ˈɑ ɹ b ə t ɹ ˌɛ ɹ i
+architecture ˈɑ ɹ k ə t ˌɛ k t͡ʃ ɚ
+arena ɚ ˈi n ə
+aristocrat ɚ ˈɪ s t ə k ɹ ˌæ t
+arrogant ˈɛ ɹ ə ɡ ə n t
+artery ˈɑ ɹ t ɚ i
+assault ə s ˈɔ l t
+assemble ə s ˈɛ m b ə l
+assembly ə s ˈɛ m b l i
+assess ə s ˈɛ s
+asset ˈæ s ɛ t
+assumption ə s ˈʌ m p ʃ ə n
+astronaut ˈæ s t ɹ ə n ˌɔ t
+astronomy ə s t ˈɹ ɑ n ə m i
+atomic ə t ˈɑ m ɪ k
+auction ˈɔ k ʃ ə n
+audit ˈɔ d ə t
+authentic ɔ θ ˈɛ n t ɪ k
+autonomy ɔ t ˈɑ n ə m i
+aviation ˌeɪ v i ˈeɪ ʃ ə n
+bachelor b ˈæ t͡ʃ ə l ɚ
+ballet b æ l ˈeɪ
+bankruptcy b ˈæ ŋ k ɹ ʌ p t s i
+banner b ˈæ n ɚ
+barrier b ˈɛ ɹ i ɚ
+basin b ˈeɪ s ə n
+bass b ˈeɪ s
+beverage b ˈɛ v ɹ ɪ d͡ʒ
+bias b ˈaɪ ə s
+bid b ˈɪ d
+biography b aɪ ˈɑ ɡ ɹ ə f i
+bolt b ˈoʊ l t
+boost b ˈu s t
+booth b ˈu θ
+boulevard b ˈʊ l ə v ˌɑ ɹ d
+bracket b ˈɹ æ k ə t
+breakdown b ˈɹ eɪ k d ˌaʊ n
+breakthrough b ˈɹ eɪ k θ ɹ ˌu
+browser b ˈɹ aʊ z ɚ
+brutal b ˈɹ u t ə l
+buckle b ˈʌ k ə l
+buffer b ˈʌ f ɚ
+bulk b ˈʌ l k
+bureau b j ˈʊ ɹ oʊ
+bureaucracy b j ʊ ɹ ˈɑ k ɹ ə s i
+calculate k ˈæ l k j ə l ˌeɪ t
+calculator k ˈæ l k j ə l ˌeɪ t ɚ
+candid k ˈæ n d ə d
+carbohydrate k ˌɑ ɹ b oʊ h ˈaɪ d ɹ eɪ t
+cascade k æ s k ˈeɪ d
+casualty k ˈæ ʒ u ə l t i
+catastrophe k ə t ˈæ s t ɹ ə f i
+cater k ˈeɪ t ɚ
+cathedral k ə θ ˈi d ɹ ə l
+cautious k ˈɔ ʃ ə s
+cellular s ˈɛ l j ə l ɚ
+ceramic s ɚ ˈæ m ɪ k
+certainty s ˈɚ t ə n t i
+certify s ˈɚ t ə f ˌaɪ
+chronic k ˈɹ ɑ n ɪ k
+chronicle k ˈɹ ɑ n ɪ k ə l
+circuit s ˈɚ k ə t
+circulate s ˈɚ k j ə l ˌeɪ t
+citizenship s ˈɪ t ə z ə n ʃ ˌɪ p
+clarify k l ˈɛ ɹ ə f ˌaɪ
+clarity k l ˈɛ ɹ ə t i
+classic k l ˈæ s ɪ k
+classification k l ˌæ s ə f ə k ˈeɪ ʃ ə n
+clause k l ˈɔ z
+clinic k l ˈɪ n ɪ k
+clinical k l ˈɪ n ɪ k ə l
+cluster k l ˈʌ s t ɚ
+cognitive k ˈɑ ɡ n ə t ɪ v
+coherent k oʊ h ˈɪ ɹ ə n t
+coincide k ˌoʊ ə n s ˈaɪ d
+coincidence k oʊ ˈɪ n s ə d ə n s
+collaborate k ə l ˈæ b ə ɹ ˌeɪ t
+collapse k ə l ˈæ p s
+collision k ə l ˈɪ ʒ ə n
+colonial k ə l ˈoʊ n i ə l
+commodity k ə m ˈɑ d ə t i
+compass k ˈʌ m p ə s
+compatible k ə m p ˈæ t ə b ə l
+compel k ə m p ˈɛ l
+compensate k ˈɑ m p ə n s ˌeɪ t
+competent k ˈɑ m p ə t ə n t
+compile k ə m p ˈaɪ l
+complement k ˈɑ m p l ə m ə n t
+complexity k ə m p l ˈɛ k s ə t i
+compliance k ə m p l ˈaɪ ə n s
+component k ə m p ˈoʊ n ə n t
+comprehensive k ˌɑ m p ɹ ɪ h ˈɛ n s ɪ v
+comprise k ə m p ˈɹ aɪ z
+conceive k ə n s ˈi v
+concession k ə n s ˈɛ ʃ ə n
+condemn k ə n d ˈɛ m
+configuration k ə n f ˌɪ ɡ j ɚ ˈeɪ ʃ ə n
+confine k ə n f ˈaɪ n
+confront k ə n f ˈɹ ʌ n t
+congratulate k ə n ɡ ˈɹ æ t͡ʃ ə l ˌeɪ t
+conjunction k ə n d͡ʒ ˈʌ ŋ k ʃ ə n
+consensus k ə n s ˈɛ n s ə s
+consent k ə n s ˈɛ n t
+conservative k ə n s ˈɚ v ə t ɪ v
+consolidate k ə n s ˈɑ l ə d ˌeɪ t
+conspiracy k ə n s p ˈɪ ɹ ə s i
+constituency k ə n s t ˈɪ t͡ʃ u ə n s i
+constraint k ə n s t ˈɹ eɪ n t
+consultant k ə n s ˈʌ l t ə n t
+consumption k ə n s ˈʌ m p ʃ ə n
+contempt k ə n t ˈɛ m p t
+contend k ə n t ˈɛ n d
+contractor k ˈɑ n t ɹ æ k t ɚ
+contradiction k ˌɑ n t ɹ ə d ˈɪ k ʃ ə n
+contrary k ˈɑ n t ɹ ˌɛ ɹ i
+controversial k ˌɑ n t ɹ ə v ˈɚ ʃ ə l
+controversy k ˈɑ n t ɹ ə v ˌɚ s i
+convention k ə n v ˈɛ n ʃ ə n
+conversion k ə n v ˈɚ ʒ ə n
+convey k ə n v ˈeɪ
+conviction k ə n v ˈɪ k ʃ ə n
+coordinate k oʊ ˈɔ ɹ d ə n ˌeɪ t
+cope k ˈoʊ p
+copyright k ˈɑ p i ɹ ˌaɪ t
+corridor k ˈɔ ɹ ə d ɚ
+corrupt k ɚ ˈʌ p t
+corruption k ɚ ˈʌ p ʃ ə n
+cosmetic k ɑ z m ˈɛ t ɪ k
+counsel k ˈaʊ n s ə l
+courtesy k ˈɚ t ə s i
+craftsman k ˈɹ æ f t s m ə n
+credibility k ɹ ˌɛ d ə b ˈɪ l ə t i
+critique k ɹ ɪ t ˈi k
+crucial k ˈɹ u ʃ ə l
+crude k ˈɹ u d
+cruise k ˈɹ u z
+cumulative k j ˈu m j ə l ə t ɪ v
+curiosity k j ˌʊ ɹ i ˈɑ s ə t i
+curriculum k ɚ ˈɪ k j ə l ə m
+cynical s ˈɪ n ɪ k ə l
+deadline d ˈɛ d l ˌaɪ n
+debris d ə b ˈɹ i
+decent d ˈi s ə n t
+dedicate d ˈɛ d ə k ˌeɪ t
+deduce d ɪ d ˈu s
+default d ɪ f ˈɔ l t
+deficit d ˈɛ f ə s ə t
+dense d ˈɛ n s
+density d ˈɛ n s ə t i
+designate d ˈɛ z ɪ ɡ n ˌeɪ t
+detach d ɪ t ˈæ t͡ʃ
+deteriorate d ɪ t ˈɪ ɹ i ɚ ˌeɪ t
+diagnosis d ˌaɪ ə ɡ n ˈoʊ s ə s
+dialect d ˈaɪ ə l ˌɛ k t
+dictate d ˈɪ k t eɪ t
+dignity d ˈɪ ɡ n ə t i
+dilemma d ə l ˈɛ m ə
+dimension d ə m ˈɛ n ʃ ə n
+diminish d ə m ˈɪ n ɪ ʃ
+diplomat d ˈɪ p l ə m ˌæ t
+disability d ˌɪ s ə b ˈɪ l ə t i
+discourse d ˈɪ s k ɔ ɹ s
+discretion d ɪ s k ˈɹ ɛ ʃ ə n
+dismay d ɪ s m ˈeɪ
+disorder d ɪ s ˈɔ ɹ d ɚ
+dispatch d ɪ s p ˈæ t͡ʃ
+displace d ɪ s p l ˈeɪ s
+disposal d ɪ s p ˈoʊ z ə l
+dispose d ɪ s p ˈoʊ z
+dispute d ɪ s p j ˈu t
+disrupt d ɪ s ˈɹ ʌ p t
+dissolve d ɪ z ˈɑ l v
+distress d ɪ s t ˈɹ ɛ s
+diverse d aɪ v ˈɚ s
+diversity d aɪ v ˈɚ s ə t i
+dividend d ˈɪ v ə d ˌɛ n d
+doctrine d ˈɑ k t ɹ ə n
+donor d ˈoʊ n ɚ
+dose d ˈoʊ s
+draft d ˈɹ æ f t
+drastic d ˈɹ æ s t ɪ k
+dual d ˈu ə l
+dubious d ˈu b i ə s
+durable d ˈʊ ɹ ə b ə l
+duration d ʊ ɹ ˈeɪ ʃ ə n
+dynasty d ˈaɪ n ə s t i
+eclipse ɪ k l ˈɪ p s
+ecology ɪ k ˈɑ l ə d͡ʒ i
+ecosystem ˈi k oʊ s ˌɪ s t ə m
+elaborate ɪ l ˈæ b ɚ ə t
+eligible ˈɛ l ə d͡ʒ ə b ə l
+eloquent ˈɛ l ə k w ə n t
+embassy ˈɛ m b ə s i
+embrace ɪ m b ˈɹ eɪ s
+emission ə m ˈɪ ʃ ə n
+empirical ɪ m p ˈɪ ɹ ɪ k ə l
+enact ɪ n ˈæ k t
+endeavor ɪ n d ˈɛ v ɚ
+endorse ɪ n d ˈɔ ɹ s
+endure ɪ n d ˈʊ ɹ
+enforce ɪ n f ˈɔ ɹ s
+enhance ɪ n h ˈæ n s
+enterprise ˈɛ n t ɚ p ɹ ˌaɪ z
+entity ˈɛ n t ə t i
+entrepreneur ˌɑ n t ɹ ə p ɹ ə n ˈɚ
+epidemic ˌɛ p ə d ˈɛ m ɪ k
+equity ˈɛ k w ə t i
+equivalent ɪ k w ˈɪ v ə l ə n t
+erosion ɪ ɹ ˈoʊ ʒ ə n
+eternal ɪ t ˈɚ n ə l
+ethical ˈɛ θ ɪ k ə l
+ethics ˈɛ θ ɪ k s
+ethnic ˈɛ θ n ɪ k
+evacuate ɪ v ˈæ k j u ˌeɪ t
+evolve ɪ v ˈɑ l v
+exaggerate ɪ ɡ z ˈæ d͡ʒ ɚ ˌeɪ t
+excerpt ˈɛ k s ɚ p t
+exclusive ɪ k s k l ˈu s ɪ v
+execute ˈɛ k s ə k j ˌu t
+executive ɪ ɡ z ˈɛ k j ə t ɪ v
+exempt ɪ ɡ z ˈɛ m p t
+exile ˈɛ ɡ z aɪ l
+expire ɪ k s p ˈaɪ ɚ
+explicit ɪ k s p l ˈɪ s ə t
+exploit ɪ k s p l ˈɔɪ t
+exquisite ɪ k s k w ˈɪ z ə t
+extinct ɪ k s t ˈɪ ŋ k t
+extract ɪ k s t ˈɹ æ k t
+fabulous f ˈæ b j ə l ə s
+facilitate f ə s ˈɪ l ə t ˌeɪ t
+facility f ə s ˈɪ l ə t i
+faction f ˈæ k ʃ ə n
+faculty f ˈæ k ə l t i
+fatigue f ə t ˈi ɡ
+feasible f ˈi z ə b ə l
+federation f ˌɛ d ɚ ˈeɪ ʃ ə n
+feedback f ˈi d b ˌæ k
+fertile f ˈɚ t ə l
+fiscal f ˈɪ s k ə l
+flaw f l ˈɔ
+fluctuate f l ˈʌ k t͡ʃ u ˌeɪ t
+forge f ˈɔ ɹ d͡ʒ
+fragment f ˈɹ æ ɡ m ə n t
+framework f ˈɹ eɪ m w ˌɚ k
+franchise f ˈɹ æ n t͡ʃ aɪ z
+fraud f ˈɹ ɔ d
+frontier f ɹ ʌ n t ˈɪ ɹ
+fusion f j ˈu ʒ ə n
+futile f j ˈu t ə l
+gauge ɡ ˈeɪ d͡ʒ
+gender d͡ʒ ˈɛ n d ɚ
+genetic d͡ʒ ə n ˈɛ t ɪ k
+genome d͡ʒ ˈi n oʊ m
+glacier ɡ l ˈeɪ ʃ ɚ
+gland ɡ l ˈæ n d
+glimpse ɡ l ˈɪ m p s
+gloom ɡ l ˈu m
+gorgeous ɡ ˈɔ ɹ d͡ʒ ə s
+gospel ɡ ˈɑ s p ə l
+gourmet ɡ ʊ ɹ m ˈeɪ
+graffiti ɡ ɹ ə f ˈi t i
+gratitude ɡ ˈɹ æ t ə t ˌu d
+gravel ɡ ˈɹ æ v ə l
+grid ɡ ˈɹ ɪ d
+grill ɡ ˈɹ ɪ l
+guardian ɡ ˈɑ ɹ d i ə n
+gut ɡ ˈʌ t
+habitat h ˈæ b ə t ˌæ t
+hierarchy h ˈaɪ ɚ ˌɑ ɹ k i
+hostage h ˈɑ s t ɪ d͡ʒ
+hostile h ˈɑ s t ə l
+humidity h j u m ˈɪ d ə t i
+hygiene h ˈaɪ d͡ʒ i n
+hypothesis h aɪ p ˈɑ θ ə s ə s
+identical aɪ d ˈɛ n t ɪ k ə l
+ideology ˌaɪ d i ˈɑ l ə d͡ʒ i
+idiom ˈɪ d i ə m
+ignorance ˈɪ ɡ n ɚ ə n s
+immune ə m j ˈu n
+imperial ɪ m p ˈɪ ɹ i ə l
+implicit ɪ m p l ˈɪ s ə t
+incentive ɪ n s ˈɛ n t ɪ v
+inclination ˌɪ n k l ə n ˈeɪ ʃ ə n
+indifferent ɪ n d ˈɪ f ɹ ə n t
+inevitable ɪ n ˈɛ v ə t ə b ə l
+infrastructure ˈɪ n f ɹ ə s t ɹ ˌʌ k t͡ʃ ɚ
+inherent ɪ n h ˈɪ ɹ ə n t
+inherit ɪ n h ˈɛ ɹ ə t
+inhibit ɪ n h ˈɪ b ə t
+initiative ɪ n ˈɪ ʃ ə t ɪ v
+inject ɪ n d͡ʒ ˈɛ k t
+injustice ɪ n d͡ʒ ˈʌ s t ə s
+inland ˈɪ n l ə n d
+insane ɪ n s ˈeɪ n
+insight ˈɪ n s ˌaɪ t
+integral ˈɪ n t ə ɡ ɹ ə l
+integrate ˈɪ n t ə ɡ ɹ ˌeɪ t
+integrity ɪ n t ˈɛ ɡ ɹ ə t i
+intellectual ˌɪ n t ə l ˈɛ k t͡ʃ u ə l
+intensity ɪ n t ˈɛ n s ə t i
+interact ˌɪ n t ɚ ˈæ k t
+interval ˈɪ n t ɚ v ə l
+intervene ˌɪ n t ɚ v ˈi n
+intimate ˈɪ n t ə m ə t
+intricate ˈɪ n t ɹ ə k ə t
+intuition ˌɪ n t u ˈɪ ʃ ə n
+invasion ɪ n v ˈeɪ ʒ ə n
+inventory ˈɪ n v ə n t ˌɔ ɹ i
+ironic aɪ ˈɹ ɑ n ɪ k
+irony ˈaɪ ɹ ə n i
+irrigation ˌɪ ɹ ə ɡ ˈeɪ ʃ ə n
+isolate ˈaɪ s ə l ˌeɪ t
+isolation ˌaɪ s ə l ˈeɪ ʃ ə n
+jurisdiction d͡ʒ ˌʊ ɹ ə s d ˈɪ k ʃ ə n
+justification d͡ʒ ˌʌ s t ə f ə k ˈeɪ ʃ ə n
+kidnap k ˈɪ d n ˌæ p
+laser l ˈeɪ z ɚ
+latitude l ˈæ t ə t ˌu d
+legacy l ˈɛ ɡ ə s i
+legislation l ˌɛ d͡ʒ ə s l ˈeɪ ʃ ə n
+legitimate l ə d͡ʒ ˈɪ t ə m ə t
+leverage l ˈɛ v ɹ ɪ d͡ʒ
+liability l ˌaɪ ə b ˈɪ l ə t i
+lifestyle l ˈaɪ f s t ˌaɪ l
+likelihood l ˈaɪ k l i h ˌʊ d
+limestone l ˈaɪ m s t ˌoʊ n
+linear l ˈɪ n i ɚ
+linguistic l ɪ ŋ ɡ w ˈɪ s t ɪ k
+literacy l ˈɪ t ɚ ə s i
+litigation l ˌɪ t ə ɡ ˈeɪ ʃ ə n
+longitude l ˈɑ n d͡ʒ ə t ˌu d
+lucrative l ˈu k ɹ ə t ɪ v
+magnitude m ˈæ ɡ n ə t ˌu d
+mainstream m ˈeɪ n s t ɹ ˌi m
+mandate m ˈæ n d eɪ t
+mandatory m ˈæ n d ə t ˌɔ ɹ i
+maneuver m ə n ˈu v ɚ
+manifest m ˈæ n ə f ˌɛ s t
+manipulate m ə n ˈɪ p j ə l ˌeɪ t
+manuscript m ˈæ n j ə s k ɹ ˌɪ p t
+marginal m ˈɑ ɹ d͡ʒ ə n ə l
+maritime m ˈɛ ɹ ə t ˌaɪ m
+mathematical m ˌæ θ ə m ˈæ t ɪ k ə l
+matrix m ˈeɪ t ɹ ɪ k s
+mediate m ˈi d i ˌeɪ t
+medieval m ˌɪ d i ˈi v ə l
+meditation m ˌɛ d ə t ˈeɪ ʃ ə n
+membrane m ˈɛ m b ɹ eɪ n
+metabolism m ə t ˈæ b ə l ˌɪ z ə m
+metaphor m ˈɛ t ə f ˌɔ ɹ
+methodology m ˌɛ θ ə d ˈɑ l ə d͡ʒ i
+metropolitan m ˌɛ t ɹ ə p ˈɑ l ə t ə n
+migration m aɪ ɡ ˈɹ eɪ ʃ ə n
+milestone m ˈaɪ l s t ˌoʊ n
+molecular m ə l ˈɛ k j ə l ɚ
+molecule m ˈɑ l ə k j ˌu l
+momentum m oʊ m ˈɛ n t ə m
+monarchy m ˈɑ n ɚ k i
+monopoly m ə n ˈɑ p ə l i
+morale m ɚ ˈæ l
+morality m ɚ ˈæ l ə t i
+mortgage m ˈɔ ɹ ɡ ɪ d͡ʒ
+motive m ˈoʊ t ɪ v
+municipal m j u n ˈɪ s ə p ə l
+mutation m j u t ˈeɪ ʃ ə n
+mutual m j ˈu t͡ʃ u ə l
+naive n aɪ ˈi v
+nominate n ˈɑ m ə n ˌeɪ t
+nominee n ˌɑ m ə n ˈi
+nostalgia n ɑ s t ˈæ l d͡ʒ ə
+notorious n oʊ t ˈɔ ɹ i ə s
+nucleus n ˈu k l i ə s
+nuisance n ˈu s ə n s
+oblige ə b l ˈaɪ d͡ʒ
+obscure ə b s k j ˈʊ ɹ
+obsession ə b s ˈɛ ʃ ə n
+obsolete ˌɑ b s ə l ˈi t
+offset ˈɔ f s ˌɛ t
+offspring ˈɔ f s p ɹ ˌɪ ŋ
+omit oʊ m ˈɪ t
+optimal ˈɑ p t ə m ə l
+optimism ˈɑ p t ə m ˌɪ z ə m
+optimize ˈɑ p t ə m ˌaɪ z
+ordeal ɔ ɹ d ˈi l
+organism ˈɔ ɹ ɡ ə n ˌɪ z ə m
+ornament ˈɔ ɹ n ə m ə n t
+orthodox ˈɔ ɹ θ ə d ˌɑ k s
+outbreak ˈaʊ t b ɹ ˌeɪ k
+outlook ˈaʊ t l ˌʊ k
+outrage ˈaʊ t ɹ eɪ d͡ʒ
+oversee ˌoʊ v ɚ s ˈi
+overwhelm ˌoʊ v ɚ w ˈɛ l m
+paradox p ˈɛ ɹ ə d ˌɑ k s
+parameter p ɚ ˈæ m ə t ɚ
+partial p ˈɑ ɹ ʃ ə l
+participant p ɑ ɹ t ˈɪ s ə p ə n t
+patent p ˈæ t ə n t
+pathetic p ə θ ˈɛ t ɪ k
+patron p ˈeɪ t ɹ ə n
+pedestrian p ə d ˈɛ s t ɹ i ə n
+penetrate p ˈɛ n ə t ɹ ˌeɪ t
+peninsula p ə n ˈɪ n s ə l ə
+perceive p ɚ s ˈi v
+persist p ɚ s ˈɪ s t
+pessimism p ˈɛ s ə m ˌɪ z ə m
+pesticide p ˈɛ s t ə s ˌaɪ d
+petition p ə t ˈɪ ʃ ə n
+petroleum p ə t ˈɹ oʊ l i ə m
+pharmaceutical f ˌɑ ɹ m ə s ˈu t ɪ k ə l
+physiology f ˌɪ z i ˈɑ l ə d͡ʒ i
+pinpoint p ˈɪ n p ˌɔɪ n t
+plateau p l æ t ˈoʊ
+plausible p l ˈɔ z ə b ə l
+pledge p l ˈɛ d͡ʒ
+plural p l ˈʊ ɹ ə l
+pneumonia n u m ˈoʊ n j ə
+polar p ˈoʊ l ɚ
+portfolio p ɔ ɹ t f ˈoʊ l i ˌoʊ
+postal p ˈoʊ s t ə l
+posture p ˈɑ s t͡ʃ ɚ
+pragmatic p ɹ æ ɡ m ˈæ t ɪ k
+precedent p ˈɹ ɛ s ə d ə n t
+precision p ɹ ɪ s ˈɪ ʒ ə n
+predator p ˈɹ ɛ d ə t ɚ
+predecessor p ˈɹ ɛ d ə s ˌɛ s ɚ
+predominantly p ɹ ɪ d ˈɑ m ə n ə n t l i
+preliminary p ɹ ɪ l ˈɪ m ə n ˌɛ ɹ i
+premise p ˈɹ ɛ m ə s
+premium p ˈɹ i m i ə m
+prescription p ɹ ɪ s k ˈɹ ɪ p ʃ ə n
+prestige p ɹ ɛ s t ˈi ʒ
+presume p ɹ ɪ z ˈu m
+prevail p ɹ ɪ v ˈeɪ l
+privatize p ˈɹ aɪ v ə t ˌaɪ z
+probe p ˈɹ oʊ b
+proclaim p ɹ oʊ k l ˈeɪ m
+productivity p ɹ ˌoʊ d ʌ k t ˈɪ v ə t i
+profound p ɹ ə f ˈaʊ n d
+projection p ɹ ə d͡ʒ ˈɛ k ʃ ə n
+prone p ˈɹ oʊ n
+propaganda p ɹ ˌɑ p ə ɡ ˈæ n d ə
+prophet p ˈɹ ɑ f ə t
+prosecute p ˈɹ ɑ s ə k j ˌu t
+prosperity p ɹ ɑ s p ˈɛ ɹ ə t i
+protocol p ˈɹ oʊ t ə k ˌɔ l
+prototype p ˈɹ oʊ t ə t ˌaɪ p
+provoke p ɹ ə v ˈoʊ k
+proximity p ɹ ɑ k s ˈɪ m ə t i
+psychiatric s ˌaɪ k i ˈæ t ɹ ɪ k
+publicity p ʌ b l ˈɪ s ə t i
+pulse p ˈʌ l s
+quota k w ˈoʊ t ə
+radiation ɹ ˌeɪ d i ˈeɪ ʃ ə n
+radius ɹ ˈeɪ d i ə s
+rational ɹ ˈæ ʃ ə n ə l
+realistic ɹ ˌi ə l ˈɪ s t ɪ k
+rebellion ɹ ɪ b ˈɛ l j ə n
+receptor ɹ ɪ s ˈɛ p t ɚ
+recession ɹ ɪ s ˈɛ ʃ ə n
+reckon ɹ ˈɛ k ə n
+reconstruction ɹ ˌi k ə n s t ˈɹ ʌ k ʃ ə n
+referendum ɹ ˌɛ f ɚ ˈɛ n d ə m
+refine ɹ ɪ f ˈaɪ n
+refuge ɹ ˈɛ f j u d͡ʒ
+regain ɹ ɪ ɡ ˈeɪ n
+regardless ɹ ɪ ɡ ˈɑ ɹ d l ə s
+rehabilitation ɹ ˌi ə b ˌɪ l ə t ˈeɪ ʃ ə n
+reinforce ɹ ˌi ɪ n f ˈɔ ɹ s
+remainder ɹ ɪ m ˈeɪ n d ɚ
+render ɹ ˈɛ n d ɚ
+renowned ɹ ɪ n ˈaʊ n d
+rental ɹ ˈɛ n t ə l
+repetition ɹ ˌɛ p ə t ˈɪ ʃ ə n
+replicate ɹ ˈɛ p l ə k ˌeɪ t
+restraint ɹ ɪ s t ˈɹ eɪ n t
+retrieve ɹ ɪ t ˈɹ i v
+revelation ɹ ˌɛ v ə l ˈeɪ ʃ ə n
+revival ɹ ɪ v ˈaɪ v ə l
+rhetoric ɹ ˈɛ t ɚ ɪ k
+rigorous ɹ ˈɪ ɡ ɚ ə s
+ritual ɹ ˈɪ t͡ʃ u ə l
+robust ɹ oʊ b ˈʌ s t
+rotation ɹ oʊ t ˈeɪ ʃ ə n
+sanction s ˈæ ŋ k ʃ ə n
+sanctuary s ˈæ ŋ k t͡ʃ u ˌɛ ɹ i
+sarcasm s ˈɑ ɹ k ˌæ z ə m
+scrutiny s k ˈɹ u t ə n i
+seminar s ˈɛ m ə n ˌɑ ɹ
+sentiment s ˈɛ n t ə m ə n t
+sequel s ˈi k w ə l
+simulate s ˈɪ m j ə l ˌeɪ t
+simultaneous s ˌaɪ m ə l t ˈeɪ n i ə s
+skeptical s k ˈɛ p t ɪ k ə l
+sovereign s ˈɑ v ɹ ə n
+spectacular s p ɛ k t ˈæ k j ə l ɚ
+spectrum s p ˈɛ k t ɹ ə m
+speculate s p ˈɛ k j ə l ˌeɪ t
+spontaneous s p ɑ n t ˈeɪ n i ə s
+statistical s t ə t ˈɪ s t ɪ k ə l
+stereotype s t ˈɛ ɹ i ə t ˌaɪ p
+stimulus s t ˈɪ m j ə l ə s
+strategic s t ɹ ə t ˈi d͡ʒ ɪ k
+subsequent s ˈʌ b s ə k w ə n t
+subsidy s ˈʌ b s ə d i
+summon s ˈʌ m ə n
+supplement s ˈʌ p l ə m ə n t
+suspend s ə s p ˈɛ n d
+sustain s ə s t ˈeɪ n
+syndrome s ˈɪ n d ɹ oʊ m
+synthetic s ɪ n θ ˈɛ t ɪ k
+tactic t ˈæ k t ɪ k
+tariff t ˈɛ ɹ ə f
+tedious t ˈi d i ə s
+temporal t ˈɛ m p ɚ ə l
+terminal t ˈɚ m ə n ə l
+terminate t ˈɚ m ə n ˌeɪ t
+terrain t ɚ ˈeɪ n
+testify t ˈɛ s t ə f ˌaɪ
+testimony t ˈɛ s t ə m ˌoʊ n i
+textile t ˈɛ k s t aɪ l
+theology θ i ˈɑ l ə d͡ʒ i
+theoretical θ ˌi ɚ ˈɛ t ɪ k ə l
+thermal θ ˈɚ m ə l
+threshold θ ˈɹ ɛ ʃ h ˌoʊ l d
+thrive θ ˈɹ aɪ v
+toll t ˈoʊ l
+toxic t ˈɑ k s ɪ k
+trademark t ˈɹ eɪ d m ˌɑ ɹ k
+trait t ˈɹ eɪ t
+tranquil t ˈɹ æ ŋ k w ə l
+transaction t ɹ æ n z ˈæ k ʃ ə n
+transcript t ˈɹ æ n s k ɹ ˌɪ p t
+transmission t ɹ æ n z m ˈɪ ʃ ə n
+transmit t ɹ æ n z m ˈɪ t
+transparent t ɹ æ n s p ˈɛ ɹ ə n t
+trauma t ˈɹ ɔ m ə
+tribunal t ɹ aɪ b j ˈu n ə l
+tribute t ˈɹ ɪ b j u t
+trigger t ˈɹ ɪ ɡ ɚ
+tuition t u ˈɪ ʃ ə n
+turbine t ˈɚ b aɪ n
+turmoil t ˈɚ m ɔɪ l
+tutor t ˈu t ɚ
+ultimatum ˌʌ l t ə m ˈeɪ t ə m
+undermine ˌʌ n d ɚ m ˈaɪ n
+undertake ˌʌ n d ɚ t ˈeɪ k
+unify j ˈu n ə f ˌaɪ
+unprecedented ʌ n p ˈɹ ɛ s ə d ˌɛ n t ə d
+uphold ʌ p h ˈoʊ l d
+utilize j ˈu t ə l ˌaɪ z
+vaccine v æ k s ˈi n
+validate v ˈæ l ə d ˌeɪ t
+vapor v ˈeɪ p ɚ
+variable v ˈɛ ɹ i ə b ə l
+variation v ˌɛ ɹ i ˈeɪ ʃ ə n
+velocity v ə l ˈɑ s ə t i
+vendor v ˈɛ n d ɚ
+verdict v ˈɚ d ɪ k t
+verify v ˈɛ ɹ ə f ˌaɪ
+versatile v ˈɚ s ə t ə l
+veto v ˈi t oʊ
+viable v ˈaɪ ə b ə l
+vibrant v ˈaɪ b ɹ ə n t
+vicious v ˈɪ ʃ ə s
+vigorous v ˈɪ ɡ ɚ ə s
+vulnerable v ˈʌ l n ɚ ə b ə l
+warfare w ˈɔ ɹ f ˌɛ ɹ
+warrant w ˈɔ ɹ ə n t
+warranty w ˈɔ ɹ ə n t i
+withdrawal w ɪ ð d ˈɹ ɔ ə l
+withstand w ɪ θ s t ˈæ n d
+witty w ˈɪ t i
+workforce w ˈɚ k f ˌɔ ɹ s
+workload w ˈɚ k l ˌoʊ d
+worthwhile w ˌɚ θ w ˈaɪ l
+yearn j ˈɚ n
+yoga j ˈoʊ ɡ ə
+zeal z ˈi l
+zinc z ˈɪ ŋ k
 """
 
 LEXICON: typing.Dict[str, typing.List[str]] = {}
