@@ -120,7 +120,13 @@ def _upsample_cond(params: Params, cfg, mel: jnp.ndarray) -> jnp.ndarray:
     return spect.reshape(b, blocks, cfg.mel_channels * cfg.groups)
 
 
-def _wn(p: Params, cfg, x0: jnp.ndarray, spect_g: jnp.ndarray) -> jnp.ndarray:
+def _wn(
+    p: Params,
+    cfg,
+    x0: jnp.ndarray,
+    spect_g: jnp.ndarray,
+    use_pallas: bool = False,
+) -> jnp.ndarray:
     """Conditioned WaveNet stack -> coupling (b, log_s) channels.
 
     x0: [B, blocks, n_half]; spect_g: [B, blocks, n_mels*groups].  The
@@ -128,21 +134,34 @@ def _wn(p: Params, cfg, x0: jnp.ndarray, spect_g: jnp.ndarray) -> jnp.ndarray:
     at a time): same FLOPs as one big matmul, 1/wn_layers the live
     activation bytes — the hoisted [B, blocks, 2ch*layers] product was
     the peak-HBM buffer at wn_256 geometry.
+
+    ``use_pallas`` runs each layer as ONE fused VMEM-resident kernel
+    (ops/wn_layer.py) instead of four HLOs with HBM round trips between
+    them; only the residual add / skip accumulation stay in XLA.
     """
     ch = p["in_w"][0].shape[2] // 2
     h = matmul1x1(x0, p["start_w"], p["start_b"])
     skip = None
     for i in range(cfg.wn_layers):
-        a = conv1d(h, p["in_w"][i], p["in_b"][i], dilation=2**i)
-        a = a + matmul1x1(
-            spect_g,
-            jax.lax.dynamic_slice_in_dim(
-                p["cond_w"], i * 2 * ch, 2 * ch, axis=1
-            ),
-            jax.lax.dynamic_slice_in_dim(p["cond_b"], i * 2 * ch, 2 * ch, 0),
+        cond_w = jax.lax.dynamic_slice_in_dim(
+            p["cond_w"], i * 2 * ch, 2 * ch, axis=1
         )
-        acts = jnp.tanh(a[..., :ch]) * jax.nn.sigmoid(a[..., ch:])
-        rs = matmul1x1(acts, p["res_skip_w"][i], p["res_skip_b"][i])
+        cond_b = jax.lax.dynamic_slice_in_dim(
+            p["cond_b"], i * 2 * ch, 2 * ch, 0
+        )
+        if use_pallas:
+            from larynx_tpu.ops.wn_layer import fused_wn_layer
+
+            rs = fused_wn_layer(
+                h, spect_g, p["in_w"][i], p["in_b"][i],
+                cond_w, cond_b, p["res_skip_w"][i], p["res_skip_b"][i],
+                dilation=2**i,
+            )
+        else:
+            a = conv1d(h, p["in_w"][i], p["in_b"][i], dilation=2**i)
+            a = a + matmul1x1(spect_g, cond_w, cond_b)
+            acts = jnp.tanh(a[..., :ch]) * jax.nn.sigmoid(a[..., ch:])
+            rs = matmul1x1(acts, p["res_skip_w"][i], p["res_skip_b"][i])
         if i < cfg.wn_layers - 1:
             h = h + rs[..., :ch]
             s = rs[..., ch:]
@@ -217,6 +236,7 @@ def infer(
     key: typing.Optional[jax.Array] = None,
     z: typing.Optional[jnp.ndarray] = None,
     sigma: float = 1.0,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """mel [B, M, n_mels] -> audio [B, M*upsample_stride].
 
@@ -248,7 +268,7 @@ def infer(
         flow = params["flows"][k]
         n_half = x.shape[-1] // 2
         x0, x1 = x[..., :n_half], x[..., n_half:]
-        out = _wn(flow["wn"], cfg, x0, cond)
+        out = _wn(flow["wn"], cfg, x0, cond, use_pallas=use_pallas)
         b_t, log_s = out[..., :n_half], out[..., n_half:]
         x1 = (x1 - b_t) * jnp.exp(-log_s)
         x = jnp.concatenate([x0, x1], axis=-1)

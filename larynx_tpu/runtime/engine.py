@@ -440,6 +440,14 @@ class SynthesisEngine:
 
             from larynx_tpu.models.waveglow import model as wg_model
 
+            import os
+
+            # fused Pallas WN layers (ops/wn_layer.py); opt-in while the
+            # XLA path remains the measured default
+            wg_pallas = self.use_pallas and bool(
+                os.environ.get("LARYNX_TPU_WAVEGLOW_PALLAS")
+            )
+
             @jax.jit
             def vocode_wg(voc_params, mel, z_mask, z):
                 """``z`` is the pre-drawn, pre-scaled prior noise
@@ -453,6 +461,7 @@ class SynthesisEngine:
                     voc_cfg,
                     jnp.swapaxes(mel_pp, 1, 2).astype(self.voc_dtype),
                     z=z.astype(self.voc_dtype),
+                    use_pallas=wg_pallas,
                 ).astype(jnp.float32)
                 y_len = jnp.sum(z_mask, axis=1, dtype=jnp.int32)
                 return to_int16(audio, y_len * voc_cfg.upsample_stride)

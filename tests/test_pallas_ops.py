@@ -314,3 +314,37 @@ def test_fused_mrf_pad_to_384_tile_aligned():
     )
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("dilation", [1, 4, 128])
+@pytest.mark.parametrize("rs_out", [512, 256])
+def test_fused_wn_layer_matches_xla(dilation, rs_out):
+    """ops/wn_layer.py (fused WaveGlow WN layer) must match the XLA
+    composition in models/waveglow/model.py::_wn for one layer —
+    interpret mode on CPU; the TPU lowering shares the kernel body."""
+    from larynx_tpu.models.nn import conv1d, matmul1x1
+    from larynx_tpu.ops.wn_layer import fused_wn_layer
+
+    key = jax.random.PRNGKey(17 + dilation)
+    B, T, CH, CC = 2, 700, 256, 640
+    ks = jax.random.split(key, 8)
+    h = jax.random.normal(ks[0], (B, T, CH))
+    cond = jax.random.normal(ks[1], (B, T, CC))
+    w_in = jax.random.normal(ks[2], (3, CH, 2 * CH)) * 0.05
+    b_in = jax.random.normal(ks[3], (2 * CH,)) * 0.01
+    w_cond = jax.random.normal(ks[4], (CC, 2 * CH)) * 0.05
+    b_cond = jax.random.normal(ks[5], (2 * CH,)) * 0.01
+    w_rs = jax.random.normal(ks[6], (CH, rs_out)) * 0.05
+    b_rs = jax.random.normal(ks[7], (rs_out,)) * 0.01
+
+    a = conv1d(h, w_in, b_in, dilation=dilation) + matmul1x1(
+        cond, w_cond, b_cond
+    )
+    acts = jnp.tanh(a[..., :CH]) * jax.nn.sigmoid(a[..., CH:])
+    ref = matmul1x1(acts, w_rs, b_rs)
+
+    got = fused_wn_layer(
+        h, cond, w_in, b_in, w_cond, b_cond, w_rs, b_rs,
+        dilation=dilation, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
