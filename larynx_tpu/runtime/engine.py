@@ -951,7 +951,7 @@ class SynthesisEngine:
         if trace:
             t3 = time.perf_counter()
             _LOGGER.debug(
-                "engine batch=%d rows=%d: encode+sync %.1f ms, "
+                "engine batch=%d rows=%d: encode dispatch %.1f ms, "
                 "decode+vocode dispatch %.1f ms, compute+D2H %.1f ms "
                 "(%d part(s), %.1f MB)",
                 n, b_rows,

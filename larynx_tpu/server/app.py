@@ -551,7 +551,17 @@ def create_app(settings: typing.Optional[ServerSettings] = None) -> web.Applicat
 
     async def api_stats(request: web.Request) -> web.Response:
         """Operational counters (no reference equivalent): batching
-        effectiveness of the cross-request scheduler."""
+        effectiveness of the cross-request scheduler and the engines'
+        predictive decode-bucket health (mispredicts cost one discarded
+        decode each; see engine.synthesize_launch_predicted)."""
+        engines = {}
+        for key, engine in getattr(
+            larynx_tpu, "_ENGINE_CACHE", {}
+        ).items():
+            engines[str(key)] = {
+                "frames_per_token": round(engine._frames_per_token, 3),
+                "bucket_mispredicts": engine._bucket_mispredicts,
+            }
         return web.json_response(
             {
                 "batches_run": scheduler.batches_run,
@@ -559,6 +569,7 @@ def create_app(settings: typing.Optional[ServerSettings] = None) -> web.Applicat
                 "sentences_per_batch": round(
                     scheduler.jobs_run / max(1, scheduler.batches_run), 3
                 ),
+                "engines": engines,
                 "version": larynx_tpu.__version__,
             }
         )
