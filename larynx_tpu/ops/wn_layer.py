@@ -79,7 +79,7 @@ def _kernel(
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    acc += bias_a_ref[:].astype(jnp.float32)[None, :]
+    acc += bias_a_ref[0].astype(jnp.float32)[None, :]
 
     acts = jnp.tanh(acc[:, :ch]) * jax.nn.sigmoid(acc[:, ch:])
     rs = jax.lax.dot_general(
@@ -88,7 +88,7 @@ def _kernel(
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    rs += b_rs_ref[:].astype(jnp.float32)[None, :]
+    rs += b_rs_ref[0].astype(jnp.float32)[None, :]
     out_ref[0] = rs.astype(out_ref.dtype)
 
 
@@ -142,8 +142,8 @@ def fused_wn_layer(
             pl.BlockSpec((3, ch, 2 * ch), lambda b_, i: (0, 0, 0)),
             pl.BlockSpec((cc, 2 * ch), lambda b_, i: (0, 0)),
             pl.BlockSpec((ch, rs_out), lambda b_, i: (0, 0)),
-            pl.BlockSpec((2 * ch,), lambda b_, i: (0,)),
-            pl.BlockSpec((rs_out,), lambda b_, i: (0,)),
+            pl.BlockSpec((1, 2 * ch), lambda b_, i: (0, 0)),
+            pl.BlockSpec((1, rs_out), lambda b_, i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, tile, rs_out), lambda b_, i: (b_, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b, t_pad, rs_out), h.dtype),
@@ -152,5 +152,8 @@ def fused_wn_layer(
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(x, cond_p, w_in, w_cond, w_rs, bias_a, b_rs.astype(h.dtype))
+    )(
+        x, cond_p, w_in, w_cond, w_rs,
+        bias_a[None, :], b_rs.astype(h.dtype)[None, :],
+    )
     return out[:, :t, :]
