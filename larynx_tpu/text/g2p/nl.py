@@ -153,7 +153,7 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     "gezicht": ("ɣ", "ə", "z", "ɪ", "x", "t"),
     "bedankt": ("b", "ə", "d", "ɑ", "ŋ", "k", "t"),
     "miljoen": ("m", "ɪ", "l", "j", "u", "n"),
-    "miljard": ("m", "ɪ", "l", "j", "ɑ", "r", "t"),
+    "miljard": ("m", "ɪ", "l", "j", "ɑ", "ɹ", "t"),
     "universiteit": ("yː", "n", "i", "v", "ɛ", "ɹ", "s", "i", "t", "ɛi", "t"),
     "luchthaven": ("l", "ʏ", "x", "t", "h", "aː", "v", "ə", "n"),
 }

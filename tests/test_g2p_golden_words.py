@@ -81,3 +81,31 @@ def test_fixture_symbols_in_voice_inventory(lang, reference_dir):
         if p not in inventory
     }
     assert not unknown, f"symbols outside {voice} inventory: {sorted(unknown)}"
+
+
+@pytest.mark.parametrize("lang", sorted(LANGS))
+def test_exception_lexicons_in_voice_inventory(lang, reference_dir):
+    """Every hand-authored exception entry must emit only symbols the
+    released voice was trained on — a typo'd IPA symbol would otherwise
+    surface as a missing phoneme id at synthesis time."""
+    module = {
+        "fr": fr, "de": de, "es": es, "it": it, "nl": nl, "sv": sv,
+        "sw": sw,
+    }[lang]
+    exceptions = getattr(module, "_EXCEPTIONS", None)
+    if exceptions is None:
+        pytest.skip("no exception lexicon")
+    voice = LANGS[lang][1]
+    inv_path = reference_dir / "local" / voice / "phonemes.txt"
+    inventory = {
+        line.split()[1]
+        for line in inv_path.read_text(encoding="utf-8").splitlines()
+        if len(line.split()) >= 2
+    }
+    unknown = {
+        (word, p)
+        for word, phones in exceptions.items()
+        for p in phones
+        if p.lstrip("ˈˌ'²") not in inventory
+    }
+    assert not unknown, f"out-of-inventory symbols: {sorted(unknown)[:10]}"
