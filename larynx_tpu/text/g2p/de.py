@@ -73,7 +73,7 @@ def _context(word: str, i: int):
     if word.startswith("chs", i):
         return 3, ["k", "s"]
     if word.startswith("ch", i):
-        if prev in "aou":
+        if prev and prev in "aou":
             return 2, ["x"]
         return 2, ["ç"]
     # initial sp/st get ʃ

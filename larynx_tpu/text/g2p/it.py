@@ -71,7 +71,7 @@ def _context(word: str, i: int):
         return 2, [_SOFT[ch], "i"]
     # doubled c/g before front vowels: geminate affricate
     # (faccia -> t t͡ʃ, oggi -> d d͡ʒ)
-    if ch in "cg" and nxt == ch and nxt2 in "ei":
+    if ch in "cg" and nxt == ch and nxt2 and nxt2 in "ei":
         first = "t" if ch == "c" else "d"
         if nxt2 == "e":
             return 2, [first, _SOFT[ch]]
@@ -94,7 +94,7 @@ def _context(word: str, i: int):
         return 1, ["z"]
     # i before vowel is a glide; i after a vowel at word end closes a
     # falling diphthong (lui, mai) — but not after the glide u of qu/gu
-    if ch == "i" and nxt and nxt in "aeou" and prev not in "cg":
+    if ch == "i" and nxt and nxt in "aeou" and (not prev or prev not in "cg"):
         return 1, ["j"]
     if (
         ch == "i"
