@@ -117,9 +117,13 @@ def _context(word: str, i: int):
     # final r after a vowel vocalizes (vier, Bier, Jahr)
     if ch == "r" and i + 1 == len(word) and prev in _VOWEL_LETTERS + "h":
         return 1, ["ɐ"]
-    # final single vowel is long and open (zu, so, Auto); final e is
-    # schwa and handled below
+    # final vowels: monosyllables are long (zu, so, ja); polysyllabic
+    # final i/o/u/ä/ö/ü keep the tense (long) symbol — the inventory
+    # has no short tense vowels — while final unstressed a is short
+    # (China, Kamera) and final e is schwa (handled below)
     if ch in _LONG and ch != "e" and i + 1 == len(word) and len(word) > 1:
+        if ch == "a" and _n_vowel_letters(word) > 1:
+            return 1, ["a"]
         return 1, [_LONG[ch]]
     # unstressed e in final syllables of polysyllables:
     # -e/-en/-el/-em/-es/-et/-eln/-elt and -er/-ern/-ert (-> ɐ),
