@@ -20,7 +20,6 @@ next layer's input read.
 """
 
 import functools
-import typing
 
 import jax
 import jax.numpy as jnp
