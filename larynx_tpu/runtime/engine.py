@@ -703,7 +703,16 @@ class SynthesisEngine:
         """
         ratio = self._frames_per_token
         decoded = None
-        if ratio > 0.0 and max_id_len > 0 and row_seeds is None:
+        # prediction changes the decode program's noise SHAPE, so a
+        # wider-than-exact bucket yields a different (equally valid)
+        # noise draw.  Explicitly seeded requests promise bit
+        # reproducibility and take the exact-bucket path.
+        if (
+            ratio > 0.0
+            and max_id_len > 0
+            and row_seeds is None
+            and seed is None
+        ):
             pred_frames = int(math.ceil(max_id_len * ratio * 1.15))
             bucket = self.policy.mel_bucket(pred_frames)
             decoded = self.decode_launch(

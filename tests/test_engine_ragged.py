@@ -139,7 +139,7 @@ def test_predicted_bucket_matches_synced_path(engine):
     enc_out, g = engine.encode_launch(ids, 1.0)
     y_lengths = np.asarray(enc_out[4])
     parts, b_rows = engine.synthesize_launch(
-        enc_out, y_lengths, g, n, seed=3, batch_index=0
+        enc_out, y_lengths, g, n, batch_index=0
     )
     ref = engine.crop_rows(engine.vocode_collect(parts, b_rows), y_lengths, n, 0.0)
 
@@ -151,7 +151,7 @@ def test_predicted_bucket_matches_synced_path(engine):
     enc_out2, g2 = engine.encode_launch(ids, 1.0)
     parts2, b_rows2, y2 = engine.synthesize_launch_predicted(
         enc_out2, g2, n, max_id_len=max(len(s) for s in ids),
-        seed=3, batch_index=0,
+        batch_index=0,
     )
     assert engine._bucket_mispredicts == before  # upper bound held
     got = engine.crop_rows(engine.vocode_collect(parts2, b_rows2), y2, n, 0.0)
@@ -174,7 +174,7 @@ def test_predicted_bucket_mispredict_falls_back(engine):
     enc_out, g = engine.encode_launch(ids, 12.0)
     y_lengths = np.asarray(enc_out[4])
     parts, b_rows = engine.synthesize_launch(
-        enc_out, y_lengths, g, n, seed=4, batch_index=0
+        enc_out, y_lengths, g, n, batch_index=0
     )
     ref = engine.crop_rows(engine.vocode_collect(parts, b_rows), y_lengths, n, 0.0)
 
@@ -183,9 +183,33 @@ def test_predicted_bucket_mispredict_falls_back(engine):
     enc_out2, g2 = engine.encode_launch(ids, 12.0)
     parts2, b_rows2, y2 = engine.synthesize_launch_predicted(
         enc_out2, g2, n, max_id_len=max(len(s) for s in ids),
-        seed=4, batch_index=0,
+        batch_index=0,
     )
     assert engine._bucket_mispredicts == before + 1
     got = engine.crop_rows(engine.vocode_collect(parts2, b_rows2), y2, n, 0.0)
     for a, b in zip(ref, got):
         np.testing.assert_array_equal(a, b)  # fallback = the exact bucket
+
+
+def test_predicted_bucket_skipped_for_seeded_requests(engine):
+    """An explicit seed promises bit reproducibility; the predicted
+    bucket may differ run-to-run (estimator state), which changes the
+    decode noise SHAPE and thus the draw — so seeded requests must take
+    the exact-bucket path."""
+    rng = np.random.default_rng(7)
+    ids = [rng.integers(1, 48, size=12).astype(np.int64)]
+
+    engine._frames_per_token = 50.0  # would predict a huge bucket
+    enc_out, g = engine.encode_launch(ids, 1.0)
+    parts, b_rows, y = engine.synthesize_launch_predicted(
+        enc_out, g, 1, max_id_len=12, seed=11, batch_index=0
+    )
+    got = engine.crop_rows(engine.vocode_collect(parts, b_rows), y, 1, 0.0)
+
+    enc_out2, g2 = engine.encode_launch(ids, 1.0)
+    y2 = np.asarray(enc_out2[4])
+    parts2, b2 = engine.synthesize_launch(
+        enc_out2, y2, g2, 1, seed=11, batch_index=0
+    )
+    ref = engine.crop_rows(engine.vocode_collect(parts2, b2), y2, 1, 0.0)
+    np.testing.assert_array_equal(got[0], ref[0])
