@@ -348,3 +348,32 @@ def test_fused_wn_layer_matches_xla(dilation, rs_out):
         dilation=dilation, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_wn_layer_bf16_halo_alignment():
+    """bf16 uses a 16-row sublane alignment for the DMA halo; the d=1
+    layer exercises the halo > dilation case."""
+    from larynx_tpu.models.nn import conv1d, matmul1x1
+    from larynx_tpu.ops.wn_layer import fused_wn_layer
+
+    key = jax.random.PRNGKey(23)
+    B, T, CH, CC = 1, 520, 256, 640
+    ks = jax.random.split(key, 8)
+    h = jax.random.normal(ks[0], (B, T, CH), jnp.bfloat16)
+    cond = jax.random.normal(ks[1], (B, T, CC), jnp.bfloat16)
+    w_in = (jax.random.normal(ks[2], (3, CH, 2 * CH)) * 0.05).astype(jnp.bfloat16)
+    b_in = (jax.random.normal(ks[3], (2 * CH,)) * 0.01).astype(jnp.bfloat16)
+    w_cond = (jax.random.normal(ks[4], (CC, 2 * CH)) * 0.05).astype(jnp.bfloat16)
+    b_cond = (jax.random.normal(ks[5], (2 * CH,)) * 0.01).astype(jnp.bfloat16)
+    w_rs = (jax.random.normal(ks[6], (CH, 2 * CH)) * 0.05).astype(jnp.bfloat16)
+    b_rs = (jax.random.normal(ks[7], (2 * CH,)) * 0.01).astype(jnp.bfloat16)
+
+    a = conv1d(h, w_in, b_in, dilation=1) + matmul1x1(cond, w_cond, b_cond)
+    acts = jnp.tanh(a[..., :CH]) * jax.nn.sigmoid(a[..., CH:])
+    ref = matmul1x1(acts, w_rs, b_rs).astype(jnp.float32)
+
+    got = fused_wn_layer(
+        h, cond, w_in, b_in, w_cond, b_cond, w_rs, b_rs,
+        dilation=1, interpret=True,
+    ).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0.15)
