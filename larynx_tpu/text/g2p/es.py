@@ -99,13 +99,33 @@ def phonemize(word: str) -> typing.List[str]:
         if w[accent_pos] in "íú":
             head = [plain[accent_pos]]
             split_end = accent_pos + 1
-        elif accent_pos > 0 and plain[accent_pos - 1] in "iu" and plain[
-            accent_pos
-        ] in "aeo":
+        elif (
+            accent_pos > 0
+            and plain[accent_pos - 1] in "iu"
+            and plain[accent_pos] in "aeo"
+            # the u of qué/aquél/llegué is the silent digraph u, not a
+            # glide: let the else branch split at the accent so the
+            # before-span keeps the qu/gu digraph intact
+            and not (
+                plain[accent_pos - 1] == "u"
+                and plain[accent_pos] == "e"
+                and accent_pos >= 2
+                and plain[accent_pos - 2] in "qg"
+            )
+        ):
             glide = "j" if plain[accent_pos - 1] == "i" else "w"
             head = [glide + plain[accent_pos]]
             split = accent_pos - 1
             split_end = accent_pos + 1
+            if (
+                plain[accent_pos - 1] == "u"
+                and accent_pos >= 2
+                and plain[accent_pos - 2] == "q"
+            ):
+                # quó/quá (quórum, quásar): [kw] — a bare q carries no
+                # rule, so consume it into the head
+                head = ["k"] + head
+                split = accent_pos - 2
         else:
             split_end = accent_pos
         # both halves walk the FULL word so boundary context survives

@@ -74,6 +74,21 @@ def _context(word: str, i: int):
     nxt = word[i + 1] if i + 1 < len(word) else ""
     nxt2 = word[i + 2] if i + 2 < len(word) else ""
 
+    # ain/aim/ein/oin/uin followed by a vowel are NOT nasal — the n/m
+    # starts the next syllable (semaine, vraiment, moine, ruine): emit
+    # the oral digraph reading and leave the n/m to its own rule.  The
+    # plain trigram rules below only see the coda cases.
+    if nxt2 and nxt2 in "nm" and i + 3 < len(word) and word[
+        i + 3
+    ] in _ORAL_VOWEL_LETTERS:
+        tri = word[i : i + 3]
+        oral = {
+            "ain": ["ɛ"], "aim": ["ɛ"], "ein": ["ɛ"],
+            "oin": ["w", "a"], "uin": ["ɥ", "i"],
+        }.get(tri)
+        if oral is not None:
+            return 2, oral
+
     # digraphs the single-letter context rules must not shadow
     if word.startswith("ch", i):
         return 2, ["ʃ"]
@@ -333,6 +348,33 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
 }
 
 
+# Third-person-plural verb forms: the written -ent is SILENT (ils
+# parlent = [paʁl]), but -ent is also a common nasal noun/adverb ending
+# (moment, vraiment) — undecidable without POS context, so the frequent
+# verb forms are listed and pronounced as their stem + mute e.
+_ENT_VERB_FORMS = frozenset(
+    stem + "ent"
+    for stem in (
+        # -er verbs (3pl = stem of the -e form)
+        "parl", "aim", "donn", "chant", "arriv", "demand", "regard",
+        "pens", "trouv", "montr", "écout", "habit", "travaill", "jou",
+        "mang", "laiss", "pass", "rest", "port", "entr", "sembl",
+        "tomb", "gard", "quitt", "cherch", "appell", "commenc",
+        "continu", "exist", "manqu", "occup", "présent", "propos",
+        "racont", "rappell", "ressembl", "retrouv", "chang", "dans",
+        "march", "étudi", "essai", "pai", "envoi", "emploi", "utilis",
+        "ajout", "prépar", "form",
+        # irregular stems whose 3pl matches stem + mute e
+        "veul", "peuv", "doiv", "prenn", "vienn", "tienn", "comprenn",
+        "apprenn", "connaiss", "finiss", "choisiss", "réussiss",
+        "mett", "permett", "attend", "entend", "répond", "vend",
+        "perd", "descend", "viv", "suiv", "écriv", "lis", "dis",
+        "part", "sort", "dorm", "serv", "ouvr", "offr", "souffr",
+        "croi", "voi", "reçoiv", "sav", "boiv", "ri",
+    )
+)
+
+
 def phonemize(word: str) -> typing.List[str]:
     w = word.lower().strip()
     if not w:
@@ -340,5 +382,8 @@ def phonemize(word: str) -> typing.List[str]:
     hit = _EXCEPTIONS.get(w)
     if hit is not None:
         return stress_nth_vowel_from_end(list(hit), VOWELS, n=1)
+    if w in _ENT_VERB_FORMS:
+        # silent verbal -ent: pronounce the stem with a mute final e
+        return phonemize(w[:-3] + "e")
     phonemes = apply_rules(w, _RULES, _context)
     return stress_nth_vowel_from_end(phonemes, VOWELS, n=1)

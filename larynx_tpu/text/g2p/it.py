@@ -15,6 +15,9 @@ from larynx_tpu.text.g2p.rules import (
 VOWELS = {"a", "e", "i", "o", "u", "ɔ", "ɛ"}
 
 _ACCENTED = {"à": "a", "è": "ɛ", "é": "e", "ì": "i", "ò": "ɔ", "ó": "o", "ù": "u"}
+# base ORTHOGRAPHIC letter (for rule-context walks; _ACCENTED values are
+# the emitted phoneme qualities, which differ for è/ò)
+_BASE = {"à": "a", "è": "e", "é": "e", "ì": "i", "ò": "o", "ó": "o", "ù": "u"}
 
 _RULES = [
     ("sci", "ʃ"), ("sce", "ʃ e"),
@@ -86,9 +89,15 @@ def _context(word: str, i: int):
             return 3, ["ʎ", "i"]
         if word[i + 3] in "aeou":
             return 3, ["ʎ"]
-    # uo is always open o (uomo, buono, cuore)
+    # uo is always open o (uomo, buono, cuore) — two single-char claims
+    # so an accent split between u and ò can't double-emit the vowel
+    # (può: the before-span ends between them)
     if ch == "u" and nxt == "o":
-        return 2, ["w", "ɔ"]
+        return 1, ["w"]
+    if ch == "o" and prev == "u" and prev2 != "q":
+        # prev2 == "q": the u belonged to the plain qu -> k w rule and
+        # this o is an ordinary vowel (quota)
+        return 1, ["ɔ"]
     # intervocalic s is voiced
     if ch == "s" and prev and prev in "aeiou" and nxt and nxt in "aeiou":
         return 1, ["z"]
@@ -158,8 +167,6 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     "adesso": ("a", "d", "ɛ", "s", "s", "o"),
     "gnocchi": ("ɲ", "ɔ", "k", "k", "i"),
     "due": ("d", "u", "e"),
-    "però": ("p", "e", "r", "ɔ"),
-    "perché": ("p", "e", "r", "k", "e"),
 }
 
 
@@ -173,16 +180,22 @@ def phonemize(word: str) -> typing.List[str]:
     accent_pos = next((i for i, c in enumerate(w) if c in _ACCENTED), None)
     if accent_pos is not None:
         # both halves walk the FULL (accent-stripped) word so boundary
-        # context survives ("già": gi+à is one soft-g unit)
+        # context survives ("già": gi+à is one soft-g unit).  The walk
+        # must see the BASE letter at the accent (può: the uo-diphthong
+        # rule checks for literal 'o'; ciò: the soft-c marker checks
+        # nxt in 'aou') — only the emitted stressed symbol carries the
+        # open ɛ/ɔ quality
         stressed = _ACCENTED[w[accent_pos]]
         plain = "".join(
-            (stressed if i == accent_pos else _ACCENTED.get(c, c))
+            (_BASE.get(c, c) if i == accent_pos else _ACCENTED.get(c, c))
             for i, c in enumerate(w)
         )
         before = apply_rules_span(plain, 0, accent_pos, _RULES, _context)
         rest = ["ˈ" + stressed] + apply_rules_span(
             plain, accent_pos + 1, len(plain), _RULES, _context
         )
+        # a rule that consumed PAST the accent (gi+à, qu+ò) already
+        # emitted the base vowel; its quality/stress is in `rest`
         return before + rest
     phonemes = apply_rules(w, _RULES, _context)
     return stress_nth_vowel_from_end(phonemes, VOWELS, n=2)
