@@ -419,7 +419,8 @@ def _run_jobs(
         parts, b_rows, y_lengths = engine.synthesize_launch_predicted(
             enc_out, g, n,
             max_id_len=max(len(jobs[i]["ids"]) for i in indices),
-            noise_scale=noise_scale, seed=seed, batch_index=j,
+            noise_scale=noise_scale, length_scale=length_scale,
+            seed=seed, batch_index=j,
             denoiser_strength=denoiser_strength,
         )
         tails[j] = (parts, y_lengths, b_rows, t0)

@@ -126,6 +126,7 @@ def _wn(
     x0: jnp.ndarray,
     spect_g: jnp.ndarray,
     use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ) -> jnp.ndarray:
     """Conditioned WaveNet stack -> coupling (b, log_s) channels.
 
@@ -150,24 +151,27 @@ def _wn(
             p["cond_b"], i * 2 * ch, 2 * ch, 0
         )
         if use_pallas:
-            from larynx_tpu.ops.wn_layer import fused_wn_layer
+            from larynx_tpu.ops.wn_layer import fused_wn_layer_state
 
-            rs = fused_wn_layer(
-                h, spect_g, p["in_w"][i], p["in_b"][i],
+            h, skip = fused_wn_layer_state(
+                h, spect_g, skip, p["in_w"][i], p["in_b"][i],
                 cond_w, cond_b, p["res_skip_w"][i], p["res_skip_b"][i],
                 dilation=2**i,
+                first=(i == 0),
+                last=(i == cfg.wn_layers - 1),
+                interpret=pallas_interpret,
             )
         else:
             a = conv1d(h, p["in_w"][i], p["in_b"][i], dilation=2**i)
             a = a + matmul1x1(spect_g, cond_w, cond_b)
             acts = jnp.tanh(a[..., :ch]) * jax.nn.sigmoid(a[..., ch:])
             rs = matmul1x1(acts, p["res_skip_w"][i], p["res_skip_b"][i])
-        if i < cfg.wn_layers - 1:
-            h = h + rs[..., :ch]
-            s = rs[..., ch:]
-        else:
-            s = rs
-        skip = s if skip is None else skip + s
+            if i < cfg.wn_layers - 1:
+                h = h + rs[..., :ch]
+                s = rs[..., ch:]
+            else:
+                s = rs
+            skip = s if skip is None else skip + s
     return matmul1x1(skip, p["end_w"], p["end_b"])
 
 
@@ -237,6 +241,7 @@ def infer(
     z: typing.Optional[jnp.ndarray] = None,
     sigma: float = 1.0,
     use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ) -> jnp.ndarray:
     """mel [B, M, n_mels] -> audio [B, M*upsample_stride].
 
@@ -268,7 +273,10 @@ def infer(
         flow = params["flows"][k]
         n_half = x.shape[-1] // 2
         x0, x1 = x[..., :n_half], x[..., n_half:]
-        out = _wn(flow["wn"], cfg, x0, cond, use_pallas=use_pallas)
+        out = _wn(
+            flow["wn"], cfg, x0, cond,
+            use_pallas=use_pallas, pallas_interpret=pallas_interpret,
+        )
         b_t, log_s = out[..., :n_half], out[..., n_half:]
         x1 = (x1 - b_t) * jnp.exp(-log_s)
         x = jnp.concatenate([x0, x1], axis=-1)

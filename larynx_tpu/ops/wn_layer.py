@@ -91,6 +91,182 @@ def _kernel(
     out_ref[0] = rs.astype(out_ref.dtype)
 
 
+def _kernel_state(
+    x_hbm,
+    cond_ref,
+    skip_ref,
+    w_in_ref,
+    w_cond_ref,
+    w_rs_ref,
+    bias_a_ref,
+    b_rs_ref,
+    h_out_ref,
+    skip_out_ref,
+    x_scratch,
+    sem,
+    *,
+    tile: int,
+    halo: int,
+    dilation: int,
+    ch: int,
+    first: bool,
+    last: bool,
+):
+    """_kernel plus the residual add and skip accumulation.
+
+    The per-layer kernel leaves ``h + rs[..., :ch]`` / ``skip + s`` to
+    XLA, which costs an extra rs round trip to HBM per layer (write 2ch,
+    read 2ch, rewrite h and skip).  Here the haloed x tile already in
+    VMEM doubles as the residual input, the running skip rides in/out as
+    a [tile, ch] block, and only the updated states return to HBM —
+    ~1.75x less HBM traffic per layer at wn_256 geometry.
+    """
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+
+    dma = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(i * tile, tile + 2 * halo), :],
+        x_scratch,
+        sem,
+    )
+    dma.start()
+    dma.wait()
+
+    base = halo - dilation
+    acc = jnp.zeros((tile, 2 * ch), dtype=jnp.float32)
+    for tap in range(3):
+        start = base + tap * dilation
+        acc += jax.lax.dot_general(
+            x_scratch[start : start + tile, :],
+            w_in_ref[tap],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    acc += jax.lax.dot_general(
+        cond_ref[0],
+        w_cond_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc += bias_a_ref[0].astype(jnp.float32)[None, :]
+
+    acts = jnp.tanh(acc[:, :ch]) * jax.nn.sigmoid(acc[:, ch:])
+    rs = jax.lax.dot_general(
+        acts.astype(w_rs_ref.dtype),
+        w_rs_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    rs += b_rs_ref[0].astype(jnp.float32)[None, :]
+    rs = rs.astype(h_out_ref.dtype)
+
+    h_tile = x_scratch[halo : halo + tile, :]
+    if last:
+        # rs_out == ch: the whole output is the skip contribution and
+        # h is dead after this layer — pass it through for shape parity
+        h_out_ref[0] = h_tile
+        s = rs
+    else:
+        h_out_ref[0] = h_tile + rs[:, :ch]
+        s = rs[:, ch:]
+    if first:
+        skip_out_ref[0] = s
+    else:
+        skip_out_ref[0] = skip_ref[0] + s
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dilation", "first", "last", "tile", "interpret"),
+)
+def fused_wn_layer_state(
+    h: jnp.ndarray,
+    cond: jnp.ndarray,
+    skip,
+    w_in: jnp.ndarray,
+    b_in: jnp.ndarray,
+    w_cond: jnp.ndarray,
+    b_cond: jnp.ndarray,
+    w_rs: jnp.ndarray,
+    b_rs: jnp.ndarray,
+    dilation: int,
+    first: bool = False,
+    last: bool = False,
+    tile: int = 512,
+    interpret: bool = False,
+):
+    """One WN layer INCLUDING the residual/skip state updates.
+
+    Returns ``(h_new, skip_new)`` where ``h_new = h + rs[..., :ch]``
+    (or ``h`` unchanged on the last layer, whose rs is all-skip) and
+    ``skip_new = skip + s`` (``s`` alone when ``first``).  ``skip`` may
+    be None when ``first``.  Matches the XLA composition in
+    models/waveglow/model.py::_wn layer-for-layer (same accumulation
+    order; the state adds run in the model dtype exactly as XLA's).
+    """
+    b, t, ch = h.shape
+    cc = cond.shape[-1]
+    rs_out = w_rs.shape[-1]
+    assert last == (rs_out == ch), (rs_out, ch, last)
+
+    grid_t = -(-t // tile)
+    t_pad = grid_t * tile
+    align = 16 if h.dtype == jnp.bfloat16 else 8
+    halo = _round_up(dilation, align)
+
+    x = jnp.pad(h, ((0, 0), (halo, halo + (t_pad - t)), (0, 0)))
+    cond_p = jnp.pad(cond, ((0, 0), (0, t_pad - t), (0, 0)))
+    if first:
+        # never read: a [B, 1, ch] placeholder keeps the spec shape legal
+        skip_p = jnp.zeros((b, 1, ch), h.dtype)
+        skip_spec = pl.BlockSpec((1, 1, ch), lambda b_, i: (b_, 0, 0))
+    else:
+        skip_p = jnp.pad(skip, ((0, 0), (0, t_pad - t), (0, 0)))
+        skip_spec = pl.BlockSpec((1, tile, ch), lambda b_, i: (b_, i, 0))
+    bias_a = (b_in + b_cond).astype(h.dtype)
+
+    kernel = functools.partial(
+        _kernel_state,
+        tile=tile,
+        halo=halo,
+        dilation=dilation,
+        ch=ch,
+        first=first,
+        last=last,
+    )
+    h_new, skip_new = pl.pallas_call(
+        kernel,
+        grid=(b, grid_t),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # x: DMA'd manually
+            pl.BlockSpec((1, tile, cc), lambda b_, i: (b_, i, 0)),
+            skip_spec,
+            pl.BlockSpec((3, ch, 2 * ch), lambda b_, i: (0, 0, 0)),
+            pl.BlockSpec((cc, 2 * ch), lambda b_, i: (0, 0)),
+            pl.BlockSpec((ch, rs_out), lambda b_, i: (0, 0)),
+            pl.BlockSpec((1, 2 * ch), lambda b_, i: (0, 0)),
+            pl.BlockSpec((1, rs_out), lambda b_, i: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tile, ch), lambda b_, i: (b_, i, 0)),
+            pl.BlockSpec((1, tile, ch), lambda b_, i: (b_, i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t_pad, ch), h.dtype),
+            jax.ShapeDtypeStruct((b, t_pad, ch), h.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile + 2 * halo, ch), h.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(
+        x, cond_p, skip_p, w_in, w_cond, w_rs,
+        bias_a[None, :], b_rs.astype(h.dtype)[None, :],
+    )
+    return h_new[:, :t, :], skip_new[:, :t, :]
+
+
 @functools.partial(
     jax.jit, static_argnames=("dilation", "tile", "interpret")
 )

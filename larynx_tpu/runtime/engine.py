@@ -679,6 +679,7 @@ class SynthesisEngine:
         n: int,
         max_id_len: int,
         noise_scale: float = 0.667,
+        length_scale: typing.Union[float, typing.Sequence[float]] = 1.0,
         seed: typing.Optional[int] = None,
         batch_index: int = 0,
         denoiser_strength: float = 0.0,
@@ -701,6 +702,16 @@ class SynthesisEngine:
 
         Returns (parts, batch_rows, y_lengths).
         """
+        # the learned ratio is per TOKEN at length_scale 1.0: a request's
+        # length_scale multiplies durations linearly, so it divides out
+        # of the observation and multiplies back into the prediction —
+        # otherwise one lengthScale=2 request would poison the estimator
+        # (oversized buckets + a fresh XLA compile) for ~70 batches.
+        try:
+            ls = float(max(length_scale))  # type: ignore[arg-type]
+        except TypeError:
+            ls = float(length_scale)
+        ls = max(ls, 1e-6)
         ratio = self._frames_per_token
         decoded = None
         # prediction changes the decode program's noise SHAPE, so a
@@ -713,7 +724,7 @@ class SynthesisEngine:
             and row_seeds is None
             and seed is None
         ):
-            pred_frames = int(math.ceil(max_id_len * ratio * 1.15))
+            pred_frames = int(math.ceil(max_id_len * ratio * ls * 1.15))
             bucket = self.policy.mel_bucket(pred_frames)
             decoded = self.decode_launch(
                 enc_out, None, g, n,
@@ -724,7 +735,7 @@ class SynthesisEngine:
         y_lengths = np.asarray(enc_out[4])
         actual = int(y_lengths[:n].max())
         if max_id_len > 0:
-            obs = actual / max_id_len
+            obs = actual / (max_id_len * ls)
             self._frames_per_token = (
                 obs
                 if obs > self._frames_per_token
@@ -951,7 +962,8 @@ class SynthesisEngine:
         parts, b_rows, y_lengths = self.synthesize_launch_predicted(
             enc_out, g, n,
             max_id_len=max((len(s) for s in id_seqs), default=0),
-            noise_scale=noise_scale, seed=seed, batch_index=batch_index,
+            noise_scale=noise_scale, length_scale=length_scale,
+            seed=seed, batch_index=batch_index,
             denoiser_strength=denoiser_strength,
         )
         t2 = time.perf_counter() if trace else 0.0

@@ -213,3 +213,45 @@ def test_predicted_bucket_skipped_for_seeded_requests(engine):
     )
     ref = engine.crop_rows(engine.vocode_collect(parts2, b2), y2, 1, 0.0)
     np.testing.assert_array_equal(got[0], ref[0])
+
+
+def test_predicted_bucket_length_scale_normalized(engine):
+    """The frames-per-token estimator is per token at length_scale 1.0:
+    an ls=2 request must neither poison the ratio for later ls=1 traffic
+    nor mispredict when the ratio was learned at ls=1."""
+    rng = np.random.default_rng(8)
+    ids = [rng.integers(1, 48, size=t).astype(np.int64) for t in (12, 16)]
+    n = len(ids)
+    max_len = max(len(s) for s in ids)
+
+    # learn the ratio at ls=1
+    engine._frames_per_token = 0.0
+    enc_out, g = engine.encode_launch(ids, 1.0)
+    y1 = np.asarray(enc_out[4])
+    parts, b_rows, _ = engine.synthesize_launch_predicted(
+        enc_out, g, n, max_id_len=max_len, length_scale=1.0, batch_index=0
+    )
+    engine.vocode_collect(parts, b_rows)
+    ratio_ls1 = engine._frames_per_token
+    assert ratio_ls1 > 0.0
+
+    # an ls=3 request: prediction scales UP by ls (no mispredict), and
+    # the observation divides ls back out (ratio unchanged, not 3x)
+    before = engine._bucket_mispredicts
+    enc_out2, g2 = engine.encode_launch(ids, 3.0)
+    parts2, b2, y2 = engine.synthesize_launch_predicted(
+        enc_out2, g2, n, max_id_len=max_len, length_scale=3.0, batch_index=0
+    )
+    engine.vocode_collect(parts2, b2)
+    assert engine._bucket_mispredicts == before
+    assert np.all(y2 >= y1)  # ls did lengthen the mels
+    assert engine._frames_per_token == pytest.approx(ratio_ls1, rel=0.15)
+
+    # and a following ls=1 request still predicts the tight bucket
+    enc_out3, g3 = engine.encode_launch(ids, 1.0)
+    parts3, b3, y3 = engine.synthesize_launch_predicted(
+        enc_out3, g3, n, max_id_len=max_len, length_scale=1.0, batch_index=0
+    )
+    engine.vocode_collect(parts3, b3)
+    assert engine._bucket_mispredicts == before
+    np.testing.assert_array_equal(y3, y1)

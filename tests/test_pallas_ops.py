@@ -377,3 +377,92 @@ def test_fused_wn_layer_bf16_halo_alignment():
         dilation=1, interpret=True,
     ).astype(jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0.15)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_fused_wn_layer_state_matches_xla_stack(dtype):
+    """fused_wn_layer_state (residual/skip folded into the kernel) must
+    walk a whole 3-layer WN stack identically to the XLA composition in
+    models/waveglow/model.py::_wn (first/mid/last layer variants)."""
+    from larynx_tpu.models.nn import conv1d, matmul1x1
+    from larynx_tpu.ops.wn_layer import fused_wn_layer_state
+
+    key = jax.random.PRNGKey(31)
+    B, T, CH, CC = 2, 700, 256, 640
+    n_layers = 3
+    ks = jax.random.split(key, 2 + 4 * n_layers)
+    h0 = jax.random.normal(ks[0], (B, T, CH), dtype)
+    cond = jax.random.normal(ks[1], (B, T, CC), dtype)
+    layers = []
+    for i in range(n_layers):
+        rs_out = CH if i == n_layers - 1 else 2 * CH
+        base = 2 + 4 * i
+        layers.append(dict(
+            w_in=(jax.random.normal(ks[base], (3, CH, 2 * CH)) * 0.05).astype(dtype),
+            b_in=(jax.random.normal(ks[base + 1], (2 * CH,)) * 0.01).astype(dtype),
+            w_cond=(jax.random.normal(ks[base + 2], (CC, 2 * CH)) * 0.05).astype(dtype),
+            b_cond=jnp.zeros((2 * CH,), dtype),
+            w_rs=(jax.random.normal(ks[base + 3], (CH, rs_out)) * 0.05).astype(dtype),
+            b_rs=jnp.zeros((rs_out,), dtype),
+        ))
+
+    # XLA reference: exactly the _wn composition
+    h = h0
+    skip = None
+    for i, L in enumerate(layers):
+        a = conv1d(h, L["w_in"], L["b_in"], dilation=2**i) + matmul1x1(
+            cond, L["w_cond"], L["b_cond"]
+        )
+        acts = jnp.tanh(a[..., :CH]) * jax.nn.sigmoid(a[..., CH:])
+        rs = matmul1x1(acts, L["w_rs"], L["b_rs"])
+        if i < n_layers - 1:
+            h = h + rs[..., :CH]
+            s = rs[..., CH:]
+        else:
+            s = rs
+        skip = s if skip is None else skip + s
+
+    # fused: the state walks through the kernel
+    hf, sf = h0, None
+    for i, L in enumerate(layers):
+        hf, sf = fused_wn_layer_state(
+            hf, cond, sf, L["w_in"], L["b_in"], L["w_cond"], L["b_cond"],
+            L["w_rs"], L["b_rs"],
+            dilation=2**i,
+            first=(i == 0),
+            last=(i == n_layers - 1),
+            interpret=True,
+        )
+
+    atol = 2e-5 if dtype == jnp.float32 else 0.25
+    np.testing.assert_allclose(
+        np.asarray(sf, np.float32), np.asarray(skip, np.float32), atol=atol
+    )
+    if dtype == jnp.float32:
+        # h passes through unchanged on the last layer
+        np.testing.assert_allclose(np.asarray(hf), np.asarray(h), atol=atol)
+
+
+def test_waveglow_infer_pallas_matches_xla():
+    """End to end: models/waveglow/model.py::infer with use_pallas=True
+    (interpret mode) equals the XLA path on a tiny 2-flow config."""
+    from larynx_tpu.models.waveglow import WaveGlowConfig
+    from larynx_tpu.models.waveglow import model as wg
+
+    cfg = WaveGlowConfig(
+        flows=2, wn_layers=3, wn_channels=256, early_every=4, early_size=2
+    )
+    key = jax.random.PRNGKey(5)
+    params = wg.init_params(key, cfg)
+    B, M = 1, 8
+    mel = jax.random.normal(jax.random.fold_in(key, 1), (B, M, cfg.mel_channels))
+    blocks = M * cfg.upsample_stride // cfg.groups
+    z = jax.random.normal(jax.random.fold_in(key, 2), (B, blocks, cfg.groups))
+
+    ref = wg.infer(params, cfg, mel, z=z, use_pallas=False)
+    got = wg.infer(
+        params, cfg, mel, z=z, use_pallas=True, pallas_interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4
+    )
