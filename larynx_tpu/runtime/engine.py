@@ -823,36 +823,15 @@ class SynthesisEngine:
         )
 
         if self.mesh is not None:
-            # mesh path: the vocode program is plain jit (pure XLA, so
-            # GSPMD partitions it), but groups must stay uniform-width
-            # multiples of the data-axis size so row shards split evenly —
-            # mirrors _vocode_launch_hifi's shard_map branch.  The HBM cap
-            # is per device, so the global-row budget scales by n_data.
-            group = max(1, (area * self._n_data) // m)
-            group = max(group - group % self._n_data, self._n_data)
-            parts = []
-            for start in range(0, b, group):
-                if start >= n_valid:
-                    break
-                if group >= b:
-                    mel_g, mask_g, z_g = mel, z_mask, z_full
-                    idxs = list(range(b))
-                else:
-                    start = min(start, b - group)
-                    mel_g = jax.lax.slice_in_dim(
-                        mel, start, start + group, axis=0
-                    )
-                    mask_g = jax.lax.slice_in_dim(
-                        z_mask, start, start + group, axis=0
-                    )
-                    z_g = jax.lax.slice_in_dim(
-                        z_full, start, start + group, axis=0
-                    )
-                    idxs = list(range(start, start + group))
-                part = self._vocode_gl(self.vocoder_params, mel_g, mask_g, z_g)
-                _start_d2h(part)
-                parts.append((part, idxs))
-            return parts
+            # the vocode program is plain jit (pure XLA, so GSPMD
+            # partitions it); same uniform grouping as the HiFi branch
+            return self._mesh_uniform_groups(
+                b, m, n_valid, area,
+                (mel, z_mask, z_full),
+                lambda mel_g, mask_g, z_g: self._vocode_gl(
+                    self.vocoder_params, mel_g, mask_g, z_g
+                ),
+            )
 
         if y_lengths is not None:
             lens = np.asarray(y_lengths)[:n_valid].astype(np.int64)
@@ -1063,6 +1042,41 @@ class SynthesisEngine:
             p_audio, p_off, p_n = prev
             yield np.asarray(p_audio)[0, p_off : p_off + p_n]
 
+
+    def _mesh_uniform_groups(self, b, m, n_valid, area, tensors, dispatch):
+        """Mesh vocode grouping shared by HiFi-GAN and WaveGlow.
+
+        Uniform-width groups, each a multiple of the data-axis size so
+        the rows split evenly across devices (shard_map for HiFi, GSPMD
+        for WaveGlow's plain-jit program).  The final window clamps to
+        the array end (b is itself a multiple of n_data) — overlapping
+        rows are re-vocoded with identical results rather than sliced
+        out of bounds.  The HBM cap is per DEVICE, so the global-row
+        budget scales by n_data.  ``tensors`` are sliced along axis 0
+        and handed to ``dispatch``; device->host copies start
+        immediately so transfers overlap later groups' compute.
+        """
+        group = max(1, (area * self._n_data) // m)
+        group = max(group - group % self._n_data, self._n_data)
+        parts = []
+        for start in range(0, b, group):
+            if start >= n_valid:
+                break
+            if group >= b:
+                sliced = tensors
+                idxs = list(range(b))
+            else:
+                start = min(start, b - group)
+                sliced = [
+                    jax.lax.slice_in_dim(t, start, start + group, axis=0)
+                    for t in tensors
+                ]
+                idxs = list(range(start, start + group))
+            part = dispatch(*sliced)
+            _start_d2h(part)
+            parts.append((part, idxs))
+        return parts
+
     def _vocode_launch_hifi(
         self, mel, z_mask, n_valid, denoiser_strength, y_lengths=None
     ):
@@ -1086,41 +1100,14 @@ class SynthesisEngine:
         str_rows = self._row_values(denoiser_strength, b)
 
         if self.mesh is not None:
-            # shard_map path: uniform-width groups, each a multiple of the
-            # data-axis size so shard_map can split its rows evenly.  The
-            # final window is clamped to the array end (b is itself a
-            # multiple of n_data) — overlapping rows are just re-vocoded
-            # with identical results rather than sliced out of bounds.
-            # The HBM cap is per DEVICE: the group's rows split across
-            # n_data devices, so the global-row budget scales by n_data.
-            group = max(1, (MAX_VOCODE_AREA * self._n_data) // m)
-            group = max(group - group % self._n_data, self._n_data)
             strength = self._row_param(str_rows, b, 3)
-            parts = []
-            for start in range(0, b, group):
-                if start >= n_valid:
-                    break
-                if group >= b:
-                    mel_g, mask_g, str_g = mel, z_mask, strength
-                    idxs = list(range(b))
-                else:
-                    start = min(start, b - group)
-                    mel_g = jax.lax.slice_in_dim(
-                        mel, start, start + group, axis=0
-                    )
-                    mask_g = jax.lax.slice_in_dim(
-                        z_mask, start, start + group, axis=0
-                    )
-                    str_g = jax.lax.slice_in_dim(
-                        strength, start, start + group, axis=0
-                    )
-                    idxs = list(range(start, start + group))
-                part = self._vocode(
+            return self._mesh_uniform_groups(
+                b, m, n_valid, MAX_VOCODE_AREA,
+                (mel, z_mask, strength),
+                lambda mel_g, mask_g, str_g: self._vocode(
                     self.vocoder_params, mel_g, mask_g, bias, str_g, denoise
-                )
-                _start_d2h(part)
-                parts.append((part, idxs))
-            return parts
+                ),
+            )
 
         # ---- single-device: length-sorted ragged groups
         if y_lengths is not None:

@@ -42,10 +42,16 @@ class _Job:
         Explicitly-SEEDED jobs also batch when the vocoder is
         deterministic (HiFi-GAN): the engine draws each row's latent
         noise from its OWN seed (decode_launch row_seeds), so a seeded
-        row's audio does not depend on its row index, the batch counter,
-        or server history.  Stochastic vocoders (griffin_lim phase init,
-        waveglow prior) still key their noise off the batch, so seeded
-        jobs there keep singleton groups."""
+        row's NOISE does not depend on its row index, the batch counter,
+        or server history.  The audio is reproducible to within a couple
+        int16 LSB rather than bit-exact: batchmates set the encode text
+        bucket and the length-sorted ragged vocode group widths, and a
+        different padded width shifts conv edge arithmetic by an ulp
+        (see test_seeded_requests_coalesce_and_reproduce's +-2 bound).
+        Clients that byte-compare seeded output should serialize their
+        requests or run a dedicated engine.  Stochastic vocoders
+        (griffin_lim phase init, waveglow prior) still key their noise
+        off the batch, so seeded jobs there keep singleton groups."""
         seeded_singleton = (
             self.seed is not None
             and getattr(self.engine, "vocoder_kind", "") != "hifi_gan"

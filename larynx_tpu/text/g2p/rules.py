@@ -17,26 +17,7 @@ def apply_rules(
     ``context_rules(word, i)`` may claim a span first: return
     (consumed_length, phonemes) or None.
     """
-    out: typing.List[str] = []
-    i = 0
-    n = len(word)
-    while i < n:
-        if context_rules is not None:
-            claimed = context_rules(word, i)
-            if claimed is not None:
-                length, phones = claimed
-                out.extend(phones)
-                i += length
-                continue
-        for pattern, phones in rules:
-            if word.startswith(pattern, i):
-                if phones:
-                    out.extend(phones.split())
-                i += len(pattern)
-                break
-        else:
-            i += 1  # unmapped character
-    return out
+    return apply_rules_span(word, 0, len(word), rules, context_rules)
 
 
 def stress_nth_vowel_from_end(

@@ -20,6 +20,7 @@ Exit status 1 when anything is found.
 """
 
 import ast
+import re
 import sys
 from pathlib import Path
 
@@ -46,10 +47,32 @@ def _used_names(tree: ast.AST) -> set:
                 root = root.value
             if isinstance(root, ast.Name):
                 used.add(root.id)
-    # names referenced inside string annotations / __all__ entries
+    # names referenced inside string annotations / __all__ entries ONLY
+    # (counting EVERY string constant would let any message or dict key
+    # that happens to spell an import name defeat F401)
+    def _string_names(sub: ast.AST) -> None:
+        for c in ast.walk(sub):
+            if isinstance(c, ast.Constant) and isinstance(c.value, str):
+                # forward refs may be dotted ("np.ndarray"): every
+                # identifier token counts as a use of its root
+                for tok in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", c.value):
+                    used.add(tok)
+
     for node in ast.walk(tree):
-        if isinstance(node, ast.Constant) and isinstance(node.value, str):
-            used.add(node.value)
+        if isinstance(node, (ast.Assign, ast.AugAssign)):
+            targets = (
+                node.targets if isinstance(node, ast.Assign) else [node.target]
+            )
+            if any(
+                isinstance(t, ast.Name) and t.id == "__all__" for t in targets
+            ):
+                _string_names(node)
+        ann = getattr(node, "annotation", None)
+        if ann is not None:
+            _string_names(ann)
+        ret = getattr(node, "returns", None)
+        if ret is not None:
+            _string_names(ret)
     return used
 
 
