@@ -14,9 +14,17 @@ Shapes (channels-last, lane-aligned by construction at wn_256 geometry):
 h [B, T, ch=256], cond [B, T, cc=640], w_in [3, ch, 2ch],
 w_cond [cc, 2ch], w_rs [ch, rs_out], rs_out in {2ch, ch}.
 
-The caller keeps the residual add (h + rs[..., :ch]) and skip
-accumulation in XLA — they are cheap elementwise ops XLA fuses with the
-next layer's input read.
+Two variants:
+
+- ``fused_wn_layer`` — the layer alone; the caller keeps the residual
+  add (h + rs[..., :ch]) and skip accumulation in XLA.
+- ``fused_wn_layer_state`` — the layer PLUS the residual/skip updates
+  (the production path, models/waveglow/model.py::_wn): the rs tensor
+  never round-trips to HBM, cutting per-layer traffic ~1.75x.  Measured
+  on TPU v5e (bf16, wn_256): 1.99x over the XLA composition at the
+  engine's 1-2-row long-T vocode groups, 1.93x at 4x1024, 1.14x at
+  8x512; the non-state variant managed only 1.37x/1.00x on the same
+  shapes.
 """
 
 import functools
@@ -332,3 +340,15 @@ def fused_wn_layer(
         bias_a[None, :], b_rs.astype(h.dtype)[None, :],
     )
     return out[:, :t, :]
+
+
+def supports_geometry(ch: int, cc: int) -> bool:
+    """True when the fused WN kernels' VMEM layouts are lane-legal.
+
+    The manually-DMA'd x tile has minor (lane) dim ``ch`` and the
+    block-fetched conditioning has minor dim ``cc``; Mosaic requires
+    128-aligned minor dims on DMA'd refs (see CLAUDE.md gotchas).  The
+    NVIDIA wn_256 geometry (ch=256, cc=640) qualifies; arbitrary
+    configs fall back to the XLA path.
+    """
+    return ch % 128 == 0 and cc % 128 == 0

@@ -163,8 +163,11 @@ def phonemize(word: str) -> typing.List[str]:
     w = word.lower().strip()
     if not w:
         return []
+    # a written acute é marks the stressed (final) syllable in loanwords
+    # (café, privé / idé, armé, kommitté) — override the penult default
+    n = 1 if "é" in w else 2
     hit = _EXCEPTIONS.get(w)
     if hit is not None:
-        return stress_nth_vowel_from_end(list(hit), VOWELS, n=2)
+        return stress_nth_vowel_from_end(list(hit), VOWELS, n=n)
     phonemes = apply_rules(w, _RULES, _context)
-    return stress_nth_vowel_from_end(phonemes, VOWELS, n=2)
+    return stress_nth_vowel_from_end(phonemes, VOWELS, n=n)

@@ -112,6 +112,22 @@ class WaveGlowVocoder(VocoderModel):
         cfg = self.model_config
         sigma = self.sigma  # resolved value, not the ctor's None default
         dtype = jnp.bfloat16 if config.half else jnp.float32
+        # same default as the engine path: fused Pallas WN kernels on
+        # TPU when the geometry is lane-legal (see runtime/engine.py)
+        import os as _os
+
+        from larynx_tpu.ops.wn_layer import supports_geometry
+        from larynx_tpu.runtime.engine import default_use_pallas
+
+        _env = _os.environ.get("LARYNX_TPU_WAVEGLOW_PALLAS", "").strip().lower()
+        if _env in ("0", "false", "off", "no"):
+            use_pallas = False
+        elif _env:
+            use_pallas = default_use_pallas()
+        else:
+            use_pallas = default_use_pallas() and supports_geometry(
+                cfg.wn_channels, cfg.mel_channels * cfg.groups
+            )
         if config.half:
             self.params = jax.tree.map(
                 lambda x: jnp.asarray(x).astype(dtype)
@@ -125,7 +141,7 @@ class WaveGlowVocoder(VocoderModel):
             # mel [B, n_mels, M] -> audio [B, M * upsample_stride]
             return wg_model.infer(
                 params, cfg, jnp.swapaxes(mel, 1, 2).astype(dtype),
-                key=key, sigma=sigma,
+                key=key, sigma=sigma, use_pallas=use_pallas,
             ).astype(jnp.float32)
 
         self._generate = generate
@@ -137,7 +153,7 @@ class WaveGlowVocoder(VocoderModel):
             # same prior on both sides
             return wg_model.infer(
                 params, cfg, jnp.swapaxes(mel, 1, 2).astype(dtype),
-                z=z.astype(dtype),
+                z=z.astype(dtype), use_pallas=use_pallas,
             ).astype(jnp.float32)
 
         self._generate_z = generate_z
