@@ -4487,6 +4487,74 @@ yearn j ˈɚ n
 yoga j ˈoʊ ɡ ə
 zeal z ˈi l
 zinc z ˈɪ ŋ k
+colonel k ˈɚ n ə l
+lieutenant l u t ˈɛ n ə n t
+sergeant s ˈɑ ɹ d͡ʒ ə n t
+yacht j ˈɑ t
+choir k w ˈaɪ ɚ
+chaos k ˈeɪ ɑ s
+queue k j ˈu
+epitome ɪ p ˈɪ t ə m i
+hyperbole h aɪ p ˈɚ b ə l i
+apostrophe ə p ˈɑ s t ɹ ə f i
+mischievous m ˈɪ s t͡ʃ ə v ə s
+pronunciation p ɹ ə n ˌʌ n s i ˈeɪ ʃ ə n
+luxurious l ʌ ɡ ʒ ˈʊ ɹ i ə s
+silhouette s ˌɪ l u ˈɛ t
+champagne ʃ æ m p ˈeɪ n
+bouquet b oʊ k ˈeɪ
+renaissance ɹ ˈɛ n ə s ˌɑ n s
+thorough θ ˈɚ oʊ
+though ð ˈoʊ
+trousers t ɹ ˈaʊ z ɚ z
+pharmacy f ˈɑ ɹ m ə s i
+broccoli b ɹ ˈɑ k ə l i
+spinach s p ˈɪ n ɪ t͡ʃ
+quantum k w ˈɑ n t ə m
+submarine s ˈʌ b m ɚ ˌi n
+archaeology ˌɑ ɹ k i ˈɑ l ə d͡ʒ i
+niche n ˈɪ t͡ʃ
+genre ʒ ˈɑ n ɹ ə
+rendezvous ɹ ˈɑ n d eɪ v ˌu
+aisle ˈaɪ ə l
+heir ˈɛ ɹ
+hymn h ˈɪ m
+corps k ˈɔ ɹ
+depot d ˈi p oʊ
+buffet b ə f ˈeɪ
+crochet k ɹ oʊ ʃ ˈeɪ
+duvet d u v ˈeɪ
+valet v æ l ˈeɪ
+cafe k æ f ˈeɪ
+cliche k l i ʃ ˈeɪ
+sachet s æ ʃ ˈeɪ
+antique æ n t ˈi k
+boutique b u t ˈi k
+intrigue ɪ n t ɹ ˈi ɡ
+plague p l ˈeɪ ɡ
+morgue m ˈɔ ɹ ɡ
+catalogue k ˈæ t ə l ˌɔ ɡ
+monologue m ˈɑ n ə l ˌɔ ɡ
+epilogue ˈɛ p ə l ˌɔ ɡ
+prologue p ɹ ˈoʊ l ɔ ɡ
+synagogue s ˈɪ n ə ɡ ˌɑ ɡ
+viscount v ˈaɪ k aʊ n t
+indict ɪ n d ˈaɪ t
+almond ˈɑ m ə n d
+chassis t͡ʃ ˈæ s i
+debut d eɪ b j ˈu
+cello t͡ʃ ˈɛ l oʊ
+chef ʃ ˈɛ f
+parachute p ˈɛ ɹ ə ʃ ˌu t
+brochure b ɹ oʊ ʃ ˈʊ ɹ
+pistachio p ɪ s t ˈæ ʃ i ˌoʊ
+fuchsia f j ˈu ʃ ə
+european j ˌʊ ɹ ə p ˈi ə n
+asia ˈeɪ ʒ ə
+asian ˈeɪ ʒ ə n
+australia ɔ s t ɹ ˈeɪ l j ə
+melon m ˈɛ l ə n
+awesome ˈɔ s ə m
 """
 
 LEXICON: typing.Dict[str, typing.List[str]] = {}
@@ -4663,16 +4731,83 @@ _LETTER_NAMES = {
 }
 
 
+_CONSONANT_LETTERS = set("bcdfghjklmnpqrstvwxz")
+
+
+def _collapse_geminates(body: str) -> str:
+    """English has no geminate consonants: doubled letters are one sound
+    (sunny, swimming, berry).  ``cc`` before a softening vowel is the
+    [ks] cluster (accent, success) and is respelled ``cs`` so the scan
+    softens the second half."""
+    out: typing.List[str] = []
+    i = 0
+    while i < len(body):
+        ch = body[i]
+        if (
+            ch in _CONSONANT_LETTERS
+            and i + 1 < len(body)
+            and body[i + 1] == ch
+        ):
+            nxt = body[i + 2] if i + 2 < len(body) else ""
+            if ch == "c" and nxt in "eiy":
+                out.append("cs")
+            else:
+                out.append(ch)
+            i += 2
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
 def _apply_rules(word: str) -> typing.List[str]:
     out: typing.List[str] = []
     i = 0
     n = len(word)
     # final silent e ("make", "time") with magic-e vowel lengthening
     magic_e = bool(re.search(r"[bcdfgklmnprstvz]e$", word)) and n > 3
-    body = word[:-1] if magic_e else word
+    body = _collapse_geminates(word[:-1] if magic_e else word)
     if magic_e:
         body_vowels = {"a": "ˈeɪ", "i": "ˈaɪ", "o": "ˈoʊ", "u": "ˈu", "e": "ˈi"}
     while i < len(body):
+        ch = body[i]
+        # the letter after this one; a magic-e word keeps its silent e as
+        # softening context for the final consonant (office, cage)
+        nxt = body[i + 1] if i + 1 < len(body) else ("e" if magic_e else "")
+        # soft c/g before e, i, y (celebrate, city, gentle, energy); the
+        # digraphs ch/ck/gh keep their own rules
+        # NB: nxt may be "" at word end — and '' is "in" every string, so
+        # every membership test below must guard on nxt being non-empty
+        if (
+            ch == "c"
+            and nxt
+            and nxt in "eiy"
+            and not body.startswith(("ch", "ck"), i)
+        ):
+            out.append("s")
+            i += 1
+            continue
+        if ch == "g" and nxt and nxt in "eiy" and not body.startswith("gh", i):
+            out.append("d͡ʒ")
+            i += 1
+            continue
+        # Greek ch before a consonant is [k] (technical, chrome, chlorine)
+        if (
+            body.startswith("ch", i)
+            and body[i + 2 : i + 3] in _CONSONANT_LETTERS
+        ):
+            out.append("k")
+            i += 2
+            continue
+        # y: glide before a vowel (yard), happy-vowel [i] word-finally,
+        # lax [ɪ] inside a syllable (system)
+        if ch == "y":
+            if nxt and nxt in "aeiou":
+                out.append("j")
+            else:
+                out.append("i" if i == len(body) - 1 else "ɪ")
+            i += 1
+            continue
         for pattern, phones in _RULES:
             if body.startswith(pattern, i):
                 # magic-e: the last single vowel before final consonant says
@@ -4689,7 +4824,13 @@ def _apply_rules(word: str) -> typing.List[str]:
                 break
         else:
             i += 1  # unknown character: skip
-    return out
+    # residual identical-consonant clusters from morpheme seams
+    deduped: typing.List[str] = []
+    for p in out:
+        if deduped and p == deduped[-1] and p.lstrip("ˈˌ") not in _VOWEL_SYMBOLS:
+            continue
+        deduped.append(p)
+    return deduped
 
 
 # Suffixes with predictable primary-stress position, counted in syllables
@@ -4740,6 +4881,14 @@ def _ensure_stress(
             suffix_target = len(vowels) - from_end
             break
 
+    # one primary stress per word: the rule table pre-stresses every
+    # long vowel/digraph, so a word like "railway" comes in with two ˈ
+    # marks — keep the first (the default English noun pattern) and
+    # demote the rest to secondary
+    primaries = [i for i, p in enumerate(out) if p.startswith("ˈ")]
+    for j in primaries[1:]:
+        out[j] = "ˌ" + out[j][1:]
+
     has_stress = any(p.startswith(("ˈ", "ˌ")) for p in out)
     if suffix_target is None:
         if has_stress:
@@ -4758,6 +4907,193 @@ def _ensure_stress(
     if target >= 2 and len(vowels) >= 4:
         out[vowels[0]] = "ˌ" + out[vowels[0]]
     return out
+
+
+# Word-final suffixes whose phonology the letter rules cannot derive
+# (tion/sion already live in _RULES; these need word-final context so
+# "ous" does not eat "house").  Entry: (spelling, phones, min prefix
+# letters).  A ˈ in the phones claims the word's primary stress.
+_FINAL_SUFFIX_PHONES: typing.Tuple[typing.Tuple[str, str, int], ...] = (
+    ("ciation", "s i ˈeɪ ʃ ə n", 3),
+    ("tiation", "ʃ i ˈeɪ ʃ ə n", 3),
+    ("ization", "ə z ˈeɪ ʃ ə n", 3),
+    ("isation", "ə z ˈeɪ ʃ ə n", 3),
+    ("ation", "ˈeɪ ʃ ə n", 2),
+    ("ician", "ˈɪ ʃ ə n", 2),
+    ("itious", "ˈɪ ʃ ə s", 2),
+    ("itial", "ˈɪ ʃ ə l", 2),
+    ("cious", "ʃ ə s", 3),
+    ("tious", "ʃ ə s", 3),
+    ("geous", "d͡ʒ ə s", 3),
+    ("gious", "d͡ʒ ə s", 3),
+    ("cian", "ʃ ə n", 3),
+    ("cial", "ʃ ə l", 3),
+    ("tial", "ʃ ə l", 3),
+    ("ture", "t͡ʃ ɚ", 3),
+    ("sure", "ʒ ɚ", 3),
+    ("ough", "oʊ", 3),
+    ("ous", "ə s", 3),
+    ("ive", "ɪ v", 3),
+    ("age", "ɪ d͡ʒ", 3),
+    ("fy", "f ˌaɪ", 3),
+    ("le", "ə l", 2),
+)
+
+# Stress-neutral suffixes: attach to the stem's pronunciation unchanged.
+_NEUTRAL_SUFFIXES: typing.Tuple[typing.Tuple[str, str], ...] = (
+    ("ness", "n ə s"),
+    ("less", "l ə s"),
+    ("ment", "m ə n t"),
+    ("ship", "ʃ ˌɪ p"),
+    ("hood", "h ˌʊ d"),
+    ("ful", "f ə l"),
+)
+
+
+def _has_vowel_letter(s: str) -> bool:
+    return any(c in "aeiouy" for c in s)
+
+
+def _demote_primary(phones: typing.Sequence[str]) -> typing.List[str]:
+    return [("ˌ" + p[1:]) if p.startswith("ˈ") else p for p in phones]
+
+
+def _cvc_final(stem: str) -> bool:
+    """Final consonant after a single vowel letter (shin, nat): the
+    spelling pattern that signals a dropped silent e in derivation."""
+    return (
+        len(stem) >= 3
+        and stem[-1] in _CONSONANT_LETTERS
+        and stem[-2] in "aeiou"
+        and stem[-3] in _CONSONANT_LETTERS
+    )
+
+
+def _compound_split(w: str) -> typing.Optional[typing.List[str]]:
+    """Two-lexicon-word compounds (watermelon, passport): first part
+    keeps primary stress, second demotes to secondary.  Both halves
+    must be real entries and the word long enough (>= 7 letters) that a
+    coincidental split (sea+son) cannot fire."""
+    if len(w) < 7:
+        return None
+    best = None
+    for k in range(3, len(w) - 2):
+        a, b = w[:k], w[k:]
+        if a in LEXICON and b in LEXICON:
+            score = min(k, len(w) - k)
+            if best is None or score > best[0]:
+                best = (score, a, b)
+    if best is None:
+        return None
+    _, a, b = best
+    return list(LEXICON[a]) + _demote_primary(LEXICON[b])
+
+
+def _oov_phonemize(w: str, depth: int = 0) -> typing.List[str]:
+    """OOV pipeline: strip inflection/derivation down to known stems,
+    apply word-final suffix phonology, try compound splitting, and only
+    then fall back to the raw letter-to-sound rules."""
+
+    def inner(stem: str) -> typing.List[str]:
+        if stem in LEXICON:
+            return list(LEXICON[stem])
+        if depth >= 2:
+            return _ensure_stress(_apply_rules(stem), stem)
+        return _oov_phonemize(stem, depth + 1)
+
+    # -ies/-ied ride the -y stem (berries, carried)
+    if w.endswith("ies") and len(w) >= 5:
+        return inner(w[:-3] + "y") + ["z"]
+    if w.endswith("ied") and len(w) >= 5:
+        return inner(w[:-3] + "y") + ["d"]
+
+    # regular plural / 3rd-person -s with correct voicing (trousers,
+    # handbooks); -ss/-us/... finals are lexical s, not inflection
+    if (
+        len(w) >= 5
+        and w.endswith("s")
+        and not w.endswith(("ss", "us", "is", "os", "as", "ys"))
+    ):
+        if w.endswith(("shes", "ches", "xes", "zes", "ses")):
+            return inner(w[:-2]) + ["ə", "z"]
+        return _plural_phones(inner(w[:-1]))
+
+    for suffix, phones in _NEUTRAL_SUFFIXES:
+        stem = w[: -len(suffix)]
+        if w.endswith(suffix) and len(stem) >= 3 and _has_vowel_letter(stem):
+            return inner(stem) + phones.split()
+
+    # -ily adverbs keep the -y adjective's stem (happy -> happily)
+    if w.endswith("ily") and w[:-3] + "y" in LEXICON:
+        stem_ph = list(LEXICON[w[:-3] + "y"])
+        if stem_ph and stem_ph[-1] == "i":
+            stem_ph = stem_ph[:-1] + ["ə"]
+        return stem_ph + ["l", "i"]
+    if w.endswith("ly") and len(w) >= 5 and _has_vowel_letter(w[:-2]):
+        return inner(w[:-2]) + ["l", "i"]
+
+    # -y adjectives: rainy, sunny (doubled stem), noisy/shiny (dropped e)
+    if w.endswith("y") and len(w) >= 5:
+        stem = w[:-1]
+        if _cvc_final(stem) and stem + "e" in LEXICON:
+            return list(LEXICON[stem + "e"]) + ["i"]
+        if stem in LEXICON:
+            return list(LEXICON[stem]) + ["i"]
+        if len(stem) >= 3 and stem[-1] == stem[-2] and stem[:-1] in LEXICON:
+            return list(LEXICON[stem[:-1]]) + ["i"]
+        if stem + "e" in LEXICON:
+            return list(LEXICON[stem + "e"]) + ["i"]
+
+    # doubled-consonant / dropped-e inflection stems the derivation
+    # tables missed (swimming, stopped, runner)
+    for suffix, tail in (
+        ("ing", ["ɪ", "ŋ"]),
+        ("ed", None),
+        ("er", ["ɚ"]),
+        ("est", ["ə", "s", "t"]),
+    ):
+        if not w.endswith(suffix) or len(w) < len(suffix) + 3:
+            continue
+        stem = w[: -len(suffix)]
+        cand = None
+        if len(stem) >= 3 and stem[-1] == stem[-2] and stem[:-1] in LEXICON:
+            cand = list(LEXICON[stem[:-1]])
+        elif _cvc_final(stem) and stem + "e" in LEXICON:
+            cand = list(LEXICON[stem + "e"])
+        if cand is not None:
+            return _past_phones(cand) if tail is None else cand + tail
+
+    for suffix, phones, min_prefix in _FINAL_SUFFIX_PHONES:
+        prefix = w[: -len(suffix)]
+        if (
+            not w.endswith(suffix)
+            or len(prefix) < min_prefix
+            or not _has_vowel_letter(prefix)
+        ):
+            continue
+        # consonant+le only (little, handle) — vowel+le is magic-e (mile)
+        if suffix == "le" and prefix[-1] not in _CONSONANT_LETTERS:
+            continue
+        if prefix in LEXICON:
+            prefix_ph = list(LEXICON[prefix])
+        elif prefix[-1] in "aeiou" and len(prefix) >= 2:
+            # a prefix-final vowel sits in an open syllable before the
+            # suffix and says its name (spa-cious, cre-ation)
+            long_v = {
+                "a": "ˈeɪ", "e": "ˈi", "i": "ˈaɪ", "o": "ˈoʊ", "u": "ˈu",
+            }[prefix[-1]]
+            prefix_ph = _apply_rules(prefix[:-1]) + long_v.split()
+        else:
+            prefix_ph = _apply_rules(prefix)
+        suffix_ph = phones.split()
+        if any(p.startswith("ˈ") for p in suffix_ph):
+            return _demote_primary(prefix_ph) + suffix_ph
+        return _ensure_stress(prefix_ph + suffix_ph)
+
+    split = _compound_split(w)
+    if split is not None:
+        return _ensure_stress(split)
+    return _ensure_stress(_apply_rules(w), w)
 
 
 # Common noun/verb homographs: (noun-or-adjective, verb) pronunciations.
@@ -4964,5 +5300,5 @@ def phonemize(word: str, prev: str = "", nxt: str = "") -> typing.List[str]:
             out.extend(_LETTER_NAMES.get(ch, []))
         return out
 
-    return _ensure_stress(_apply_rules(w), w)
+    return _oov_phonemize(w)
 phonemize.context_aware = True
