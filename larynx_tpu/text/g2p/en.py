@@ -2,8 +2,8 @@
 
 Phoneme inventory matches the shipped en-us voices
 (local/en-us/*/phonemes.txt): vowels aɪ aʊ eɪ i oʊ u æ ɑ ɔ ɔɪ ə ɚ ɛ ɪ ʊ ʌ,
-consonants b d d͡ʒ f h j k l m n ŋ p s t t͡ʃ v w z ð ɡ ɹ ʃ ʒ θ; primary ˈ
-and secondary ˌ stress are prefixed to the vowel symbol (split later by
+consonants b d d͡ʒ f h j k l m n ŋ p s t t͡ʃ v w z ð ɡ ɹ ʃ ʒ θ; primary 
+and secondary  stress are prefixed to the vowel symbol (split later by
 phonemes_to_ids' ``separate`` handling).
 
 Pronunciations for the embedded lexicon follow General American
@@ -545,14 +545,14 @@ access ˈæ k s ɛ s
 account ə k ˈaʊ n t
 action ˈæ k ʃ ə n
 active ˈæ k t ɪ v
-address ə d ˈɹ ɛ s
+address ə d ɹ ˈɛ s
 admit æ d m ˈɪ t
 adult ə d ˈʌ l t
 affect ə f ˈɛ k t
 afternoon ˌæ f t ɚ n ˈu n
 agency ˈeɪ d͡ʒ ə n s i
 agent ˈeɪ d͡ʒ ə n t
-agree ə ɡ ˈɹ i
+agree ə ɡ ɹ ˈi
 ahead ə h ˈɛ d
 allow ə l ˈaʊ
 alright ɔ l ɹ ˈaɪ t
@@ -577,7 +577,7 @@ apartment ə p ˈɑ ɹ t m ə n t
 appear ə p ˈɪ ɹ
 application ˌæ p l ə k ˈeɪ ʃ ə n
 apply ə p l ˈaɪ
-approach ə p ˈɹ oʊ t͡ʃ
+approach ə p ɹ ˈoʊ t͡ʃ
 april ˈeɪ p ɹ ə l
 argue ˈɑ ɹ ɡ j u
 argument ˈɑ ɹ ɡ j ə m ə n t
@@ -720,7 +720,7 @@ court k ˈɔ ɹ t
 cover k ˈʌ v ɚ
 cow k ˈaʊ
 create k ɹ i ˈeɪ t
-credit k ˈɹ ɛ d ə t
+credit k ɹ ˈɛ d ə t
 crew k ɹ ˈu
 crime k ɹ ˈaɪ m
 cross k ɹ ˈɔ s
@@ -746,10 +746,10 @@ december d ɪ s ˈɛ m b ɚ
 decide d ə s ˈaɪ d
 decision d ə s ˈɪ ʒ ə n
 defense d ɪ f ˈɛ n s
-degree d ɪ ɡ ˈɹ i
+degree d ɪ ɡ ɹ ˈi
 demand d ɪ m ˈæ n d
 democracy d ɪ m ˈɑ k ɹ ə s i
-describe d ɪ s k ˈɹ aɪ b
+describe d ɪ s k ɹ ˈaɪ b
 design d ɪ z ˈaɪ n
 desk d ˈɛ s k
 despite d ɪ s p ˈaɪ t
@@ -835,7 +835,7 @@ experience ɪ k s p ˈɪ ɹ i ə n s
 experiment ɪ k s p ˈɛ ɹ ə m ə n t
 expert ˈɛ k s p ɚ t
 explain ɪ k s p l ˈeɪ n
-express ɪ k s p ˈɹ ɛ s
+express ɪ k s p ɹ ˈɛ s
 extra ˈɛ k s t ɹ ə
 factor f ˈæ k t ɚ
 factory f ˈæ k t ɚ i
@@ -953,9 +953,9 @@ image ˈɪ m ə d͡ʒ
 imagine ɪ m ˈæ d͡ʒ ə n
 impact ˈɪ m p æ k t
 important ɪ m p ˈɔ ɹ t ə n t
-improve ɪ m p ˈɹ u v
+improve ɪ m p ɹ ˈu v
 inch ˈɪ n t͡ʃ
-increase ɪ n k ˈɹ i s
+increase ɪ n k ɹ ˈi s
 indeed ɪ n d ˈi d
 industry ˈɪ n d ə s t ɹ i
 information ˌɪ n f ɚ m ˈeɪ ʃ ə n
@@ -1372,7 +1372,7 @@ supply s ə p l ˈaɪ
 support s ə p ˈɔ ɹ t
 suppose s ə p ˈoʊ z
 surface s ˈɚ f ə s
-surprise s ɚ p ˈɹ aɪ z
+surprise s ɚ p ɹ ˈaɪ z
 survive s ɚ v ˈaɪ v
 sweet s w ˈi t
 swim s w ˈɪ m
@@ -1506,7 +1506,7 @@ achieve ə t͡ʃ ˈi v
 activity æ k t ˈɪ v ə t i
 adventure æ d v ˈɛ n t͡ʃ ɚ
 africa ˈæ f ɹ ɪ k ə
-agreed ə ɡ ˈɹ i d
+agreed ə ɡ ɹ ˈi d
 alive ə l ˈaɪ v
 answered ˈæ n s ɚ d
 appeared ə p ˈɪ ɹ d
@@ -1793,7 +1793,7 @@ advice æ d v ˈaɪ s
 advise æ d v ˈaɪ z
 affair ə f ˈɛ ɹ
 afford ə f ˈɔ ɹ d
-agreement ə ɡ ˈɹ i m ə n t
+agreement ə ɡ ɹ ˈi m ə n t
 agriculture ˈæ ɡ ɹ ə k ˌʌ l t͡ʃ ɚ
 aid ˈeɪ d
 aim ˈeɪ m
@@ -1827,10 +1827,10 @@ appetite ˈæ p ə t ˌaɪ t
 applaud ə p l ˈɔ d
 appoint ə p ˈɔɪ n t
 appointment ə p ˈɔɪ n t m ə n t
-appreciate ə p ˈɹ i ʃ i ˌeɪ t
-appropriate ə p ˈɹ oʊ p ɹ i ə t
-approval ə p ˈɹ u v ə l
-approve ə p ˈɹ u v
+appreciate ə p ɹ ˈi ʃ i ˌeɪ t
+appropriate ə p ɹ ˈoʊ p ɹ i ə t
+approval ə p ɹ ˈu v ə l
+approve ə p ɹ ˈu v
 apron ˈeɪ p ɹ ə n
 architect ˈɑ ɹ k ə t ˌɛ k t
 arise ɚ ˈaɪ z
@@ -1859,8 +1859,8 @@ attach ə t ˈæ t͡ʃ
 attend ə t ˈɛ n d
 attitude ˈæ t ə t ˌu d
 attorney ə t ˈɚ n i
-attract ə t ˈɹ æ k t
-attractive ə t ˈɹ æ k t ɪ v
+attract ə t ɹ ˈæ k t
+attractive ə t ɹ ˈæ k t ɪ v
 audience ˈɔ d i ə n s
 authority ə θ ˈɔ ɹ ə t i
 automatic ˌɔ t ə m ˈæ t ɪ k
@@ -1940,22 +1940,22 @@ bounce b ˈaʊ n s
 bound b ˈaʊ n d
 boundary b ˈaʊ n d ɹ i
 bowl b ˈoʊ l
-brake b ˈɹ eɪ k
-brand b ˈɹ æ n d
-brass b ˈɹ æ s
-breast b ˈɹ ɛ s t
-breed b ˈɹ i d
-breeze b ˈɹ i z
-brick b ˈɹ ɪ k
-bride b ˈɹ aɪ d
-brilliant b ˈɹ ɪ l j ə n t
-brim b ˈɹ ɪ m
-broad b ˈɹ ɔ d
-broadcast b ˈɹ ɔ d k ˌæ s t
-bronze b ˈɹ ɑ n z
-brook b ˈɹ ʊ k
-broom b ˈɹ u m
-brush b ˈɹ ʌ ʃ
+brake b ɹ ˈeɪ k
+brand b ɹ ˈæ n d
+brass b ɹ ˈæ s
+breast b ɹ ˈɛ s t
+breed b ɹ ˈi d
+breeze b ɹ ˈi z
+brick b ɹ ˈɪ k
+bride b ɹ ˈaɪ d
+brilliant b ɹ ˈɪ l j ə n t
+brim b ɹ ˈɪ m
+broad b ɹ ˈɔ d
+broadcast b ɹ ˈɔ d k ˌæ s t
+bronze b ɹ ˈɑ n z
+brook b ɹ ˈʊ k
+broom b ɹ ˈu m
+brush b ɹ ˈʌ ʃ
 bubble b ˈʌ b ə l
 bucket b ˈʌ k ə t
 bud b ˈʌ d
@@ -2017,8 +2017,8 @@ caution k ˈɔ ʃ ə n
 cave k ˈeɪ v
 cease s ˈi s
 ceiling s ˈi l ɪ ŋ
-celebrate s ˈɛ l ə b ˌɹ eɪ t
-celebration ˌs ɛ l ə b ˈɹ eɪ ʃ ə n
+celebrate s ˈɛ l ə b ɹ ˌeɪ t
+celebration s ˌɛ l ə b ɹ ˈeɪ ʃ ə n
 cellar s ˈɛ l ɚ
 cement s ə m ˈɛ n t
 cemetery s ˈɛ m ə t ˌɛ ɹ i
@@ -2046,7 +2046,7 @@ chin t͡ʃ ˈɪ n
 china t͡ʃ ˈaɪ n ə
 chip t͡ʃ ˈɪ p
 chop t͡ʃ ˈɑ p
-christmas k ˈɹ ɪ s m ə s
+christmas k ɹ ˈɪ s m ə s
 circumstance s ˈɚ k ə m s t ˌæ n s
 circus s ˈɚ k ə s
 civil s ˈɪ v ə l
@@ -2096,7 +2096,7 @@ compose k ə m p ˈoʊ z
 composition k ˌɑ m p ə z ˈɪ ʃ ə n
 compromise k ˈɑ m p ɹ ə m ˌaɪ z
 conceal k ə n s ˈi l
-concentrate k ˈɑ n s ə n t ˌɹ eɪ t
+concentrate k ˈɑ n s ə n t ɹ ˌeɪ t
 concept k ˈɑ n s ɛ p t
 concert k ˈɑ n s ɚ t
 conclude k ə n k l ˈu d
@@ -2118,8 +2118,8 @@ consideration k ə n s ˌɪ d ɚ ˈeɪ ʃ ə n
 consist k ə n s ˈɪ s t
 constant k ˈɑ n s t ə n t
 constitution k ˌɑ n s t ə t ˈu ʃ ə n
-construct k ə n s t ˈɹ ʌ k t
-construction k ə n s t ˈɹ ʌ k ʃ ə n
+construct k ə n s t ɹ ˈʌ k t
+construction k ə n s t ɹ ˈʌ k ʃ ə n
 consult k ə n s ˈʌ l t
 consume k ə n s ˈu m
 consumer k ə n s ˈu m ɚ
@@ -2127,7 +2127,7 @@ contact k ˈɑ n t æ k t
 container k ə n t ˈeɪ n ɚ
 contemporary k ə n t ˈɛ m p ɚ ˌɛ ɹ i
 continent k ˈɑ n t ə n ə n t
-contribute k ə n t ˈɹ ɪ b j u t
+contribute k ə n t ɹ ˈɪ b j u t
 contribution k ˌɑ n t ɹ ə b j ˈu ʃ ə n
 convenient k ə n v ˈi n j ə n t
 convince k ə n v ˈɪ n s
@@ -2144,25 +2144,25 @@ council k ˈaʊ n s ə l
 count k ˈaʊ n t
 counter k ˈaʊ n t ɚ
 county k ˈaʊ n t i
-crack k ˈɹ æ k
-craft k ˈɹ æ f t
-crash k ˈɹ æ ʃ
-crawl k ˈɹ ɔ l
-cream k ˈɹ i m
-creature k ˈɹ i t͡ʃ ɚ
-creek k ˈɹ i k
-creep k ˈɹ i p
-criminal k ˈɹ ɪ m ə n ə l
-crisis k ˈɹ aɪ s ə s
-critic k ˈɹ ɪ t ɪ k
-critical k ˈɹ ɪ t ɪ k ə l
-criticism k ˈɹ ɪ t ə s ˌɪ z ə m
-crop k ˈɹ ɑ p
-crown k ˈɹ aʊ n
-cruel k ˈɹ u ə l
-crush k ˈɹ ʌ ʃ
-crust k ˈɹ ʌ s t
-crystal k ˈɹ ɪ s t ə l
+crack k ɹ ˈæ k
+craft k ɹ ˈæ f t
+crash k ɹ ˈæ ʃ
+crawl k ɹ ˈɔ l
+cream k ɹ ˈi m
+creature k ɹ ˈi t͡ʃ ɚ
+creek k ɹ ˈi k
+creep k ɹ ˈi p
+criminal k ɹ ˈɪ m ə n ə l
+crisis k ɹ ˈaɪ s ə s
+critic k ɹ ˈɪ t ɪ k
+critical k ɹ ˈɪ t ɪ k ə l
+criticism k ɹ ˈɪ t ə s ˌɪ z ə m
+crop k ɹ ˈɑ p
+crown k ɹ ˈaʊ n
+cruel k ɹ ˈu ə l
+crush k ɹ ˈʌ ʃ
+crust k ɹ ˈʌ s t
+crystal k ɹ ˈɪ s t ə l
 cube k j ˈu b
 cucumber k j ˈu k ʌ m b ɚ
 cupboard k ˈʌ b ɚ d
@@ -2201,7 +2201,7 @@ delicate d ˈɛ l ɪ k ə t
 delight d ɪ l ˈaɪ t
 deliver d ɪ l ˈɪ v ɚ
 delivery d ɪ l ˈɪ v ɚ i
-demonstrate d ˈɛ m ə n s t ˌɹ eɪ t
+demonstrate d ˈɛ m ə n s t ɹ ˌeɪ t
 dentist d ˈɛ n t ə s t
 deny d ɪ n ˈaɪ
 depart d ɪ p ˈɑ ɹ t
@@ -2212,13 +2212,13 @@ depth d ˈɛ p θ
 deputy d ˈɛ p j ə t i
 derive d ɚ ˈaɪ v
 descend d ɪ s ˈɛ n d
-description d ɪ s k ˈɹ ɪ p ʃ ə n
+description d ɪ s k ɹ ˈɪ p ʃ ə n
 deserve d ɪ z ˈɚ v
 desire d ɪ z ˈaɪ ɚ
 desperate d ˈɛ s p ɚ ə t
 destination d ˌɛ s t ə n ˈeɪ ʃ ə n
-destroy d ɪ s t ˈɹ ɔɪ
-destruction d ɪ s t ˈɹ ʌ k ʃ ə n
+destroy d ɪ s t ɹ ˈɔɪ
+destruction d ɪ s t ɹ ˈʌ k ʃ ə n
 detective d ɪ t ˈɛ k t ɪ v
 development d ɪ v ˈɛ l ə p m ə n t
 devil d ˈɛ v ə l
@@ -2234,7 +2234,7 @@ dine d ˈaɪ n
 dip d ˈɪ p
 direct d ɚ ˈɛ k t
 dirt d ˈɚ t
-disagree d ˌɪ s ə ɡ ˈɹ i
+disagree d ˌɪ s ə ɡ ɹ ˈi
 disappear d ˌɪ s ə p ˈɪ ɹ
 disappoint d ˌɪ s ə p ˈɔɪ n t
 disaster d ɪ z ˈæ s t ɚ
@@ -2246,7 +2246,7 @@ display d ɪ s p l ˈeɪ
 distant d ˈɪ s t ə n t
 distinct d ɪ s t ˈɪ ŋ k t
 distinguish d ɪ s t ˈɪ ŋ ɡ w ɪ ʃ
-distribute d ɪ s t ˈɹ ɪ b j u t
+distribute d ɪ s t ɹ ˈɪ b j u t
 district d ˈɪ s t ɹ ɪ k t
 disturb d ɪ s t ˈɚ b
 ditch d ˈɪ t͡ʃ
@@ -2265,21 +2265,21 @@ donkey d ˈɑ ŋ k i
 dot d ˈɑ t
 downstairs d ˌaʊ n s t ˈɛ ɹ z
 downtown d ˌaʊ n t ˈaʊ n
-drag d ˈɹ æ ɡ
-dragon d ˈɹ æ ɡ ə n
-drain d ˈɹ eɪ n
-drama d ˈɹ ɑ m ə
+drag d ɹ ˈæ ɡ
+dragon d ɹ ˈæ ɡ ə n
+drain d ɹ ˈeɪ n
+drama d ɹ ˈɑ m ə
 dramatic d ɹ ə m ˈæ t ɪ k
-drawer d ˈɹ ɔ ɹ
-drawing d ˈɹ ɔ ɪ ŋ
-dreadful d ˈɹ ɛ d f ə l
-drift d ˈɹ ɪ f t
-drill d ˈɹ ɪ l
-drip d ˈɹ ɪ p
-driven d ˈɹ ɪ v ə n
-drown d ˈɹ aʊ n
-drum d ˈɹ ʌ m
-drunk d ˈɹ ʌ ŋ k
+drawer d ɹ ˈɔ ɹ
+drawing d ɹ ˈɔ ɪ ŋ
+dreadful d ɹ ˈɛ d f ə l
+drift d ɹ ˈɪ f t
+drill d ɹ ˈɪ l
+drip d ɹ ˈɪ p
+driven d ɹ ˈɪ v ə n
+drown d ɹ ˈaʊ n
+drum d ɹ ˈʌ m
+drunk d ɹ ˈʌ ŋ k
 duck d ˈʌ k
 dull d ˈʌ l
 dumb d ˈʌ m
@@ -2307,8 +2307,8 @@ eighth ˈeɪ t θ
 elbow ˈɛ l b oʊ
 elder ˈɛ l d ɚ
 elect ə l ˈɛ k t
-electricity ə l ˌɛ k t ˈɹ ɪ s ə t i
-electronic ə l ˌɛ k t ˈɹ ɑ n ɪ k
+electricity ə l ˌɛ k t ɹ ˈɪ s ə t i
+electronic ə l ˌɛ k t ɹ ˈɑ n ɪ k
 elegant ˈɛ l ə ɡ ə n t
 element ˈɛ l ə m ə n t
 elementary ˌɛ l ə m ˈɛ n t ɹ i
@@ -2367,13 +2367,13 @@ explode ɪ k s p l ˈoʊ d
 explore ɪ k s p l ˈɔ ɹ
 explosion ɪ k s p l ˈoʊ ʒ ə n
 expose ɪ k s p ˈoʊ z
-expression ɪ k s p ˈɹ ɛ ʃ ə n
+expression ɪ k s p ɹ ˈɛ ʃ ə n
 extend ɪ k s t ˈɛ n d
 extension ɪ k s t ˈɛ n ʃ ə n
 extent ɪ k s t ˈɛ n t
 external ɪ k s t ˈɚ n ə l
-extraordinary ɪ k s t ˈɹ ɔ ɹ d ə n ˌɛ ɹ i
-extreme ɪ k s t ˈɹ i m
+extraordinary ɪ k s t ɹ ˈɔ ɹ d ə n ˌɛ ɹ i
+extreme ɪ k s t ɹ ˈi m
 fabric f ˈæ b ɹ ɪ k
 fade f ˈeɪ d
 failure f ˈeɪ l j ɚ
@@ -2452,20 +2452,20 @@ fossil f ˈɑ s ə l
 foundation f aʊ n d ˈeɪ ʃ ə n
 fountain f ˈaʊ n t ə n
 fox f ˈɑ k s
-fraction f ˈɹ æ k ʃ ə n
-fragile f ˈɹ æ d͡ʒ ə l
-freedom f ˈɹ i d ə m
-freeze f ˈɹ i z
-freight f ˈɹ eɪ t
-frequency f ˈɹ i k w ə n s i
-frequent f ˈɹ i k w ə n t
-friendship f ˈɹ ɛ n d ʃ ˌɪ p
-frog f ˈɹ ɔ ɡ
-frost f ˈɹ ɔ s t
-frown f ˈɹ aʊ n
-froze f ˈɹ oʊ z
-frozen f ˈɹ oʊ z ə n
-fry f ˈɹ aɪ
+fraction f ɹ ˈæ k ʃ ə n
+fragile f ɹ ˈæ d͡ʒ ə l
+freedom f ɹ ˈi d ə m
+freeze f ɹ ˈi z
+freight f ɹ ˈeɪ t
+frequency f ɹ ˈi k w ə n s i
+frequent f ɹ ˈi k w ə n t
+friendship f ɹ ˈɛ n d ʃ ˌɪ p
+frog f ɹ ˈɔ ɡ
+frost f ɹ ˈɔ s t
+frown f ɹ ˈaʊ n
+froze f ɹ ˈoʊ z
+frozen f ɹ ˈoʊ z ə n
+fry f ɹ ˈaɪ
 fuel f j ˈu ə l
 fundamental f ˌʌ n d ə m ˈɛ n t ə l
 funeral f j ˈu n ɚ ə l
@@ -2513,27 +2513,27 @@ goose ɡ ˈu s
 gossip ɡ ˈɑ s ə p
 govern ɡ ˈʌ v ɚ n
 governor ɡ ˈʌ v ɚ n ɚ
-grab ɡ ˈɹ æ b
-grace ɡ ˈɹ eɪ s
-grade ɡ ˈɹ eɪ d
-gradual ɡ ˈɹ æ d͡ʒ u ə l
-grain ɡ ˈɹ eɪ n
-grammar ɡ ˈɹ æ m ɚ
-grant ɡ ˈɹ æ n t
-grape ɡ ˈɹ eɪ p
-graph ɡ ˈɹ æ f
-grasp ɡ ˈɹ æ s p
-grave ɡ ˈɹ eɪ v
-gravity ɡ ˈɹ æ v ə t i
-grease ɡ ˈɹ i s
-greet ɡ ˈɹ i t
-grief ɡ ˈɹ i f
-grin ɡ ˈɹ ɪ n
-grind ɡ ˈɹ aɪ n d
-grip ɡ ˈɹ ɪ p
-grocery ɡ ˈɹ oʊ s ɚ i
-groom ɡ ˈɹ u m
-groan ɡ ˈɹ oʊ n
+grab ɡ ɹ ˈæ b
+grace ɡ ɹ ˈeɪ s
+grade ɡ ɹ ˈeɪ d
+gradual ɡ ɹ ˈæ d͡ʒ u ə l
+grain ɡ ɹ ˈeɪ n
+grammar ɡ ɹ ˈæ m ɚ
+grant ɡ ɹ ˈæ n t
+grape ɡ ɹ ˈeɪ p
+graph ɡ ɹ ˈæ f
+grasp ɡ ɹ ˈæ s p
+grave ɡ ɹ ˈeɪ v
+gravity ɡ ɹ ˈæ v ə t i
+grease ɡ ɹ ˈi s
+greet ɡ ɹ ˈi t
+grief ɡ ɹ ˈi f
+grin ɡ ɹ ˈɪ n
+grind ɡ ɹ ˈaɪ n d
+grip ɡ ɹ ˈɪ p
+grocery ɡ ɹ ˈoʊ s ɚ i
+groom ɡ ɹ ˈu m
+groan ɡ ɹ ˈoʊ n
 guarantee ɡ ˌɛ ɹ ə n t ˈi
 guilt ɡ ˈɪ l t
 guilty ɡ ˈɪ l t i
@@ -2613,7 +2613,7 @@ idle ˈaɪ d ə l
 ignore ɪ ɡ n ˈɔ ɹ
 illegal ɪ l ˈi ɡ ə l
 illness ˈɪ l n ə s
-illustrate ˈɪ l ə s t ˌɹ eɪ t
+illustrate ˈɪ l ə s t ɹ ˌeɪ t
 imagination ɪ m ˌæ d͡ʒ ə n ˈeɪ ʃ ə n
 imitate ˈɪ m ə t ˌeɪ t
 immediate ɪ m ˈi d i ə t
@@ -2623,13 +2623,13 @@ implement ˈɪ m p l ə m ə n t
 imply ɪ m p l ˈaɪ
 importance ɪ m p ˈɔ ɹ t ə n s
 impose ɪ m p ˈoʊ z
-impress ɪ m p ˈɹ ɛ s
-impression ɪ m p ˈɹ ɛ ʃ ə n
-improvement ɪ m p ˈɹ u v m ə n t
+impress ɪ m p ɹ ˈɛ s
+impression ɪ m p ɹ ˈɛ ʃ ə n
+improvement ɪ m p ɹ ˈu v m ə n t
 incident ˈɪ n s ə d ə n t
 include ɪ n k l ˈu d
 income ˈɪ n k ʌ m
-incredible ɪ n k ˈɹ ɛ d ə b ə l
+incredible ɪ n k ɹ ˈɛ d ə b ə l
 independence ˌɪ n d ə p ˈɛ n d ə n s
 independent ˌɪ n d ə p ˈɛ n d ə n t
 index ˈɪ n d ɛ k s
@@ -2641,7 +2641,7 @@ infection ɪ n f ˈɛ k ʃ ə n
 inflation ɪ n f l ˈeɪ ʃ ə n
 influence ˈɪ n f l u ə n s
 inform ɪ n f ˈɔ ɹ m
-ingredient ɪ n ɡ ˈɹ i d i ə n t
+ingredient ɪ n ɡ ɹ ˈi d i ə n t
 initial ə n ˈɪ ʃ ə l
 injure ˈɪ n d͡ʒ ɚ
 injury ˈɪ n d͡ʒ ɚ i
@@ -2658,7 +2658,7 @@ install ɪ n s t ˈɔ l
 instant ˈɪ n s t ə n t
 instinct ˈɪ n s t ɪ ŋ k t
 institute ˈɪ n s t ə t ˌu t
-instruction ɪ n s t ˈɹ ʌ k ʃ ə n
+instruction ɪ n s t ɹ ˈʌ k ʃ ə n
 instrument ˈɪ n s t ɹ ə m ə n t
 insurance ɪ n ʃ ˈʊ ɹ ə n s
 intelligence ɪ n t ˈɛ l ə d͡ʒ ə n s
@@ -2916,7 +2916,7 @@ novel n ˈɑ v ə l
 nuclear n ˈu k l i ɚ
 numerous n ˈu m ɚ ə s
 nut n ˈʌ t
-nutrition n u t ˈɹ ɪ ʃ ə n
+nutrition n u t ɹ ˈɪ ʃ ə n
 oak ˈoʊ k
 oar ˈɔ ɹ
 oath ˈoʊ θ
@@ -3006,7 +3006,7 @@ pastry p ˈeɪ s t ɹ i
 pat p ˈæ t
 patch p ˈæ t͡ʃ
 patience p ˈeɪ ʃ ə n s
-patrol p ə t ˈɹ oʊ l
+patrol p ə t ɹ ˈoʊ l
 pause p ˈɔ z
 pave p ˈeɪ v
 paw p ˈɔ
@@ -3108,62 +3108,62 @@ potential p ə t ˈɛ n ʃ ə l
 pour p ˈɔ ɹ
 poverty p ˈɑ v ɚ t i
 powder p ˈaʊ d ɚ
-practical p ˈɹ æ k t ɪ k ə l
-praise p ˈɹ eɪ z
-pray p ˈɹ eɪ
-prayer p ˈɹ ɛ ɹ
-preach p ˈɹ i t͡ʃ
-precious p ˈɹ ɛ ʃ ə s
+practical p ɹ ˈæ k t ɪ k ə l
+praise p ɹ ˈeɪ z
+pray p ɹ ˈeɪ
+prayer p ɹ ˈɛ ɹ
+preach p ɹ ˈi t͡ʃ
+precious p ɹ ˈɛ ʃ ə s
 precise p ɹ ɪ s ˈaɪ s
 predict p ɹ ɪ d ˈɪ k t
 prefer p ɹ ɪ f ˈɚ
-pregnant p ˈɹ ɛ ɡ n ə n t
-preparation p ˌɹ ɛ p ɚ ˈeɪ ʃ ə n
-presence p ˈɹ ɛ z ə n s
-presentation p ˌɹ ɛ z ə n t ˈeɪ ʃ ə n
+pregnant p ɹ ˈɛ ɡ n ə n t
+preparation p ɹ ˌɛ p ɚ ˈeɪ ʃ ə n
+presence p ɹ ˈɛ z ə n s
+presentation p ɹ ˌɛ z ə n t ˈeɪ ʃ ə n
 preserve p ɹ ɪ z ˈɚ v
 pretend p ɹ ɪ t ˈɛ n d
-previous p ˈɹ i v i ə s
-prey p ˈɹ eɪ
-priest p ˈɹ i s t
-primary p ˈɹ aɪ m ˌɛ ɹ i
-prime p ˈɹ aɪ m
-prince p ˈɹ ɪ n s
-princess p ˈɹ ɪ n s ɛ s
-principal p ˈɹ ɪ n s ə p ə l
-principle p ˈɹ ɪ n s ə p ə l
-print p ˈɹ ɪ n t
-printer p ˈɹ ɪ n t ɚ
+previous p ɹ ˈi v i ə s
+prey p ɹ ˈeɪ
+priest p ɹ ˈi s t
+primary p ɹ ˈaɪ m ˌɛ ɹ i
+prime p ɹ ˈaɪ m
+prince p ɹ ˈɪ n s
+princess p ɹ ˈɪ n s ɛ s
+principal p ɹ ˈɪ n s ə p ə l
+principle p ɹ ˈɪ n s ə p ə l
+print p ɹ ˈɪ n t
+printer p ɹ ˈɪ n t ɚ
 priority p ɹ aɪ ˈɔ ɹ ə t i
-prison p ˈɹ ɪ z ə n
-prisoner p ˈɹ ɪ z ə n ɚ
-privacy p ˈɹ aɪ v ə s i
-privilege p ˈɹ ɪ v ə l ɪ d͡ʒ
-probable p ˈɹ ɑ b ə b ə l
+prison p ɹ ˈɪ z ə n
+prisoner p ɹ ˈɪ z ə n ɚ
+privacy p ɹ ˈaɪ v ə s i
+privilege p ɹ ˈɪ v ə l ɪ d͡ʒ
+probable p ɹ ˈɑ b ə b ə l
 procedure p ɹ ə s ˈi d͡ʒ ɚ
 proceed p ɹ ə s ˈi d
 procession p ɹ ə s ˈɛ ʃ ə n
 production p ɹ ə d ˈʌ k ʃ ə n
 profession p ɹ ə f ˈɛ ʃ ə n
 professional p ɹ ə f ˈɛ ʃ ə n ə l
-profile p ˈɹ oʊ f aɪ l
-profit p ˈɹ ɑ f ə t
+profile p ɹ ˈoʊ f aɪ l
+profit p ɹ ˈɑ f ə t
 prohibit p ɹ oʊ h ˈɪ b ə t
-prominent p ˈɹ ɑ m ə n ə n t
+prominent p ɹ ˈɑ m ə n ə n t
 promote p ɹ ə m ˈoʊ t
-prompt p ˈɹ ɑ m p t
+prompt p ɹ ˈɑ m p t
 pronounce p ɹ ə n ˈaʊ n s
-proof p ˈɹ u f
-proper p ˈɹ ɑ p ɚ
-property p ˈɹ ɑ p ɚ t i
+proof p ɹ ˈu f
+proper p ɹ ˈɑ p ɚ
+property p ɹ ˈɑ p ɚ t i
 proportion p ɹ ə p ˈɔ ɹ ʃ ə n
 proposal p ɹ ə p ˈoʊ z ə l
 propose p ɹ ə p ˈoʊ z
-prospect p ˈɹ ɑ s p ɛ k t
+prospect p ɹ ˈɑ s p ɛ k t
 protection p ɹ ə t ˈɛ k ʃ ə n
-protein p ˈɹ oʊ t i n
-proverb p ˈɹ ɑ v ɚ b
-province p ˈɹ ɑ v ə n s
+protein p ɹ ˈoʊ t i n
+proverb p ɹ ˈɑ v ɚ b
+province p ɹ ˈɑ v ə n s
 provision p ɹ ə v ˈɪ ʒ ə n
 psychology s aɪ k ˈɑ l ə d͡ʒ i
 pub p ˈʌ b
@@ -3222,8 +3222,8 @@ reasonable ɹ ˈi z ə n ə b ə l
 recall ɹ ɪ k ˈɔ l
 receipt ɹ ɪ s ˈi t
 recipe ɹ ˈɛ s ə p i
-recognition ˌɹ ɛ k ə ɡ n ˈɪ ʃ ə n
-recommend ˌɹ ɛ k ə m ˈɛ n d
+recognition ɹ ˌɛ k ə ɡ n ˈɪ ʃ ə n
+recommend ɹ ˌɛ k ə m ˈɛ n d
 recover ɹ ɪ k ˈʌ v ɚ
 recovery ɹ ɪ k ˈʌ v ɚ i
 reduction ɹ ɪ d ˈʌ k ʃ ə n
@@ -3231,14 +3231,14 @@ refer ɹ ɪ f ˈɚ
 reference ɹ ˈɛ f ɹ ə n s
 reflection ɹ ɪ f l ˈɛ k ʃ ə n
 reform ɹ ɪ f ˈɔ ɹ m
-refrigerator ɹ ɪ f ˈɹ ɪ d͡ʒ ɚ ˌeɪ t ɚ
-refugee ˌɹ ɛ f j u d͡ʒ ˈi
+refrigerator ɹ ɪ f ɹ ˈɪ d͡ʒ ɚ ˌeɪ t ɚ
+refugee ɹ ˌɛ f j u d͡ʒ ˈi
 regard ɹ ɪ ɡ ˈɑ ɹ d
 regime ɹ ə ʒ ˈi m
 register ɹ ˈɛ d͡ʒ ə s t ɚ
-regret ɹ ɪ ɡ ˈɹ ɛ t
+regret ɹ ɪ ɡ ɹ ˈɛ t
 regular ɹ ˈɛ ɡ j ə l ɚ
-regulation ˌɹ ɛ ɡ j ə l ˈeɪ ʃ ə n
+regulation ɹ ˌɛ ɡ j ə l ˈeɪ ʃ ə n
 rehearse ɹ ɪ h ˈɚ s
 reign ɹ ˈeɪ n
 rein ɹ ˈeɪ n
@@ -3261,38 +3261,38 @@ rent ɹ ˈɛ n t
 repair ɹ ɪ p ˈɛ ɹ
 reply ɹ ɪ p l ˈaɪ
 reporter ɹ ɪ p ˈɔ ɹ t ɚ
-representative ˌɹ ɛ p ɹ ɪ z ˈɛ n t ə t ɪ v
-reproduce ˌɹ i p ɹ ə d ˈu s
+representative ɹ ˌɛ p ɹ ɪ z ˈɛ n t ə t ɪ v
+reproduce ɹ ˌi p ɹ ə d ˈu s
 reptile ɹ ˈɛ p t aɪ l
 republic ɹ ɪ p ˈʌ b l ɪ k
-reputation ˌɹ ɛ p j ə t ˈeɪ ʃ ə n
+reputation ɹ ˌɛ p j ə t ˈeɪ ʃ ə n
 request ɹ ɪ k w ˈɛ s t
 requirement ɹ ɪ k w ˈaɪ ɚ m ə n t
 rescue ɹ ˈɛ s k j u
 resemble ɹ ɪ z ˈɛ m b ə l
-reservation ˌɹ ɛ z ɚ v ˈeɪ ʃ ə n
+reservation ɹ ˌɛ z ɚ v ˈeɪ ʃ ə n
 reserve ɹ ɪ z ˈɚ v
 residence ɹ ˈɛ z ə d ə n s
 resident ɹ ˈɛ z ə d ə n t
 resign ɹ ɪ z ˈaɪ n
 resist ɹ ɪ z ˈɪ s t
 resistance ɹ ɪ z ˈɪ s t ə n s
-resolution ˌɹ ɛ z ə l ˈu ʃ ə n
+resolution ɹ ˌɛ z ə l ˈu ʃ ə n
 resolve ɹ ɪ z ˈɑ l v
 resort ɹ ɪ z ˈɔ ɹ t
 responsible ɹ ɪ s p ˈɑ n s ə b ə l
 restaurant ɹ ˈɛ s t ɚ ˌɑ n t
 restore ɹ ɪ s t ˈɔ ɹ
-restrict ɹ ɪ s t ˈɹ ɪ k t
+restrict ɹ ɪ s t ɹ ˈɪ k t
 resume ɹ ɪ z ˈu m
 retail ɹ ˈi t eɪ l
 retain ɹ ɪ t ˈeɪ n
 retire ɹ ɪ t ˈaɪ ɚ
-retreat ɹ ɪ t ˈɹ i t
+retreat ɹ ɪ t ɹ ˈi t
 revenge ɹ ɪ v ˈɛ n d͡ʒ
 revenue ɹ ˈɛ v ə n ˌu
 reverse ɹ ɪ v ˈɚ s
-revolution ˌɹ ɛ v ə l ˈu ʃ ə n
+revolution ɹ ˌɛ v ə l ˈu ʃ ə n
 reward ɹ ɪ w ˈɔ ɹ d
 rhythm ɹ ˈɪ ð ə m
 rib ɹ ˈɪ b
@@ -3350,8 +3350,8 @@ salmon s ˈæ m ə n
 sample s ˈæ m p ə l
 sandwich s ˈæ n d w ɪ t͡ʃ
 satellite s ˈæ t ə l ˌaɪ t
-satisfaction ˌs æ t ə s f ˈæ k ʃ ə n
-satisfactory ˌs æ t ə s f ˈæ k t ɚ i
+satisfaction s ˌæ t ə s f ˈæ k ʃ ə n
+satisfactory s ˌæ t ə s f ˈæ k t ɚ i
 satisfy s ˈæ t ə s f ˌaɪ
 sauce s ˈɔ s
 saucer s ˈɔ s ɚ
@@ -3376,13 +3376,13 @@ scoop s k ˈu p
 scope s k ˈoʊ p
 scorn s k ˈɔ ɹ n
 scout s k ˈaʊ t
-scrap s k ˈɹ æ p
-scrape s k ˈɹ eɪ p
-scratch s k ˈɹ æ t͡ʃ
-scream s k ˈɹ i m
-screw s k ˈɹ u
-script s k ˈɹ ɪ p t
-scrub s k ˈɹ ʌ b
+scrap s k ɹ ˈæ p
+scrape s k ɹ ˈeɪ p
+scratch s k ɹ ˈæ t͡ʃ
+scream s k ɹ ˈi m
+screw s k ɹ ˈu
+script s k ɹ ˈɪ p t
+scrub s k ɹ ˈʌ b
 sculpture s k ˈʌ l p t͡ʃ ɚ
 seal s ˈi l
 seaside s ˈi s ˌaɪ d
@@ -3404,7 +3404,7 @@ senator s ˈɛ n ə t ɚ
 sensation s ɛ n s ˈeɪ ʃ ə n
 sensible s ˈɛ n s ə b ə l
 sensitive s ˈɛ n s ə t ɪ v
-separation ˌs ɛ p ɚ ˈeɪ ʃ ə n
+separation s ˌɛ p ɚ ˈeɪ ʃ ə n
 sequence s ˈi k w ə n s
 servant s ˈɚ v ə n t
 session s ˈɛ ʃ ə n
@@ -3440,9 +3440,9 @@ shot ʃ ˈɑ t
 shove ʃ ˈʌ v
 shovel ʃ ˈʌ v ə l
 shower ʃ ˈaʊ ɚ
-shrimp ʃ ˈɹ ɪ m p
-shrink ʃ ˈɹ ɪ ŋ k
-shrug ʃ ˈɹ ʌ ɡ
+shrimp ʃ ɹ ˈɪ m p
+shrink ʃ ɹ ˈɪ ŋ k
+shrug ʃ ɹ ˈʌ ɡ
 shy ʃ ˈaɪ
 sigh s ˈaɪ
 signature s ˈɪ ɡ n ə t͡ʃ ɚ
@@ -3529,8 +3529,8 @@ split s p l ˈɪ t
 spoil s p ˈɔɪ l
 sponsor s p ˈɑ n s ɚ
 spoon s p ˈu n
-spray s p ˈɹ eɪ
-sprinkle s p ˈɹ ɪ ŋ k ə l
+spray s p ɹ ˈeɪ
+sprinkle s p ɹ ˈɪ ŋ k ə l
 spy s p ˈaɪ
 squad s k w ˈɑ d
 square s k w ˈɛ ɹ
@@ -3566,17 +3566,17 @@ stomach s t ˈʌ m ə k
 stoop s t ˈu p
 storage s t ˈɔ ɹ ɪ d͡ʒ
 stove s t ˈoʊ v
-strain s t ˈɹ eɪ n
-strap s t ˈɹ æ p
-strategy s t ˈɹ æ t ə d͡ʒ i
-straw s t ˈɹ ɔ
-strawberry s t ˈɹ ɔ b ˌɛ ɹ i
-strict s t ˈɹ ɪ k t
-string s t ˈɹ ɪ ŋ
-strip s t ˈɹ ɪ p
-stripe s t ˈɹ aɪ p
-stroke s t ˈɹ oʊ k
-struggle s t ˈɹ ʌ ɡ ə l
+strain s t ɹ ˈeɪ n
+strap s t ɹ ˈæ p
+strategy s t ɹ ˈæ t ə d͡ʒ i
+straw s t ɹ ˈɔ
+strawberry s t ɹ ˈɔ b ˌɛ ɹ i
+strict s t ɹ ˈɪ k t
+string s t ɹ ˈɪ ŋ
+strip s t ɹ ˈɪ p
+stripe s t ɹ ˈaɪ p
+stroke s t ɹ ˈoʊ k
+struggle s t ɹ ˈʌ ɡ ə l
 stubborn s t ˈʌ b ɚ n
 studio s t ˈu d i ˌoʊ
 stuff s t ˈʌ f
@@ -3586,7 +3586,7 @@ substance s ˈʌ b s t ə n s
 substantial s ə b s t ˈæ n ʃ ə l
 substitute s ˈʌ b s t ə t ˌu t
 subtle s ˈʌ t ə l
-subtract s ə b t ˈɹ æ k t
+subtract s ə b t ɹ ˈæ k t
 suburb s ˈʌ b ɚ b
 subway s ˈʌ b w ˌeɪ
 succeed s ə k s ˈi d
@@ -3605,7 +3605,7 @@ sunshine s ˈʌ n ʃ ˌaɪ n
 superior s u p ˈɪ ɹ i ɚ
 supermarket s ˈu p ɚ m ˌɑ ɹ k ə t
 supper s ˈʌ p ɚ
-supreme s u p ˈɹ i m
+supreme s u p ɹ ˈi m
 surgeon s ˈɚ d͡ʒ ə n
 surgery s ˈɚ d͡ʒ ɚ i
 surplus s ˈɚ p l ʌ s
@@ -3665,9 +3665,9 @@ theme θ ˈi m
 therapy θ ˈɛ ɹ ə p i
 thief θ ˈi f
 thirst θ ˈɚ s t
-thread θ ˈɹ ɛ d
-threaten θ ˈɹ ɛ t ə n
-throne θ ˈɹ oʊ n
+thread θ ɹ ˈɛ d
+threaten θ ɹ ˈɛ t ə n
+throne θ ɹ ˈoʊ n
 thumb θ ˈʌ m
 thunder θ ˈʌ n d ɚ
 thus ð ˈʌ s
@@ -3697,35 +3697,35 @@ tournament t ˈʊ ɹ n ə m ə n t
 towel t ˈaʊ ə l
 tower t ˈaʊ ɚ
 toy t ˈɔɪ
-trace t ˈɹ eɪ s
-tractor t ˈɹ æ k t ɚ
+trace t ɹ ˈeɪ s
+tractor t ɹ ˈæ k t ɚ
 traditional t ɹ ə d ˈɪ ʃ ə n ə l
-tragedy t ˈɹ æ d͡ʒ ə d i
-trail t ˈɹ eɪ l
-trailer t ˈɹ eɪ l ɚ
-trainer t ˈɹ eɪ n ɚ
+tragedy t ɹ ˈæ d͡ʒ ə d i
+trail t ɹ ˈeɪ l
+trailer t ɹ ˈeɪ l ɚ
+trainer t ɹ ˈeɪ n ɚ
 transform t ɹ æ n s f ˈɔ ɹ m
 transition t ɹ æ n z ˈɪ ʃ ə n
 translate t ɹ æ n z l ˈeɪ t
 translation t ɹ æ n z l ˈeɪ ʃ ə n
-transportation ˌt ɹ æ n s p ɚ t ˈeɪ ʃ ə n
-trap t ˈɹ æ p
-trash t ˈɹ æ ʃ
-tray t ˈɹ eɪ
-treasure t ˈɹ ɛ ʒ ɚ
-treaty t ˈɹ i t i
-tremble t ˈɹ ɛ m b ə l
+transportation t ɹ ˌæ n s p ɚ t ˈeɪ ʃ ə n
+trap t ɹ ˈæ p
+trash t ɹ ˈæ ʃ
+tray t ɹ ˈeɪ
+treasure t ɹ ˈɛ ʒ ɚ
+treaty t ɹ ˈi t i
+tremble t ɹ ˈɛ m b ə l
 tremendous t ɹ ə m ˈɛ n d ə s
-trend t ˈɹ ɛ n d
-triangle t ˈɹ aɪ ˌæ ŋ ɡ ə l
-tribe t ˈɹ aɪ b
-trick t ˈɹ ɪ k
-trim t ˈɹ ɪ m
-triumph t ˈɹ aɪ ə m f
-troop t ˈɹ u p
-trophy t ˈɹ oʊ f i
-tropical t ˈɹ ɑ p ɪ k ə l
-trunk t ˈɹ ʌ ŋ k
+trend t ɹ ˈɛ n d
+triangle t ɹ ˈaɪ ˌæ ŋ ɡ ə l
+tribe t ɹ ˈaɪ b
+trick t ɹ ˈɪ k
+trim t ɹ ˈɪ m
+triumph t ɹ ˈaɪ ə m f
+troop t ɹ ˈu p
+trophy t ɹ ˈoʊ f i
+tropical t ɹ ˈɑ p ɪ k ə l
+trunk t ɹ ˈʌ ŋ k
 tub t ˈʌ b
 tube t ˈu b
 tune t ˈu n
@@ -3736,7 +3736,7 @@ twin t w ˈɪ n
 twist t w ˈɪ s t
 typical t ˈɪ p ɪ k ə l
 ultimate ˈʌ l t ə m ə t
-umbrella ʌ m b ˈɹ ɛ l ə
+umbrella ʌ m b ɹ ˈɛ l ə
 unable ʌ n ˈeɪ b ə l
 undergo ˌʌ n d ɚ ɡ ˈoʊ
 underground ˈʌ n d ɚ ɡ ɹ ˌaʊ n d
@@ -3858,7 +3858,7 @@ wisdom w ˈɪ z d ə m
 wise w ˈaɪ z
 wit w ˈɪ t
 witch w ˈɪ t͡ʃ
-withdraw w ɪ ð d ˈɹ ɔ
+withdraw w ɪ ð d ɹ ˈɔ
 witness w ˈɪ t n ə s
 wolf w ˈʊ l f
 wool w ˈʊ l
@@ -3890,7 +3890,7 @@ acquisition ˌæ k w ə z ˈɪ ʃ ə n
 adolescent ˌæ d ə l ˈɛ s ə n t
 aesthetic ɛ s θ ˈɛ t ɪ k
 affection ə f ˈɛ k ʃ ə n
-aggressive ə ɡ ˈɹ ɛ s ɪ v
+aggressive ə ɡ ɹ ˈɛ s ɪ v
 agony ˈæ ɡ ə n i
 alert ə l ˈɚ t
 algorithm ˈæ l ɡ ə ɹ ˌɪ ð ə m
@@ -3907,7 +3907,7 @@ apparatus ˌæ p ɚ ˈæ t ə s
 appliance ə p l ˈaɪ ə n s
 applicant ˈæ p l ə k ə n t
 appreciation ə p ɹ ˌi ʃ i ˈeɪ ʃ ə n
-apprentice ə p ˈɹ ɛ n t ə s
+apprentice ə p ɹ ˈɛ n t ə s
 arbitrary ˈɑ ɹ b ə t ɹ ˌɛ ɹ i
 architecture ˈɑ ɹ k ə t ˌɛ k t͡ʃ ɚ
 arena ɚ ˈi n ə
@@ -3921,7 +3921,7 @@ assess ə s ˈɛ s
 asset ˈæ s ɛ t
 assumption ə s ˈʌ m p ʃ ə n
 astronaut ˈæ s t ɹ ə n ˌɔ t
-astronomy ə s t ˈɹ ɑ n ə m i
+astronomy ə s t ɹ ˈɑ n ə m i
 atomic ə t ˈɑ m ɪ k
 auction ˈɔ k ʃ ə n
 audit ˈɔ d ə t
@@ -3943,11 +3943,11 @@ bolt b ˈoʊ l t
 boost b ˈu s t
 booth b ˈu θ
 boulevard b ˈʊ l ə v ˌɑ ɹ d
-bracket b ˈɹ æ k ə t
-breakdown b ˈɹ eɪ k d ˌaʊ n
-breakthrough b ˈɹ eɪ k θ ɹ ˌu
-browser b ˈɹ aʊ z ɚ
-brutal b ˈɹ u t ə l
+bracket b ɹ ˈæ k ə t
+breakdown b ɹ ˈeɪ k d ˌaʊ n
+breakthrough b ɹ ˈeɪ k θ ɹ ˌu
+browser b ɹ ˈaʊ z ɚ
+brutal b ɹ ˈu t ə l
 buckle b ˈʌ k ə l
 buffer b ˈʌ f ɚ
 bulk b ˈʌ l k
@@ -3967,8 +3967,8 @@ cellular s ˈɛ l j ə l ɚ
 ceramic s ɚ ˈæ m ɪ k
 certainty s ˈɚ t ə n t i
 certify s ˈɚ t ə f ˌaɪ
-chronic k ˈɹ ɑ n ɪ k
-chronicle k ˈɹ ɑ n ɪ k ə l
+chronic k ɹ ˈɑ n ɪ k
+chronicle k ɹ ˈɑ n ɪ k ə l
 circuit s ˈɚ k ə t
 circulate s ˈɚ k j ə l ˌeɪ t
 citizenship s ˈɪ t ə z ə n ʃ ˌɪ p
@@ -4000,14 +4000,14 @@ complexity k ə m p l ˈɛ k s ə t i
 compliance k ə m p l ˈaɪ ə n s
 component k ə m p ˈoʊ n ə n t
 comprehensive k ˌɑ m p ɹ ɪ h ˈɛ n s ɪ v
-comprise k ə m p ˈɹ aɪ z
+comprise k ə m p ɹ ˈaɪ z
 conceive k ə n s ˈi v
 concession k ə n s ˈɛ ʃ ə n
 condemn k ə n d ˈɛ m
 configuration k ə n f ˌɪ ɡ j ɚ ˈeɪ ʃ ə n
 confine k ə n f ˈaɪ n
-confront k ə n f ˈɹ ʌ n t
-congratulate k ə n ɡ ˈɹ æ t͡ʃ ə l ˌeɪ t
+confront k ə n f ɹ ˈʌ n t
+congratulate k ə n ɡ ɹ ˈæ t͡ʃ ə l ˌeɪ t
 conjunction k ə n d͡ʒ ˈʌ ŋ k ʃ ə n
 consensus k ə n s ˈɛ n s ə s
 consent k ə n s ˈɛ n t
@@ -4015,7 +4015,7 @@ conservative k ə n s ˈɚ v ə t ɪ v
 consolidate k ə n s ˈɑ l ə d ˌeɪ t
 conspiracy k ə n s p ˈɪ ɹ ə s i
 constituency k ə n s t ˈɪ t͡ʃ u ə n s i
-constraint k ə n s t ˈɹ eɪ n t
+constraint k ə n s t ɹ ˈeɪ n t
 consultant k ə n s ˈʌ l t ə n t
 consumption k ə n s ˈʌ m p ʃ ə n
 contempt k ə n t ˈɛ m p t
@@ -4038,18 +4038,18 @@ corruption k ɚ ˈʌ p ʃ ə n
 cosmetic k ɑ z m ˈɛ t ɪ k
 counsel k ˈaʊ n s ə l
 courtesy k ˈɚ t ə s i
-craftsman k ˈɹ æ f t s m ə n
+craftsman k ɹ ˈæ f t s m ə n
 credibility k ɹ ˌɛ d ə b ˈɪ l ə t i
 critique k ɹ ɪ t ˈi k
-crucial k ˈɹ u ʃ ə l
-crude k ˈɹ u d
-cruise k ˈɹ u z
+crucial k ɹ ˈu ʃ ə l
+crude k ɹ ˈu d
+cruise k ɹ ˈu z
 cumulative k j ˈu m j ə l ə t ɪ v
 curiosity k j ˌʊ ɹ i ˈɑ s ə t i
 curriculum k ɚ ˈɪ k j ə l ə m
 cynical s ˈɪ n ɪ k ə l
 deadline d ˈɛ d l ˌaɪ n
-debris d ə b ˈɹ i
+debris d ə b ɹ ˈi
 decent d ˈi s ə n t
 dedicate d ˈɛ d ə k ˌeɪ t
 deduce d ɪ d ˈu s
@@ -4070,7 +4070,7 @@ diminish d ə m ˈɪ n ɪ ʃ
 diplomat d ˈɪ p l ə m ˌæ t
 disability d ˌɪ s ə b ˈɪ l ə t i
 discourse d ˈɪ s k ɔ ɹ s
-discretion d ɪ s k ˈɹ ɛ ʃ ə n
+discretion d ɪ s k ɹ ˈɛ ʃ ə n
 dismay d ɪ s m ˈeɪ
 disorder d ɪ s ˈɔ ɹ d ɚ
 dispatch d ɪ s p ˈæ t͡ʃ
@@ -4078,17 +4078,17 @@ displace d ɪ s p l ˈeɪ s
 disposal d ɪ s p ˈoʊ z ə l
 dispose d ɪ s p ˈoʊ z
 dispute d ɪ s p j ˈu t
-disrupt d ɪ s ˈɹ ʌ p t
+disrupt d ɪ s ɹ ˈʌ p t
 dissolve d ɪ z ˈɑ l v
-distress d ɪ s t ˈɹ ɛ s
+distress d ɪ s t ɹ ˈɛ s
 diverse d aɪ v ˈɚ s
 diversity d aɪ v ˈɚ s ə t i
 dividend d ˈɪ v ə d ˌɛ n d
 doctrine d ˈɑ k t ɹ ə n
 donor d ˈoʊ n ɚ
 dose d ˈoʊ s
-draft d ˈɹ æ f t
-drastic d ˈɹ æ s t ɪ k
+draft d ɹ ˈæ f t
+drastic d ɹ ˈæ s t ɪ k
 dual d ˈu ə l
 dubious d ˈu b i ə s
 durable d ˈʊ ɹ ə b ə l
@@ -4101,7 +4101,7 @@ elaborate ɪ l ˈæ b ɚ ə t
 eligible ˈɛ l ə d͡ʒ ə b ə l
 eloquent ˈɛ l ə k w ə n t
 embassy ˈɛ m b ə s i
-embrace ɪ m b ˈɹ eɪ s
+embrace ɪ m b ɹ ˈeɪ s
 emission ə m ˈɪ ʃ ə n
 empirical ɪ m p ˈɪ ɹ ɪ k ə l
 enact ɪ n ˈæ k t
@@ -4135,7 +4135,7 @@ explicit ɪ k s p l ˈɪ s ə t
 exploit ɪ k s p l ˈɔɪ t
 exquisite ɪ k s k w ˈɪ z ə t
 extinct ɪ k s t ˈɪ ŋ k t
-extract ɪ k s t ˈɹ æ k t
+extract ɪ k s t ɹ ˈæ k t
 fabulous f ˈæ b j ə l ə s
 facilitate f ə s ˈɪ l ə t ˌeɪ t
 facility f ə s ˈɪ l ə t i
@@ -4150,10 +4150,10 @@ fiscal f ˈɪ s k ə l
 flaw f l ˈɔ
 fluctuate f l ˈʌ k t͡ʃ u ˌeɪ t
 forge f ˈɔ ɹ d͡ʒ
-fragment f ˈɹ æ ɡ m ə n t
-framework f ˈɹ eɪ m w ˌɚ k
-franchise f ˈɹ æ n t͡ʃ aɪ z
-fraud f ˈɹ ɔ d
+fragment f ɹ ˈæ ɡ m ə n t
+framework f ɹ ˈeɪ m w ˌɚ k
+franchise f ɹ ˈæ n t͡ʃ aɪ z
+fraud f ɹ ˈɔ d
 frontier f ɹ ʌ n t ˈɪ ɹ
 fusion f j ˈu ʒ ə n
 futile f j ˈu t ə l
@@ -4169,10 +4169,10 @@ gorgeous ɡ ˈɔ ɹ d͡ʒ ə s
 gospel ɡ ˈɑ s p ə l
 gourmet ɡ ʊ ɹ m ˈeɪ
 graffiti ɡ ɹ ə f ˈi t i
-gratitude ɡ ˈɹ æ t ə t ˌu d
-gravel ɡ ˈɹ æ v ə l
-grid ɡ ˈɹ ɪ d
-grill ɡ ˈɹ ɪ l
+gratitude ɡ ɹ ˈæ t ə t ˌu d
+gravel ɡ ɹ ˈæ v ə l
+grid ɡ ɹ ˈɪ d
+grill ɡ ɹ ˈɪ l
 guardian ɡ ˈɑ ɹ d i ə n
 gut ɡ ˈʌ t
 habitat h ˈæ b ə t ˌæ t
@@ -4216,7 +4216,7 @@ intricate ˈɪ n t ɹ ə k ə t
 intuition ˌɪ n t u ˈɪ ʃ ə n
 invasion ɪ n v ˈeɪ ʒ ə n
 inventory ˈɪ n v ə n t ˌɔ ɹ i
-ironic aɪ ˈɹ ɑ n ɪ k
+ironic aɪ ɹ ˈɑ n ɪ k
 irony ˈaɪ ɹ ə n i
 irrigation ˌɪ ɹ ə ɡ ˈeɪ ʃ ə n
 isolate ˈaɪ s ə l ˌeɪ t
@@ -4260,7 +4260,7 @@ metabolism m ə t ˈæ b ə l ˌɪ z ə m
 metaphor m ˈɛ t ə f ˌɔ ɹ
 methodology m ˌɛ θ ə d ˈɑ l ə d͡ʒ i
 metropolitan m ˌɛ t ɹ ə p ˈɑ l ə t ə n
-migration m aɪ ɡ ˈɹ eɪ ʃ ə n
+migration m aɪ ɡ ɹ ˈeɪ ʃ ə n
 milestone m ˈaɪ l s t ˌoʊ n
 molecular m ə l ˈɛ k j ə l ɚ
 molecule m ˈɑ l ə k j ˌu l
@@ -4315,7 +4315,7 @@ persist p ɚ s ˈɪ s t
 pessimism p ˈɛ s ə m ˌɪ z ə m
 pesticide p ˈɛ s t ə s ˌaɪ d
 petition p ə t ˈɪ ʃ ə n
-petroleum p ə t ˈɹ oʊ l i ə m
+petroleum p ə t ɹ ˈoʊ l i ə m
 pharmaceutical f ˌɑ ɹ m ə s ˈu t ɪ k ə l
 physiology f ˌɪ z i ˈɑ l ə d͡ʒ i
 pinpoint p ˈɪ n p ˌɔɪ n t
@@ -4329,31 +4329,31 @@ portfolio p ɔ ɹ t f ˈoʊ l i ˌoʊ
 postal p ˈoʊ s t ə l
 posture p ˈɑ s t͡ʃ ɚ
 pragmatic p ɹ æ ɡ m ˈæ t ɪ k
-precedent p ˈɹ ɛ s ə d ə n t
+precedent p ɹ ˈɛ s ə d ə n t
 precision p ɹ ɪ s ˈɪ ʒ ə n
-predator p ˈɹ ɛ d ə t ɚ
-predecessor p ˈɹ ɛ d ə s ˌɛ s ɚ
+predator p ɹ ˈɛ d ə t ɚ
+predecessor p ɹ ˈɛ d ə s ˌɛ s ɚ
 predominantly p ɹ ɪ d ˈɑ m ə n ə n t l i
 preliminary p ɹ ɪ l ˈɪ m ə n ˌɛ ɹ i
-premise p ˈɹ ɛ m ə s
-premium p ˈɹ i m i ə m
-prescription p ɹ ɪ s k ˈɹ ɪ p ʃ ə n
+premise p ɹ ˈɛ m ə s
+premium p ɹ ˈi m i ə m
+prescription p ɹ ɪ s k ɹ ˈɪ p ʃ ə n
 prestige p ɹ ɛ s t ˈi ʒ
 presume p ɹ ɪ z ˈu m
 prevail p ɹ ɪ v ˈeɪ l
-privatize p ˈɹ aɪ v ə t ˌaɪ z
-probe p ˈɹ oʊ b
+privatize p ɹ ˈaɪ v ə t ˌaɪ z
+probe p ɹ ˈoʊ b
 proclaim p ɹ oʊ k l ˈeɪ m
 productivity p ɹ ˌoʊ d ʌ k t ˈɪ v ə t i
 profound p ɹ ə f ˈaʊ n d
 projection p ɹ ə d͡ʒ ˈɛ k ʃ ə n
-prone p ˈɹ oʊ n
+prone p ɹ ˈoʊ n
 propaganda p ɹ ˌɑ p ə ɡ ˈæ n d ə
-prophet p ˈɹ ɑ f ə t
-prosecute p ˈɹ ɑ s ə k j ˌu t
+prophet p ɹ ˈɑ f ə t
+prosecute p ɹ ˈɑ s ə k j ˌu t
 prosperity p ɹ ɑ s p ˈɛ ɹ ə t i
-protocol p ˈɹ oʊ t ə k ˌɔ l
-prototype p ˈɹ oʊ t ə t ˌaɪ p
+protocol p ɹ ˈoʊ t ə k ˌɔ l
+prototype p ɹ ˈoʊ t ə t ˌaɪ p
 provoke p ɹ ə v ˈoʊ k
 proximity p ɹ ɑ k s ˈɪ m ə t i
 psychiatric s ˌaɪ k i ˈæ t ɹ ɪ k
@@ -4368,7 +4368,7 @@ rebellion ɹ ɪ b ˈɛ l j ə n
 receptor ɹ ɪ s ˈɛ p t ɚ
 recession ɹ ɪ s ˈɛ ʃ ə n
 reckon ɹ ˈɛ k ə n
-reconstruction ɹ ˌi k ə n s t ˈɹ ʌ k ʃ ə n
+reconstruction ɹ ˌi k ə n s t ɹ ˈʌ k ʃ ə n
 referendum ɹ ˌɛ f ɚ ˈɛ n d ə m
 refine ɹ ɪ f ˈaɪ n
 refuge ɹ ˈɛ f j u d͡ʒ
@@ -4382,8 +4382,8 @@ renowned ɹ ɪ n ˈaʊ n d
 rental ɹ ˈɛ n t ə l
 repetition ɹ ˌɛ p ə t ˈɪ ʃ ə n
 replicate ɹ ˈɛ p l ə k ˌeɪ t
-restraint ɹ ɪ s t ˈɹ eɪ n t
-retrieve ɹ ɪ t ˈɹ i v
+restraint ɹ ɪ s t ɹ ˈeɪ n t
+retrieve ɹ ɪ t ɹ ˈi v
 revelation ɹ ˌɛ v ə l ˈeɪ ʃ ə n
 revival ɹ ɪ v ˈaɪ v ə l
 rhetoric ɹ ˈɛ t ɚ ɪ k
@@ -4394,7 +4394,7 @@ rotation ɹ oʊ t ˈeɪ ʃ ə n
 sanction s ˈæ ŋ k ʃ ə n
 sanctuary s ˈæ ŋ k t͡ʃ u ˌɛ ɹ i
 sarcasm s ˈɑ ɹ k ˌæ z ə m
-scrutiny s k ˈɹ u t ə n i
+scrutiny s k ɹ ˈu t ə n i
 seminar s ˈɛ m ə n ˌɑ ɹ
 sentiment s ˈɛ n t ə m ə n t
 sequel s ˈi k w ə l
@@ -4431,22 +4431,22 @@ textile t ˈɛ k s t aɪ l
 theology θ i ˈɑ l ə d͡ʒ i
 theoretical θ ˌi ɚ ˈɛ t ɪ k ə l
 thermal θ ˈɚ m ə l
-threshold θ ˈɹ ɛ ʃ h ˌoʊ l d
-thrive θ ˈɹ aɪ v
+threshold θ ɹ ˈɛ ʃ h ˌoʊ l d
+thrive θ ɹ ˈaɪ v
 toll t ˈoʊ l
 toxic t ˈɑ k s ɪ k
-trademark t ˈɹ eɪ d m ˌɑ ɹ k
-trait t ˈɹ eɪ t
-tranquil t ˈɹ æ ŋ k w ə l
+trademark t ɹ ˈeɪ d m ˌɑ ɹ k
+trait t ɹ ˈeɪ t
+tranquil t ɹ ˈæ ŋ k w ə l
 transaction t ɹ æ n z ˈæ k ʃ ə n
-transcript t ˈɹ æ n s k ɹ ˌɪ p t
+transcript t ɹ ˈæ n s k ɹ ˌɪ p t
 transmission t ɹ æ n z m ˈɪ ʃ ə n
 transmit t ɹ æ n z m ˈɪ t
 transparent t ɹ æ n s p ˈɛ ɹ ə n t
-trauma t ˈɹ ɔ m ə
+trauma t ɹ ˈɔ m ə
 tribunal t ɹ aɪ b j ˈu n ə l
-tribute t ˈɹ ɪ b j u t
-trigger t ˈɹ ɪ ɡ ɚ
+tribute t ɹ ˈɪ b j u t
+trigger t ɹ ˈɪ ɡ ɚ
 tuition t u ˈɪ ʃ ə n
 turbine t ˈɚ b aɪ n
 turmoil t ˈɚ m ɔɪ l
@@ -4455,7 +4455,7 @@ ultimatum ˌʌ l t ə m ˈeɪ t ə m
 undermine ˌʌ n d ɚ m ˈaɪ n
 undertake ˌʌ n d ɚ t ˈeɪ k
 unify j ˈu n ə f ˌaɪ
-unprecedented ʌ n p ˈɹ ɛ s ə d ˌɛ n t ə d
+unprecedented ʌ n p ɹ ˈɛ s ə d ˌɛ n t ə d
 uphold ʌ p h ˈoʊ l d
 utilize j ˈu t ə l ˌaɪ z
 vaccine v æ k s ˈi n
@@ -4477,7 +4477,7 @@ vulnerable v ˈʌ l n ɚ ə b ə l
 warfare w ˈɔ ɹ f ˌɛ ɹ
 warrant w ˈɔ ɹ ə n t
 warranty w ˈɔ ɹ ə n t i
-withdrawal w ɪ ð d ˈɹ ɔ ə l
+withdrawal w ɪ ð d ɹ ˈɔ ə l
 withstand w ɪ θ s t ˈæ n d
 witty w ˈɪ t i
 workforce w ˈɚ k f ˌɔ ɹ s
