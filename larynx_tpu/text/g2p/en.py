@@ -5100,110 +5100,110 @@ def _oov_phonemize(w: str, depth: int = 0) -> typing.List[str]:
 # gruut disambiguated with a POS model; here a light context heuristic
 # (see phonemize) picks the reading.
 _HOMOGRAPHS: typing.Dict[str, typing.Tuple[typing.List[str], typing.List[str]]] = {
-    "record": (["ˈɹ", "ɛ", "k", "ɚ", "d"], ["ɹ", "ɪ", "k", "ˈɔ", "ɹ", "d"]),
-    "present": (["p", "ˈɹ", "ɛ", "z", "ə", "n", "t"],
-                ["p", "ɹ", "ɪ", "z", "ˈɛ", "n", "t"]),
+    "record": (["ɹ", "ˈɛ", "k", "ɚ", "d"], ["ɹ", "ɪ", "k", "ˈɔ", "ɹ", "d"]),
+    "present": (["p", "ɹ", "ˈɛ", "z", "ə", "n", "t"],
+             ["p", "ɹ", "ɪ", "z", "ˈɛ", "n", "t"]),
     "object": (["ˈɑ", "b", "d͡ʒ", "ɛ", "k", "t"],
-               ["ə", "b", "d͡ʒ", "ˈɛ", "k", "t"]),
+             ["ə", "b", "d͡ʒ", "ˈɛ", "k", "t"]),
     "subject": (["s", "ˈʌ", "b", "d͡ʒ", "ɪ", "k", "t"],
-                ["s", "ə", "b", "d͡ʒ", "ˈɛ", "k", "t"]),
+             ["s", "ə", "b", "d͡ʒ", "ˈɛ", "k", "t"]),
     "conduct": (["k", "ˈɑ", "n", "d", "ʌ", "k", "t"],
-                ["k", "ə", "n", "d", "ˈʌ", "k", "t"]),
-    "produce": (["p", "ˈɹ", "oʊ", "d", "u", "s"],
-                ["p", "ɹ", "ə", "d", "ˈu", "s"]),
+             ["k", "ə", "n", "d", "ˈʌ", "k", "t"]),
+    "produce": (["p", "ɹ", "ˈoʊ", "d", "u", "s"],
+             ["p", "ɹ", "ə", "d", "ˈu", "s"]),
     "permit": (["p", "ˈɚ", "m", "ɪ", "t"], ["p", "ɚ", "m", "ˈɪ", "t"]),
     "contest": (["k", "ˈɑ", "n", "t", "ɛ", "s", "t"],
-                ["k", "ə", "n", "t", "ˈɛ", "s", "t"]),
+             ["k", "ə", "n", "t", "ˈɛ", "s", "t"]),
     "desert": (["d", "ˈɛ", "z", "ɚ", "t"], ["d", "ɪ", "z", "ˈɚ", "t"]),
-    "refuse": (["ˈɹ", "ɛ", "f", "j", "u", "s"],
-               ["ɹ", "ɪ", "f", "j", "ˈu", "z"]),
+    "refuse": (["ɹ", "ˈɛ", "f", "j", "u", "s"],
+             ["ɹ", "ɪ", "f", "j", "ˈu", "z"]),
     "content": (["k", "ˈɑ", "n", "t", "ɛ", "n", "t"],
-                ["k", "ə", "n", "t", "ˈɛ", "n", "t"]),
-    "project": (["p", "ˈɹ", "ɑ", "d͡ʒ", "ɛ", "k", "t"],
-                ["p", "ɹ", "ə", "d͡ʒ", "ˈɛ", "k", "t"]),
-    "rebel": (["ˈɹ", "ɛ", "b", "ə", "l"], ["ɹ", "ɪ", "b", "ˈɛ", "l"]),
+             ["k", "ə", "n", "t", "ˈɛ", "n", "t"]),
+    "project": (["p", "ɹ", "ˈɑ", "d͡ʒ", "ɛ", "k", "t"],
+             ["p", "ɹ", "ə", "d͡ʒ", "ˈɛ", "k", "t"]),
+    "rebel": (["ɹ", "ˈɛ", "b", "ə", "l"], ["ɹ", "ɪ", "b", "ˈɛ", "l"]),
     "increase": (["ˈɪ", "n", "k", "ɹ", "i", "s"],
-                 ["ɪ", "n", "k", "ˈɹ", "i", "s"]),
-    "live": (["l", "ˈaɪ", "v"], ["l", "ˈɪ", "v"]),  # adj vs verb
+             ["ɪ", "n", "k", "ɹ", "ˈi", "s"]),
+    "live": (["l", "ˈaɪ", "v"], ["l", "ˈɪ", "v"]),
     "lives": (["l", "ˈaɪ", "v", "z"], ["l", "ˈɪ", "v", "z"]),
-    "wind": (["w", "ˈɪ", "n", "d"], ["w", "ˈaɪ", "n", "d"]),  # noun vs verb
-    "bow": (["b", "ˈoʊ"], ["b", "ˈaʊ"]),  # ribbon vs bend
-    "tear": (["t", "ˈɪ", "ɹ"], ["t", "ˈɛ", "ɹ"]),  # drop vs rip
+    "wind": (["w", "ˈɪ", "n", "d"], ["w", "ˈaɪ", "n", "d"]),
+    "bow": (["b", "ˈoʊ"], ["b", "ˈaʊ"]),
+    "tear": (["t", "ˈɪ", "ɹ"], ["t", "ˈɛ", "ɹ"]),
     "close": (["k", "l", "ˈoʊ", "s"], ["k", "l", "ˈoʊ", "z"]),
     "use": (["j", "ˈu", "s"], ["j", "ˈu", "z"]),
     "house": (["h", "ˈaʊ", "s"], ["h", "ˈaʊ", "z"]),
     "excuse": (["ɪ", "k", "s", "k", "j", "ˈu", "s"],
-               ["ɪ", "k", "s", "k", "j", "ˈu", "z"]),
+             ["ɪ", "k", "s", "k", "j", "ˈu", "z"]),
     "separate": (["s", "ˈɛ", "p", "ɹ", "ə", "t"],
-                 ["s", "ˈɛ", "p", "ə", "ɹ", "ˌeɪ", "t"]),
+             ["s", "ˈɛ", "p", "ə", "ɹ", "ˌeɪ", "t"]),
     "graduate": (["ɡ", "ɹ", "ˈæ", "d͡ʒ", "u", "ə", "t"],
-                 ["ɡ", "ɹ", "ˈæ", "d͡ʒ", "u", "ˌeɪ", "t"]),
+             ["ɡ", "ɹ", "ˈæ", "d͡ʒ", "u", "ˌeɪ", "t"]),
     "estimate": (["ˈɛ", "s", "t", "ə", "m", "ə", "t"],
-                 ["ˈɛ", "s", "t", "ə", "m", "ˌeɪ", "t"]),
+             ["ˈɛ", "s", "t", "ə", "m", "ˌeɪ", "t"]),
     "alternate": (["ˈɔ", "l", "t", "ɚ", "n", "ə", "t"],
-                  ["ˈɔ", "l", "t", "ɚ", "n", "ˌeɪ", "t"]),
+             ["ˈɔ", "l", "t", "ɚ", "n", "ˌeɪ", "t"]),
     "associate": (["ə", "s", "ˈoʊ", "ʃ", "i", "ə", "t"],
-                  ["ə", "s", "ˈoʊ", "ʃ", "i", "ˌeɪ", "t"]),
+             ["ə", "s", "ˈoʊ", "ʃ", "i", "ˌeɪ", "t"]),
     "delegate": (["d", "ˈɛ", "l", "ə", "ɡ", "ə", "t"],
-                 ["d", "ˈɛ", "l", "ə", "ɡ", "ˌeɪ", "t"]),
+             ["d", "ˈɛ", "l", "ə", "ɡ", "ˌeɪ", "t"]),
     "duplicate": (["d", "ˈu", "p", "l", "ə", "k", "ə", "t"],
-                  ["d", "ˈu", "p", "l", "ə", "k", "ˌeɪ", "t"]),
+             ["d", "ˈu", "p", "l", "ə", "k", "ˌeɪ", "t"]),
     "moderate": (["m", "ˈɑ", "d", "ɚ", "ə", "t"],
-                 ["m", "ˈɑ", "d", "ɚ", "ˌeɪ", "t"]),
+             ["m", "ˈɑ", "d", "ɚ", "ˌeɪ", "t"]),
     "invalid": (["ˈɪ", "n", "v", "ə", "l", "ə", "d"],
-                ["ɪ", "n", "v", "ˈæ", "l", "ə", "d"]),  # noun vs adj
+             ["ɪ", "n", "v", "ˈæ", "l", "ə", "d"]),
     "perfect": (["p", "ˈɚ", "f", "ɪ", "k", "t"],
-                ["p", "ɚ", "f", "ˈɛ", "k", "t"]),  # adj vs verb
+             ["p", "ɚ", "f", "ˈɛ", "k", "t"]),
     "convert": (["k", "ˈɑ", "n", "v", "ɚ", "t"],
-                ["k", "ə", "n", "v", "ˈɚ", "t"]),
+             ["k", "ə", "n", "v", "ˈɚ", "t"]),
     "insert": (["ˈɪ", "n", "s", "ɚ", "t"], ["ɪ", "n", "s", "ˈɚ", "t"]),
     "export": (["ˈɛ", "k", "s", "p", "ɔ", "ɹ", "t"],
-               ["ɪ", "k", "s", "p", "ˈɔ", "ɹ", "t"]),
+             ["ɪ", "k", "s", "p", "ˈɔ", "ɹ", "t"]),
     "import": (["ˈɪ", "m", "p", "ɔ", "ɹ", "t"],
-               ["ɪ", "m", "p", "ˈɔ", "ɹ", "t"]),
+             ["ɪ", "m", "p", "ˈɔ", "ɹ", "t"]),
     "impact": (["ˈɪ", "m", "p", "æ", "k", "t"],
-               ["ɪ", "m", "p", "ˈæ", "k", "t"]),
+             ["ɪ", "m", "p", "ˈæ", "k", "t"]),
     "insult": (["ˈɪ", "n", "s", "ʌ", "l", "t"],
-               ["ɪ", "n", "s", "ˈʌ", "l", "t"]),
-    "progress": (["p", "ˈɹ", "ɑ", "ɡ", "ɹ", "ɛ", "s"],
-                 ["p", "ɹ", "ə", "ɡ", "ˈɹ", "ɛ", "s"]),
-    "protest": (["p", "ˈɹ", "oʊ", "t", "ɛ", "s", "t"],
-                ["p", "ɹ", "ə", "t", "ˈɛ", "s", "t"]),
+             ["ɪ", "n", "s", "ˈʌ", "l", "t"]),
+    "progress": (["p", "ɹ", "ˈɑ", "ɡ", "ɹ", "ɛ", "s"],
+             ["p", "ɹ", "ə", "ɡ", "ɹ", "ˈɛ", "s"]),
+    "protest": (["p", "ɹ", "ˈoʊ", "t", "ɛ", "s", "t"],
+             ["p", "ɹ", "ə", "t", "ˈɛ", "s", "t"]),
     "suspect": (["s", "ˈʌ", "s", "p", "ɛ", "k", "t"],
-                ["s", "ə", "s", "p", "ˈɛ", "k", "t"]),
+             ["s", "ə", "s", "p", "ˈɛ", "k", "t"]),
     "survey": (["s", "ˈɚ", "v", "eɪ"], ["s", "ɚ", "v", "ˈeɪ"]),
     "transfer": (["t", "ɹ", "ˈæ", "n", "s", "f", "ɚ"],
-                 ["t", "ɹ", "æ", "n", "s", "f", "ˈɚ"]),
+             ["t", "ɹ", "æ", "n", "s", "f", "ˈɚ"]),
     "transport": (["t", "ɹ", "ˈæ", "n", "s", "p", "ɔ", "ɹ", "t"],
-                  ["t", "ɹ", "æ", "n", "s", "p", "ˈɔ", "ɹ", "t"]),
+             ["t", "ɹ", "æ", "n", "s", "p", "ˈɔ", "ɹ", "t"]),
     "upset": (["ˈʌ", "p", "s", "ɛ", "t"], ["ʌ", "p", "s", "ˈɛ", "t"]),
     "compound": (["k", "ˈɑ", "m", "p", "aʊ", "n", "d"],
-                 ["k", "ə", "m", "p", "ˈaʊ", "n", "d"]),
+             ["k", "ə", "m", "p", "ˈaʊ", "n", "d"]),
     "conflict": (["k", "ˈɑ", "n", "f", "l", "ɪ", "k", "t"],
-                 ["k", "ə", "n", "f", "l", "ˈɪ", "k", "t"]),
+             ["k", "ə", "n", "f", "l", "ˈɪ", "k", "t"]),
     "contract": (["k", "ˈɑ", "n", "t", "ɹ", "æ", "k", "t"],
-                 ["k", "ə", "n", "t", "ɹ", "ˈæ", "k", "t"]),
+             ["k", "ə", "n", "t", "ɹ", "ˈæ", "k", "t"]),
     "contrast": (["k", "ˈɑ", "n", "t", "ɹ", "æ", "s", "t"],
-                 ["k", "ə", "n", "t", "ɹ", "ˈæ", "s", "t"]),
+             ["k", "ə", "n", "t", "ɹ", "ˈæ", "s", "t"]),
     "convict": (["k", "ˈɑ", "n", "v", "ɪ", "k", "t"],
-                ["k", "ə", "n", "v", "ˈɪ", "k", "t"]),
+             ["k", "ə", "n", "v", "ˈɪ", "k", "t"]),
     "decrease": (["d", "ˈi", "k", "ɹ", "i", "s"],
-                 ["d", "ɪ", "k", "ˈɹ", "i", "s"]),
+             ["d", "ɪ", "k", "ɹ", "ˈi", "s"]),
     "discount": (["d", "ˈɪ", "s", "k", "aʊ", "n", "t"],
-                 ["d", "ɪ", "s", "k", "ˈaʊ", "n", "t"]),
+             ["d", "ɪ", "s", "k", "ˈaʊ", "n", "t"]),
     "escort": (["ˈɛ", "s", "k", "ɔ", "ɹ", "t"],
-               ["ɪ", "s", "k", "ˈɔ", "ɹ", "t"]),
+             ["ɪ", "s", "k", "ˈɔ", "ɹ", "t"]),
     "extract": (["ˈɛ", "k", "s", "t", "ɹ", "æ", "k", "t"],
-                ["ɪ", "k", "s", "t", "ɹ", "ˈæ", "k", "t"]),
-    "refund": (["ˈɹ", "i", "f", "ʌ", "n", "d"],
-               ["ɹ", "ɪ", "f", "ˈʌ", "n", "d"]),
-    "reject": (["ˈɹ", "i", "d͡ʒ", "ɛ", "k", "t"],
-               ["ɹ", "ɪ", "d͡ʒ", "ˈɛ", "k", "t"]),
+             ["ɪ", "k", "s", "t", "ɹ", "ˈæ", "k", "t"]),
+    "refund": (["ɹ", "ˈi", "f", "ʌ", "n", "d"],
+             ["ɹ", "ɪ", "f", "ˈʌ", "n", "d"]),
+    "reject": (["ɹ", "ˈi", "d͡ʒ", "ɛ", "k", "t"],
+             ["ɹ", "ɪ", "d͡ʒ", "ˈɛ", "k", "t"]),
 }
 
 # Past-tense homographs: pronunciation flips after perfect-tense cues.
 _PAST_HOMOGRAPHS: typing.Dict[str, typing.Tuple[typing.List[str], typing.List[str]]] = {
-    "read": (["ˈɹ", "i", "d"], ["ˈɹ", "ɛ", "d"]),
+    "read": (["ɹ", "ˈi", "d"], ["ɹ", "ˈɛ", "d"]),
     "lead": (["l", "ˈi", "d"], ["l", "ˈɛ", "d"]),  # verb; the metal is past-form
     "dove": (["d", "ˈʌ", "v"], ["d", "ˈoʊ", "v"]),  # bird; past of dive
     "wound": (["w", "ˈu", "n", "d"], ["w", "ˈaʊ", "n", "d"]),  # injury; past of wind
