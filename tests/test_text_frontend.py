@@ -280,7 +280,9 @@ def test_homograph_context():
     noun = phonemize("record", prev="the")
     verb = phonemize("record", prev="to")
     assert noun != verb
-    assert noun[0].startswith("ˈ")
+    # noun reading stresses the first syllable: the mark rides the
+    # first vowel (gruut convention), not the onset consonant
+    assert noun[1].startswith("ˈ")
     # past-tense cue flips "read"
     assert phonemize("read", prev="have") != phonemize("read", prev="to")
 
