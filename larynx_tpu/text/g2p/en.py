@@ -4949,6 +4949,27 @@ _NEUTRAL_SUFFIXES: typing.Tuple[typing.Tuple[str, str], ...] = (
     ("ful", "f ə l"),
 )
 
+# Stress-neutral prefixes: the stem keeps its primary stress, the prefix
+# gets at most a secondary (unbreakable, misjudge).  Only fires when the
+# remainder resolves through the lexicon, so "mister" can never split as
+# mis+ter.
+_NEUTRAL_PREFIXES: typing.Tuple[typing.Tuple[str, str], ...] = (
+    ("under", "ˌʌ n d ɚ"),
+    ("inter", "ˌɪ n t ɚ"),
+    ("super", "s ˌu p ɚ"),
+    ("multi", "m ˌʌ l t i"),
+    ("over", "ˌoʊ v ɚ"),
+    ("anti", "ˌæ n t i"),
+    ("semi", "s ˌɛ m i"),
+    ("non", "n ˌɑ n"),
+    ("mis", "m ˌɪ s"),
+    ("dis", "d ˌɪ s"),
+    ("out", "ˌaʊ t"),
+    ("un", "ˌʌ n"),
+    ("re", "ɹ i"),
+    ("pre", "p ɹ i"),
+)
+
 
 def _has_vowel_letter(s: str) -> bool:
     return any(c in "aeiouy" for c in s)
@@ -5044,6 +5065,30 @@ def _oov_phonemize(w: str, depth: int = 0) -> typing.List[str]:
         if stem + "e" in LEXICON:
             return list(LEXICON[stem + "e"]) + ["i"]
 
+    # -able/-ible: stress-neutral, with dropped-e / doubled-consonant
+    # stem recovery (believable, forgettable)
+    for able in ("able", "ible"):
+        if not w.endswith(able) or len(w) < len(able) + 3:
+            continue
+        stem = w[: -len(able)]
+        if stem in LEXICON:
+            cand = list(LEXICON[stem])
+        elif stem + "e" in LEXICON:
+            cand = list(LEXICON[stem + "e"])
+        elif len(stem) >= 3 and stem[-1] == stem[-2] and depth < 2:
+            # collapse the doubling before recursing so a prefixed stem
+            # (unforgett-) still finds its root (un+forget)
+            cand = (
+                list(LEXICON[stem[:-1]])
+                if stem[:-1] in LEXICON
+                else _oov_phonemize(stem[:-1], depth + 1)
+            )
+        elif _has_vowel_letter(stem) and depth < 2:
+            cand = _oov_phonemize(stem, depth + 1)
+        else:
+            continue
+        return cand + ["ə", "b", "ə", "l"]
+
     # doubled-consonant / dropped-e inflection stems the derivation
     # tables missed (swimming, stopped, runner)
     for suffix, tail in (
@@ -5089,6 +5134,23 @@ def _oov_phonemize(w: str, depth: int = 0) -> typing.List[str]:
         if any(p.startswith("ˈ") for p in suffix_ph):
             return _demote_primary(prefix_ph) + suffix_ph
         return _ensure_stress(prefix_ph + suffix_ph)
+
+    # stress-neutral prefixes (unbreakable, misjudged, rewritten): the
+    # remainder must be a lexicon word, or long enough that its own OOV
+    # resolution beats letter rules on the unsplit word
+    for prefix, pphones in _NEUTRAL_PREFIXES:
+        if not w.startswith(prefix):
+            continue
+        rest = w[len(prefix):]
+        if len(rest) < 3 or not _has_vowel_letter(rest):
+            continue
+        if rest in LEXICON:
+            rest_ph = list(LEXICON[rest])
+        elif len(rest) >= 5 and depth < 2:
+            rest_ph = _oov_phonemize(rest, depth + 1)
+        else:
+            continue
+        return _ensure_stress(pphones.split() + rest_ph)
 
     split = _compound_split(w)
     if split is not None:

@@ -138,3 +138,73 @@ def test_oov_stress_position(word, stressed_syllable):
     primary = [k for k, i in enumerate(vowels) if phones[i].startswith("ˈ")]
     assert primary, (word, phones)
     assert primary[0] == stressed_syllable, (word, phones)
+
+
+@pytest.mark.parametrize(
+    "word,expected",
+    [
+        # inflection recovery: doubled consonant / dropped silent e
+        ("swimming", "s w ˈɪ m ɪ ŋ"),
+        ("stopped", "s t ˈɑ p t"),
+        ("runner", "ɹ ˈʌ n ɚ"),
+        ("berries", "b ˈɛ ɹ i z"),
+        ("carried", "k ˈɛ ɹ i d"),
+        ("noisy", "n ˈɔɪ z i"),
+        ("happily", "h ˈæ p ə l i"),
+        # stress-neutral suffixes ride the stem
+        ("thankfulness", "θ ˈæ n k f ə l n ə s"),
+        ("homelessness", "h ˈoʊ m l ə s n ə s"),
+        ("neighborhood", "n ˈeɪ b ɚ h ˌʊ d"),
+        # stress-shifting final suffixes
+        ("creation", "k ɹ ˌi ˈeɪ ʃ ə n"),
+        ("spacious", "s p ˈeɪ ʃ ə s"),
+        ("nationalization", "n ˌæ ʃ ə n ə l ə z ˈeɪ ʃ ə n"),
+        # -able/-ible with stem recovery
+        ("believable", "b ɪ l ˈi v ə b ə l"),
+        ("forgettable", "f ɚ ɡ ˈɛ t ə b ə l"),
+        ("reachable", "ɹ ˈi t͡ʃ ə b ə l"),
+        # stress-neutral prefixes; stem keeps primary
+        ("unbreakable", "ˌʌ n b ɹ ˈeɪ k ə b ə l"),
+        ("unforgettable", "ˌʌ n f ɚ ɡ ˈɛ t ə b ə l"),
+        ("mispronounced", "m ˌɪ s p ɹ ə n ˈaʊ n s t"),
+        ("rewritten", "ɹ i ɹ ˈɪ t ə n"),
+        ("overconfident", "ˌoʊ v ɚ k ˈɑ n f ə d ə n t"),
+        ("underwater", "ˌʌ n d ɚ w ˈɔ t ɚ"),
+        ("outperform", "ˌaʊ t p ɚ f ˈɔ ɹ m"),
+        ("antivirus", "ˌæ n t i v ˈaɪ ɹ ə s"),
+        # compounds: first half primary, second demoted
+        ("watermelon", "w ˈɔ t ɚ m ˌɛ l ə n"),
+        ("handbooks", "h ˈæ n d b ˌʊ k s"),
+        # letter-rule details: soft c/g, Greek ch, geminate collapse
+        ("city", "s ˈɪ t i"),
+        ("gentle", "d͡ʒ ˈɛ n t ə l"),
+        ("chrome", "k ɹ ˈoʊ m"),
+        ("technical", "t ˈɛ k n ɪ k ə l"),
+        ("sunny", "s ˈʌ n i"),
+    ],
+)
+def test_oov_derivation_pipeline(word, expected):
+    """Pins the OOV derivational pipeline: stemming, affix phonology,
+    compound splitting, and the letter-rule refinements behind them."""
+    assert phonemize(word) == expected.split(), (word, phonemize(word))
+
+
+def test_no_stress_marks_on_consonants():
+    """gruut puts the split-off stress id immediately before the vowel
+    (d ɪ v ˈɛ l ə p); a mark on an onset consonant would shift every id
+    sequence by one vs what the voices were trained on."""
+    from larynx_tpu.text.g2p.en import _VOWEL_SYMBOLS
+
+    tables = dict(LEXICON)
+    for w, (a, b) in {**_HOMOGRAPHS, **_PAST_HOMOGRAPHS}.items():
+        tables[w + "#noun"] = a
+        tables[w + "#verb"] = b
+    bad = [
+        (w, ph)
+        for w, ph in tables.items()
+        if any(
+            p.startswith(("ˈ", "ˌ")) and p.lstrip("ˈˌ") not in _VOWEL_SYMBOLS
+            for p in ph
+        )
+    ]
+    assert not bad, bad[:10]
