@@ -2,7 +2,7 @@
 
 Phoneme inventory matches the shipped en-us voices
 (local/en-us/*/phonemes.txt): vowels aɪ aʊ eɪ i oʊ u æ ɑ ɔ ɔɪ ə ɚ ɛ ɪ ʊ ʌ,
-consonants b d d͡ʒ f h j k l m n ŋ p s t t͡ʃ v w z ð ɡ ɹ ʃ ʒ θ; primary 
+consonants b d d͡ʒ f h j k l m n ŋ p s t t͡ʃ v w z ð ɡ ɹ ʃ ʒ θ; primary
 and secondary  stress are prefixed to the vowel symbol (split later by
 phonemes_to_ids' ``separate`` handling).
 

@@ -9,6 +9,7 @@ import typing
 from larynx_tpu.text.g2p.rules import (
     apply_rules,
     apply_rules_span,
+    shift_stress_to_onset,
     stress_nth_vowel_from_end,
 )
 
@@ -170,7 +171,10 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
 }
 
 
-def phonemize(word: str) -> typing.List[str]:
+def _phonemize_vowel_stress(word: str) -> typing.List[str]:
+    """Vowel-attached stress, repositioned to the syllable onset by the
+    public ``phonemize`` below (the riccardo_fasol voice was trained
+    with gruut's onset-position stress ids — see shift_stress_to_onset)."""
     w = word.lower().strip()
     if not w:
         return []
@@ -199,3 +203,10 @@ def phonemize(word: str) -> typing.List[str]:
         return before + rest
     phonemes = apply_rules(w, _RULES, _context)
     return stress_nth_vowel_from_end(phonemes, VOWELS, n=2)
+
+
+def phonemize(word: str) -> typing.List[str]:
+    """Italian word -> IPA with gruut's onset-position stress ids
+    (the it-it voices' test_phonemes.csv put ˈ before the syllable's
+    onset cluster: "vieni" -> ˈ v j ɛ n i, not v j ˈɛ n i)."""
+    return shift_stress_to_onset(_phonemize_vowel_stress(word), VOWELS)

@@ -7,7 +7,11 @@ oː p s t u uː v w x y yː z ø ŋ œy œː ɑ ɑu ɑː ɔ ɔː ə ɛ ɛi ɛː 
 
 import typing
 
-from larynx_tpu.text.g2p.rules import apply_rules, stress_nth_vowel_from_end
+from larynx_tpu.text.g2p.rules import (
+    apply_rules,
+    shift_stress_to_onset,
+    stress_nth_vowel_from_end,
+)
 
 VOWELS = {
     "a", "aː", "e", "eː", "i", "iː", "o", "oː", "u", "uː", "y", "yː",
@@ -159,7 +163,7 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
 }
 
 
-def phonemize(word: str) -> typing.List[str]:
+def _phonemize_vowel_stress(word: str) -> typing.List[str]:
     w = word.lower().strip()
     if not w:
         return []
@@ -168,6 +172,15 @@ def phonemize(word: str) -> typing.List[str]:
     n = 1 if "é" in w else 2
     hit = _EXCEPTIONS.get(w)
     if hit is not None:
-        return stress_nth_vowel_from_end(list(hit), VOWELS, n=n)
+        return stress_nth_vowel_from_end(list(hit), VOWELS, n=n, skippable=("ə",))
     phonemes = apply_rules(w, _RULES, _context)
-    return stress_nth_vowel_from_end(phonemes, VOWELS, n=n)
+    return stress_nth_vowel_from_end(phonemes, VOWELS, n=n, skippable=("ə",))
+
+
+def phonemize(word: str) -> typing.List[str]:
+    """Dutch word -> IPA with gruut's onset-position stress ids (the nl
+    voices' test_phonemes.csv put ˈ before the syllable onset:
+    "prettige" -> ˈ p ɹ ɛ t ə ɣ ə, "alstublieft" -> ˌ ɑ l s t y ˈ b l i f t).
+    Schwa syllables never take stress and are invisible to the penult
+    count ("langzamer" ɑ-a-ə stresses ɑ)."""
+    return shift_stress_to_onset(_phonemize_vowel_stress(word), VOWELS)

@@ -25,17 +25,94 @@ def stress_nth_vowel_from_end(
     vowels: typing.Container[str],
     n: int = 2,
     marker: str = "ˈ",
+    skippable: typing.Container[str] = (),
 ) -> typing.List[str]:
     """Attach a stress marker to the n-th vowel symbol from the end
-    (n=2 ~ penultimate syllable, n=1 ~ final); no-op if already stressed."""
+    (n=2 ~ penultimate syllable, n=1 ~ final); no-op if already stressed.
+
+    ``skippable`` vowels (e.g. Dutch schwa) are never stressed and do not
+    count toward n — "langzamer" (ɑ aː ə) stresses ɑ with n=2, skippable
+    ə: the schwa syllable is invisible to the count.  If every vowel is
+    skippable, the plain count applies.
+    """
     if any(p.startswith(("ˈ", "ˌ", "'")) for p in phonemes):
         return phonemes
     vowel_positions = [i for i, p in enumerate(phonemes) if p in vowels]
     if not vowel_positions:
         return phonemes
-    idx = vowel_positions[-n] if len(vowel_positions) >= n else vowel_positions[0]
+    countable = [i for i in vowel_positions if phonemes[i] not in skippable]
+    positions = countable or vowel_positions
+    idx = positions[-n] if len(positions) >= n else positions[0]
     out = list(phonemes)
     out[idx] = marker + out[idx]
+    return out
+
+
+_NASALS = frozenset({"m", "n", "ŋ", "ɱ", "ɲ"})
+_GLIDES = frozenset({"j", "w"})
+_LIQUIDS_GLIDES = frozenset({"r", "l", "ɹ", "j", "w", "ʎ"})
+_S_LIKE = frozenset({"s", "z", "ʃ", "ʒ", "x"})
+
+
+def shift_stress_to_onset(
+    phonemes: typing.List[str],
+    vowels: typing.Container[str],
+) -> typing.List[str]:
+    """Convert vowel-attached stress (p a r l ˈa r e) to a standalone
+    marker before the syllable onset (p a r ˈ l a r e).
+
+    gruut emits the stress id at the START of the stressed syllable for
+    it-it and nl (decoded from the released voices' test_phonemes.csv:
+    "italiano" -> i t a ˈ l j a n o, "presentje" -> ˈ p ɹ ɛ ...), so the
+    id sequence the voices were trained on has the mark before the onset
+    consonants, not the vowel.
+
+    Onset = longest preceding consonant cluster that could begin a word:
+    a single consonant; obstruent + liquid (b+l, t+r); any consonant +
+    glide (v+j, l+j: "italiano" -> i t a ˈ l j a n o); s-like + anything
+    (s+t, s+m, impure s).  A geminate splits — the left copy stays in
+    the coda (città -> t͡ʃ i t ˈ t a) — and nasal + obstruent splits,
+    the nasal staying in the coda ("pensare" -> p e n ˈ s a r e).
+    """
+    out: typing.List[str] = []
+    for p in phonemes:
+        mark = ""
+        while p and p[0] in ("ˈ", "ˌ"):
+            mark += p[0]
+            p = p[1:]
+        if not mark or not p:
+            out.append(mark + p if p else mark)
+            continue
+        # walk back over out[] to find the onset start
+        onset_start = len(out)
+        while onset_start > 0:
+            c = out[onset_start - 1]
+            if c in vowels or c in ("ˈ", "ˌ") or c.startswith(("ˈ", "ˌ")):
+                break
+            cluster_len = len(out) - (onset_start - 1)
+            if onset_start == len(out):
+                pass  # first consonant always joins
+            else:
+                head = out[onset_start]
+                if c == head:
+                    break  # geminate: left copy is coda
+                if cluster_len > 3:
+                    break
+                if c in _S_LIKE:
+                    pass  # impure s / s+C cluster (st, sm, sx/sch...)
+                elif head in _GLIDES and c not in _GLIDES:
+                    pass  # any consonant + glide (vj, lj, kw, nj)
+                elif (
+                    head in _LIQUIDS_GLIDES
+                    and c not in _LIQUIDS_GLIDES
+                    and c not in _NASALS
+                ):
+                    pass  # obstruent + liquid
+                else:
+                    break
+            onset_start -= 1
+        out.insert(onset_start, mark)
+        out.append(p)
     return out
 
 

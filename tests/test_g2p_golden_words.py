@@ -114,9 +114,10 @@ def test_exception_lexicons_in_voice_inventory(lang, reference_dir):
 def test_acute_e_loanword_stress_nl_sv():
     """A written é marks the stressed final syllable in nl/sv loanwords;
     the penult default must not apply (the stress-stripped TSV fixtures
-    cannot pin this, so it is asserted directly)."""
-    assert nl.phonemize("café") == ["k", "aː", "f", "ˈeː"]
-    assert nl.phonemize("privé") == ["p", "ɹ", "i", "v", "ˈeː"]
+    cannot pin this, so it is asserted directly).  nl carries the mark
+    before the syllable onset (the rdh voice's gruut convention)."""
+    assert nl.phonemize("café") == ["k", "aː", "ˈ", "f", "eː"]
+    assert nl.phonemize("privé") == ["p", "ɹ", "i", "ˈ", "v", "eː"]
     assert sv.phonemize("idé") == ["ɪ", "d", "'eː"]
     assert sv.phonemize("armé") == ["a", "r", "m", "'eː"]
     assert sv.phonemize("kommitté") == ["k", "ʊ", "m", "ɪ", "t", "'eː"]
