@@ -90,7 +90,24 @@ def _segments(w: str) -> typing.List[str]:
     return out
 
 
-def phonemize(word: str) -> typing.List[str]:
+# Homographs whose stress needs sentence context.  "стоит" defaults to
+# the position verb (стои́т "stands", matching the golden fixtures'
+# сиди́т/стои́т/лежи́т row); a price context selects сто́ит "costs".
+_PRICE_CONTEXT_PREV = {"сколько", "это", "что", "ничего", "немало", "дорого"}
+_PRICE_CONTEXT_NEXT = {
+    # normalized numbers / money words that follow "стоит X рублей"
+    "один", "одну", "два", "две", "три", "четыре", "пять", "шесть",
+    "семь", "восемь", "девять", "десять", "двадцать", "тридцать",
+    "сорок", "пятьдесят", "сто", "двести", "триста", "тысячу", "тысячи",
+    "миллион", "рубль", "рубля", "рублей", "копеек", "доллар",
+    "доллара", "долларов", "евро", "дорого", "дёшево", "недорого",
+    "денег", "столько",
+}
+
+
+def phonemize(
+    word: str, prev: str = "", nxt: str = ""
+) -> typing.List[str]:
     w = word.lower().strip()
     if not w:
         return []
@@ -99,8 +116,17 @@ def phonemize(word: str) -> typing.List[str]:
     vowel_idx = [k for k, p in enumerate(out) if p in _VOWEL_SYMBOLS]
     if not vowel_idx:
         return out
-    stressed = stress_index(w, len(vowel_idx))
+    if w == "стоит" and (
+        prev.lower() in _PRICE_CONTEXT_PREV
+        or nxt.lower() in _PRICE_CONTEXT_NEXT
+    ):
+        stressed: typing.Optional[int] = 0  # сто́ит "costs"
+    else:
+        stressed = stress_index(w, len(vowel_idx))
     if stressed is not None and 0 <= stressed < len(vowel_idx):
         k = vowel_idx[stressed]
         out[k] = out[k] + "ː"
     return out
+
+
+phonemize.context_aware = True  # type: ignore[attr-defined]

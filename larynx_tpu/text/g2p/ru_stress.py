@@ -80,7 +80,7 @@ _EXACT_RAW = """
 в+ышел в+ышла в+ышли в+ыйти в+ыйдет в+ыйдут
 +ели +ела ед+ят ед+им ед+ите
 хорош+о пл+охо легк+о далек+о высок+о глубок+о широк+о
-давн+о темн+о светл+о тепл+о холодн+о трудн+о смешн+о
+давн+о темн+о светл+о тепл+о х+олодно тр+удно смешн+о
 сейч+ас тогд+а всегд+а иногд+а никогд+а когд+а з+автра
 вчер+а сег+одня п+оздно р+ано +утром в+ечером н+очью днём
 ещё уж+е +очень почт+и совс+ем вообщ+е оп+ять сн+ова
@@ -112,13 +112,13 @@ _EXACT_RAW = """
 вр+емя времен+а времён вр+емени времен+ам
 д+ерево дер+евья дер+евьев
 +озеро озёра озёр
-г+ород город+а город+ов город+ам г+ороде
-дом+а дом+ов дом+ам д+оме
+г+ород г+орода город+ов город+ам г+ороде
+д+ома дом+ов дом+ам д+оме
 лес+а лес+ов лес+ам л+есе лес+ах
 глаз+а глаз+ам гл+азе глаз+ах
 голос+а голос+ов г+олосе
 берег+а берег+ов б+ереге
-вечер+а вечер+ов в+ечере
+в+ечера вечер+ов в+ечере
 номер+а номер+ов н+омере
 поезд+а поезд+ов п+оезде
 адрес+а адрес+ов +адресе
@@ -172,6 +172,19 @@ _EXACT_RAW = """
 +общество +обществе к+ачество кол+ичество
 час+ы час+ов час+ам семь+я семь+е семь+и
 молок+о молок+а хл+еба
+зов+ут зов+у год+у утр+а утр+у кин+о запят+ая хоч+у по+ют
+сад+у сад+ы
+шестьс+от семьс+от восемьс+от девятьс+от
+рек+а р+еку рек+е рек+и рек+ой
+л+етом зим+ой весн+ой +осень +осени +осенью
++учится +учатся
+откр+ыт откр+ыта откр+ыто откр+ыты закр+ыт
+накр+ыт накр+ыта накр+ыто накр+ыты
+з+аперт з+аперта з+аперто з+аперты
+видн+ы видн+а видн+о
+провер+яет провер+яю провер+яют провер+ять провер+ял провер+яла
+провер+яли
+обор+удование обор+удования обор+удованию обор+удованием
 """
 
 # ---------------------------------------------------------------------------
@@ -207,7 +220,11 @@ _STEM_RAW = """
 волн+ гроз+ дыр+ игл+ коз+ нор+ скал+ сосн+ стрел+ строк+
 струн+ щек+ тюрьм+ судьб+
 голуб+ плох+ глух+ слеп+ крив+
-плет+ плел+ спас+ цвел+
+плет+ плел+ спас+ цвел+ цвет+ весн+ раст+ зав+од
+ив+ан вокз+ал гр+адус москв+ виз+ит +улиц с+ахар ок+онч напис+
+вт+орник муз+е те+атр конц+ерт понед+ельник п+ятниц четверг+
+больн+ бол+ мин+ут уч+ебник инжен+ер дикт+ант мор+оз с+евер
+с+еверн м+едленн
 """
 
 _ENDINGS = (
@@ -239,6 +256,11 @@ _ENDINGS = (
 # stressed vowel letter; rules are tried in order.
 # ---------------------------------------------------------------------------
 _SUFFIX_RULES = [
+    # 1st-conj reflexive present: the theme а/я is stressed (начина́ется,
+    # закрыва́ется, занима́юсь).  Non-reflexive forms land on the same
+    # vowel via the plain penult default; the ся/сь syllable shifts the
+    # penult off it, hence the explicit rule.
+    re.compile(r"([ая])(?:ю|ешь|ет|ем|ете|ют)(?:ся|сь)$"),
     # движ-е́ни-е, зада́ние, влия́ние (matches the suffix vowel itself)
     re.compile(r"([еая])ни(?:е|я|ю|ем|и|й|ям|ями|ях)$"),
     # информа́ция / информа́ции / ...

@@ -667,13 +667,60 @@ def normalize_token(token: str, lang: str = "en-us") -> typing.Optional[str]:
             return f"{spelled} {unit}" if unit else spelled
 
     m = _TIME_RE.match(token)
-    if m and lang == "en-us":
-        hours, minutes = int(m.group(1)), int(m.group(2))
-        to_words = en_number_to_words
-        if minutes == 0:
-            return f"{to_words(hours)} o'clock"
-        if minutes < 10:
-            return f"{to_words(hours)} oh {to_words(minutes)}"
-        return f"{to_words(hours)} {to_words(minutes)}"
+    if m:
+        spoken = _time_to_words(int(m.group(1)), int(m.group(2)), lang)
+        if spoken is not None:
+            return spoken
 
     return _spell_number(token, lang)
+
+
+def _ru_hour_noun(hours: int) -> str:
+    """часов/часа/час agreeing with the hour numeral (7 часов, 2 часа)."""
+    last = hours % 10
+    if 11 <= hours % 100 <= 14:
+        return "часов"
+    if last == 1:
+        return "час"
+    if 2 <= last <= 4:
+        return "часа"
+    return "часов"
+
+
+def _time_to_words(hours: int, minutes: int, lang: str) -> typing.Optional[str]:
+    """Digital clock time -> words, per-language reading conventions."""
+    if lang == "en-us":
+        w = en_number_to_words
+        if minutes == 0:
+            return f"{w(hours)} o'clock"
+        if minutes < 10:
+            return f"{w(hours)} oh {w(minutes)}"
+        return f"{w(hours)} {w(minutes)}"
+    to_words = NUMBER_TO_WORDS.get(lang)
+    if to_words is None:
+        return None
+    h, mnt = to_words(hours), to_words(minutes)
+    if lang == "de-de":
+        return f"{h} Uhr" if minutes == 0 else f"{h} Uhr {mnt}"
+    if lang == "nl":
+        return f"{h} uur" if minutes == 0 else f"{h} uur {mnt}"
+    if lang == "fr-fr":
+        heure = "une heure" if hours == 1 else f"{h} heures"
+        return heure if minutes == 0 else f"{heure} {mnt}"
+    if lang == "es-es":
+        h = "una" if hours == 1 else h
+        return f"{h} en punto" if minutes == 0 else f"{h} y {mnt}"
+    if lang == "it-it":
+        h = "una" if hours == 1 else h
+        return f"{h} in punto" if minutes == 0 else f"{h} e {mnt}"
+    if lang == "sv-se":
+        if minutes == 0:
+            return f"klockan {h}"
+        return f"{h} noll {mnt}" if minutes < 10 else f"{h} {mnt}"
+    if lang == "ru-ru":
+        if minutes == 0:
+            return f"{h} {_ru_hour_noun(hours)}"
+        return f"{h} ноль {mnt}" if minutes < 10 else f"{h} {mnt}"
+    if lang == "sw":
+        return f"saa {h}" if minutes == 0 else f"saa {h} na dakika {mnt}"
+    return f"{h} {mnt}"
