@@ -3,15 +3,17 @@
 Inventory (local/es-es/*/phonemes.txt): a ai au b d e ei eu f g i ja je jo
 ju k l m n o oi ou p r s t t͡ʃ u wa we wi wo x ɲ ɾ ʎ ʝ θ + ˈ ˌ.
 Diphthongs are single symbols.
+
+NO stress marks are emitted: the released es-es voices' golden fixtures
+show gruut produced zero stress ids across every sentence (cerveza,
+despacio, favor, ... all unmarked in karen_savage test_phonemes.csv),
+so the models were trained without them.  Written accents still shape
+segment choice (diphthong breaking in "día", glide keeping in "adiós").
 """
 
 import typing
 
-from larynx_tpu.text.g2p.rules import (
-    apply_rules,
-    apply_rules_span,
-    stress_nth_vowel_from_end,
-)
+from larynx_tpu.text.g2p.rules import apply_rules, apply_rules_span
 
 VOWELS = {
     "a", "e", "i", "o", "u",
@@ -135,13 +137,6 @@ def phonemize(word: str) -> typing.List[str]:
         rest = head + apply_rules_span(
             plain, split_end, len(plain), _RULES, _context
         )
-        for i, p in enumerate(rest):
-            if p in VOWELS:
-                rest[i] = "ˈ" + p
-                break
         return before + rest
 
-    phonemes = apply_rules(plain, _RULES, _context)
-    # default stress: penultimate if word ends in vowel/n/s, else final
-    n = 2 if (plain[-1] in "aeiou" or plain[-1] in "ns") else 1
-    return stress_nth_vowel_from_end(phonemes, VOWELS, n=n)
+    return apply_rules(plain, _RULES, _context)

@@ -1,8 +1,9 @@
 """French G2P — rule engine + function-word/irregular lexicon.
 
 Inventory (local/fr-fr/*/phonemes.txt): a b d e f i j k l m n o p s t u v w
-y z ø ŋ œ œ̃ ɑ̃ ɔ ɔ̃ ə ɛ ɛ̃ ɡ ɥ ɲ ʁ ʃ ʒ + ˈ ˌ.  Stress falls on the final
-full vowel (ə is never stressed).
+y z ø ŋ œ œ̃ ɑ̃ ɔ ɔ̃ ə ɛ ɛ̃ ɡ ɥ ɲ ʁ ʃ ʒ + ˈ ˌ.  No stress marks are
+emitted (see ``phonemize``): gruut-fr produced none for the released
+voices, French having phrase-final prosodic stress only.
 
 The reference reached French through gruut's fr lexicon
 (/root/reference/larynx/__init__.py:71-73); here an ordered-rule engine
@@ -15,7 +16,7 @@ pins 100+ hand-verified words.
 
 import typing
 
-from larynx_tpu.text.g2p.rules import apply_rules, stress_nth_vowel_from_end
+from larynx_tpu.text.g2p.rules import apply_rules
 
 VOWELS = {"a", "e", "i", "o", "u", "y", "ø", "œ", "œ̃", "ɑ̃", "ɔ", "ɔ̃", "ɛ", "ɛ̃"}
 
@@ -183,6 +184,22 @@ def _context(word: str, i: int):
         and not (word.endswith("es") and i + 3 == len(word))
     ):
         return 1, ["j"]
+    # o closes before a final silent coda (mot, gros, trop, mots)
+    if (
+        ch == "o"
+        and word[i + 1 :]
+        and word[i + 1 :] in ("t", "ts", "s", "p", "ps", "d", "ds", "c", "cs")
+    ):
+        return 1, ["o"]
+    # final silent two-letter clusters: plural of silent-final words
+    # (billets, comprends, champs, longs — gruut: "plats" -> p l a)
+    if (
+        i + 2 == len(word)
+        and len(word) > 3
+        and ch in "dtpgc"
+        and word[i + 1] == "s"
+    ):
+        return 2, []
     # final silent letters
     if i + 1 == len(word) and len(word) > 1:
         if ch in _SILENT_FINALS:
@@ -278,6 +295,39 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     "assied": ("a", "s", "j", "e"),
     "nez": ("n", "e"),
     "chez": ("ʃ", "e"),
+    # initial ex- before a vowel is [ɛɡz]
+    "examen": ("ɛ", "ɡ", "z", "a", "m", "ɛ̃"),
+    "examens": ("ɛ", "ɡ", "z", "a", "m", "ɛ̃"),
+    "exemple": ("ɛ", "ɡ", "z", "ɑ̃", "p", "l"),
+    "exemples": ("ɛ", "ɡ", "z", "ɑ̃", "p", "l"),
+    "exercice": ("ɛ", "ɡ", "z", "ɛ", "ʁ", "s", "i", "s"),
+    "exercices": ("ɛ", "ɡ", "z", "ɛ", "ʁ", "s", "i", "s"),
+    "exact": ("ɛ", "ɡ", "z", "a", "k", "t"),
+    "exactement": ("ɛ", "ɡ", "z", "a", "k", "t", "ə", "m", "ɑ̃"),
+    "existe": ("ɛ", "ɡ", "z", "i", "s", "t"),
+    "exister": ("ɛ", "ɡ", "z", "i", "s", "t", "e"),
+    # mp-cluster with silent p
+    "compte": ("k", "ɔ̃", "t"),
+    "comptes": ("k", "ɔ̃", "t"),
+    "compter": ("k", "ɔ̃", "t", "e"),
+    "comptent": ("k", "ɔ̃", "t"),
+    "sculpture": ("s", "k", "y", "l", "t", "y", "ʁ"),
+    "bus": ("b", "y", "s"),
+    "euro": ("ø", "ʁ", "o"),
+    "euros": ("ø", "ʁ", "o"),
+    "sixième": ("s", "i", "z", "j", "ɛ", "m"),
+    "dixième": ("d", "i", "z", "j", "ɛ", "m"),
+    "hier": ("j", "ɛ", "ʁ"),
+    "lyon": ("l", "j", "ɔ̃"),
+    "manuel": ("m", "a", "n", "ɥ", "ɛ", "l"),
+    "manuels": ("m", "a", "n", "ɥ", "ɛ", "l"),
+    "manuelle": ("m", "a", "n", "ɥ", "ɛ", "l"),
+    # subject-inversion forms keep the liaison t
+    "est-il": ("ɛ", "t", "i", "l"),
+    "est-elle": ("ɛ", "t", "ɛ", "l"),
+    "est-on": ("ɛ", "t", "ɔ̃"),
+    "est-ce": ("ɛ", "s"),
+    "vingts": ("v", "ɛ̃"),
     "eux": ("ø",),
     "deuxième": ("d", "ø", "z", "j", "ɛ", "m"),
     "sens": ("s", "ɑ̃", "s"),
@@ -363,10 +413,16 @@ _ENT_VERB_FORMS = frozenset(
         "continu", "exist", "manqu", "occup", "présent", "propos",
         "racont", "rappell", "ressembl", "retrouv", "chang", "dans",
         "march", "étudi", "essai", "pai", "envoi", "emploi", "utilis",
-        "ajout", "prépar", "form",
+        "ajout", "prépar", "form", "pouss", "brill", "coul", "souffl",
+        "tourn", "ferm", "lav", "lèv", "jett", "mont", "saut", "vol",
+        "nag", "oubli", "tir", "jug", "cass", "attrap", "ramass",
+        "dessin", "dîn", "déjeun", "voyag", "visit", "invit", "achet",
+        "appuy", "allum", "éteign", "rêv", "pleur", "cri", "souri",
         # irregular stems whose 3pl matches stem + mute e
         "veul", "peuv", "doiv", "prenn", "vienn", "tienn", "comprenn",
         "apprenn", "connaiss", "finiss", "choisiss", "réussiss",
+        "fleuriss", "grandiss", "rempliss", "réfléchiss", "nourriss",
+        "guériss", "vieilliss", "rougiss", "bâtiss", "obéiss",
         "mett", "permett", "attend", "entend", "répond", "vend",
         "perd", "descend", "viv", "suiv", "écriv", "lis", "dis",
         "part", "sort", "dorm", "serv", "ouvr", "offr", "souffr",
@@ -375,15 +431,99 @@ _ENT_VERB_FORMS = frozenset(
 )
 
 
-def phonemize(word: str) -> typing.List[str]:
+# Elided clitic prefixes (c'est, j'ai, l'école, qu'il, jusqu'à ...):
+# the apostrophe marks a dropped vowel; the prefix keeps its consonant
+# value (c' before the elided e is [s]).
+_ELISION_PREFIXES: typing.Dict[str, typing.List[str]] = {
+    "c": ["s"], "j": ["ʒ"], "l": ["l"], "d": ["d"], "s": ["s"],
+    "n": ["n"], "m": ["m"], "t": ["t"], "qu": ["k"],
+    "jusqu": ["ʒ", "y", "s", "k"], "lorsqu": ["l", "ɔ", "ʁ", "s", "k"],
+    "puisqu": ["p", "ɥ", "i", "s", "k"],
+    "quelqu": ["k", "ɛ", "l", "k"],
+}
+
+_VOWEL_INITIAL = "aeiouyhéèêëàâîïôûùœæ"
+
+
+def _sandhi(w: str, nxt: str) -> typing.Optional[typing.List[str]]:
+    """Context-dependent function words (liaison/truncation).
+
+    six/dix: [sis]/[dis] finally, [si]/[di] before a consonant-initial
+    word, [siz]/[diz] in liaison (dix heures).  plus: [plys] finally,
+    [ply] before a consonant, [plyz] in liaison.  neuf: [nœv] in the
+    two lexicalized liaisons (neuf heures, neuf ans).
+    """
+    nxt = nxt.lower()
+    if w in ("six", "dix"):
+        head = ["s", "i"] if w == "six" else ["d", "i"]
+        if not nxt:
+            return head + ["s"]
+        return head + (["z"] if nxt[0] in _VOWEL_INITIAL else [])
+    if w == "plus":
+        if not nxt:
+            return ["p", "l", "y", "s"]
+        if nxt[0] in _VOWEL_INITIAL:
+            return ["p", "l", "y", "z"]
+        return ["p", "l", "y"]
+    if w == "neuf" and nxt in ("heures", "heure", "ans", "an"):
+        return ["n", "œ", "v"]
+    return None
+
+
+def phonemize(
+    word: str, prev: str = "", nxt: str = ""
+) -> typing.List[str]:
+    """French word -> IPA with NO stress marks.
+
+    French has no lexical stress (prosodic stress is phrase-final), and
+    the released fr-fr voice's golden fixtures confirm gruut emitted no
+    stress ids at all (siwis test_phonemes.csv: zero occurrences of the
+    inventory's ˈ id across every sentence) — emitting one here would
+    feed the encoder an embedding it never saw in training.
+
+    Hyphenated compounds stay one word group but are pronounced part by
+    part (gruut: "avez-vous" -> a v e v u), with the number liaisons
+    spelled out (vingt-cinq [vɛ̃t], quatre-vingt-onze [vɛ̃], dix-neuf
+    [diz]).  Elided clitics (c'est, l'école) split at the apostrophe.
+    """
     w = word.lower().strip()
     if not w:
         return []
+    sandhi = _sandhi(w, nxt)
+    if sandhi is not None:
+        return sandhi
     hit = _EXCEPTIONS.get(w)
     if hit is not None:
-        return stress_nth_vowel_from_end(list(hit), VOWELS, n=1)
+        return list(hit)
+    if "'" in w:
+        prefix, _, rest = w.partition("'")
+        head = _ELISION_PREFIXES.get(prefix)
+        if head is not None and rest:
+            return head + phonemize(rest, nxt=nxt)
+    if "-" in w and len(w) > 1:
+        parts = [p for p in w.split("-") if p]
+        if len(parts) > 1:
+            out: typing.List[str] = []
+            for k, p in enumerate(parts):
+                last = k + 1 == len(parts)
+                if p == "vingt" and not last and (
+                    k == 0 or parts[k - 1] != "quatre"
+                ):
+                    out += ["v", "ɛ̃", "t"]  # vingt-cinq ... vingt-neuf
+                elif p == "dix" and not last:
+                    # dix-neuf [diz], dix-huit [diz], dix-sept [di]
+                    out += ["d", "i"] + (
+                        ["z"] if parts[k + 1] in ("neuf", "huit") else []
+                    )
+                elif p == "t":
+                    out += ["t"]  # inversion clitic: a-t-il
+                else:
+                    out += phonemize(p, nxt="" if last else parts[k + 1])
+            return out
     if w in _ENT_VERB_FORMS:
         # silent verbal -ent: pronounce the stem with a mute final e
         return phonemize(w[:-3] + "e")
-    phonemes = apply_rules(w, _RULES, _context)
-    return stress_nth_vowel_from_end(phonemes, VOWELS, n=1)
+    return apply_rules(w, _RULES, _context)
+
+
+phonemize.context_aware = True  # type: ignore[attr-defined]
