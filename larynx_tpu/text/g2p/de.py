@@ -81,6 +81,41 @@ def _context(word: str, i: int):
         return 2, ["ʃ", "p"]
     if i == 0 and word.startswith("st"):
         return 2, ["ʃ", "t"]
+    # ieh is long i with silent h (sieht, zieht, Vieh)
+    if word.startswith("ieh", i):
+        return 3, ["iː"]
+    # Latin -tion- is [tsjoːn] (Lektion, funktionieren); never word-initial
+    if word.startswith("tion", i) and i > 0:
+        return 4, ["t͡s", "j", "oː", "n"]
+    # number-compound interiors keep their standalone reading: -hundert-
+    # [hʊndɐt] and -tausend- [taʊzənt] (dreihundertfünf..., zweitausend...).
+    # The final letter is left to the normal rules (devoicing / following e)
+    if word.startswith("hunder", i):
+        return 6, ["h", "ʊ", "n", "d", "ɐ"]
+    if word.startswith("tausen", i):
+        return 6, ["t", "aʊ̯", "z", "ə", "n"]
+    # h after a vowel letter is mute — it lengthens (already consumed by
+    # the ah/eh/... digraph rules) or separates syllables (gehen, blühen,
+    # früh, weh)
+    if ch == "h" and prev and prev in _VOWEL_LETTERS:
+        return 1, []
+    # unstressed er after a vowel is [ɐ] (dauer, feuer, bauer)
+    if ch == "e" and nxt == "r" and prev and prev in _VOWEL_LETTERS:
+        return 2, ["ɐ"]
+    # ß orthographically follows only long vowels/diphthongs (groß,
+    # Straße, Großmutter)
+    if ch in _LONG and nxt == "ß":
+        return 1, [_LONG[ch]]
+    # b/d/g devoice before a voiceless obstruent (liegt, Flugzeug,
+    # Herbst, montags) — but stay voiced in onset clusters (Adler,
+    # regnen); dt stays a plain digraph (Stadt)
+    if (
+        ch in "bdg"
+        and nxt
+        and nxt in "stkfpzcvß"
+        and not (ch == "d" and nxt == "t")
+    ):
+        return 1, [{"b": "p", "d": "t", "g": "k"}[ch]]
     # s before vowel is voiced
     if ch == "s" and nxt and nxt in _VOWEL_LETTERS:
         return 1, ["z"]
@@ -135,8 +170,16 @@ def _context(word: str, i: int):
             return len(tail), ["ɐ"] + [_tail_map.get(c, c) for c in tail[2:]]
         # NOT -ent: German -ent loans are stressed [ɛnt] (Student, Moment)
         if tail in ("e", "en", "el", "em", "es", "et", "eln", "elt",
-                    "end"):
+                    "end", "ens", "ends", "els"):
             return len(tail), ["ə"] + [_tail_map.get(c, c) for c in tail[1:]]
+        if tail in ("ers", "erns"):
+            return len(tail), ["ɐ"] + [_tail_map.get(c, c) for c in tail[2:]]
+        # weak-verb past -ete after a d/t stem (endete, arbeitete) —
+        # NOT the stressed loan -ete (Rakete, Tapete, Pakete)
+        if tail in ("ete", "eten", "etet") and prev in "dt":
+            return len(tail), ["ə", "t"] + (
+                ["ə"] + list(tail[3:]) if len(tail) > 3 else ["ə"]
+            )
     # open-syllable vowel lengthening: vowel + single consonant + vowel
     if (
         ch in _LONG
@@ -246,7 +289,100 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     "dass": ("d", "a", "s"),
     "gott": ("g", "ɔ", "t"),
     "herren": ("h", "ɛ", "ʁ", "ə", "n"),
+    "bahnhof": ("b", "aː", "n", "h", "oː", "f"),
+    "erklärt": ("ɛ", "ʁ", "k", "l", "ɛː", "ʁ", "t"),
+    "erklären": ("ɛ", "ʁ", "k", "l", "ɛː", "ʁ", "ə", "n"),
+    "erklärte": ("ɛ", "ʁ", "k", "l", "ɛː", "ʁ", "t", "ə"),
+    "besuch": ("b", "ə", "z", "uː", "x"),
+    "berlin": ("b", "ɛ", "ʁ", "l", "iː", "n"),
+    "bus": ("b", "ʊ", "s"),
+    "busse": ("b", "ʊ", "s", "ə"),
+    "schläft": ("ʃ", "l", "ɛː", "f", "t"),
+    "sprach": ("ʃ", "p", "ʁ", "aː", "x"),
+    "sprachen": ("ʃ", "p", "ʁ", "aː", "x", "ə", "n"),
+    "regnen": ("ʁ", "eː", "g", "n", "ə", "n"),
+    "regnet": ("ʁ", "eː", "g", "n", "ə", "t"),
+    "museum": ("m", "ʊ", "z", "eː", "ʊ", "m"),
+    "museen": ("m", "ʊ", "z", "eː", "ə", "n"),
+    "theater": ("t", "eː", "aː", "t", "ɐ"),
+    "konzert": ("k", "ɔ", "n", "t͡s", "ɛ", "ʁ", "t"),
+    "konzerte": ("k", "ɔ", "n", "t͡s", "ɛ", "ʁ", "t", "ə"),
+    "medizin": ("m", "eː", "d", "iː", "t͡s", "iː", "n"),
+    "täglich": ("t", "ɛː", "k", "l", "ɪ", "ç"),
+    "einmal": ("aɪ̯", "n", "m", "aː", "l"),
+    "zweimal": ("t͡s", "v", "aɪ̯", "m", "aː", "l"),
+    "dreimal": ("d", "ʁ", "aɪ̯", "m", "aː", "l"),
+    "manchmal": ("m", "a", "n", "ç", "m", "aː", "l"),
+    "langsam": ("l", "a", "ŋ", "z", "aː", "m"),
+    "diktat": ("d", "ɪ", "k", "t", "aː", "t"),
+    "bibliothek": ("b", "ɪ", "b", "l", "ɪ", "oː", "t", "eː", "k"),
+    "fabrik": ("f", "a", "b", "ʁ", "iː", "k"),
+    "autos": ("aʊ̯", "t", "oː", "s"),
+    "ingenieur": ("ɪ", "n", "ʒ", "eː", "n", "j", "øː", "ɐ"),
+    "ingenieure": ("ɪ", "n", "ʒ", "eː", "n", "j", "øː", "ʁ", "ə"),
+    "monatsende": ("m", "oː", "n", "a", "t", "s", "ɛ", "n", "d", "ə"),
+    "urlaub": ("uː", "ɐ", "l", "aʊ̯", "p"),
+    "wunderbar": ("v", "ʊ", "n", "d", "ɐ", "b", "aː", "ɐ"),
+    "vorsicht": ("f", "oː", "ɐ", "z", "ɪ", "ç", "t"),
+    "lehrerin": ("l", "eː", "ʁ", "ə", "ʁ", "ɪ", "n"),
+    "obst": ("oː", "p", "s", "t"),
+    "sprechstunde": ("ʃ", "p", "ʁ", "ɛ", "ç", "ʃ", "t", "ʊ", "n", "d", "ə"),
+    "abendessen": ("aː", "b", "ə", "n", "t", "ɛ", "s", "ə", "n"),
+    "montags": ("m", "oː", "n", "t", "aː", "k", "s"),
+    "dienstags": ("d", "iː", "n", "s", "t", "aː", "k", "s"),
+    "mittwochs": ("m", "ɪ", "t", "v", "ɔ", "x", "s"),
+    "donnerstags": ("d", "ɔ", "n", "ɐ", "s", "t", "aː", "k", "s"),
+    "freitags": ("f", "ʁ", "aɪ̯", "t", "aː", "k", "s"),
+    "samstags": ("z", "a", "m", "s", "t", "aː", "k", "s"),
+    "sonntags": ("z", "ɔ", "n", "t", "aː", "k", "s"),
 }
+
+
+# Words whose initial ge-/be- is part of the stem, not the unstressed
+# prefix (ge-ben, ges-tern, bes-ser) — the prefix heuristic must skip them.
+_NOT_PREFIXED = frozenset({
+    "geben", "gebe", "gebt", "gegen", "gegend", "gehen", "gehe", "geht",
+    "gestern", "gerne", "geste", "gesten", "general", "gelbe", "gelben",
+    "gelber", "gelbes", "genen", "gene",
+    "besen", "beten", "betet", "bete", "beben", "bebt", "beere",
+    "beeren", "berge", "bergen", "besser", "beste", "besten", "bester",
+    "bestes", "betten", "beide", "beiden", "beides",
+})
+
+# Separable-participle prefixes: <prefix>ge<stem> (abgeschlossen,
+# aufgemacht) — pronounced prefix + [gə] + stem.
+_SEP_GE_PREFIXES = {
+    "abge": ["a", "p", "g", "ə"],
+    "aufge": ["aʊ̯", "f", "g", "ə"],
+    "ausge": ["aʊ̯", "s", "g", "ə"],
+    "ange": ["a", "n", "g", "ə"],
+    "einge": ["aɪ̯", "n", "g", "ə"],
+    "vorge": ["f", "oː", "ɐ", "g", "ə"],
+    "mitge": ["m", "ɪ", "t", "g", "ə"],
+    "nachge": ["n", "aː", "x", "g", "ə"],
+    "wegge": ["v", "ɛ", "k", "g", "ə"],
+}
+
+
+def _has_vowel(s: str) -> bool:
+    return any(c in _VOWEL_LETTERS for c in s)
+
+
+_VALID_ONSET_2 = frozenset({
+    "bl", "br", "dr", "fl", "fr", "gl", "gr", "gn", "kl", "kn", "kr",
+    "pf", "pl", "pr", "qu", "sp", "st", "tr", "zw", "sk", "ch",
+})
+
+
+def _valid_stem_start(rest: str) -> bool:
+    """Could ``rest`` begin a German stem after an unstressed prefix?"""
+    if rest[0] in "äöü":
+        return True  # geöffnet, geändert, geübt
+    if rest[0] in _VOWEL_LETTERS:
+        return False  # plain-vowel starts handled case by case
+    if len(rest) >= 2 and rest[1] in _VOWEL_LETTERS:
+        return True  # single consonant + vowel (gesund, bekam)
+    return rest.startswith("sch") or rest[:2] in _VALID_ONSET_2
 
 
 def phonemize(word: str) -> typing.List[str]:
@@ -256,4 +392,35 @@ def phonemize(word: str) -> typing.List[str]:
     hit = _EXCEPTIONS.get(w)
     if hit is not None:
         return list(hit)
+    # unstressed ge-/be- prefixes reduce to [gə]/[bə]; the stem is
+    # phonemized on its own so stem-initial rules (sp/st -> ʃ, vowel
+    # length) apply (geschah -> gə+ʃaː, beginnt -> bə+gɪnt).  A stem
+    # must start with a plausible onset (or umlaut: geöffnet) and
+    # contain a vowel; stem-initial ge/be words are blocklisted.
+    if w not in _NOT_PREFIXED and len(w) > 4:
+        head, rest = w[:2], w[2:]
+        if head in ("ge", "be") and _has_vowel(rest) and (
+            _valid_stem_start(rest)
+            or (head == "be" and rest[0] == "e")
+        ):
+            return [head[0], "ə"] + phonemize(rest)
+        for pre, sounds in _SEP_GE_PREFIXES.items():
+            if (
+                w.startswith(pre)
+                and _has_vowel(w[len(pre):])
+                and len(w) > len(pre) + 2
+            ):
+                return list(sounds) + phonemize(w[len(pre):])
+        # ver-/er-/zer- before stem-initial st/sp: the cluster is
+        # morpheme-initial and says ʃ (verstehen, versprechen)
+        for pre, sounds in (
+            ("ver", ["f", "ɛ", "ʁ"]),
+            ("zer", ["t͡s", "ɛ", "ʁ"]),
+        ):
+            if (
+                w.startswith(pre)
+                and w[len(pre):].startswith(("st", "sp"))
+                and _has_vowel(w[len(pre) + 2:])
+            ):
+                return list(sounds) + phonemize(w[len(pre):])
     return apply_rules(w, _RULES, _context)

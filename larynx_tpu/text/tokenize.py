@@ -145,7 +145,21 @@ def words_of(
     ``kind`` is 'word'/'minor'/'major'.
     """
     out: typing.List[typing.Tuple[str, str]] = []
-    for token in tokenize(sentence, lang):
+    tokens = tokenize(sentence, lang)
+    # "7:30 Uhr" / "7:30 uur": the clock word is already part of the
+    # spoken time expansion ("sieben Uhr dreißig") — drop the written one
+    clock_word = {"de-de": "uhr", "nl": "uur"}.get(lang)
+    if clock_word:
+        tokens = [
+            t
+            for k, t in enumerate(tokens)
+            if not (
+                t.lower() == clock_word
+                and k > 0
+                and re.match(r"^\d{1,2}:\d{2}$", tokens[k - 1])
+            )
+        ]
+    for token in tokens:
         kind = classify_token(token)
         if kind == "skip":
             continue
