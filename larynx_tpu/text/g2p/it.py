@@ -168,7 +168,74 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     "adesso": ("a", "d", "ɛ", "s", "s", "o"),
     "gnocchi": ("ɲ", "ɔ", "k", "k", "i"),
     "due": ("d", "u", "e"),
+    # pre-stressed entries (stress_nth_vowel_from_end is a no-op when a
+    # mark is already present)
+    "autobus": ("ˈa", "u", "t", "o", "b", "u", "s"),
+    "aereo": ("a", "ˈɛ", "r", "e", "o"),
+    "aerei": ("a", "ˈɛ", "r", "e", "i"),
+    "nord": ("n", "ˈɔ", "r", "d"),
+    "sud": ("s", "ˈu", "d"),
 }
+
+# Proclitic function words: articles, prepositions (simple and
+# articulated), clitic pronouns, common conjunctions.  The riccardo_fasol
+# fixtures show gruut leaves these without a stress id ("da", "dove",
+# "il", "di", "un'altra" all unmarked) — a stressed article would feed
+# the voice a pattern it never saw on these words.
+_UNSTRESSED = frozenset("""
+la le lo i gli un a e ed o in con su per tra fra se che ma ne
+si mi ti ci vi li
+al allo alla ai agli alle dal dallo dalla dai dagli dalle
+del dello della dei degli delle nel nello nella nei negli nelle
+sul sullo sulla sui sugli sulle col coi
+""".split())
+
+# Possessives are unstressed AND keep the vowels in hiatus
+# (fixture: "il mio aeroscafo" -> m i o, not m j o)
+_UNSTRESSED_FORMS: typing.Dict[str, typing.Tuple[str, ...]] = {
+    "mio": ("m", "i", "o"), "mia": ("m", "i", "a"),
+    "mie": ("m", "i", "e"), "miei": ("m", "j", "ɛ", "i"),
+    "tuo": ("t", "u", "o"), "tua": ("t", "u", "a"),
+    "tue": ("t", "u", "e"), "tuoi": ("t", "w", "ɔ", "i"),
+    "suo": ("s", "u", "o"), "sua": ("s", "u", "a"),
+    "sue": ("s", "u", "e"), "suoi": ("s", "w", "ɔ", "i"),
+}
+
+# Sdrucciole (antepenult stress) the penult default cannot know, plus
+# the -ere infinitives of the second conjugation (all stem-stressed).
+_SDRUCCIOLE = frozenset("""
+fabbrica fabbriche naviga nevica difficile difficili facile facili
+semplice semplici piccolo piccola piccoli piccole zucchero
+sabato sabati domenica domeniche musica musiche telefono telefoni
+medico medici ospite ospiti macchina macchine automobile automobili
+lettera lettere tavolo tavola tavoli tavole napoli camera camere
+numero numeri opera opere ordine ordini pagina pagine popolo popoli
+secolo secoli simbolo simboli stomaco subito ultimo ultima ultimi
+ultime utile utili albero alberi attimo euro genere generi termine
+termini pericolo pericoli spettacolo spettacoli
+essere prendere vendere scrivere vivere leggere credere chiudere
+correre decidere dividere mettere nascere perdere piangere ridere
+rompere scendere spendere vincere chiedere rispondere conoscere
+crescere
+""".split())
+
+# 3rd-plural present -ano is unstressed (sdrucciola verb forms); listed
+# because -ano NOUNS are penult (italiano, divano) so no blanket rule.
+# -ono forms are handled by the ending rule in _phonemize_vowel_stress.
+_VERB_ANO = frozenset("""
+giocano cantano parlano lavorano abitano arrivano portano mangiano
+guardano pensano chiamano aspettano cominciano costano passano restano
+tornano entrano suonano volano studiano viaggiano ballano cucinano
+comprano trovano amano ascoltano camminano desiderano diventano
+dimenticano domandano funzionano giravano girano gridano
+incontrano insegnano invitano lasciano nuotano pagano preparano
+raccontano ricordano salutano sognano sperano telefonano usano
+visitano
+""".split())
+
+
+_ELISION_PREFIXES = ("dell'", "nell'", "sull'", "dall'", "all'",
+                     "un'", "l'", "d'", "quest'", "sant'")
 
 
 def _phonemize_vowel_stress(word: str) -> typing.List[str]:
@@ -178,9 +245,29 @@ def _phonemize_vowel_stress(word: str) -> typing.List[str]:
     w = word.lower().strip()
     if not w:
         return []
+    hit = _UNSTRESSED_FORMS.get(w)
+    if hit is not None:
+        return list(hit)
+    if w in _UNSTRESSED:
+        return apply_rules(w, _RULES, _context)
+    # elision: the prefix is unstressed, the host word keeps its own
+    # stress pattern (l'autobus -> l + ˈautobus)
+    for pre in _ELISION_PREFIXES:
+        if w.startswith(pre) and len(w) > len(pre):
+            head = apply_rules(pre[:-1], _RULES, _context)
+            return head + _phonemize_vowel_stress(w[len(pre):])
+    # number compounds in -sei keep the final diphthong stressed
+    # (ventisei [ventiˈzɛj]); the penult count would land on -ti-
+    if w.endswith("sei") and len(w) > 3:
+        head = apply_rules(w[:-3], _RULES, _context)
+        s = "z" if head and head[-1] in VOWELS else "s"
+        return head + [s, "ˈɛ", "j"]
+    n = 3 if (w in _SDRUCCIOLE or w in _VERB_ANO or (
+        w.endswith("ono") and len(w) > 3
+    )) else 2
     hit = _EXCEPTIONS.get(w)
     if hit is not None:
-        return stress_nth_vowel_from_end(list(hit), VOWELS, n=2)
+        return stress_nth_vowel_from_end(list(hit), VOWELS, n=n)
     accent_pos = next((i for i, c in enumerate(w) if c in _ACCENTED), None)
     if accent_pos is not None:
         # both halves walk the FULL (accent-stripped) word so boundary
@@ -202,7 +289,7 @@ def _phonemize_vowel_stress(word: str) -> typing.List[str]:
         # emitted the base vowel; its quality/stress is in `rest`
         return before + rest
     phonemes = apply_rules(w, _RULES, _context)
-    return stress_nth_vowel_from_end(phonemes, VOWELS, n=2)
+    return stress_nth_vowel_from_end(phonemes, VOWELS, n=n)
 
 
 def phonemize(word: str) -> typing.List[str]:
