@@ -20,6 +20,7 @@ VOWELS = {
 }
 
 _RULES = [
+    ("zesen", "z ɛ s ə n"),  # number linker: zesentwintig [zɛsən-]
     ("sch", "s x"),
     ("ch", "x"),
     ("ng", "ŋ"),
@@ -27,9 +28,9 @@ _RULES = [
     ("ui", "œy"),
     ("ou", "ɑu"), ("au", "ɑu"),
     ("oe", "u"),
+    ("ieuw", "i w"), ("eeuw", "eː w"),  # before ee/ie (first match wins)
     ("eu", "ø"),
     ("aa", "aː"), ("ee", "eː"), ("oo", "oː"), ("uu", "yː"),
-    ("ieuw", "i w"), ("eeuw", "eː w"),
     ("ie", "i"),
     ("éé", "eː"), ("é", "eː"), ("è", "ɛ"), ("ë", "ɛ"), ("ï", "i"),
     ("th", "t"),
@@ -96,8 +97,14 @@ def _context(word: str, i: int):
         _n_vowel_letters(word[:i]) >= 1 or (i == 1 and word[i:] == "e")
     ):
         tail = word[i:]
+        # unstressed -elijk(e/s) adjectives (hartelijk, vriendelijke)
+        if tail.startswith("elijk"):
+            rest = tail[5:]
+            if rest in ("", "e", "s", "er", "ers", "ste"):
+                return 5, ["ə", "l", "ə", "k"]
         if tail in ("e", "en", "el", "em", "es", "et", "er", "erd",
-                    "ers", "erg", "eren", "elen"):
+                    "ers", "erg", "eren", "elen", "els", "ens", "enen",
+                    "emen", "end", "ends"):
             out = ["ə"]
             for c in tail[1:]:
                 out.append({"d": "t", "g": "x", "r": "ɹ", "e": "ə"}.get(c, c))
@@ -115,6 +122,15 @@ def _context(word: str, i: int):
         nxt == "" or nxt not in _VOWEL_LETTERS
     ):
         return 1, ["j"]
+    # unstressed -lijk(e) after a consonant (moeilijk via exception,
+    # schriftelijk via the elijk tail above, mogelijk -> moːɣələk)
+    if word.startswith("lijk", i) and i > 0 and word[i + 4 :] in (
+        "", "e", "s", "er", "ers", "ste"
+    ):
+        return 4, ["l", "ə", "k"]
+    # verb-final -dt is a single [t] (houdt, wordt)
+    if ch == "d" and nxt == "t" and i + 2 == len(word):
+        return 2, ["t"]
     # final devoicing (b/d/v stops+fricative, g -> x)
     if i + 1 == len(word):
         if ch in "bdv":
@@ -158,8 +174,102 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     "bedankt": ("b", "ə", "d", "ɑ", "ŋ", "k", "t"),
     "miljoen": ("m", "ɪ", "l", "j", "u", "n"),
     "miljard": ("m", "ɪ", "l", "j", "ɑ", "ɹ", "t"),
-    "universiteit": ("yː", "n", "i", "v", "ɛ", "ɹ", "s", "i", "t", "ɛi", "t"),
+    "universiteit": ("yː", "n", "i", "v", "ɛ", "ɹ", "s", "i", "t", "ˈɛi", "t"),
     "luchthaven": ("l", "ʏ", "x", "t", "h", "aː", "v", "ə", "n"),
+    # loanword / compound stress the penult default cannot know
+    # (pre-stressed entries: stress_nth is a no-op when a mark exists)
+    "station": ("s", "t", "ɑ", "ʃ", "ˈɔ", "n"),
+    "procent": ("p", "ɹ", "oː", "s", "ˈɛ", "n", "t"),
+    "amsterdam": ("ɑ", "m", "s", "t", "ə", "ɹ", "d", "ˈɑ", "m"),
+    "rotterdam": ("ɹ", "ɔ", "t", "ə", "ɹ", "d", "ˈɑ", "m"),
+    "bioscoop": ("b", "i", "ɔ", "s", "k", "ˈoː", "p"),
+    "rivier": ("ɹ", "i", "v", "ˈi", "ɹ"),
+    "hoeveel": ("h", "u", "v", "ˈeː", "l"),
+    "vanavond": ("v", "ɑ", "n", "ˈaː", "v", "ɔ", "n", "t"),
+    "vanochtend": ("v", "ɑ", "n", "ˈɔ", "x", "t", "ə", "n", "t"),
+    "vanmiddag": ("v", "ɑ", "n", "m", "ˈɪ", "d", "ɑ", "x"),
+    "vanmorgen": ("v", "ɑ", "n", "m", "ˈɔ", "ɹ", "ɣ", "ə", "n"),
+    "vannacht": ("v", "ɑ", "n", "n", "ˈɑ", "x", "t"),
+    "avondeten": ("ˈaː", "v", "ɔ", "n", "t", "eː", "t", "ə", "n"),
+    "goedemorgen": ("ɣ", "ˈu", "d", "ə", "m", "ɔ", "ɹ", "ɣ", "ə", "n"),
+    "goedemiddag": ("ɣ", "ˈu", "d", "ə", "m", "ɪ", "d", "ɑ", "x"),
+    "goedenavond": ("ɣ", "ˈu", "d", "ə", "n", "aː", "v", "ɔ", "n", "t"),
+    "goedenacht": ("ɣ", "ˈu", "d", "ə", "n", "ɑ", "x", "t"),
+    "lerares": ("l", "eː", "ɹ", "aː", "ɹ", "ˈɛ", "s"),
+    "studeert": ("s", "t", "yː", "d", "ˈeː", "ɹ", "t"),
+    "studeren": ("s", "t", "yː", "d", "ˈeː", "ɹ", "ə", "n"),
+    "student": ("s", "t", "yː", "d", "ˈɛ", "n", "t"),
+    "studenten": ("s", "t", "yː", "d", "ˈɛ", "n", "t", "ə", "n"),
+    "platteland": ("p", "l", "ˈɑ", "t", "ə", "l", "ɑ", "n", "t"),
+    "telefoon": ("t", "eː", "l", "ə", "f", "ˈoː", "n"),
+    "computer": ("k", "ɔ", "m", "p", "j", "ˈuː", "t", "ə", "ɹ"),
+    "alsjeblieft": ("ɑ", "l", "s", "j", "ə", "b", "l", "ˈi", "f", "t"),
+    "minuut": ("m", "i", "n", "ˈyː", "t"),
+    "minuten": ("m", "i", "n", "ˈyː", "t", "ə", "n"),
+    "museum": ("m", "y", "z", "ˈeː", "ʏ", "m"),
+    "theater": ("t", "eː", "ˈaː", "t", "ə", "ɹ"),
+    "concert": ("k", "ɔ", "n", "s", "ˈɛ", "ɹ", "t"),
+    "interessant": ("ɪ", "n", "t", "ə", "ɹ", "ɛ", "s", "ˈɑ", "n", "t"),
+    "muziek": ("m", "yː", "z", "ˈi", "k"),
+    "persoon": ("p", "ɛ", "ɹ", "s", "ˈoː", "n"),
+    "personen": ("p", "ɛ", "ɹ", "s", "ˈoː", "n", "ə", "n"),
+    "medicijn": ("m", "eː", "d", "i", "s", "ˈɛi", "n"),
+    "dictee": ("d", "ɪ", "k", "t", "ˈeː"),
+    "examen": ("ɛ", "k", "s", "ˈaː", "m", "ə", "n"),
+    "bibliotheek": ("b", "i", "b", "l", "i", "oː", "t", "ˈeː", "k"),
+    "fabriek": ("f", "ɑ", "b", "ɹ", "ˈi", "k"),
+    "auto's": ("ˈɑu", "t", "oː", "s"),
+    "ingenieur": ("ɪ", "n", "ʒ", "ə", "n", "j", "ˈø", "ɹ"),
+    "controleert": ("k", "ɔ", "n", "t", "ɹ", "oː", "l", "ˈeː", "ɹ", "t"),
+    "controleren": ("k", "ɔ", "n", "t", "ɹ", "oː", "l", "ˈeː", "ɹ", "ə", "n"),
+    "machine": ("m", "ɑ", "ʃ", "ˈi", "n", "ə"),
+    "machines": ("m", "ɑ", "ʃ", "ˈi", "n", "ə", "s"),
+    "moeilijke": ("m", "ˈu", "j", "l", "ə", "k", "ə"),
+    "voorbij": ("v", "oː", "ɹ", "b", "ˈɛi"),
+    "sneeuw": ("s", "n", "ˈeː", "w"),
+    "sneeuwt": ("s", "n", "ˈeː", "w", "t"),
+}
+
+# Unstressed prefixes: the stem keeps the word stress (begrijp ->
+# [bəˈɣrɛip]; fixture: "gefeliciteerd" -> ɣ ə ˌf e..., "verjaardag" ->
+# v ə ɹ ˈj a ɹ d ɑ x).
+_PREFIXES = (("ge", ["ɣ", "ə"]), ("be", ["b", "ə"]), ("ver", ["v", "ə", "ɹ"]))
+
+# Stem-initial ge/be/ver words the prefix heuristic must skip.
+_NOT_PREFIXED = frozenset({
+    "geven", "geeft", "gele", "gevel", "gevels", "genen", "gene",
+    "beter", "betere", "beters", "bezem", "bever", "bevers", "beker",
+    "bekers", "benen", "bezig",
+    "verder", "verdere", "verte", "verven", "verse", "versie",
+    "verzen", "veren",
+})
+
+_VALID_ONSET_2 = frozenset({
+    "bl", "br", "dr", "dw", "fl", "fr", "gl", "gr", "kl", "kn", "kr",
+    "kw", "pl", "pr", "sl", "sm", "sn", "sp", "st", "sx", "tr", "tw",
+    "vl", "vr", "zw", "sc", "ch",
+})
+
+
+def _valid_stem_start(rest: str) -> bool:
+    if rest[0] in _VOWEL_LETTERS:
+        return False
+    if len(rest) >= 2 and rest[1] in _VOWEL_LETTERS + "éij":
+        return True
+    return rest.startswith("sch") or rest[:2] in _VALID_ONSET_2
+
+
+# Separable-particle participles: <particle>ge<stem> with primary
+# stress on the particle (fixture: "toegewenst" -> ˈtu ɣə ˌwɛnst).
+_SEP_GE_PREFIXES = {
+    "afge": ["ˈɑ", "f", "ɣ", "ə"],
+    "opge": ["ˈɔ", "p", "ɣ", "ə"],
+    "uitge": ["ˈœy", "t", "ɣ", "ə"],
+    "aange": ["ˈaː", "n", "ɣ", "ə"],
+    "inge": ["ˈɪ", "n", "ɣ", "ə"],
+    "toege": ["t", "ˈu", "ɣ", "ə"],
+    "meege": ["m", "ˈeː", "ɣ", "ə"],
+    "wegge": ["w", "ˈɛ", "x", "ɣ", "ə"],
 }
 
 
@@ -173,6 +283,23 @@ def _phonemize_vowel_stress(word: str) -> typing.List[str]:
     hit = _EXCEPTIONS.get(w)
     if hit is not None:
         return stress_nth_vowel_from_end(list(hit), VOWELS, n=n, skippable=("ə",))
+    if w not in _NOT_PREFIXED and len(w) > 4:
+        for pre, sounds in _SEP_GE_PREFIXES.items():
+            if w.startswith(pre) and len(w) > len(pre) + 2 and any(
+                c in _VOWEL_LETTERS for c in w[len(pre):]
+            ):
+                stem = _phonemize_vowel_stress(w[len(pre):])
+                # particle carries primary stress; the stem keeps
+                # secondary (fixture: toegewenst -> ˈtu ɣə ˌwɛnst)
+                stem = [p.replace("ˈ", "ˌ") if p.startswith("ˈ") else p
+                        for p in stem]
+                return list(sounds) + stem
+        for pre, sounds in _PREFIXES:
+            rest = w[len(pre):]
+            if w.startswith(pre) and len(rest) >= 2 and any(
+                c in _VOWEL_LETTERS for c in rest
+            ) and _valid_stem_start(rest):
+                return list(sounds) + _phonemize_vowel_stress(rest)
     phonemes = apply_rules(w, _RULES, _context)
     return stress_nth_vowel_from_end(phonemes, VOWELS, n=n, skippable=("ə",))
 
