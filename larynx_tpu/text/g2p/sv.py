@@ -30,6 +30,8 @@ _VOWEL_MAP = {
 }
 
 _RULES = [
+    # whole-morpheme spellings that the letter rules mangle in compounds
+    ("hundra", "h ɵ n d r a"),
     ("stj", "ɧ"), ("skj", "ɧ"), ("sj", "ɧ"),
     ("tj", "ɕ"), ("kj", "ɕ"),
     ("ng", "ŋ"),
@@ -50,6 +52,11 @@ def _vowel_length(word: str, i: int) -> bool:
     if word[i] in "aeo" and i > 0 and not any(
         c in "aeiouyåäö" for c in word[i + 1 :]
     ) and any(c in "aeiouyåäö" for c in word[:i]):
+        return False
+    # the a of unstressed -are/-ade suffixes is short (läkare, slutade)
+    if word[i] == "a" and i > 0 and word[i:] in (
+        "are", "aren", "ares", "ade", "ades", "arna"
+    ):
         return False
     j = i + 1
     count = 0
@@ -74,6 +81,12 @@ def _context(word: str, i: int):
     # word-initial silent-letter clusters: hjärta, djur, ljus, gjort
     if i == 0 and word[:2] in ("hj", "dj", "lj", "gj"):
         return 2, ["j"]
+    # Latin -tion(en/er) = [ʃuːn] (station, lektionen) — NOT the native
+    # tio of tionde/nationde counting words
+    if word.startswith("tion", i) and i > 0 and word[i + 4 :] in (
+        "", "s", "en", "er", "ens", "erna"
+    ):
+        return 4, ["ʃ", "uː", "n"]
     # n assimilates before k (tänka, bank)
     if ch == "n" and nxt == "k":
         return 1, ["ŋ"]
@@ -110,6 +123,75 @@ def _context(word: str, i: int):
 # Short-vowel function words (the single-final-consonant heuristic says
 # long) and irregulars; hand-verified standard Swedish.
 _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
+    # loanword/compound stress and accent-II marks the defaults miss
+    # (pre-marked entries: stress_nth is a no-op when ' is present)
+    "engelska": ("²", "'ɛ", "ŋ", "ɛ", "l", "s", "k", "a"),
+    "förstår": ("f", "œ", "r", "s", "t", "'oː", "r"),
+    "förstå": ("f", "œ", "r", "s", "t", "'oː"),
+    "förstod": ("f", "œ", "r", "s", "t", "'uː", "d"),
+    "arbetar": ("²", "'a", "r", "b", "eː", "t", "a", "r"),
+    "arbeta": ("²", "'a", "r", "b", "eː", "t", "a"),
+    "arbete": ("²", "'a", "r", "b", "eː", "t", "ɛ"),
+    "arbetet": ("²", "'a", "r", "b", "eː", "t", "ɛ", "t"),
+    "trädgård": ("²", "t", "r", "'ɛ", "d", "ɡ", "oː", "r", "d"),
+    "trädgården": ("²", "t", "r", "'ɛ", "d", "ɡ", "oː", "r", "d", "ɛ", "n"),
+    "göteborg": ("j", "øː", "t", "ɛ", "b", "'ɔ", "r", "j"),
+    "nyhet": ("²", "n", "'yː", "h", "eː", "t"),
+    "nyheter": ("²", "n", "'yː", "h", "eː", "t", "ɛ", "r"),
+    "fungerar": ("f", "ɵ", "ŋ", "ɡ", "'eː", "r", "a", "r"),
+    "fungera": ("f", "ɵ", "ŋ", "ɡ", "'eː", "r", "a"),
+    "minut": ("m", "iː", "n", "'ʉː", "t"),
+    "minuten": ("m", "iː", "n", "'ʉː", "t", "ɛ", "n"),
+    "minuter": ("m", "iː", "n", "'ʉː", "t", "ɛ", "r"),
+    "flygplan": ("²", "f", "l", "'yː", "ɡ", "p", "l", "ɑː", "n"),
+    "flygplanet": ("²", "f", "l", "'yː", "ɡ", "p", "l", "ɑː", "n", "ɛ", "t"),
+    "fartyg": ("²", "f", "'ɑː", "r", "t", "yː", "ɡ"),
+    "fartyget": ("²", "f", "'ɑː", "r", "t", "yː", "ɡ", "ɛ", "t"),
+    "härifrån": ("h", "ɛː", "r", "iː", "f", "r", "'oː", "n"),
+    "måndagar": ("²", "m", "'oː", "n", "d", "ɑː", "ɡ", "a", "r"),
+    "tisdagar": ("²", "t", "'iː", "s", "d", "ɑː", "ɡ", "a", "r"),
+    "onsdagar": ("²", "'ʊ", "n", "s", "d", "ɑː", "ɡ", "a", "r"),
+    "torsdagar": ("²", "t", "'ʊ", "r", "s", "d", "ɑː", "ɡ", "a", "r"),
+    "fredagar": ("²", "f", "r", "'eː", "d", "ɑː", "ɡ", "a", "r"),
+    "lördagar": ("²", "l", "'œ", "r", "d", "ɑː", "ɡ", "a", "r"),
+    "söndagar": ("²", "s", "'œ", "n", "d", "ɑː", "ɡ", "a", "r"),
+    "intressant": ("ɪ", "n", "t", "r", "ɛ", "s", "'a", "n", "t"),
+    "grönsaker": ("²", "ɡ", "r", "'œ", "n", "s", "ɑː", "k", "ɛ", "r"),
+    "emot": ("eː", "m", "'uː", "t"),
+    "huvudvärk": ("²", "h", "'ʉː", "v", "ɵ", "d", "v", "ɛ", "r", "k"),
+    "tillverkar": ("²", "t", "'ɪ", "l", "v", "ɛ", "r", "k", "a", "r"),
+    "månad": ("²", "m", "'oː", "n", "a", "d"),
+    "månaden": ("²", "m", "'oː", "n", "a", "d", "ɛ", "n"),
+    "månader": ("²", "m", "'oː", "n", "a", "d", "ɛ", "r"),
+    "underbar": ("²", "'ɵ", "n", "d", "ɛ", "r", "b", "ɑː", "r"),
+    "underbart": ("²", "'ɵ", "n", "d", "ɛ", "r", "b", "ɑː", "r", "t"),
+    "morgonen": ("²", "m", "'ʊ", "r", "ɡ", "ʊ", "n", "ɛ", "n"),
+    "fågel": ("²", "f", "'oː", "ɡ", "ɛ", "l"),
+    "fåglar": ("²", "f", "'oː", "ɡ", "l", "a", "r"),
+    "fåglarna": ("²", "f", "'oː", "ɡ", "l", "a", "r", "n", "a"),
+    "läroböcker": ("²", "l", "'ɛː", "r", "uː", "b", "œ", "k", "ɛ", "r"),
+    "återseende": ("²", "'oː", "t", "ɛ", "r", "s", "eː", "ɛ", "n", "d", "ɛ"),
+    "långsammare": ("²", "l", "'ɔ", "ŋ", "s", "a", "m", "a", "r", "ɛ"),
+    "procent": ("p", "r", "uː", "s", "'ɛ", "n", "t"),
+    "besök": ("b", "eː", "s", "'øː", "k"),
+    "besöker": ("b", "eː", "s", "'øː", "k", "ɛ", "r"),
+    "besöka": ("b", "eː", "s", "'øː", "k", "a"),
+    "idag": ("iː", "d", "'ɑː", "ɡ"),
+    "igår": ("iː", "ɡ", "'oː", "r"),
+    "imorgon": ("iː", "m", "'ʊ", "r", "ɡ", "ʊ", "n"),
+    "maskin": ("m", "a", "ɧ", "'iː", "n"),
+    "maskinen": ("m", "a", "ɧ", "'iː", "n", "ɛ", "n"),
+    "maskiner": ("m", "a", "ɧ", "'iː", "n", "ɛ", "r"),
+    "maskinerna": ("m", "a", "ɧ", "'iː", "n", "ɛ", "r", "n", "a"),
+    "tjugo": ("²", "ɕ", "'ʉː", "ɡ", "ʊ"),
+    "tionde": ("²", "t", "'iː", "ʊ", "n", "d", "ɛ"),
+    "trettio": ("²", "t", "r", "'ɛ", "t", "iː", "ʊ"),
+    "fyrtio": ("²", "f", "'ʏ", "r", "t", "iː", "ʊ"),
+    "femtio": ("²", "f", "'ɛ", "m", "t", "iː", "ʊ"),
+    "sextio": ("²", "s", "'ɛ", "k", "s", "t", "iː", "ʊ"),
+    "sjuttio": ("²", "ɧ", "'ɵ", "t", "iː", "ʊ"),
+    "åttio": ("²", "'ɔ", "t", "iː", "ʊ"),
+    "nittio": ("²", "n", "'ɪ", "t", "iː", "ʊ"),
     "och": ("ɔ", "k"),
     "om": ("ɔ", "m"),
     "som": ("s", "ɔ", "m"),
@@ -145,7 +227,7 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     "bord": ("b", "uː", "r", "d"),
     "jord": ("j", "uː", "r", "d"),
     "nord": ("n", "uː", "r", "d"),
-    "lärare": ("l", "ɛː", "r", "a", "r", "ɛ"),
+    "lärare": ("²", "l", "'ɛː", "r", "a", "r", "ɛ"),
     "torg": ("t", "ɔ", "r", "j"),
     "augusti": ("a", "ɡ", "ɵ", "s", "t", "ɪ"),
     "miljon": ("m", "ɪ", "l", "j", "uː", "n"),
@@ -158,6 +240,41 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
 }
 
 
+# Unstressed inflection/derivation suffixes: the stress stays on the
+# stem (gästerna [ˈjɛsterna], slutade [ˈslʉːtadə], läkare [ˈlɛːkarə],
+# våningen [ˈvoːnɪŋen], nyttiga [ˈnʏtːɪɡa]).  Value = vowel count.
+_NEUTRAL_SUFFIXES = (
+    ("ingen", 2), ("erna", 2), ("arna", 2), ("orna", 2), ("ades", 2),
+    ("aren", 2), ("ade", 2), ("are", 2), ("ena", 2), ("iga", 2),
+)
+
+# Compound numbers stress the final element (fyrtiofem [fʏrtiʊˈfɛm])
+_NUM_TAILS = ("åtta", "fyra", "ett", "två", "tre", "fem", "sex", "sju",
+              "nio")
+
+# Initial-stress polysyllables that the talesyntese fixture pins WITHOUT
+# the grave accent (allting -> ' a l t ɪ ŋ)
+_ACCENT1 = frozenset({"allting"})
+
+
+def _with_accent2(w: str, phonemes: typing.List[str]) -> typing.List[str]:
+    """Prepend the grave-accent id ² for accent-II words.
+
+    The talesyntese fixture shows gruut emitted a standalone ² before
+    initial-stressed polysyllables (² v 'ɑː r a, ² d 'ɑː m ɛ n,
+    ² 'a l d r ɪ ɡ) but not before words with non-initial stress
+    (b ɛ t 'ɑː l a r) — approximated here as: two-plus vowels with the
+    stress on the first one.
+    """
+    if w in _ACCENT1:
+        return phonemes
+    vowel_idx = [k for k, p in enumerate(phonemes)
+                 if p.lstrip("'") in VOWELS]
+    if len(vowel_idx) >= 2 and phonemes[vowel_idx[0]].startswith("'"):
+        return ["²"] + phonemes
+    return phonemes
+
+
 def phonemize(word: str) -> typing.List[str]:
     w = word.lower().strip()
     if not w:
@@ -168,6 +285,19 @@ def phonemize(word: str) -> typing.List[str]:
     hit = _EXCEPTIONS.get(w)
     if hit is not None:
         return stress_nth_vowel_from_end(list(hit), VOWELS, n=n, marker="'")
+    # compound numbers: unstressed head + the final element's own
+    # pronunciation (trehundrasextiofem -> ...sextio + 'fem)
+    for tail in _NUM_TAILS:
+        if w.endswith(tail) and len(w) > len(tail) + 2:
+            head = apply_rules(w[: -len(tail)], _RULES, _context)
+            tail_ph = [p for p in phonemize(tail) if p != "²"]
+            return head + tail_ph
+    if n == 2:
+        for suf, k in _NEUTRAL_SUFFIXES:
+            if w.endswith(suf) and len(w) > len(suf) + 2:
+                n = k + 1
+                break
     phonemes = apply_rules(w, _RULES, _context)
     # Swedish voices use ' as the stress mark
-    return stress_nth_vowel_from_end(phonemes, VOWELS, n=n, marker="'")
+    stressed = stress_nth_vowel_from_end(phonemes, VOWELS, n=n, marker="'")
+    return _with_accent2(w, stressed)

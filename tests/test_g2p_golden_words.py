@@ -106,7 +106,8 @@ def test_exception_lexicons_in_voice_inventory(lang, reference_dir):
         (word, p)
         for word, phones in exceptions.items()
         for p in phones
-        if p.lstrip("ˈˌ'²") not in inventory
+        # pure stress/tone marks (sv standalone ²/') are their own ids
+        if p.lstrip("ˈˌ'²") and p.lstrip("ˈˌ'²") not in inventory
     }
     assert not unknown, f"out-of-inventory symbols: {sorted(unknown)[:10]}"
 
