@@ -7,7 +7,7 @@ Stress is penultimate.
 
 import typing
 
-from larynx_tpu.text.g2p.rules import apply_rules, stress_nth_vowel_from_end
+from larynx_tpu.text.g2p.rules import apply_rules
 
 VOWELS = {"ɑ", "ɛ", "i", "ɔ", "u"}
 
@@ -35,8 +35,13 @@ _RULES = [
 
 
 def phonemize(word: str) -> typing.List[str]:
+    """Swahili word -> IPA with NO stress marks.
+
+    The biblia_takatifu voice's golden fixtures show gruut-sw emitted
+    no stress ids anywhere (nakutakia, unazungumza, kiswahili all
+    unmarked) — the voice was trained without them, so the regular
+    penult stress stays unwritten here too."""
     w = word.lower().strip()
     if not w:
         return []
-    phonemes = apply_rules(w, _RULES)
-    return stress_nth_vowel_from_end(phonemes, VOWELS, n=2)
+    return apply_rules(w, _RULES)
