@@ -49,7 +49,7 @@ apple ˈæ p ə l
 are ˈɑ ɹ
 area ˈɛ ɹ i ə
 arm ˈɑ ɹ m
-around ɚ ˈaʊ n d
+around ə ɹ ˈaʊ n d
 arthur ˈɑ ɹ θ ɚ
 as ˈæ z
 ask ˈæ s k
@@ -323,7 +323,7 @@ new n ˈu
 next n ˈɛ k s t
 night n ˈaɪ t
 nine n ˈaɪ n
-nineteen n ˈaɪ n t ˈi n
+nineteen n ˌaɪ n t ˈi n
 ninety n ˈaɪ n t i
 no n ˈoʊ
 north n ˈɔ ɹ θ
@@ -581,7 +581,7 @@ approach ə p ɹ ˈoʊ t͡ʃ
 april ˈeɪ p ɹ ə l
 argue ˈɑ ɹ ɡ j u
 argument ˈɑ ɹ ɡ j ə m ə n t
-arrive ɚ ˈaɪ v
+arrive ə ɹ ˈaɪ v
 art ˈɑ ɹ t
 article ˈɑ ɹ t ɪ k ə l
 artist ˈɑ ɹ t ə s t
@@ -653,7 +653,7 @@ candidate k ˈæ n d ə d ə t
 capital k ˈæ p ə t ə l
 captain k ˈæ p t ə n
 card k ˈɑ ɹ d
-career k ɚ ˈɪ ɹ
+career k ə ɹ ˈɪ ɹ
 careful k ˈɛ ɹ f ə l
 cast k ˈæ s t
 cell s ˈɛ l
@@ -710,7 +710,7 @@ cool k ˈu l
 copy k ˈɑ p i
 corn k ˈɔ ɹ n
 corner k ˈɔ ɹ n ɚ
-correct k ɚ ˈɛ k t
+correct k ə ɹ ˈɛ k t
 cost k ˈɔ s t
 cotton k ˈɑ t ə n
 couch k ˈaʊ t͡ʃ
@@ -763,8 +763,8 @@ difference d ˈɪ f ɹ ə n s
 difficult d ˈɪ f ə k ə l t
 digital d ˈɪ d͡ʒ ə t ə l
 dinner d ˈɪ n ɚ
-direction d ɚ ˈɛ k ʃ ə n
-director d ɚ ˈɛ k t ɚ
+direction d ə ɹ ˈɛ k ʃ ə n
+director d ə ɹ ˈɛ k t ɚ
 discover d ɪ s k ˈʌ v ɚ
 discuss d ɪ s k ˈʌ s
 discussion d ɪ s k ˈʌ ʃ ə n
@@ -877,7 +877,7 @@ flow f l ˈoʊ
 flower f l ˈaʊ ɚ
 focus f ˈoʊ k ə s
 forest f ˈɔ ɹ ə s t
-forever f ɚ ˈɛ v ɚ
+forever f ə ɹ ˈɛ v ɚ
 forget f ɚ ɡ ˈɛ t
 forward f ˈɔ ɹ w ɚ d
 frame f ɹ ˈeɪ m
@@ -894,7 +894,7 @@ garden ɡ ˈɑ ɹ d ə n
 gas ɡ ˈæ s
 gather ɡ ˈæ ð ɚ
 general d͡ʒ ˈɛ n ɚ ə l
-generation d͡ʒ ˌɛ n ɚ ˈeɪ ʃ ə n
+generation d͡ʒ ˌɛ n ə ɹ ˈeɪ ʃ ə n
 gentle d͡ʒ ˈɛ n t ə l
 german d͡ʒ ˈɚ m ə n
 germany d͡ʒ ˈɚ m ə n i
@@ -1111,13 +1111,13 @@ officer ˈɔ f ə s ɚ
 official ə f ˈɪ ʃ ə l
 oil ˈɔɪ l
 okay oʊ k ˈeɪ
-operation ˌɑ p ɚ ˈeɪ ʃ ə n
+operation ˌɑ p ə ɹ ˈeɪ ʃ ə n
 opinion ə p ˈɪ n j ə n
 opportunity ˌɑ p ɚ t ˈu n ə t i
 option ˈɑ p ʃ ə n
 orange ˈɔ ɹ ə n d͡ʒ
 organization ˌɔ ɹ ɡ ə n ə z ˈeɪ ʃ ə n
-original ɚ ˈɪ d͡ʒ ə n ə l
+original ə ɹ ˈɪ d͡ʒ ə n ə l
 others ˈʌ ð ɚ z
 otherwise ˈʌ ð ɚ w ˌaɪ z
 ourselves aʊ ɚ s ˈɛ l v z
@@ -1444,7 +1444,7 @@ unless ə n l ˈɛ s
 usual j ˈu ʒ u ə l
 usually j ˈu ʒ u ə l i
 value v ˈæ l j u
-variety v ɚ ˈaɪ ə t i
+variety v ə ɹ ˈaɪ ə t i
 various v ˈɛ ɹ i ə s
 vehicle v ˈi ɪ k ə l
 version v ˈɚ ʒ ə n
@@ -1511,7 +1511,7 @@ alive ə l ˈaɪ v
 answered ˈæ n s ɚ d
 appeared ə p ˈɪ ɹ d
 army ˈɑ ɹ m i
-arrived ɚ ˈaɪ v d
+arrived ə ɹ ˈaɪ v d
 asked ˈæ s k t
 asleep ə s l ˈi p
 ate ˈeɪ t
@@ -1833,12 +1833,12 @@ approval ə p ɹ ˈu v ə l
 approve ə p ɹ ˈu v
 apron ˈeɪ p ɹ ə n
 architect ˈɑ ɹ k ə t ˌɛ k t
-arise ɚ ˈaɪ z
-arithmetic ɚ ˈɪ θ m ə t ˌɪ k
-arrange ɚ ˈeɪ n d͡ʒ
-arrangement ɚ ˈeɪ n d͡ʒ m ə n t
-arrest ɚ ˈɛ s t
-arrival ɚ ˈaɪ v ə l
+arise ə ɹ ˈaɪ z
+arithmetic ə ɹ ˈɪ θ m ə t ˌɪ k
+arrange ə ɹ ˈeɪ n d͡ʒ
+arrangement ə ɹ ˈeɪ n d͡ʒ m ə n t
+arrest ə ɹ ˈɛ s t
+arrival ə ɹ ˈaɪ v ə l
 arrow ˈɛ ɹ oʊ
 artificial ˌɑ ɹ t ə f ˈɪ ʃ ə l
 ash ˈæ ʃ
@@ -2029,7 +2029,7 @@ chairman t͡ʃ ˈɛ ɹ m ə n
 chalk t͡ʃ ˈɔ k
 chamber t͡ʃ ˈeɪ m b ɚ
 channel t͡ʃ ˈæ n ə l
-characteristic k ˌɛ ɹ ə k t ɚ ˈɪ s t ɪ k
+characteristic k ˌɛ ɹ ə k t ə ɹ ˈɪ s t ɪ k
 charity t͡ʃ ˈɛ ɹ ə t i
 charm t͡ʃ ˈɑ ɹ m
 chase t͡ʃ ˈeɪ s
@@ -2114,7 +2114,7 @@ conscience k ˈɑ n ʃ ə n s
 conscious k ˈɑ n ʃ ə s
 consequence k ˈɑ n s ə k w ˌɛ n s
 considerable k ə n s ˈɪ d ɚ ə b ə l
-consideration k ə n s ˌɪ d ɚ ˈeɪ ʃ ə n
+consideration k ə n s ˌɪ d ə ɹ ˈeɪ ʃ ə n
 consist k ə n s ˈɪ s t
 constant k ˈɑ n s t ə n t
 constitution k ˌɑ n s t ə t ˈu ʃ ə n
@@ -2125,7 +2125,7 @@ consume k ə n s ˈu m
 consumer k ə n s ˈu m ɚ
 contact k ˈɑ n t æ k t
 container k ə n t ˈeɪ n ɚ
-contemporary k ə n t ˈɛ m p ɚ ˌɛ ɹ i
+contemporary k ə n t ˈɛ m p ə ɹ ˌɛ ɹ i
 continent k ˈɑ n t ə n ə n t
 contribute k ə n t ɹ ˈɪ b j u t
 contribution k ˌɑ n t ɹ ə b j ˈu ʃ ə n
@@ -2136,7 +2136,7 @@ copper k ˈɑ p ɚ
 cord k ˈɔ ɹ d
 core k ˈɔ ɹ
 cork k ˈɔ ɹ k
-corporation k ˌɔ ɹ p ɚ ˈeɪ ʃ ə n
+corporation k ˌɔ ɹ p ə ɹ ˈeɪ ʃ ə n
 costume k ˈɑ s t u m
 cottage k ˈɑ t ɪ d͡ʒ
 cough k ˈɔ f
@@ -2188,7 +2188,7 @@ decay d ɪ k ˈeɪ
 deceive d ɪ s ˈi v
 declare d ɪ k l ˈɛ ɹ
 decline d ɪ k l ˈaɪ n
-decorate d ˈɛ k ɚ ˌeɪ t
+decorate d ˈɛ k ə ɹ ˌeɪ t
 deed d ˈi d
 deer d ˈɪ ɹ
 defeat d ɪ f ˈi t
@@ -2210,7 +2210,7 @@ depend d ɪ p ˈɛ n d
 deposit d ɪ p ˈɑ z ə t
 depth d ˈɛ p θ
 deputy d ˈɛ p j ə t i
-derive d ɚ ˈaɪ v
+derive d ə ɹ ˈaɪ v
 descend d ɪ s ˈɛ n d
 description d ɪ s k ɹ ˈɪ p ʃ ə n
 deserve d ɪ z ˈɚ v
@@ -2232,7 +2232,7 @@ dim d ˈɪ m
 dime d ˈaɪ m
 dine d ˈaɪ n
 dip d ˈɪ p
-direct d ɚ ˈɛ k t
+direct d ə ɹ ˈɛ k t
 dirt d ˈɚ t
 disagree d ˌɪ s ə ɡ ɹ ˈi
 disappear d ˌɪ s ə p ˈɪ ɹ
@@ -2343,7 +2343,7 @@ episode ˈɛ p ə s ˌoʊ d
 equally ˈi k w ə l i
 equation ɪ k w ˈeɪ ʒ ə n
 era ˈɛ ɹ ə
-erase ɚ ˈeɪ s
+erase ə ɹ ˈeɪ s
 essay ˈɛ s eɪ
 essential ə s ˈɛ n ʃ ə l
 estate ə s t ˈeɪ t
@@ -2482,14 +2482,14 @@ gallery ɡ ˈæ l ɚ i
 gallon ɡ ˈæ l ə n
 gamble ɡ ˈæ m b ə l
 gap ɡ ˈæ p
-garage ɡ ɚ ˈɑ ʒ
+garage ɡ ə ɹ ˈɑ ʒ
 garbage ɡ ˈɑ ɹ b ɪ d͡ʒ
 garlic ɡ ˈɑ ɹ l ɪ k
 gasoline ɡ ˈæ s ə l ˌi n
 gaze ɡ ˈeɪ z
 gear ɡ ˈɪ ɹ
 gene d͡ʒ ˈi n
-generate d͡ʒ ˈɛ n ɚ ˌeɪ t
+generate d͡ʒ ˈɛ n ə ɹ ˌeɪ t
 generous d͡ʒ ˈɛ n ɚ ə s
 genius d͡ʒ ˈi n j ə s
 genuine d͡ʒ ˈɛ n j u ə n
@@ -2499,7 +2499,7 @@ ghost ɡ ˈoʊ s t
 giant d͡ʒ ˈaɪ ə n t
 giggle ɡ ˈɪ ɡ ə l
 ginger d͡ʒ ˈɪ n d͡ʒ ɚ
-giraffe d͡ʒ ɚ ˈæ f
+giraffe d͡ʒ ə ɹ ˈæ f
 glance ɡ l ˈæ n s
 globe ɡ l ˈoʊ b
 glory ɡ l ˈɔ ɹ i
@@ -2589,7 +2589,7 @@ homework h ˈoʊ m w ˌɚ k
 honor ˈɑ n ɚ
 hook h ˈʊ k
 hop h ˈɑ p
-horizon h ɚ ˈaɪ z ə n
+horizon h ə ɹ ˈaɪ z ə n
 horn h ˈɔ ɹ n
 horror h ˈɔ ɹ ɚ
 household h ˈaʊ s h ˌoʊ l d
@@ -2668,7 +2668,7 @@ intense ɪ n t ˈɛ n s
 intention ɪ n t ˈɛ n ʃ ə n
 internal ɪ n t ˈɚ n ə l
 interpret ɪ n t ˈɚ p ɹ ə t
-interrupt ˌɪ n t ɚ ˈʌ p t
+interrupt ˌɪ n t ə ɹ ˈʌ p t
 introduction ˌɪ n t ɹ ə d ˈʌ k ʃ ə n
 invent ɪ n v ˈɛ n t
 invention ɪ n v ˈɛ n ʃ ə n
@@ -2699,7 +2699,7 @@ junk d͡ʒ ˈʌ ŋ k
 jury d͡ʒ ˈʊ ɹ i
 justice d͡ʒ ˈʌ s t ə s
 justify d͡ʒ ˈʌ s t ə f ˌaɪ
-kangaroo k ˌæ ŋ ɡ ɚ ˈu
+kangaroo k ˌæ ŋ ɡ ə ɹ ˈu
 keen k ˈi n
 kettle k ˈɛ t ə l
 keyboard k ˈi b ˌɔ ɹ d
@@ -2757,7 +2757,7 @@ lime l ˈaɪ m
 linen l ˈɪ n ə n
 lion l ˈaɪ ə n
 liquid l ˈɪ k w ə d
-literary l ˈɪ t ɚ ˌɛ ɹ i
+literary l ˈɪ t ə ɹ ˌɛ ɹ i
 literature l ˈɪ t ɚ ə t͡ʃ ɚ
 litter l ˈɪ t ɚ
 liver l ˈɪ v ɚ
@@ -2802,7 +2802,7 @@ manufacture m ˌæ n j ə f ˈæ k t͡ʃ ɚ
 map m ˈæ p
 marble m ˈɑ ɹ b ə l
 margin m ˈɑ ɹ d͡ʒ ə n
-marine m ɚ ˈi n
+marine m ə ɹ ˈi n
 marker m ˈɑ ɹ k ɚ
 marvelous m ˈɑ ɹ v ə l ə s
 mask m ˈæ s k
@@ -2939,8 +2939,8 @@ offense ə f ˈɛ n s
 olive ˈɑ l ɪ v
 onion ˈʌ n j ə n
 onto ˈɑ n t u
-operate ˈɑ p ɚ ˌeɪ t
-operator ˈɑ p ɚ ˌeɪ t ɚ
+operate ˈɑ p ə ɹ ˌeɪ t
+operator ˈɑ p ə ɹ ˌeɪ t ɚ
 opponent ə p ˈoʊ n ə n t
 oppose ə p ˈoʊ z
 opposite ˈɑ p ə z ə t
@@ -2986,7 +2986,7 @@ pancake p ˈæ n k ˌeɪ k
 panel p ˈæ n ə l
 panic p ˈæ n ɪ k
 pant p ˈæ n t
-parade p ɚ ˈeɪ d
+parade p ə ɹ ˈeɪ d
 paradise p ˈɛ ɹ ə d ˌaɪ s
 paragraph p ˈɛ ɹ ə ɡ ɹ ˌæ f
 parallel p ˈɛ ɹ ə l ˌɛ l
@@ -3118,7 +3118,7 @@ precise p ɹ ɪ s ˈaɪ s
 predict p ɹ ɪ d ˈɪ k t
 prefer p ɹ ɪ f ˈɚ
 pregnant p ɹ ˈɛ ɡ n ə n t
-preparation p ɹ ˌɛ p ɚ ˈeɪ ʃ ə n
+preparation p ɹ ˌɛ p ə ɹ ˈeɪ ʃ ə n
 presence p ɹ ˈɛ z ə n s
 presentation p ɹ ˌɛ z ə n t ˈeɪ ʃ ə n
 preserve p ɹ ɪ z ˈɚ v
@@ -3231,7 +3231,7 @@ refer ɹ ɪ f ˈɚ
 reference ɹ ˈɛ f ɹ ə n s
 reflection ɹ ɪ f l ˈɛ k ʃ ə n
 reform ɹ ɪ f ˈɔ ɹ m
-refrigerator ɹ ɪ f ɹ ˈɪ d͡ʒ ɚ ˌeɪ t ɚ
+refrigerator ɹ ɪ f ɹ ˈɪ d͡ʒ ə ɹ ˌeɪ t ɚ
 refugee ɹ ˌɛ f j u d͡ʒ ˈi
 regard ɹ ɪ ɡ ˈɑ ɹ d
 regime ɹ ə ʒ ˈi m
@@ -3281,7 +3281,7 @@ resolution ɹ ˌɛ z ə l ˈu ʃ ə n
 resolve ɹ ɪ z ˈɑ l v
 resort ɹ ɪ z ˈɔ ɹ t
 responsible ɹ ɪ s p ˈɑ n s ə b ə l
-restaurant ɹ ˈɛ s t ɚ ˌɑ n t
+restaurant ɹ ˈɛ s t ə ɹ ˌɑ n t
 restore ɹ ɪ s t ˈɔ ɹ
 restrict ɹ ɪ s t ɹ ˈɪ k t
 resume ɹ ɪ z ˈu m
@@ -3404,7 +3404,7 @@ senator s ˈɛ n ə t ɚ
 sensation s ɛ n s ˈeɪ ʃ ə n
 sensible s ˈɛ n s ə b ə l
 sensitive s ˈɛ n s ə t ɪ v
-separation s ˌɛ p ɚ ˈeɪ ʃ ə n
+separation s ˌɛ p ə ɹ ˈeɪ ʃ ə n
 sequence s ˈi k w ə n s
 servant s ˈɚ v ə n t
 session s ˈɛ ʃ ə n
@@ -3609,7 +3609,7 @@ supreme s u p ɹ ˈi m
 surgeon s ˈɚ d͡ʒ ə n
 surgery s ˈɚ d͡ʒ ɚ i
 surplus s ˈɚ p l ʌ s
-surround s ɚ ˈaʊ n d
+surround s ə ɹ ˈaʊ n d
 survival s ɚ v ˈaɪ v ə l
 suspicion s ə s p ˈɪ ʃ ə n
 swallow s w ˈɑ l oʊ
@@ -3646,7 +3646,7 @@ telephone t ˈɛ l ə f ˌoʊ n
 telescope t ˈɛ l ə s k ˌoʊ p
 temper t ˈɛ m p ɚ
 temple t ˈɛ m p ə l
-temporary t ˈɛ m p ɚ ˌɛ ɹ i
+temporary t ˈɛ m p ə ɹ ˌɛ ɹ i
 tempt t ˈɛ m p t
 tend t ˈɛ n d
 tendency t ˈɛ n d ə n s i
@@ -3656,7 +3656,7 @@ tense t ˈɛ n s
 tension t ˈɛ n ʃ ə n
 tent t ˈɛ n t
 tenth t ˈɛ n θ
-terrific t ɚ ˈɪ f ɪ k
+terrific t ə ɹ ˈɪ f ɪ k
 territory t ˈɛ ɹ ə t ˌɔ ɹ i
 terror t ˈɛ ɹ ɚ
 texture t ˈɛ k s t͡ʃ ɚ
@@ -3880,7 +3880,7 @@ yolk j ˈoʊ k
 zebra z ˈi b ɹ ə
 zoo z ˈu
 abundant ə b ˈʌ n d ə n t
-accelerate æ k s ˈɛ l ɚ ˌeɪ t
+accelerate æ k s ˈɛ l ə ɹ ˌeɪ t
 accessible æ k s ˈɛ s ə b ə l
 accommodate ə k ˈɑ m ə d ˌeɪ t
 accomplishment ə k ˈɑ m p l ɪ ʃ m ə n t
@@ -3903,15 +3903,15 @@ amendment ə m ˈɛ n d m ə n t
 ample ˈæ m p ə l
 anticipate æ n t ˈɪ s ə p ˌeɪ t
 anxiety æ ŋ z ˈaɪ ə t i
-apparatus ˌæ p ɚ ˈæ t ə s
+apparatus ˌæ p ə ɹ ˈæ t ə s
 appliance ə p l ˈaɪ ə n s
 applicant ˈæ p l ə k ə n t
 appreciation ə p ɹ ˌi ʃ i ˈeɪ ʃ ə n
 apprentice ə p ɹ ˈɛ n t ə s
 arbitrary ˈɑ ɹ b ə t ɹ ˌɛ ɹ i
 architecture ˈɑ ɹ k ə t ˌɛ k t͡ʃ ɚ
-arena ɚ ˈi n ə
-aristocrat ɚ ˈɪ s t ə k ɹ ˌæ t
+arena ə ɹ ˈi n ə
+aristocrat ə ɹ ˈɪ s t ə k ɹ ˌæ t
 arrogant ˈɛ ɹ ə ɡ ə n t
 artery ˈɑ ɹ t ɚ i
 assault ə s ˈɔ l t
@@ -3964,7 +3964,7 @@ cater k ˈeɪ t ɚ
 cathedral k ə θ ˈi d ɹ ə l
 cautious k ˈɔ ʃ ə s
 cellular s ˈɛ l j ə l ɚ
-ceramic s ɚ ˈæ m ɪ k
+ceramic s ə ɹ ˈæ m ɪ k
 certainty s ˈɚ t ə n t i
 certify s ˈɚ t ə f ˌaɪ
 chronic k ɹ ˈɑ n ɪ k
@@ -4004,7 +4004,7 @@ comprise k ə m p ɹ ˈaɪ z
 conceive k ə n s ˈi v
 concession k ə n s ˈɛ ʃ ə n
 condemn k ə n d ˈɛ m
-configuration k ə n f ˌɪ ɡ j ɚ ˈeɪ ʃ ə n
+configuration k ə n f ˌɪ ɡ j ə ɹ ˈeɪ ʃ ə n
 confine k ə n f ˈaɪ n
 confront k ə n f ɹ ˈʌ n t
 congratulate k ə n ɡ ɹ ˈæ t͡ʃ ə l ˌeɪ t
@@ -4033,8 +4033,8 @@ coordinate k oʊ ˈɔ ɹ d ə n ˌeɪ t
 cope k ˈoʊ p
 copyright k ˈɑ p i ɹ ˌaɪ t
 corridor k ˈɔ ɹ ə d ɚ
-corrupt k ɚ ˈʌ p t
-corruption k ɚ ˈʌ p ʃ ə n
+corrupt k ə ɹ ˈʌ p t
+corruption k ə ɹ ˈʌ p ʃ ə n
 cosmetic k ɑ z m ˈɛ t ɪ k
 counsel k ˈaʊ n s ə l
 courtesy k ˈɚ t ə s i
@@ -4046,7 +4046,7 @@ crude k ɹ ˈu d
 cruise k ɹ ˈu z
 cumulative k j ˈu m j ə l ə t ɪ v
 curiosity k j ˌʊ ɹ i ˈɑ s ə t i
-curriculum k ɚ ˈɪ k j ə l ə m
+curriculum k ə ɹ ˈɪ k j ə l ə m
 cynical s ˈɪ n ɪ k ə l
 deadline d ˈɛ d l ˌaɪ n
 debris d ə b ɹ ˈi
@@ -4059,7 +4059,7 @@ dense d ˈɛ n s
 density d ˈɛ n s ə t i
 designate d ˈɛ z ɪ ɡ n ˌeɪ t
 detach d ɪ t ˈæ t͡ʃ
-deteriorate d ɪ t ˈɪ ɹ i ɚ ˌeɪ t
+deteriorate d ɪ t ˈɪ ɹ i ə ɹ ˌeɪ t
 diagnosis d ˌaɪ ə ɡ n ˈoʊ s ə s
 dialect d ˈaɪ ə l ˌɛ k t
 dictate d ˈɪ k t eɪ t
@@ -4123,7 +4123,7 @@ ethics ˈɛ θ ɪ k s
 ethnic ˈɛ θ n ɪ k
 evacuate ɪ v ˈæ k j u ˌeɪ t
 evolve ɪ v ˈɑ l v
-exaggerate ɪ ɡ z ˈæ d͡ʒ ɚ ˌeɪ t
+exaggerate ɪ ɡ z ˈæ d͡ʒ ə ɹ ˌeɪ t
 excerpt ˈɛ k s ɚ p t
 exclusive ɪ k s k l ˈu s ɪ v
 execute ˈɛ k s ə k j ˌu t
@@ -4143,7 +4143,7 @@ faction f ˈæ k ʃ ə n
 faculty f ˈæ k ə l t i
 fatigue f ə t ˈi ɡ
 feasible f ˈi z ə b ə l
-federation f ˌɛ d ɚ ˈeɪ ʃ ə n
+federation f ˌɛ d ə ɹ ˈeɪ ʃ ə n
 feedback f ˈi d b ˌæ k
 fertile f ˈɚ t ə l
 fiscal f ˈɪ s k ə l
@@ -4176,7 +4176,7 @@ grill ɡ ɹ ˈɪ l
 guardian ɡ ˈɑ ɹ d i ə n
 gut ɡ ˈʌ t
 habitat h ˈæ b ə t ˌæ t
-hierarchy h ˈaɪ ɚ ˌɑ ɹ k i
+hierarchy h ˈaɪ ə ɹ ˌɑ ɹ k i
 hostage h ˈɑ s t ɪ d͡ʒ
 hostile h ˈɑ s t ə l
 humidity h j u m ˈɪ d ə t i
@@ -4208,7 +4208,7 @@ integrate ˈɪ n t ə ɡ ɹ ˌeɪ t
 integrity ɪ n t ˈɛ ɡ ɹ ə t i
 intellectual ˌɪ n t ə l ˈɛ k t͡ʃ u ə l
 intensity ɪ n t ˈɛ n s ə t i
-interact ˌɪ n t ɚ ˈæ k t
+interact ˌɪ n t ə ɹ ˈæ k t
 interval ˈɪ n t ɚ v ə l
 intervene ˌɪ n t ɚ v ˈi n
 intimate ˈɪ n t ə m ə t
@@ -4267,8 +4267,8 @@ molecule m ˈɑ l ə k j ˌu l
 momentum m oʊ m ˈɛ n t ə m
 monarchy m ˈɑ n ɚ k i
 monopoly m ə n ˈɑ p ə l i
-morale m ɚ ˈæ l
-morality m ɚ ˈæ l ə t i
+morale m ə ɹ ˈæ l
+morality m ə ɹ ˈæ l ə t i
 mortgage m ˈɔ ɹ ɡ ɪ d͡ʒ
 motive m ˈoʊ t ɪ v
 municipal m j u n ˈɪ s ə p ə l
@@ -4301,7 +4301,7 @@ outrage ˈaʊ t ɹ eɪ d͡ʒ
 oversee ˌoʊ v ɚ s ˈi
 overwhelm ˌoʊ v ɚ w ˈɛ l m
 paradox p ˈɛ ɹ ə d ˌɑ k s
-parameter p ɚ ˈæ m ə t ɚ
+parameter p ə ɹ ˈæ m ə t ɚ
 partial p ˈɑ ɹ ʃ ə l
 participant p ɑ ɹ t ˈɪ s ə p ə n t
 patent p ˈæ t ə n t
@@ -4369,7 +4369,7 @@ receptor ɹ ɪ s ˈɛ p t ɚ
 recession ɹ ɪ s ˈɛ ʃ ə n
 reckon ɹ ˈɛ k ə n
 reconstruction ɹ ˌi k ə n s t ɹ ˈʌ k ʃ ə n
-referendum ɹ ˌɛ f ɚ ˈɛ n d ə m
+referendum ɹ ˌɛ f ə ɹ ˈɛ n d ə m
 refine ɹ ɪ f ˈaɪ n
 refuge ɹ ˈɛ f j u d͡ʒ
 regain ɹ ɪ ɡ ˈeɪ n
@@ -4424,12 +4424,12 @@ tedious t ˈi d i ə s
 temporal t ˈɛ m p ɚ ə l
 terminal t ˈɚ m ə n ə l
 terminate t ˈɚ m ə n ˌeɪ t
-terrain t ɚ ˈeɪ n
+terrain t ə ɹ ˈeɪ n
 testify t ˈɛ s t ə f ˌaɪ
 testimony t ˈɛ s t ə m ˌoʊ n i
 textile t ˈɛ k s t aɪ l
 theology θ i ˈɑ l ə d͡ʒ i
-theoretical θ ˌi ɚ ˈɛ t ɪ k ə l
+theoretical θ ˌi ə ɹ ˈɛ t ɪ k ə l
 thermal θ ˈɚ m ə l
 threshold θ ɹ ˈɛ ʃ h ˌoʊ l d
 thrive θ ɹ ˈaɪ v
@@ -4511,7 +4511,7 @@ pharmacy f ˈɑ ɹ m ə s i
 broccoli b ɹ ˈɑ k ə l i
 spinach s p ˈɪ n ɪ t͡ʃ
 quantum k w ˈɑ n t ə m
-submarine s ˈʌ b m ɚ ˌi n
+submarine s ˈʌ b m ə ɹ ˌi n
 archaeology ˌɑ ɹ k i ˈɑ l ə d͡ʒ i
 niche n ˈɪ t͡ʃ
 genre ʒ ˈɑ n ɹ ə
@@ -4555,6 +4555,17 @@ asian ˈeɪ ʒ ə n
 australia ɔ s t ɹ ˈeɪ l j ə
 melon m ˈɛ l ə n
 awesome ˈɔ s ə m
+minus m ˈaɪ n ə s
+london l ˈʌ n d ə n
+cinema s ˈɪ n ə m ə
+boston b ˈɔ s t ə n
+o'clock ə k l ˈɑ k
+arrive ə ɹ ˈaɪ v
+arrival ə ɹ ˈaɪ v ə l
+russia ɹ ˈʌ ʃ ə
+russian ɹ ˈʌ ʃ ə n
+sarah s ˈɛ ɹ ə
+tomato t ə m ˈeɪ t oʊ
 """
 
 LEXICON: typing.Dict[str, typing.List[str]] = {}
@@ -4609,6 +4620,10 @@ def _derive_inflections() -> None:
             derived.setdefault(word[:-1] + "ies", _plural_phones(phones))
         else:
             derived.setdefault(word + "s", _plural_phones(phones))
+            if word.endswith("o"):
+                # o-final nouns also spell the plural -oes (potatoes,
+                # tomatoes, heroes) — same phonemes as -os
+                derived.setdefault(word + "es", _plural_phones(phones))
 
         # past -ed (e + d, y -> ied, else + ed)
         if word.endswith("e"):
@@ -5317,6 +5332,16 @@ def phonemize(word: str, prev: str = "", nxt: str = "") -> typing.List[str]:
 
     if w in LEXICON:
         return list(LEXICON[w])
+
+    # hyphenated compounds stay one word group but are pronounced part
+    # by part (twenty-five, well-known) — gruut en-us did the same
+    if "-" in w and len(w) > 1:
+        parts = [p for p in w.split("-") if p]
+        if len(parts) > 1:
+            out: typing.List[str] = []
+            for p in parts:
+                out.extend(phonemize(p))
+            return out
 
     # possessive / plural: stem + s
     if w.endswith("'s") and w[:-2] in LEXICON:
