@@ -18,6 +18,9 @@ def _phonemize_words(
     kinds_tokens: typing.Sequence[typing.Tuple[str, str]],
     lang: str,
     spell_out: bool = False,
+    ssml_lexicon: typing.Optional[
+        typing.Dict[str, typing.List[str]]
+    ] = None,
 ) -> typing.List[Word]:
     phonemize = get_phonemizer(lang)
     context_aware = getattr(phonemize, "context_aware", False)
@@ -29,6 +32,12 @@ def _phonemize_words(
             words.append(Word(text=token, phonemes=[MINOR_BREAK], is_break=True))
         elif kind == "major":
             words.append(Word(text=token, phonemes=[MAJOR_BREAK], is_break=True))
+        elif ssml_lexicon and token.lower() in ssml_lexicon:
+            # inline <lexicon>/<lookup> pronunciation wins over G2P
+            words.append(
+                Word(text=token, phonemes=list(ssml_lexicon[token.lower()]))
+            )
+            word_idx += 1
         elif spell_out:
             for ch in token:
                 phonemes = phonemize(ch)
@@ -102,21 +111,25 @@ def _ssml_sentences(text: str, lang: str) -> typing.List[Sentence]:
     # ordered segment contents: text chunks interleaved with explicit
     # <phoneme> Words — order matters ("I say <phoneme...> loudly" must
     # not move the phoneme word to the segment end)
-    segment_items: typing.List[typing.Union[str, Word]] = []
+    # text items carry their own <lookup> lexicon so a scope change
+    # mid-sentence does not force a sentence split
+    segment_items: typing.List[
+        typing.Union[typing.Tuple[str, typing.Optional[dict]], Word]
+    ] = []
     segment_voice = ""
     segment_lang = lang
     segment_spell = False
 
     def segment_nonempty() -> bool:
         return any(
-            isinstance(it, Word) or it.strip() for it in segment_items
+            isinstance(it, Word) or it[0].strip() for it in segment_items
         )
 
     def flush() -> typing.Iterator[Sentence]:
         nonlocal segment_items, pending_pause_ms, pending_marks, last_sentence
         items = segment_items
         segment_items = []
-        if not any(isinstance(it, Word) or it.strip() for it in items):
+        if not any(isinstance(it, Word) or it[0].strip() for it in items):
             return
         seg_lang = resolve_lang(segment_lang) if segment_lang else lang
 
@@ -138,13 +151,17 @@ def _ssml_sentences(text: str, lang: str) -> typing.List[Sentence]:
                 open_words.append(item)
                 open_text.append(item.text)
                 continue
-            if not item.strip():
+            chunk, chunk_lexicon = item
+            if not chunk.strip():
                 continue
-            raws = split_sentences(item, seg_lang)
+            raws = split_sentences(chunk, seg_lang)
             for i, raw in enumerate(raws):
                 open_words.extend(
                     _phonemize_words(
-                        words_of(raw, seg_lang), seg_lang, segment_spell
+                        words_of(raw, seg_lang),
+                        seg_lang,
+                        segment_spell,
+                        chunk_lexicon,
                     )
                 )
                 open_text.append(raw)
@@ -181,7 +198,7 @@ def _ssml_sentences(text: str, lang: str) -> typing.List[Sentence]:
             segment_voice = event.voice
             segment_lang = event.lang or lang
             segment_spell = event.spell_out
-            segment_items.append(event.text)
+            segment_items.append((event.text, event.lexicon))
         elif isinstance(event, ssml_mod.PhonemesEvent):
             segment_voice = event.voice or segment_voice
             segment_lang = event.lang or segment_lang

@@ -603,6 +603,43 @@ _CURRENCY_RE = re.compile(r"^([$€£])(\d+(?:[.,]\d+)?)$")
 _TIME_RE = re.compile(r"^(\d{1,2}):(\d{2})$")
 
 
+def de_year_to_words(n: int) -> str:
+    """German years 1100-1999 read in hundreds (neunzehnhundert...)."""
+    if 1100 <= n <= 1999:
+        h, r = divmod(n, 100)
+        return de_number_to_words(h) + "hundert" + (
+            de_number_to_words(r) if r else ""
+        )
+    return de_number_to_words(n)
+
+
+def nl_year_to_words(n: int) -> str:
+    """Dutch years 1100-1999 read in hundreds (negentienhonderd...)."""
+    if 1100 <= n <= 1999:
+        h, r = divmod(n, 100)
+        return nl_number_to_words(h) + "honderd" + (
+            nl_number_to_words(r) if r else ""
+        )
+    return nl_number_to_words(n)
+
+
+def sv_year_to_words(n: int) -> str:
+    """Swedish years 1100-1999 read in hundreds (nittonhundra...)."""
+    if 1100 <= n <= 1999:
+        h, r = divmod(n, 100)
+        return sv_number_to_words(h) + "hundra" + (
+            sv_number_to_words(r) if r else ""
+        )
+    return sv_number_to_words(n)
+
+
+_YEAR_TO_WORDS = {
+    "de-de": de_year_to_words,
+    "nl": nl_year_to_words,
+    "sv-se": sv_year_to_words,
+}
+
+
 def _spell_number(token: str, lang: str) -> typing.Optional[str]:
     to_words = NUMBER_TO_WORDS.get(lang, en_number_to_words)
     decimal_word = _DECIMAL_POINT.get(lang, "point")
@@ -642,8 +679,12 @@ def normalize_token(token: str, lang: str = "en-us") -> typing.Optional[str]:
             ordinal_fn = ORDINAL_TO_WORDS.get(lang)
             if ordinal_fn:
                 return ordinal_fn(value)
-        if hint == "year" and lang == "en-us":
-            return en_year_to_words(value)
+        if hint == "year":
+            if lang == "en-us":
+                return en_year_to_words(value)
+            year_fn = _YEAR_TO_WORDS.get(lang)
+            if year_fn:
+                return year_fn(value)
         return _spell_number(str(value), lang)
 
     if lang == "en-us":
@@ -657,6 +698,10 @@ def normalize_token(token: str, lang: str = "en-us") -> typing.Optional[str]:
         m = form.match(token) if form else None
         if m:
             return ORDINAL_TO_WORDS[lang](int(m.group(1)))
+        # plain 4-digit years read in hundreds where the language does
+        # (de neunzehnhundert..., nl negentienhonderd..., sv nittonhundra...)
+        if lang in _YEAR_TO_WORDS and _YEAR_RE.match(token):
+            return _YEAR_TO_WORDS[lang](int(token))
 
     m = _CURRENCY_RE.match(token)
     if m:

@@ -19,6 +19,8 @@ class TextEvent:
     voice: str = ""
     lang: str = ""
     spell_out: bool = False
+    # active <lookup ref> inline lexicon: word -> phoneme list
+    lexicon: typing.Optional[typing.Dict[str, typing.List[str]]] = None
 
 
 @dataclass
@@ -85,17 +87,62 @@ def parse_ssml(markup: str) -> typing.List[Event]:
     except ET.ParseError:
         root = ET.fromstring(f"<speak>{markup}</speak>")
 
+    lexicons = _collect_lexicons(root)
     events: typing.List[Event] = []
-    _walk(root, "", "", False, events)
+    _walk(root, "", "", False, None, lexicons, events)
     return events
 
 
+def _collect_lexicons(
+    root: ET.Element,
+) -> typing.Dict[str, typing.Dict[str, typing.List[str]]]:
+    """Gather <lexicon id> inline pronunciation lexicons.
+
+    Reference contract (README "SSML"): one or more <lexeme> children,
+    each with <grapheme> word text and <phoneme> whitespace-separated
+    phonemes.  Grapheme roles are accepted but not used to disambiguate
+    (we have no POS tagger); the last role's entry wins.
+    """
+    out: typing.Dict[str, typing.Dict[str, typing.List[str]]] = {}
+    for elem in root.iter():
+        if _strip_ns(elem.tag) != "lexicon":
+            continue
+        lex_id = _attr(elem, "id") or ""
+        entries: typing.Dict[str, typing.List[str]] = {}
+        for lexeme in elem:
+            if _strip_ns(lexeme.tag) != "lexeme":
+                continue
+            graphemes: typing.List[str] = []
+            phonemes: typing.List[str] = []
+            for child in lexeme:
+                ctag = _strip_ns(child.tag)
+                ctext = "".join(child.itertext()).strip()
+                if ctag == "grapheme" and ctext:
+                    graphemes.append(ctext.lower())
+                elif ctag == "phoneme" and ctext:
+                    phonemes = ctext.split()
+            for g in graphemes:
+                if phonemes:
+                    entries[g] = phonemes
+        if lex_id:
+            out[lex_id] = entries
+    return out
+
+
 def _emit_text(
-    events: typing.List[Event], text: typing.Optional[str], voice, lang, spell
+    events: typing.List[Event],
+    text: typing.Optional[str],
+    voice,
+    lang,
+    spell,
+    lexicon=None,
 ):
     if text and text.strip():
         events.append(
-            TextEvent(text=text, voice=voice, lang=lang, spell_out=spell)
+            TextEvent(
+                text=text, voice=voice, lang=lang, spell_out=spell,
+                lexicon=lexicon,
+            )
         )
 
 
@@ -104,6 +151,8 @@ def _walk(
     voice: str,
     lang: str,
     spell_out: bool,
+    lookup: typing.Optional[typing.Dict[str, typing.List[str]]],
+    lexicons: typing.Dict[str, typing.Dict[str, typing.List[str]]],
     events: typing.List[Event],
 ) -> None:
     tag = _strip_ns(elem.tag)
@@ -125,7 +174,7 @@ def _walk(
         return
     elif tag == "sub":
         alias = _attr(elem, "alias") or ""
-        _emit_text(events, alias, voice, elem_lang, spell_out)
+        _emit_text(events, alias, voice, elem_lang, spell_out, lookup)
         return
     elif tag == "phoneme":
         ph = _attr(elem, "ph") or ""
@@ -139,23 +188,127 @@ def _walk(
             )
         )
         return
+    elif tag == "lexicon":
+        return  # consumed by _collect_lexicons
+    elif tag == "lookup":
+        ref = _attr(elem, "ref") or ""
+        lookup = lexicons.get(ref, lookup)
     elif tag == "say-as":
         interpret = (_attr(elem, "interpret-as") or "").lower()
-        spell = interpret in ("characters", "spell-out", "digits", "telephone")
-        _emit_text(events, "".join(elem.itertext()), voice, elem_lang, spell)
+        fmt = (_attr(elem, "format") or "").lower()
+        inner = "".join(elem.itertext())
+        if interpret in ("digits", "telephone") or (
+            interpret == "number" and fmt == "digits"
+        ):
+            # each digit becomes its own number word (4 2 -> four two)
+            inner = re.sub(r"\d", lambda m: m.group() + " ", inner)
+            _emit_text(events, inner, voice, elem_lang, False, lookup)
+            return
+        spell = interpret in ("characters", "spell-out")
+        if not spell:
+            inner = _interpret_text(inner, interpret, fmt, elem_lang)
+        _emit_text(events, inner, voice, elem_lang, spell, lookup)
         return
     elif tag == "w":
         lang = elem_lang
 
-    _emit_text(events, elem.text, voice, lang, spell_out)
+    _emit_text(events, elem.text, voice, lang, spell_out, lookup)
     for child in elem:
-        _walk(child, voice, lang, spell_out, events)
-        _emit_text(events, child.tail, voice, lang, spell_out)
+        _walk(child, voice, lang, spell_out, lookup, lexicons, events)
+        _emit_text(events, child.tail, voice, lang, spell_out, lookup)
 
     if tag in ("p", "s"):
         events.append(BoundaryEvent())
     elif tag == "voice":
         events.append(BoundaryEvent())
+
+
+_MONTH_NAMES = {
+    "en-us": ["January", "February", "March", "April", "May", "June",
+              "July", "August", "September", "October", "November",
+              "December"],
+    "de-de": ["Januar", "Februar", "März", "April", "Mai", "Juni",
+              "Juli", "August", "September", "Oktober", "November",
+              "Dezember"],
+    "fr-fr": ["janvier", "février", "mars", "avril", "mai", "juin",
+              "juillet", "août", "septembre", "octobre", "novembre",
+              "décembre"],
+    "es-es": ["enero", "febrero", "marzo", "abril", "mayo", "junio",
+              "julio", "agosto", "septiembre", "octubre", "noviembre",
+              "diciembre"],
+    "it-it": ["gennaio", "febbraio", "marzo", "aprile", "maggio",
+              "giugno", "luglio", "agosto", "settembre", "ottobre",
+              "novembre", "dicembre"],
+    "nl": ["januari", "februari", "maart", "april", "mei", "juni",
+           "juli", "augustus", "september", "oktober", "november",
+           "december"],
+    "ru-ru": ["января", "февраля", "марта", "апреля", "мая", "июня",
+              "июля", "августа", "сентября", "октября", "ноября",
+              "декабря"],
+    "sv-se": ["januari", "februari", "mars", "april", "maj", "juni",
+              "juli", "augusti", "september", "oktober", "november",
+              "december"],
+    "sw": ["Januari", "Februari", "Machi", "Aprili", "Mei", "Juni",
+           "Julai", "Agosti", "Septemba", "Oktoba", "Novemba",
+           "Desemba"],
+}
+
+_NUMBER_TOKEN_RE = re.compile(r"\d+")
+
+
+def _interpret_text(
+    text: str, interpret: str, fmt: str, lang: str
+) -> str:
+    """Rewrite <say-as> content using the interpretation markers the
+    normalizer understands (N_cardinal / N_ordinal / N_year — the same
+    convention gruut accepts in plain text, pinned by the en-us
+    reference fixtures' test_sentences.txt)."""
+    from larynx_tpu.text.langs import resolve_lang
+
+    lang = resolve_lang(lang) if lang else "en-us"
+    if interpret in ("number", "cardinal", "ordinal"):
+        kind = "ordinal" if (interpret == "ordinal" or fmt == "ordinal") \
+            else ("year" if fmt == "year" else "cardinal")
+        return _NUMBER_TOKEN_RE.sub(lambda m: f"{m.group()}_{kind}", text)
+    if interpret == "date":
+        return _expand_date(text.strip(), fmt, lang)
+    # time / currency: the plain tokenizer+normalizer already read
+    # h:mm clocks and $/€/£ amounts
+    return text
+
+
+def _expand_date(text: str, fmt: str, lang: str) -> str:
+    """Spoken form of a numeric date per the reference's format chars:
+    d cardinal day, o ordinal day, m month name, y year."""
+    parts = [p for p in re.split(r"[./\-\s]+", text) if p.isdigit()]
+    if not (2 <= len(parts) <= 3):
+        return text
+    # digit order: en-us writes m/d/y, the other languages d/m/y;
+    # a leading 4-digit field is ISO y-m-d
+    year = None
+    if len(parts) == 3 and len(parts[0]) == 4:
+        year, month, day = parts[0], parts[1], parts[2]
+    elif lang == "en-us":
+        month, day = parts[0], parts[1]
+        year = parts[2] if len(parts) == 3 else None
+    else:
+        day, month = parts[0], parts[1]
+        year = parts[2] if len(parts) == 3 else None
+    if not fmt:
+        fmt = "moy" if lang == "en-us" else "omy"
+    months = _MONTH_NAMES.get(lang, _MONTH_NAMES["en-us"])
+    month_name = months[(int(month) - 1) % 12]
+    out: typing.List[str] = []
+    for ch in fmt:
+        if ch == "m":
+            out.append(month_name)
+        elif ch == "d":
+            out.append(f"{int(day)}_cardinal")
+        elif ch == "o":
+            out.append(f"{int(day)}_ordinal")
+        elif ch == "y" and year is not None:
+            out.append(f"{int(year)}_year")
+    return " ".join(out) if out else text
 
 
 _IPA_MODIFIERS = "ˈˌːʲ̯͡ ²'"

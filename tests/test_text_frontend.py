@@ -396,3 +396,64 @@ def test_german_number_sentence_end_splits():
     assert split_sentences("Wir treffen uns am 5. Januar im Park.", "de-de") == [
         "Wir treffen uns am 5. Januar im Park."
     ]
+
+
+def test_ssml_inline_lexicon_lookup():
+    """<lexicon id>/<lookup ref> inline pronunciations (reference README
+    "SSML": lexeme grapheme/phoneme children) override G2P only inside
+    the lookup scope, without splitting the sentence."""
+    markup = (
+        '<speak><lexicon id="x"><lexeme><grapheme>tomato</grapheme>'
+        "<phoneme>t ə m ˈi t oʊ</phoneme></lexeme></lexicon>"
+        'I say <lookup ref="x">tomato</lookup> and tomato.</speak>'
+    )
+    sents = list(sentences(markup, "en-us", ssml=True))
+    assert len(sents) == 1
+    by_text = [(w.text, w.phonemes) for w in sents[0].words if not w.is_break]
+    tomatoes = [p for t, p in by_text if t == "tomato"]
+    assert tomatoes[0] == ["t", "ə", "m", "ˈi", "t", "oʊ"]  # inside lookup
+    assert tomatoes[1] == ["t", "ə", "m", "ˈeɪ", "t", "oʊ"]  # normal G2P
+
+
+def test_ssml_say_as_formats():
+    """<say-as interpret-as=number/ordinal/date> with format attributes
+    (reference README: number formats cardinal/ordinal/digits/year; date
+    format chars d/o/m/y)."""
+    def words(markup):
+        out = []
+        for s in sentences(markup, "en-us", ssml=True):
+            out += [w.text for w in s.words if not w.is_break]
+        return out
+
+    assert words(
+        '<speak><say-as interpret-as="number" format="ordinal">3</say-as>'
+        "</speak>"
+    ) == ["third"]
+    assert words(
+        '<speak><say-as interpret-as="number" format="year">1961</say-as>'
+        "</speak>"
+    ) == ["nineteen", "sixty", "one"]
+    assert words(
+        '<speak><say-as interpret-as="date" format="moy">4/1/2021</say-as>'
+        "</speak>"
+    )[:2] == ["April", "first"]
+    # d = cardinal day, default en-us digit order is m/d
+    assert words(
+        '<speak><say-as interpret-as="date" format="dm">4/1</say-as></speak>'
+    ) == ["one", "April"]
+    # digits read one by one
+    assert words(
+        '<speak><say-as interpret-as="number" format="digits">42</say-as>'
+        "</speak>"
+    ) == ["four", "two"]
+
+
+def test_year_reading_in_hundreds_de_nl_sv():
+    """de/nl/sv read 4-digit years in hundreds, not thousands."""
+    from larynx_tpu.text.normalize import normalize_token
+
+    assert normalize_token("1961", "de-de") == "neunzehnhunderteinundsechzig"
+    assert normalize_token("1961", "nl") == "negentienhonderdeenenzestig"
+    assert normalize_token("1945", "sv-se") == "nittonhundrafyrtiofem"
+    # outside the range: plain cardinal
+    assert normalize_token("2026", "de-de").startswith("zweitausend")
