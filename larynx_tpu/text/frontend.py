@@ -100,7 +100,7 @@ def sentences(
 
 
 def _ssml_sentences(text: str, lang: str) -> typing.List[Sentence]:
-    events = ssml_mod.parse_ssml(text)
+    events = ssml_mod.parse_ssml(text, default_lang=lang)
 
     # Group events into segments at boundaries/voice changes, accumulating
     # pending pauses/marks that attach to the next (or previous) sentence.

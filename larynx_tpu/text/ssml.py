@@ -77,8 +77,12 @@ def _attr(elem: ET.Element, *names: str) -> typing.Optional[str]:
     return None
 
 
-def parse_ssml(markup: str) -> typing.List[Event]:
-    """Parse SSML (or a bare fragment) into an event stream."""
+def parse_ssml(markup: str, default_lang: str = "") -> typing.List[Event]:
+    """Parse SSML (or a bare fragment) into an event stream.
+
+    ``default_lang`` is the document language when no xml:lang overrides
+    it — <say-as> date/number expansion is language-dependent.
+    """
     markup = markup.strip()
     if not markup.startswith("<"):
         markup = f"<speak>{markup}</speak>"
@@ -89,7 +93,7 @@ def parse_ssml(markup: str) -> typing.List[Event]:
 
     lexicons = _collect_lexicons(root)
     events: typing.List[Event] = []
-    _walk(root, "", "", False, None, lexicons, events)
+    _walk(root, "", default_lang, False, None, lexicons, events)
     return events
 
 
