@@ -96,8 +96,11 @@ def _context(word: str, i: int):
         return 6, ["t", "aʊ̯", "z", "ə", "n"]
     # h after a vowel letter is mute — it lengthens (already consumed by
     # the ah/eh/... digraph rules) or separates syllables (gehen, blühen,
-    # früh, weh)
-    if ch == "h" and prev and prev in _VOWEL_LETTERS:
+    # früh, weh).  Before a FULL vowel it starts a syllable and sounds
+    # (Alkohol, Ahorn, Uhu); the da-hin/wo-her compounds are exceptions.
+    if ch == "h" and prev and prev in _VOWEL_LETTERS and (
+        not nxt or nxt not in "aou"
+    ):
         return 1, []
     # unstressed er after a vowel is [ɐ] (dauer, feuer, bauer)
     if ch == "e" and nxt == "r" and prev and prev in _VOWEL_LETTERS:
@@ -290,6 +293,12 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     "gott": ("g", "ɔ", "t"),
     "herren": ("h", "ɛ", "ʁ", "ə", "n"),
     "bahnhof": ("b", "aː", "n", "h", "oː", "f"),
+    "daher": ("d", "a", "h", "eː", "ɐ"),
+    "dahin": ("d", "a", "h", "ɪ", "n"),
+    "woher": ("v", "oː", "h", "eː", "ɐ"),
+    "wohin": ("v", "oː", "h", "ɪ", "n"),
+    "vorher": ("f", "oː", "ɐ", "h", "eː", "ɐ"),
+    "vorhin": ("f", "oː", "ɐ", "h", "ɪ", "n"),
     "erklärt": ("ɛ", "ʁ", "k", "l", "ɛː", "ʁ", "t"),
     "erklären": ("ɛ", "ʁ", "k", "l", "ɛː", "ʁ", "ə", "n"),
     "erklärte": ("ɛ", "ʁ", "k", "l", "ɛː", "ʁ", "t", "ə"),

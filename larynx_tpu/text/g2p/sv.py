@@ -284,7 +284,12 @@ def phonemize(word: str) -> typing.List[str]:
     n = 1 if "é" in w else 2
     hit = _EXCEPTIONS.get(w)
     if hit is not None:
-        return stress_nth_vowel_from_end(list(hit), VOWELS, n=n, marker="'")
+        stressed = stress_nth_vowel_from_end(
+            list(hit), VOWELS, n=n, marker="'"
+        )
+        if "²" in hit:
+            return stressed
+        return _with_accent2(w, stressed)
     # compound numbers: unstressed head + the final element's own
     # pronunciation (trehundrasextiofem -> ...sextio + 'fem)
     for tail in _NUM_TAILS:
