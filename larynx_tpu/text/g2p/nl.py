@@ -100,7 +100,8 @@ def _context(word: str, i: int):
         # unstressed -elijk(e/s) adjectives (hartelijk, vriendelijke)
         if tail.startswith("elijk"):
             rest = tail[5:]
-            if rest in ("", "e", "s", "er", "ers", "ste"):
+            if rest in ("", "e", "s", "er", "ers", "ste", "heid",
+                        "heden"):
                 return 5, ["ə", "l", "ə", "k"]
         if tail in ("e", "en", "el", "em", "es", "et", "er", "erd",
                     "ers", "erg", "eren", "elen", "els", "ens", "enen",
@@ -125,7 +126,7 @@ def _context(word: str, i: int):
     # unstressed -lijk(e) after a consonant (moeilijk via exception,
     # schriftelijk via the elijk tail above, mogelijk -> moːɣələk)
     if word.startswith("lijk", i) and i > 0 and word[i + 4 :] in (
-        "", "e", "s", "er", "ers", "ste"
+        "", "e", "s", "er", "ers", "ste", "heid", "heden"
     ):
         return 4, ["l", "ə", "k"]
     # verb-final -dt is a single [t] (houdt, wordt)
@@ -144,7 +145,6 @@ def _context(word: str, i: int):
 _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     "een": ("ə", "n"),
     "het": ("h", "ɛ", "t"),
-    "station": ("s", "t", "ɑ", "ʃ", "ɔ", "n"),
     "politie": ("p", "oː", "l", "i", "t", "s", "i"),
     "vakantie": ("v", "ɑ", "k", "ɑ", "n", "s", "i"),
     "thee": ("t", "eː"),
