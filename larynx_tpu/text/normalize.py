@@ -385,7 +385,10 @@ def sv_number_to_words(n: int) -> str:
         return word + (sv_number_to_words(rest) if rest else "")
     if n < 10**6:
         thousands, rest = divmod(n, 1000)
-        prefix = ("ett" if thousands == 1 else sv_number_to_words(thousands)) + "tusen"
+        # "ett" + "tusen" elides one t in writing: ettusen (likewise
+        # tjugoettusen for 21000)
+        head = "ett" if thousands == 1 else sv_number_to_words(thousands)
+        prefix = (head[:-1] if head.endswith("tt") else head) + "tusen"
         return prefix + (" " + sv_number_to_words(rest) if rest else "")
     millions, rest = divmod(n, 10**6)
     word = (

@@ -457,3 +457,34 @@ def test_year_reading_in_hundreds_de_nl_sv():
     assert normalize_token("1945", "sv-se") == "nittonhundrafyrtiofem"
     # outside the range: plain cardinal
     assert normalize_token("2026", "de-de").startswith("zweitausend")
+
+
+def test_cardinal_matrix_all_languages():
+    """Hand-verified tricky cardinals per language (compound joins,
+    et-un/y-uno linkers, Swedish t-elision in ettusen)."""
+    from larynx_tpu.text import normalize as N
+
+    expect = {
+        "de-de": {21: "einundzwanzig", 71: "einundsiebzig",
+                  101: "einhunderteins", 1001: "eintausendeins"},
+        "en-us": {21: "twenty one", 71: "seventy one",
+                  101: "one hundred one"},
+        "es-es": {21: "veintiuno", 71: "setenta y uno",
+                  101: "ciento uno", 100: "cien"},
+        "fr-fr": {21: "vingt et un", 71: "soixante et onze",
+                  80: "quatre-vingts", 91: "quatre-vingt-onze"},
+        "it-it": {21: "ventuno", 71: "settantuno", 101: "centouno"},
+        "nl": {21: "eenentwintig", 71: "eenenzeventig",
+               101: "honderdeen"},
+        "ru-ru": {21: "двадцать один", 71: "семьдесят один",
+                  101: "сто один"},
+        "sv-se": {21: "tjugoett", 71: "sjuttioett",
+                  101: "etthundraett", 1001: "ettusen ett",
+                  1000: "ettusen"},
+        "sw": {21: "ishirini na moja", 71: "sabini na moja",
+               101: "mia moja na moja"},
+    }
+    for lang, cases in expect.items():
+        fn = N.NUMBER_TO_WORDS[lang]
+        for n, want in cases.items():
+            assert fn(n) == want, (lang, n, fn(n))
