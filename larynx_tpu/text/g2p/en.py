@@ -4566,6 +4566,28 @@ russia ɹ ˈʌ ʃ ə
 russian ɹ ˈʌ ʃ ə n
 sarah s ˈɛ ɹ ə
 tomato t ə m ˈeɪ t oʊ
+missus m ˈɪ s ə z
+cetera s ˈɛ t ɚ ə
+versus v ˈɚ s ə s
+synthesize s ˈɪ n θ ə s ˌaɪ z
+synthesizer s ˈɪ n θ ə s ˌaɪ z ɚ
+synthesis s ˈɪ n θ ə s ə s
+specify s p ˈɛ s ə f ˌaɪ
+specific s p ə s ˈɪ f ɪ k
+python p ˈaɪ θ ɑ n
+vocoder v ˈoʊ k oʊ d ɚ
+phoneme f ˈoʊ n i m
+interface ˈɪ n t ɚ f ˌeɪ s
+software s ˈɔ f t w ˌɛ ɹ
+hardware h ˈɑ ɹ d w ˌɛ ɹ
+framework f ɹ ˈeɪ m w ˌɚ k
+algorithm ˈæ l ɡ ə ɹ ˌɪ ð ə m
+neural n ˈʊ ɹ ə l
+audio ˈɔ d i oʊ
+video v ˈɪ d i oʊ
+data d ˈeɪ t ə
+server s ˈɚ v ɚ
+database d ˈeɪ t ə b ˌeɪ s
 """
 
 LEXICON: typing.Dict[str, typing.List[str]] = {}
@@ -4639,6 +4661,8 @@ def _derive_inflections() -> None:
 
         # agentive/comparative -er (schwa-r; drop silent e)
         derived.setdefault(ing_stem + "er", phones + ["ɚ"])
+        # superlative -est
+        derived.setdefault(ing_stem + "est", phones + ["ə", "s", "t"])
 
         # adverbial -ly
         if not word.endswith("ly"):

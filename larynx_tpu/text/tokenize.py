@@ -137,6 +137,29 @@ def classify_token(token: str) -> str:
     return "word"
 
 
+# Spoken expansions for dotted abbreviations (the period is swallowed so
+# "Dr. Smith" no longer breaks mid-sentence).  "no"/"st" are ambiguous
+# with real words and get context conditions in words_of.
+_ABBREV_EXPANSIONS: typing.Dict[str, typing.Dict[str, str]] = {
+    "en-us": {
+        "mr": "mister", "mrs": "missus", "ms": "miss", "dr": "doctor",
+        "prof": "professor", "sr": "senior", "jr": "junior",
+        "etc": "et cetera", "vs": "versus", "dept": "department",
+        "approx": "approximately", "inc": "incorporated",
+        "ltd": "limited",
+        "jan": "January", "feb": "February", "mar": "March",
+        "apr": "April", "jun": "June", "jul": "July", "aug": "August",
+        "sep": "September", "sept": "September", "oct": "October",
+        "nov": "November", "dec": "December",
+    },
+    "de-de": {
+        "dr": "Doktor", "prof": "Professor", "nr": "Nummer",
+        "ca": "circa", "usw": "und so weiter",
+        "bzw": "beziehungsweise",
+    },
+}
+
+
 def words_of(
     sentence: str, lang: str = "en-us"
 ) -> typing.List[typing.Tuple[str, str]]:
@@ -146,6 +169,33 @@ def words_of(
     """
     out: typing.List[typing.Tuple[str, str]] = []
     tokens = tokenize(sentence, lang)
+    abbrevs = _ABBREV_EXPANSIONS.get(lang)
+    if abbrevs:
+        expanded_tokens: typing.List[str] = []
+        k = 0
+        while k < len(tokens):
+            t = tokens[k]
+            low = t.lower()
+            nxt_is_dot = k + 1 < len(tokens) and tokens[k + 1] == "."
+            after = tokens[k + 2] if k + 2 < len(tokens) else ""
+            spoken = None
+            if nxt_is_dot:
+                spoken = abbrevs.get(low)
+                if lang == "en-us" and low == "no" and after[:1].isdigit():
+                    spoken = "number"  # "No. 5"
+                elif lang == "en-us" and low == "st":
+                    # "St. Peter" saint, "Main St." street
+                    spoken = "saint" if after[:1].isupper() else "street"
+            if spoken is not None:
+                expanded_tokens.extend(spoken.split())
+                # swallow the period mid-sentence; keep a sentence-final one
+                if k + 2 >= len(tokens):
+                    expanded_tokens.append(".")
+                k += 2
+            else:
+                expanded_tokens.append(t)
+                k += 1
+        tokens = expanded_tokens
     # "7:30 Uhr" / "7:30 uur": the clock word is already part of the
     # spoken time expansion ("sieben Uhr dreißig") — drop the written one
     clock_word = {"de-de": "uhr", "nl": "uur"}.get(lang)

@@ -488,3 +488,24 @@ def test_cardinal_matrix_all_languages():
         fn = N.NUMBER_TO_WORDS[lang]
         for n, want in cases.items():
             assert fn(n) == want, (lang, n, fn(n))
+
+
+def test_abbreviation_expansion_no_midsentence_break():
+    """Dotted abbreviations expand to their spoken words and swallow the
+    period, so "Dr. Smith" no longer inserts a sentence break mid-way;
+    ambiguous no./St. use context, and sentence-final periods survive."""
+    from larynx_tpu.text.tokenize import words_of
+
+    assert words_of("Dr. Smith is here.", "en-us") == [
+        ("word", "doctor"), ("word", "Smith"), ("word", "is"),
+        ("word", "here"), ("major", "."),
+    ]
+    toks = words_of("Meet Mr. Jones at No. 5 Main St. tomorrow.", "en-us")
+    assert ("word", "mister") in toks and ("word", "number") in toks
+    assert ("word", "street") in toks and ("major", ".") == toks[-1]
+    assert ("word", "saint") in words_of("St. Peter's is old.", "en-us")
+    # a real sentence-final "no." is NOT the abbreviation
+    assert words_of("She said no.", "en-us")[-2:] == [
+        ("word", "no"), ("major", "."),
+    ]
+    assert ("word", "circa") in words_of("Das kostet ca. 10 Euro.", "de-de")
