@@ -157,6 +157,31 @@ _ABBREV_EXPANSIONS: typing.Dict[str, typing.Dict[str, str]] = {
         "ca": "circa", "usw": "und so weiter",
         "bzw": "beziehungsweise",
     },
+    "fr-fr": {
+        "mme": "madame", "mlle": "mademoiselle", "dr": "docteur",
+    },
+    "es-es": {
+        "sr": "señor", "sra": "señora", "srta": "señorita",
+        "dr": "doctor", "dra": "doctora", "ud": "usted",
+        "uds": "ustedes",
+    },
+    "it-it": {
+        "sig": "signor", "dott": "dottor", "prof": "professor",
+    },
+    "nl": {
+        "dhr": "de heer", "mevr": "mevrouw", "dr": "dokter",
+        "prof": "professor", "nr": "nummer",
+    },
+    "sv-se": {
+        "dr": "doktor", "nr": "nummer", "kr": "kronor",
+    },
+}
+
+# every expandable abbreviation also protects the sentence splitter
+_ABBREVIATIONS |= {
+    key + "."
+    for lang_map in _ABBREV_EXPANSIONS.values()
+    for key in lang_map
 }
 
 
