@@ -5331,10 +5331,41 @@ _PAST_CUES = {"have", "has", "had", "was", "were", "been", "already", "he",
               "she", "i've", "we've", "they've", "he's", "she's"}
 
 
+_ACR_VOWELS = set("aeiou")
+
+
+def _acronym_pronounceable(w: str) -> bool:
+    """Vowel in every 1-3 letter window -> readable as a word (nasa)."""
+    if not any(c in _ACR_VOWELS for c in w):
+        return False
+    run = 0
+    for c in w:
+        run = 0 if c in _ACR_VOWELS else run + 1
+        if run >= 3:
+            return False
+    return w[-1] in _ACR_VOWELS or w[-2] in _ACR_VOWELS
+
+
 def phonemize(word: str, prev: str = "", nxt: str = "") -> typing.List[str]:
     w = word.lower().strip()
     if not w:
         return []
+
+    # ALL-CAPS initialisms spell their letters (USA, FBI, HTML) — the
+    # gruut:letter role for spell-out; pronounceable 4+-letter acronyms
+    # read as words (NASA, NATO).  Real words in caps (emphasis) hit
+    # the lexicon below.
+    if (
+        word.isupper()
+        and word.isalpha()
+        and 2 <= len(word) <= 6
+        and w not in LEXICON
+        and (len(w) <= 3 or not _acronym_pronounceable(w))
+    ):
+        out: typing.List[str] = []
+        for ch in w:
+            out.extend(_LETTER_NAMES.get(ch, []))
+        return out
 
     # noun/verb homographs: a light context heuristic stands in for
     # gruut's POS tagger.  Nouns are the default reading.

@@ -208,3 +208,18 @@ def test_no_stress_marks_on_consonants():
         )
     ]
     assert not bad, bad[:10]
+
+
+def test_initialisms_spell_letters():
+    """ALL-CAPS non-words spell their letters (the gruut:letter role);
+    pronounceable acronyms read as words; capitalized real words and
+    single letters are untouched."""
+    from larynx_tpu.text.g2p import en
+
+    assert en.phonemize("USA") == ["j", "ˈu", "ˈɛ", "s", "ˈeɪ"]
+    assert en.phonemize("FBI") == ["ˈɛ", "f", "b", "ˈi", "ˈaɪ"]
+    assert en.phonemize("TV") == ["t", "ˈi", "v", "ˈi"]
+    assert en.phonemize("OK") == ["ˈoʊ", "k", "ˈeɪ"]
+    assert en.phonemize("NASA")[0] == "n"  # word-read acronym
+    assert en.phonemize("THIS") == en.phonemize("this")
+    assert en.phonemize("I") == ["ˈaɪ"]
