@@ -4584,6 +4584,10 @@ framework f ɹ ˈeɪ m w ˌɚ k
 algorithm ˈæ l ɡ ə ɹ ˌɪ ð ə m
 neural n ˈʊ ɹ ə l
 audio ˈɔ d i oʊ
+launch l ˈɔ n t͡ʃ
+washington w ˈɑ ʃ ɪ ŋ t ə n
+approximately ə p ɹ ˈɑ k s ə m ə t l i
+approximate ə p ɹ ˈɑ k s ə m ə t
 video v ˈɪ d i oʊ
 data d ˈeɪ t ə
 server s ˈɚ v ɚ
@@ -5227,6 +5231,12 @@ _HOMOGRAPHS: typing.Dict[str, typing.Tuple[typing.List[str], typing.List[str]]] 
              ["ɪ", "n", "k", "ɹ", "ˈi", "s"]),
     "live": (["l", "ˈaɪ", "v"], ["l", "ˈɪ", "v"]),
     "lives": (["l", "ˈaɪ", "v", "z"], ["l", "ˈɪ", "v", "z"]),
+}
+
+# homographs whose cue-less default is the VERB column
+_VERB_DEFAULT = frozenset({"lives"})
+
+_HOMOGRAPHS_TAIL = {
     "wind": (["w", "ˈɪ", "n", "d"], ["w", "ˈaɪ", "n", "d"]),
     "bow": (["b", "ˈoʊ"], ["b", "ˈaʊ"]),
     "tear": (["t", "ˈɪ", "ɹ"], ["t", "ˈɛ", "ɹ"]),
@@ -5301,6 +5311,7 @@ _HOMOGRAPHS: typing.Dict[str, typing.Tuple[typing.List[str], typing.List[str]]] 
     "reject": (["ɹ", "ˈi", "d͡ʒ", "ɛ", "k", "t"],
              ["ɹ", "ɪ", "d͡ʒ", "ˈɛ", "k", "t"]),
 }
+_HOMOGRAPHS.update(_HOMOGRAPHS_TAIL)
 
 # Past-tense homographs: pronunciation flips after perfect-tense cues.
 _PAST_HOMOGRAPHS: typing.Dict[str, typing.Tuple[typing.List[str], typing.List[str]]] = {
@@ -5376,7 +5387,8 @@ def phonemize(word: str, prev: str = "", nxt: str = "") -> typing.List[str]:
             return list(noun)
         if prev_l in _VERB_CUES:
             return list(verb)
-        return list(noun)
+        # "she lives here" is the overwhelmingly common cue-less reading
+        return list(verb) if w in _VERB_DEFAULT else list(noun)
     if w in _PAST_HOMOGRAPHS:
         base, past = _PAST_HOMOGRAPHS[w]
         return list(past) if prev.lower() in _PAST_CUES else list(base)
