@@ -394,10 +394,65 @@ def _valid_stem_start(rest: str) -> bool:
     return rest.startswith("sch") or rest[:2] in _VALID_ONSET_2
 
 
+# German letter names (spell-out and ALL-CAPS initialisms)
+_LETTER_NAMES: typing.Dict[str, typing.List[str]] = {
+    "a": ["aː"], "b": ["b", "eː"], "c": ["t͡s", "eː"], "d": ["d", "eː"],
+    "e": ["eː"], "f": ["ɛ", "f"], "g": ["g", "eː"], "h": ["h", "aː"],
+    "i": ["iː"], "j": ["j", "ɔ", "t"], "k": ["k", "aː"],
+    "l": ["ɛ", "l"], "m": ["ɛ", "m"], "n": ["ɛ", "n"], "o": ["oː"],
+    "p": ["p", "eː"], "q": ["k", "uː"], "r": ["ɛ", "ʁ"],
+    "s": ["ɛ", "s"], "t": ["t", "eː"], "u": ["uː"],
+    "v": ["f", "aʊ̯"], "w": ["v", "eː"], "x": ["ɪ", "k", "s"],
+    "y": ["ʏ", "p", "s", "iː", "l", "ɔ", "n"], "z": ["t͡s", "ɛ", "t"],
+    "ä": ["ɛː"], "ö": ["øː"], "ü": ["yː"], "ß": ["ɛ", "s", "t͡s", "ɛ", "t"],
+}
+
+
+def _spell(w: str) -> typing.List[str]:
+    out: typing.List[str] = []
+    for ch in w:
+        out.extend(_LETTER_NAMES.get(ch, []))
+    return out
+
+
+# common words that appear fully capitalized for emphasis — never spell
+_CAPS_WORDS = frozenset("""
+ja so nun wie was wer wo ab an am im in zu um es er du wir ihr sie
+der die und oder aber nein mit von bis für auf aus ist sind hat kein
+neu gut alt nie nur
+""".split())
+
+
+def _acronym_readable(w: str) -> bool:
+    """A vowel in every 3-letter window -> read as a word (NATO, UNO)."""
+    if not any(c in _VOWEL_LETTERS for c in w):
+        return False
+    run = 0
+    for c in w:
+        run = 0 if c in _VOWEL_LETTERS else run + 1
+        if run >= 3:
+            return False
+    return w[-1] in _VOWEL_LETTERS or w[-2] in _VOWEL_LETTERS
+
+
 def phonemize(word: str) -> typing.List[str]:
     w = word.lower().strip()
     if not w:
         return []
+    # ALL-CAPS initialisms spell their letters (EU, BRD, LKW) — German
+    # nouns are Titlecase, so full caps marks an abbreviation; readable
+    # acronyms (NATO, UNO) stay words
+    if (
+        word.isupper()
+        and word.isalpha()
+        and 2 <= len(word) <= 6
+        and w not in _EXCEPTIONS
+        and w not in _CAPS_WORDS
+        and ((len(w) <= 3 and w != "uno") or not _acronym_readable(w))
+    ):
+        return _spell(w)
+    if len(w) == 1 and w.isalpha():
+        return _spell(w)  # spelled single letter
     hit = _EXCEPTIONS.get(w)
     if hit is not None:
         return list(hit)

@@ -82,10 +82,49 @@ def _context(word: str, i: int):
     return None
 
 
+# Spanish letter names (spell-out and ALL-CAPS initialisms)
+_LETTER_NAMES: typing.Dict[str, typing.List[str]] = {
+    "a": ["a"], "b": ["b", "e"], "c": ["θ", "e"], "d": ["d", "e"],
+    "e": ["e"], "f": ["e", "f", "e"], "g": ["x", "e"],
+    "h": ["a", "t͡ʃ", "e"], "i": ["i"], "j": ["x", "o", "t", "a"],
+    "k": ["k", "a"], "l": ["e", "l", "e"], "m": ["e", "m", "e"],
+    "n": ["e", "n", "e"], "ñ": ["e", "ɲ", "e"], "o": ["o"],
+    "p": ["p", "e"], "q": ["k", "u"], "r": ["e", "r", "e"],
+    "s": ["e", "s", "e"], "t": ["t", "e"], "u": ["u"],
+    "v": ["u", "b", "e"], "w": ["u", "b", "e", "d", "o", "b", "l", "e"],
+    "x": ["e", "k", "i", "s"], "y": ["i", "ɡ", "ɾ", "je", "ɡ", "a"],
+    "z": ["θ", "e", "t", "a"],
+}
+
+# words seen fully capitalized for emphasis — never spell
+_CAPS_WORDS = frozenset("""
+el la los las un una y o de a en es son con por para que no si mi tu
+su al del hay fue onu otan
+""".split())
+
+
+def _spell(w: str) -> typing.List[str]:
+    out: typing.List[str] = []
+    for ch in w:
+        out.extend(_LETTER_NAMES.get(ch, []))
+    return out
+
+
 def phonemize(word: str) -> typing.List[str]:
     w = word.lower().strip()
     if not w:
         return []
+
+    # ALL-CAPS initialisms spell their letters (ONG, DNI, EEUU)
+    if (
+        word.isupper()
+        and word.isalpha()
+        and 2 <= len(word) <= 6
+        and w not in _CAPS_WORDS
+    ):
+        return _spell(w)
+    if len(w) == 1 and w.isalpha() and w not in ("a", "e", "o", "u", "y"):
+        return _spell(w)
 
     # explicit accent marks the stressed vowel
     accent_pos = next((i for i, c in enumerate(w) if c in _ACCENTED), None)

@@ -470,6 +470,26 @@ def _sandhi(w: str, nxt: str) -> typing.Optional[typing.List[str]]:
     return None
 
 
+# French letter names (spell-out and ALL-CAPS initialisms)
+_LETTER_NAMES: typing.Dict[str, typing.List[str]] = {
+    "a": ["a"], "b": ["b", "e"], "c": ["s", "e"], "d": ["d", "e"],
+    "e": ["ə"], "f": ["ɛ", "f"], "g": ["ʒ", "e"], "h": ["a", "ʃ"],
+    "i": ["i"], "j": ["ʒ", "i"], "k": ["k", "a"], "l": ["ɛ", "l"],
+    "m": ["ɛ", "m"], "n": ["ɛ", "n"], "o": ["o"], "p": ["p", "e"],
+    "q": ["k", "y"], "r": ["ɛ", "ʁ"], "s": ["ɛ", "s"],
+    "t": ["t", "e"], "u": ["y"], "v": ["v", "e"],
+    "w": ["d", "u", "b", "l", "ə", "v", "e"], "x": ["i", "k", "s"],
+    "y": ["i", "ɡ", "ʁ", "ɛ", "k"], "z": ["z", "ɛ", "d"],
+}
+
+
+def _spell(w: str) -> typing.List[str]:
+    out: typing.List[str] = []
+    for ch in w:
+        out.extend(_LETTER_NAMES.get(ch, []))
+    return out
+
+
 def phonemize(
     word: str, prev: str = "", nxt: str = ""
 ) -> typing.List[str]:
@@ -489,6 +509,25 @@ def phonemize(
     w = word.lower().strip()
     if not w:
         return []
+    # ALL-CAPS initialisms spell their letters (SNCF, TGV, USA); real
+    # words in caps (LA, IL — emphasis) keep their lexicon reading
+    if (
+        word.isupper()
+        and word.isalpha()
+        and 2 <= len(word) <= 6
+        and w not in _EXCEPTIONS
+        and w not in _ENT_VERB_FORMS
+    ):
+        return _spell(w)
+    # single spelled letters — but never the real one-letter words
+    # (à, a, y [i], ô)
+    if (
+        len(w) == 1
+        and w in _LETTER_NAMES
+        and w not in _EXCEPTIONS
+        and w not in ("a", "y")
+    ):
+        return _spell(w)
     sandhi = _sandhi(w, nxt)
     if sandhi is not None:
         return sandhi
