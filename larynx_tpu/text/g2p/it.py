@@ -292,8 +292,29 @@ def _phonemize_vowel_stress(word: str) -> typing.List[str]:
     return stress_nth_vowel_from_end(phonemes, VOWELS, n=n)
 
 
+# Italian letter names (spell-out / ALL-CAPS initialisms), unstressed
+_LETTER_NAMES: typing.Dict[str, typing.List[str]] = {
+    "a": ["a"], "b": ["b", "i"], "c": ["t͡ʃ", "i"], "d": ["d", "i"],
+    "e": ["e"], "f": ["ɛ", "f", "f", "e"], "g": ["d͡ʒ", "i"],
+    "h": ["a", "k", "k", "a"], "i": ["i"],
+    "j": ["i", "l", "u", "n", "ɡ", "a"], "k": ["k", "a", "p", "p", "a"],
+    "l": ["ɛ", "l", "l", "e"], "m": ["ɛ", "m", "m", "e"],
+    "n": ["ɛ", "n", "n", "e"], "o": ["o"], "p": ["p", "i"],
+    "q": ["k", "u"], "r": ["ɛ", "r", "r", "e"],
+    "s": ["ɛ", "s", "s", "e"], "t": ["t", "i"], "u": ["u"],
+    "v": ["v", "u"], "w": ["d", "o", "p", "p", "j", "a", "v", "u"],
+    "x": ["i", "k", "s"], "y": ["i", "p", "s", "i", "l", "o", "n"],
+    "z": ["d͡z", "ɛ", "t", "a"],
+}
+
+
 def phonemize(word: str) -> typing.List[str]:
     """Italian word -> IPA with gruut's onset-position stress ids
     (the it-it voices' test_phonemes.csv put ˈ before the syllable's
     onset cluster: "vieni" -> ˈ v j ɛ n i, not v j ˈɛ n i)."""
+    if word.isupper() and word.isalpha() and 2 <= len(word) <= 6:
+        out: typing.List[str] = []
+        for ch in word.lower():
+            out.extend(_LETTER_NAMES.get(ch, []))
+        return out
     return shift_stress_to_onset(_phonemize_vowel_stress(word), VOWELS)

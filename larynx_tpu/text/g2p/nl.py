@@ -304,10 +304,27 @@ def _phonemize_vowel_stress(word: str) -> typing.List[str]:
     return stress_nth_vowel_from_end(phonemes, VOWELS, n=n, skippable=("ə",))
 
 
+# Dutch letter names (spell-out / ALL-CAPS initialisms), unstressed
+_LETTER_NAMES: typing.Dict[str, typing.List[str]] = {
+    "a": ["aː"], "b": ["b", "eː"], "c": ["s", "eː"], "d": ["d", "eː"],
+    "e": ["eː"], "f": ["ɛ", "f"], "g": ["ɣ", "eː"], "h": ["h", "aː"],
+    "i": ["i"], "j": ["j", "eː"], "k": ["k", "aː"], "l": ["ɛ", "l"],
+    "m": ["ɛ", "m"], "n": ["ɛ", "n"], "o": ["oː"], "p": ["p", "eː"],
+    "q": ["k", "yː"], "r": ["ɛ", "ɹ"], "s": ["ɛ", "s"],
+    "t": ["t", "eː"], "u": ["yː"], "v": ["v", "eː"], "w": ["w", "eː"],
+    "x": ["ɪ", "k", "s"], "y": ["ɛi"], "z": ["z", "ɛ", "t"],
+}
+
+
 def phonemize(word: str) -> typing.List[str]:
     """Dutch word -> IPA with gruut's onset-position stress ids (the nl
     voices' test_phonemes.csv put ˈ before the syllable onset:
     "prettige" -> ˈ p ɹ ɛ t ə ɣ ə, "alstublieft" -> ˌ ɑ l s t y ˈ b l i f t).
     Schwa syllables never take stress and are invisible to the penult
     count ("langzamer" ɑ-a-ə stresses ɑ)."""
+    if word.isupper() and word.isalpha() and 2 <= len(word) <= 6:
+        out: typing.List[str] = []
+        for ch in word.lower():
+            out.extend(_LETTER_NAMES.get(ch, []))
+        return out
     return shift_stress_to_onset(_phonemize_vowel_stress(word), VOWELS)

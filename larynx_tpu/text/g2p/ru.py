@@ -105,12 +105,38 @@ _PRICE_CONTEXT_NEXT = {
 }
 
 
+
+# Russian letter names (spell-out / ALL-CAPS initialisms like США, МГУ)
+_LETTER_NAMES: typing.Dict[str, typing.List[str]] = {
+    "а": ["aː"], "б": ["b", "eː"], "в": ["vʲ", "eː"], "г": ["ɡ", "eː"],
+    "д": ["dʲ", "eː"], "е": ["j", "eː"], "ё": ["j", "oː"],
+    "ж": ["ʐ", "eː"], "з": ["zʲ", "eː"], "и": ["iː"],
+    "й": ["iː", "k", "r", "aː", "t", "k", "o", "j", "e"],
+    "к": ["k", "aː"], "л": ["eː", "lʲ"], "м": ["eː", "m"],
+    "н": ["eː", "n"], "о": ["oː"], "п": ["p", "eː"], "р": ["eː", "r"],
+    "с": ["eː", "s"], "т": ["t", "eː"], "у": ["uː"], "ф": ["eː", "f"],
+    "х": ["x", "aː"], "ц": ["t͡s", "eː"], "ч": ["t͡ɕ", "eː"],
+    "ш": ["ʂ", "aː"], "щ": ["ɕː", "aː"], "э": ["eː"], "ю": ["j", "uː"],
+    "я": ["j", "aː"],
+}
+
+
 def phonemize(
     word: str, prev: str = "", nxt: str = ""
 ) -> typing.List[str]:
     w = word.lower().strip()
     if not w:
         return []
+    if (
+        word.isupper()
+        and word.isalpha()
+        and 2 <= len(word) <= 5
+        and all(ch in _LETTER_NAMES for ch in w)
+    ):
+        spelled: typing.List[str] = []
+        for ch in w:
+            spelled.extend(_LETTER_NAMES[ch])
+        return spelled
     out = _segments(w)
 
     vowel_idx = [k for k, p in enumerate(out) if p in _VOWEL_SYMBOLS]

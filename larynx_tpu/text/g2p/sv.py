@@ -275,10 +275,30 @@ def _with_accent2(w: str, phonemes: typing.List[str]) -> typing.List[str]:
     return phonemes
 
 
+
+# Swedish letter names (spell-out / ALL-CAPS initialisms), unstressed
+_LETTER_NAMES: typing.Dict[str, typing.List[str]] = {
+    "a": ["ɑː"], "b": ["b", "eː"], "c": ["s", "eː"], "d": ["d", "eː"],
+    "e": ["eː"], "f": ["ɛ", "f"], "g": ["ɡ", "eː"], "h": ["h", "oː"],
+    "i": ["iː"], "j": ["j", "iː"], "k": ["k", "oː"], "l": ["ɛ", "l"],
+    "m": ["ɛ", "m"], "n": ["ɛ", "n"], "o": ["uː"], "p": ["p", "eː"],
+    "q": ["k", "ʉː"], "r": ["ɛ", "r"], "s": ["ɛ", "s"],
+    "t": ["t", "eː"], "u": ["ʉː"], "v": ["v", "eː"],
+    "w": ["d", "ɵ", "b", "ə", "l", "v", "eː"], "x": ["ɛ", "k", "s"],
+    "y": ["yː"], "z": ["s", "ɛ", "t", "a"],
+    "å": ["oː"], "ä": ["ɛː"], "ö": ["øː"],
+}
+
+
 def phonemize(word: str) -> typing.List[str]:
     w = word.lower().strip()
     if not w:
         return []
+    if word.isupper() and word.isalpha() and 2 <= len(word) <= 6:
+        spelled: typing.List[str] = []
+        for ch in w:
+            spelled.extend(_LETTER_NAMES.get(ch, []))
+        return spelled
     # a written acute é marks the stressed (final) syllable in loanwords
     # (café, privé / idé, armé, kommitté) — override the penult default
     n = 1 if "é" in w else 2
