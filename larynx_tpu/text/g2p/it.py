@@ -312,7 +312,9 @@ def phonemize(word: str) -> typing.List[str]:
     """Italian word -> IPA with gruut's onset-position stress ids
     (the it-it voices' test_phonemes.csv put ˈ before the syllable's
     onset cluster: "vieni" -> ˈ v j ɛ n i, not v j ˈɛ n i)."""
-    if word.isupper() and word.isalpha() and 2 <= len(word) <= 6:
+    if word.isalpha() and (
+        (word.isupper() and 2 <= len(word) <= 6) or len(word) == 1
+    ) and all(c in _LETTER_NAMES for c in word.lower()):
         out: typing.List[str] = []
         for ch in word.lower():
             out.extend(_LETTER_NAMES.get(ch, []))

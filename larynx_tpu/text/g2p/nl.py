@@ -322,7 +322,9 @@ def phonemize(word: str) -> typing.List[str]:
     "prettige" -> ˈ p ɹ ɛ t ə ɣ ə, "alstublieft" -> ˌ ɑ l s t y ˈ b l i f t).
     Schwa syllables never take stress and are invisible to the penult
     count ("langzamer" ɑ-a-ə stresses ɑ)."""
-    if word.isupper() and word.isalpha() and 2 <= len(word) <= 6:
+    if word.isalpha() and (
+        (word.isupper() and 2 <= len(word) <= 6) or len(word) == 1
+    ) and all(c in _LETTER_NAMES for c in word.lower()):
         out: typing.List[str] = []
         for ch in word.lower():
             out.extend(_LETTER_NAMES.get(ch, []))

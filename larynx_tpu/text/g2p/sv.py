@@ -294,7 +294,12 @@ def phonemize(word: str) -> typing.List[str]:
     w = word.lower().strip()
     if not w:
         return []
-    if word.isupper() and word.isalpha() and 2 <= len(word) <= 6:
+    # single letters spell their names — except the one-letter words
+    # i (preposition), å (river), ö (island)
+    if word.isalpha() and (
+        (word.isupper() and 2 <= len(word) <= 6)
+        or (len(word) == 1 and w not in ("i", "å", "ö"))
+    ) and all(c in _LETTER_NAMES for c in w):
         spelled: typing.List[str] = []
         for ch in w:
             spelled.extend(_LETTER_NAMES.get(ch, []))
