@@ -324,7 +324,9 @@ def phonemize(word: str) -> typing.List[str]:
     count ("langzamer" ɑ-a-ə stresses ɑ)."""
     if word.isalpha() and (
         (word.isupper() and 2 <= len(word) <= 6) or len(word) == 1
-    ) and all(c in _LETTER_NAMES for c in word.lower()):
+    ) and word.lower() not in _EXCEPTIONS and all(
+        c in _LETTER_NAMES for c in word.lower()
+    ):
         out: typing.List[str] = []
         for ch in word.lower():
             out.extend(_LETTER_NAMES.get(ch, []))

@@ -299,7 +299,7 @@ def phonemize(word: str) -> typing.List[str]:
     if word.isalpha() and (
         (word.isupper() and 2 <= len(word) <= 6)
         or (len(word) == 1 and w not in ("i", "å", "ö"))
-    ) and all(c in _LETTER_NAMES for c in w):
+    ) and w not in _EXCEPTIONS and all(c in _LETTER_NAMES for c in w):
         spelled: typing.List[str] = []
         for ch in w:
             spelled.extend(_LETTER_NAMES.get(ch, []))
