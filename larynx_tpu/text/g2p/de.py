@@ -294,6 +294,9 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     "herren": ("h", "ɛ", "ʁ", "ə", "n"),
     "bahnhof": ("b", "aː", "n", "h", "oː", "f"),
     "daher": ("d", "a", "h", "eː", "ɐ"),
+    "doktor": ("d", "ɔ", "k", "t", "oː", "ɐ"),
+    "professor": ("p", "ʁ", "oː", "f", "ɛ", "s", "oː", "ɐ"),
+    "zirka": ("t͡s", "ɪ", "ʁ", "k", "a"),
     "dahin": ("d", "a", "h", "ɪ", "n"),
     "woher": ("v", "oː", "h", "eː", "ɐ"),
     "wohin": ("v", "oː", "h", "ɪ", "n"),

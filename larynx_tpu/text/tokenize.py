@@ -154,7 +154,7 @@ _ABBREV_EXPANSIONS: typing.Dict[str, typing.Dict[str, str]] = {
     },
     "de-de": {
         "dr": "Doktor", "prof": "Professor", "nr": "Nummer",
-        "ca": "circa", "usw": "und so weiter",
+        "ca": "zirka", "usw": "und so weiter",
         "bzw": "beziehungsweise",
     },
     "fr-fr": {
