@@ -7,7 +7,11 @@ l m n oË p pÍ¡f s t tÍ¡s tÍ¡Êƒ uË v x yË z Ã§ Å‹ Å“ É É” É”ÊÌ¯ É™ É› É›Ë É
 
 import typing
 
-from larynx_tpu.text.g2p.rules import apply_rules
+from larynx_tpu.text.g2p.rules import (
+    acronym_readable,
+    apply_rules,
+    spell_letters,
+)
 
 _BACK_VOWELS = "aouÃ¤Ã¶Ã¼"  # preceding vowel deciding ach- vs ich-Laut
 
@@ -411,13 +415,6 @@ _LETTER_NAMES: typing.Dict[str, typing.List[str]] = {
 }
 
 
-def _spell(w: str) -> typing.List[str]:
-    out: typing.List[str] = []
-    for ch in w:
-        out.extend(_LETTER_NAMES.get(ch, []))
-    return out
-
-
 # common words that appear fully capitalized for emphasis â€” never spell
 _CAPS_WORDS = frozenset("""
 ja so nun wie was wer wo ab an am im in zu um es er du wir ihr sie
@@ -426,16 +423,6 @@ neu gut alt nie nur
 """.split())
 
 
-def _acronym_readable(w: str) -> bool:
-    """A vowel in every 3-letter window -> read as a word (NATO, UNO)."""
-    if not any(c in _VOWEL_LETTERS for c in w):
-        return False
-    run = 0
-    for c in w:
-        run = 0 if c in _VOWEL_LETTERS else run + 1
-        if run >= 3:
-            return False
-    return w[-1] in _VOWEL_LETTERS or w[-2] in _VOWEL_LETTERS
 
 
 def phonemize(word: str) -> typing.List[str]:
@@ -451,11 +438,11 @@ def phonemize(word: str) -> typing.List[str]:
         and 2 <= len(word) <= 6
         and w not in _EXCEPTIONS
         and w not in _CAPS_WORDS
-        and ((len(w) <= 3 and w != "uno") or not _acronym_readable(w))
+        and ((len(w) <= 3 and w != "uno") or not acronym_readable(w, _VOWEL_LETTERS))
     ):
-        return _spell(w)
+        return spell_letters(w, _LETTER_NAMES)
     if len(w) == 1 and w.isalpha():
-        return _spell(w)  # spelled single letter
+        return spell_letters(w, _LETTER_NAMES)  # spelled single letter
     hit = _EXCEPTIONS.get(w)
     if hit is not None:
         return list(hit)

@@ -13,6 +13,8 @@ conventions; OOV words fall through to an ordered rule engine.
 import re
 import typing
 
+from larynx_tpu.text.g2p.rules import acronym_readable as _rules_acronym_readable
+
 # Lexicon: word -> space-separated phonemes (stress attached to the vowel).
 _LEXICON_RAW = """
 a ə
@@ -5342,21 +5344,6 @@ _PAST_CUES = {"have", "has", "had", "was", "were", "been", "already", "he",
               "she", "i've", "we've", "they've", "he's", "she's"}
 
 
-_ACR_VOWELS = set("aeiou")
-
-
-def _acronym_pronounceable(w: str) -> bool:
-    """Vowel in every 1-3 letter window -> readable as a word (nasa)."""
-    if not any(c in _ACR_VOWELS for c in w):
-        return False
-    run = 0
-    for c in w:
-        run = 0 if c in _ACR_VOWELS else run + 1
-        if run >= 3:
-            return False
-    return w[-1] in _ACR_VOWELS or w[-2] in _ACR_VOWELS
-
-
 def phonemize(word: str, prev: str = "", nxt: str = "") -> typing.List[str]:
     w = word.lower().strip()
     if not w:
@@ -5371,7 +5358,7 @@ def phonemize(word: str, prev: str = "", nxt: str = "") -> typing.List[str]:
         and word.isalpha()
         and 2 <= len(word) <= 6
         and w not in LEXICON
-        and (len(w) <= 3 or not _acronym_pronounceable(w))
+        and (len(w) <= 3 or not _rules_acronym_readable(w))
     ):
         out: typing.List[str] = []
         for ch in w:

@@ -13,7 +13,11 @@ segment choice (diphthong breaking in "día", glide keeping in "adiós").
 
 import typing
 
-from larynx_tpu.text.g2p.rules import apply_rules, apply_rules_span
+from larynx_tpu.text.g2p.rules import (
+    apply_rules,
+    apply_rules_span,
+    spell_letters,
+)
 
 VOWELS = {
     "a", "e", "i", "o", "u",
@@ -103,13 +107,6 @@ su al del hay fue onu otan
 """.split())
 
 
-def _spell(w: str) -> typing.List[str]:
-    out: typing.List[str] = []
-    for ch in w:
-        out.extend(_LETTER_NAMES.get(ch, []))
-    return out
-
-
 def phonemize(word: str) -> typing.List[str]:
     w = word.lower().strip()
     if not w:
@@ -122,9 +119,9 @@ def phonemize(word: str) -> typing.List[str]:
         and 2 <= len(word) <= 6
         and w not in _CAPS_WORDS
     ):
-        return _spell(w)
+        return spell_letters(w, _LETTER_NAMES)
     if len(w) == 1 and w.isalpha() and w not in ("a", "e", "o", "u", "y"):
-        return _spell(w)
+        return spell_letters(w, _LETTER_NAMES)
 
     # explicit accent marks the stressed vowel
     accent_pos = next((i for i, c in enumerate(w) if c in _ACCENTED), None)

@@ -16,7 +16,7 @@ pins 100+ hand-verified words.
 
 import typing
 
-from larynx_tpu.text.g2p.rules import apply_rules
+from larynx_tpu.text.g2p.rules import apply_rules, spell_letters
 
 VOWELS = {"a", "e", "i", "o", "u", "y", "ø", "œ", "œ̃", "ɑ̃", "ɔ", "ɔ̃", "ɛ", "ɛ̃"}
 
@@ -483,13 +483,6 @@ _LETTER_NAMES: typing.Dict[str, typing.List[str]] = {
 }
 
 
-def _spell(w: str) -> typing.List[str]:
-    out: typing.List[str] = []
-    for ch in w:
-        out.extend(_LETTER_NAMES.get(ch, []))
-    return out
-
-
 def phonemize(
     word: str, prev: str = "", nxt: str = ""
 ) -> typing.List[str]:
@@ -518,7 +511,7 @@ def phonemize(
         and w not in _EXCEPTIONS
         and w not in _ENT_VERB_FORMS
     ):
-        return _spell(w)
+        return spell_letters(w, _LETTER_NAMES)
     # single spelled letters — but never the real one-letter words
     # (à, a, y [i], ô)
     if (
@@ -527,7 +520,7 @@ def phonemize(
         and w not in _EXCEPTIONS
         and w not in ("a", "y")
     ):
-        return _spell(w)
+        return spell_letters(w, _LETTER_NAMES)
     sandhi = _sandhi(w, nxt)
     if sandhi is not None:
         return sandhi

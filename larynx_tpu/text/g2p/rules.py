@@ -116,6 +116,30 @@ def shift_stress_to_onset(
     return out
 
 
+def spell_letters(
+    w: str, letter_names: typing.Mapping[str, typing.List[str]]
+) -> typing.List[str]:
+    """Concatenate per-letter name pronunciations (initialisms/spell-out)."""
+    out: typing.List[str] = []
+    for ch in w:
+        out.extend(letter_names.get(ch, []))
+    return out
+
+
+def acronym_readable(w: str, vowels: str = "aeiou") -> bool:
+    """Heuristic: an ALL-CAPS token reads as a word (NASA, NATO) rather
+    than spelling letters when every <=3-letter window has a vowel and
+    it does not end in a 2+-consonant coda."""
+    if not any(c in vowels for c in w):
+        return False
+    run = 0
+    for c in w:
+        run = 0 if c in vowels else run + 1
+        if run >= 3:
+            return False
+    return w[-1] in vowels or w[-2] in vowels
+
+
 def apply_rules_span(
     word: str,
     start: int,

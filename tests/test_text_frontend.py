@@ -508,4 +508,4 @@ def test_abbreviation_expansion_no_midsentence_break():
     assert words_of("She said no.", "en-us")[-2:] == [
         ("word", "no"), ("major", "."),
     ]
-    assert ("word", "circa") in words_of("Das kostet ca. 10 Euro.", "de-de")
+    assert ("word", "zirka") in words_of("Das kostet ca. 10 Euro.", "de-de")
