@@ -10,6 +10,7 @@ import typing
 from larynx_tpu.text.g2p.rules import (
     apply_rules,
     shift_stress_to_onset,
+    spell_letters,
     stress_nth_vowel_from_end,
 )
 
@@ -327,8 +328,5 @@ def phonemize(word: str) -> typing.List[str]:
     ) and word.lower() not in _EXCEPTIONS and all(
         c in _LETTER_NAMES for c in word.lower()
     ):
-        out: typing.List[str] = []
-        for ch in word.lower():
-            out.extend(_LETTER_NAMES.get(ch, []))
-        return out
+        return spell_letters(word.lower(), _LETTER_NAMES)
     return shift_stress_to_onset(_phonemize_vowel_stress(word), VOWELS)

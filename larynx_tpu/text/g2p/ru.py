@@ -29,6 +29,7 @@ data):
 import typing
 
 from larynx_tpu.text.g2p.ru_stress import stress_index
+from larynx_tpu.text.g2p.rules import spell_letters
 
 _SOFT_VOWELS = {"е": "e", "ё": "o", "ю": "u", "я": "a", "и": "i"}
 _HARD_VOWELS = {"а": "a", "э": "e", "о": "o", "у": "u", "ы": "ɨ"}
@@ -133,10 +134,7 @@ def phonemize(
         and 2 <= len(word) <= 5
         and all(ch in _LETTER_NAMES for ch in w)
     ):
-        spelled: typing.List[str] = []
-        for ch in w:
-            spelled.extend(_LETTER_NAMES[ch])
-        return spelled
+        return spell_letters(w, _LETTER_NAMES)
     out = _segments(w)
 
     vowel_idx = [k for k, p in enumerate(out) if p in _VOWEL_SYMBOLS]

@@ -7,7 +7,11 @@ Long/short vowel choice follows the following-consonant-count heuristic.
 
 import typing
 
-from larynx_tpu.text.g2p.rules import apply_rules, stress_nth_vowel_from_end
+from larynx_tpu.text.g2p.rules import (
+    apply_rules,
+    spell_letters,
+    stress_nth_vowel_from_end,
+)
 
 VOWELS = {
     "a", "ɑː", "eː", "ɛ", "ɛː", "iː", "ɪ", "oː", "ɔ", "uː", "ʊ", "ʉː",
@@ -300,10 +304,7 @@ def phonemize(word: str) -> typing.List[str]:
         (word.isupper() and 2 <= len(word) <= 6)
         or (len(word) == 1 and w not in ("i", "å", "ö"))
     ) and w not in _EXCEPTIONS and all(c in _LETTER_NAMES for c in w):
-        spelled: typing.List[str] = []
-        for ch in w:
-            spelled.extend(_LETTER_NAMES.get(ch, []))
-        return spelled
+        return spell_letters(w, _LETTER_NAMES)
     # a written acute é marks the stressed (final) syllable in loanwords
     # (café, privé / idé, armé, kommitté) — override the penult default
     n = 1 if "é" in w else 2
