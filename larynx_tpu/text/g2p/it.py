@@ -7,6 +7,7 @@ s t t͡s t͡ʃ u v w z ŋ ɔ ɛ ɡ ɱ ɲ ʃ ʎ + ˈ ˌ.
 import typing
 
 from larynx_tpu.text.g2p.rules import (
+    acronym_readable,
     apply_rules,
     apply_rules_span,
     shift_stress_to_onset,
@@ -175,6 +176,10 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     "aereo": ("a", "ˈɛ", "r", "e", "o"),
     "aerei": ("a", "ˈɛ", "r", "e", "i"),
     "nord": ("n", "ˈɔ", "r", "d"),
+    # apocopated titles keep final stress (signor Verdi [siɲˈɲor])
+    "signor": ("s", "i", "ɲ", "ˈo", "r"),
+    "dottor": ("d", "o", "t", "t", "ˈo", "r"),
+    "professor": ("p", "r", "o", "f", "e", "s", "s", "ˈo", "r"),
     "sud": ("s", "ˈu", "d"),
 }
 
@@ -314,7 +319,12 @@ def phonemize(word: str) -> typing.List[str]:
     (the it-it voices' test_phonemes.csv put ˈ before the syllable's
     onset cluster: "vieni" -> ˈ v j ɛ n i, not v j ˈɛ n i)."""
     if word.isalpha() and (
-        (word.isupper() and 2 <= len(word) <= 6) or len(word) == 1
+        (
+            word.isupper()
+            and 2 <= len(word) <= 6
+            and (len(word) <= 3 or not acronym_readable(word.lower()))
+        )
+        or len(word) == 1
     ) and word.lower() not in _EXCEPTIONS and all(
         c in _LETTER_NAMES for c in word.lower()
     ):

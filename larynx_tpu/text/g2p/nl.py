@@ -185,6 +185,7 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     "rotterdam": ("ɹ", "ɔ", "t", "ə", "ɹ", "d", "ˈɑ", "m"),
     "bioscoop": ("b", "i", "ɔ", "s", "k", "ˈoː", "p"),
     "rivier": ("ɹ", "i", "v", "ˈi", "ɹ"),
+    "mevrouw": ("m", "ə", "v", "ɹ", "ˈɑu"),
     "hoeveel": ("h", "u", "v", "ˈeː", "l"),
     "vanavond": ("v", "ɑ", "n", "ˈaː", "v", "ɔ", "n", "t"),
     "vanochtend": ("v", "ɑ", "n", "ˈɔ", "x", "t", "ə", "n", "t"),

@@ -174,6 +174,7 @@ _ABBREV_EXPANSIONS: typing.Dict[str, typing.Dict[str, str]] = {
     },
     "sv-se": {
         "dr": "doktor", "nr": "nummer", "kr": "kronor",
+        "kl": "klockan",
     },
 }
 
