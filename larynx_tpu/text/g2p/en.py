@@ -4607,6 +4607,8 @@ _VOICELESS = {"p", "t", "k", "f", "θ", "s", "ʃ", "t͡ʃ", "h"}
 
 
 def _plural_phones(stem: typing.List[str]) -> typing.List[str]:
+    if not stem:
+        return []
     last = stem[-1].lstrip("ˈˌ")
     if last in _SIBILANTS:
         return stem + ["ə", "z"]
@@ -4616,6 +4618,8 @@ def _plural_phones(stem: typing.List[str]) -> typing.List[str]:
 
 
 def _past_phones(stem: typing.List[str]) -> typing.List[str]:
+    if not stem:
+        return []
     last = stem[-1].lstrip("ˈˌ")
     if last in {"t", "d"}:
         return stem + ["ə", "d"]
