@@ -4590,6 +4590,9 @@ launch l ˈɔ n t͡ʃ
 washington w ˈɑ ʃ ɪ ŋ t ə n
 approximately ə p ɹ ˈɑ k s ə m ə t l i
 approximate ə p ɹ ˈɑ k s ə m ə t
+refused ɹ ɪ f j ˈu z d
+refusing ɹ ɪ f j ˈu z ɪ ŋ
+rebels ɹ ˈɛ b ə l z
 video v ˈɪ d i oʊ
 data d ˈeɪ t ə
 server s ˈɚ v ɚ
