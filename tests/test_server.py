@@ -346,3 +346,32 @@ def test_api_stream_client_disconnect_frees_executor(app_client):
     loop.run_until_complete(all_workers_free())
     status, body = loop.run_until_complete(tts_ok())
     assert status == 200 and body[:4] == b"RIFF"
+
+
+def test_api_tts_ssml_say_as_and_lexicon(app_client):
+    """SSML through the HTTP API: say-as expansion and an inline
+    <lexicon>/<lookup> pronunciation survive the whole server path."""
+    client, loop = app_client
+    markup = (
+        "<speak>"
+        '<lexicon id="x"><lexeme><grapheme>larynx</grapheme>'
+        "<phoneme>l ˈɛ ɹ ɪ ŋ k s</phoneme></lexeme></lexicon>"
+        'Dr. Smith used <lookup ref="x">larynx</lookup> on '
+        '<say-as interpret-as="date" format="moy">4/1/2021</say-as>.'
+        "</speak>"
+    )
+    resp = loop.run_until_complete(
+        client.post(
+            "/api/tts",
+            params={
+                "voice": "en-us_test_voice-glow_tts",
+                "vocoder": "low",
+                "ssml": "true",
+            },
+            data=markup.encode("utf-8"),
+        )
+    )
+    assert resp.status == 200
+    body = loop.run_until_complete(resp.read())
+    rate, audio = wavfile.read(io.BytesIO(body))
+    assert rate == 22050 and audio.size > 1000
