@@ -7,6 +7,8 @@ local writer and feed them to the from-scratch parser.
 
 import struct
 
+import zlib
+
 import numpy as np
 import pytest
 
@@ -99,7 +101,9 @@ def make_onnx_bytes(initializers, nodes=()) -> bytes:
         attrs = node[3] if len(node) > 3 else None
         graph += _len_field(1, _node_proto(op, ins, outs, attrs))
     for name, array in initializers.items():
-        use_raw = hash(name) % 2 == 0  # exercise both encodings
+        # exercise both encodings — crc32, not hash(): PYTHONHASHSEED
+        # randomizes str hashes per process, making runs differ
+        use_raw = zlib.crc32(name.encode()) % 2 == 0
         if not use_raw and array.dtype != np.float32:
             use_raw = True
         graph += _len_field(5, _tensor_proto(name, array, use_raw))
