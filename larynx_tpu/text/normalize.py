@@ -749,6 +749,7 @@ def _time_to_words(hours: int, minutes: int, lang: str) -> typing.Optional[str]:
         return None
     h, mnt = to_words(hours), to_words(minutes)
     if lang == "de-de":
+        h = "ein" if hours == 1 else h  # ein Uhr, not eins Uhr
         return f"{h} Uhr" if minutes == 0 else f"{h} Uhr {mnt}"
     if lang == "nl":
         return f"{h} uur" if minutes == 0 else f"{h} uur {mnt}"

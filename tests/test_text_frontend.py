@@ -509,3 +509,26 @@ def test_abbreviation_expansion_no_midsentence_break():
         ("word", "no"), ("major", "."),
     ]
     assert ("word", "zirka") in words_of("Das kostet ca. 10 Euro.", "de-de")
+
+
+def test_clock_time_matrix_all_languages():
+    """Per-language h:mm readings (o'clock/oh, Uhr, heures, y/e, noll,
+    ноль, saa ... na dakika)."""
+    from larynx_tpu.text.normalize import _time_to_words as t
+
+    assert t(7, 0, "en-us") == "seven o'clock"
+    assert t(7, 5, "en-us") == "seven oh five"
+    assert t(7, 30, "de-de") == "sieben Uhr dreißig"
+    assert t(1, 30, "de-de") == "ein Uhr dreißig"
+    assert t(7, 0, "fr-fr") == "sept heures"
+    assert t(1, 30, "fr-fr") == "une heure trente"
+    assert t(8, 30, "es-es") == "ocho y treinta"
+    assert t(7, 0, "es-es") == "siete en punto"
+    assert t(9, 30, "it-it") == "nove e trenta"
+    assert t(8, 45, "nl") == "acht uur vijfenveertig"
+    assert t(7, 5, "ru-ru") == "семь ноль пять"
+    assert t(7, 0, "ru-ru") == "семь часов"
+    assert t(2, 0, "ru-ru") == "два часа"
+    assert t(7, 0, "sv-se") == "klockan sju"
+    assert t(7, 5, "sv-se") == "sju noll fem"
+    assert t(7, 30, "sw") == "saa saba na dakika thelathini"
