@@ -279,6 +279,8 @@ _NL_TENS = [
 def nl_number_to_words(n: int) -> str:
     if n < 0:
         return "min " + nl_number_to_words(-n)
+    if n == 1:
+        return "één"  # the numeral; bare "een" reads as the article [ən]
     if n < 20:
         return _NL_ONES[n]
     if n < 100:

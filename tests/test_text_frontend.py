@@ -475,7 +475,7 @@ def test_cardinal_matrix_all_languages():
                   80: "quatre-vingts", 91: "quatre-vingt-onze"},
         "it-it": {21: "ventuno", 71: "settantuno", 101: "centouno"},
         "nl": {21: "eenentwintig", 71: "eenenzeventig",
-               101: "honderdeen"},
+               101: "honderdéén"},
         "ru-ru": {21: "двадцать один", 71: "семьдесят один",
                   101: "сто один"},
         "sv-se": {21: "tjugoett", 71: "sjuttioett",
