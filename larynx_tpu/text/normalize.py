@@ -593,18 +593,29 @@ _DECIMAL_POINT = {
 }
 
 _CURRENCY = {
-    "$": {"en-us": "dollars"},
+    "$": {
+        "en-us": "dollars", "de-de": "Dollar", "es-es": "dólares",
+        "fr-fr": "dollars", "it-it": "dollari", "nl": "dollar",
+        "ru-ru": "долларов", "sv-se": "dollar", "sw": "dola",
+    },
     "€": {
         "en-us": "euros", "de-de": "Euro", "es-es": "euros",
         "fr-fr": "euros", "it-it": "euro", "nl": "euro",
+        "ru-ru": "евро", "sv-se": "euro", "sw": "euro",
     },
-    "£": {"en-us": "pounds"},
+    "£": {
+        "en-us": "pounds", "de-de": "Pfund", "es-es": "libras",
+        "fr-fr": "livres", "it-it": "sterline", "nl": "pond",
+        "ru-ru": "фунтов", "sv-se": "pund", "sw": "pauni",
+    },
 }
 
 _ORDINAL_RE = re.compile(r"^(\d+)(st|nd|rd|th)$", re.IGNORECASE)
 _YEAR_RE = re.compile(r"^[12]\d{3}$")
 _NUMBER_RE = re.compile(r"^-?\d{1,3}(?:[,.]\d{3})*(?:[.,]\d+)?$|^-?\d+(?:[.,]\d+)?$")
 _CURRENCY_RE = re.compile(r"^([$€£])(\d+(?:[.,]\d+)?)$")
+# European suffix notation: 5€, 3,50€
+_CURRENCY_SUFFIX_RE = re.compile(r"^(\d+(?:[.,]\d+)?)([$€£])$")
 _TIME_RE = re.compile(r"^(\d{1,2}):(\d{2})$")
 
 
@@ -709,9 +720,26 @@ def normalize_token(token: str, lang: str = "en-us") -> typing.Optional[str]:
             return _YEAR_TO_WORDS[lang](int(token))
 
     m = _CURRENCY_RE.match(token)
-    if m:
+    if not m:
+        sm = _CURRENCY_SUFFIX_RE.match(token)
+        if sm:
+            m = sm
+            amount, symbol = sm.groups()
+        else:
+            amount = symbol = None
+    else:
         symbol, amount = m.groups()
+    if m:
         unit = _CURRENCY.get(symbol, {}).get(lang)
+        cents_m = re.match(r"^(\d+)[.,](\d{1,2})$", amount)
+        if cents_m and unit:
+            # money reading: $3.50 -> three dollars fifty cents,
+            # 3,50 € -> drei Euro fünfzig
+            to_words = NUMBER_TO_WORDS.get(lang, en_number_to_words)
+            whole = to_words(int(cents_m.group(1)))
+            cents = to_words(int(cents_m.group(2)))
+            tail = f"{cents} cents" if lang == "en-us" else cents
+            return f"{whole} {unit} {tail}"
         spelled = _spell_number(amount, lang)
         if spelled is not None:
             return f"{spelled} {unit}" if unit else spelled

@@ -69,7 +69,7 @@ def _token_re(lang: str) -> "re.Pattern[str]":
     return re.compile(
         r"\d+_[a-z]+"  # interpretation markers: 22_ordinal, 1963_year
         + (rf"|{ordinal}" if ordinal else "")
-        + r"|[$€£]?\d+(?::\d{2})?(?:[.,]\d+)*(?:st|nd|rd|th)?"  # numbers
+        + r"|[$€£]?\d+(?::\d{2})?(?:[.,]\d+)*[$€£]?(?:st|nd|rd|th)?"  # numbers
         r"|[\w']+(?:[-'’][\w']+)*"  # words incl. apostrophes/hyphens
         r"|[^\w\s]",  # any single punctuation char
         re.UNICODE,
@@ -195,6 +195,24 @@ def words_of(
     """
     out: typing.List[typing.Tuple[str, str]] = []
     tokens = tokenize(sentence, lang)
+    # standalone currency symbols attach to the neighboring number
+    # ("5 €" / "€ 5" -> one 5€ token for normalize)
+    if any(t in ("$", "€", "£") for t in tokens):
+        merged: typing.List[str] = []
+        k = 0
+        while k < len(tokens):
+            t = tokens[k]
+            nxt_tok = tokens[k + 1] if k + 1 < len(tokens) else ""
+            if t in ("$", "€", "£") and nxt_tok[:1].isdigit():
+                merged.append(t + nxt_tok)
+                k += 2
+            elif t[:1].isdigit() and nxt_tok in ("$", "€", "£"):
+                merged.append(t + nxt_tok)
+                k += 2
+            else:
+                merged.append(t)
+                k += 1
+        tokens = merged
     abbrevs = _ABBREV_EXPANSIONS.get(lang)
     if abbrevs:
         expanded_tokens: typing.List[str] = []

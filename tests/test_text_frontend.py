@@ -532,3 +532,22 @@ def test_clock_time_matrix_all_languages():
     assert t(7, 0, "sv-se") == "klockan sju"
     assert t(7, 5, "sv-se") == "sju noll fem"
     assert t(7, 30, "sw") == "saa saba na dakika thelathini"
+
+
+def test_currency_suffix_and_cents():
+    """European suffix notation (5€, 3,50 €, € 5) and money-style decimal
+    reading (dollars + cents, not "point five zero")."""
+    from larynx_tpu.text.tokenize import words_of
+
+    def w(text, lang):
+        return [t for k, t in words_of(text, lang) if k == "word"]
+
+    assert w("Das kostet 5€.", "de-de") == ["Das", "kostet", "fünf", "Euro"]
+    assert w("Das kostet 5 €.", "de-de") == ["Das", "kostet", "fünf", "Euro"]
+    assert w("coûte 10 €", "fr-fr") == ["coûte", "dix", "euros"]
+    assert w("стоит 100 €", "ru-ru") == ["стоит", "сто", "евро"]
+    assert w("costs $3.50", "en-us") == [
+        "costs", "three", "dollars", "fifty", "cents",
+    ]
+    assert w("kostet 3,50€", "de-de") == ["kostet", "drei", "Euro", "fünfzig"]
+    assert w("costs $100", "en-us") == ["costs", "one", "hundred", "dollars"]
