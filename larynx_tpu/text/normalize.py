@@ -610,6 +610,12 @@ _CURRENCY = {
     },
 }
 
+_PERCENT = {
+    "en-us": "percent", "de-de": "Prozent", "fr-fr": "pour cent",
+    "es-es": "por ciento", "it-it": "per cento", "nl": "procent",
+    "ru-ru": "процентов", "sv-se": "procent", "sw": "asilimia",
+}
+
 _ORDINAL_RE = re.compile(r"^(\d+)(st|nd|rd|th)$", re.IGNORECASE)
 _YEAR_RE = re.compile(r"^[12]\d{3}$")
 _NUMBER_RE = re.compile(r"^-?\d{1,3}(?:[,.]\d{3})*(?:[.,]\d+)?$|^-?\d+(?:[.,]\d+)?$")
@@ -718,6 +724,15 @@ def normalize_token(token: str, lang: str = "en-us") -> typing.Optional[str]:
         # (de neunzehnhundert..., nl negentienhonderd..., sv nittonhundra...)
         if lang in _YEAR_TO_WORDS and _YEAR_RE.match(token):
             return _YEAR_TO_WORDS[lang](int(token))
+
+    pm = re.match(r"^(\d+(?:[.,]\d+)?)%$", token)
+    if pm:
+        spelled = _spell_number(pm.group(1), lang)
+        if spelled is not None:
+            unit = _PERCENT.get(lang, "percent")
+            if lang == "sw":
+                return f"{unit} {spelled}"  # asilimia tatu
+            return f"{spelled} {unit}"
 
     m = _CURRENCY_RE.match(token)
     if not m:

@@ -69,7 +69,7 @@ def _token_re(lang: str) -> "re.Pattern[str]":
     return re.compile(
         r"\d+_[a-z]+"  # interpretation markers: 22_ordinal, 1963_year
         + (rf"|{ordinal}" if ordinal else "")
-        + r"|[$€£]?\d+(?::\d{2})?(?:[.,]\d+)*[$€£]?(?:st|nd|rd|th)?"  # numbers
+        + r"|[$€£]?\d+(?::\d{2})?(?:[.,]\d+)*[$€£%]?(?:st|nd|rd|th)?"  # numbers
         r"|[\w']+(?:[-'’][\w']+)*"  # words incl. apostrophes/hyphens
         r"|[^\w\s]",  # any single punctuation char
         re.UNICODE,
@@ -197,7 +197,7 @@ def words_of(
     tokens = tokenize(sentence, lang)
     # standalone currency symbols attach to the neighboring number
     # ("5 €" / "€ 5" -> one 5€ token for normalize)
-    if any(t in ("$", "€", "£") for t in tokens):
+    if any(t in ("$", "€", "£", "%") for t in tokens):
         merged: typing.List[str] = []
         k = 0
         while k < len(tokens):
@@ -206,7 +206,7 @@ def words_of(
             if t in ("$", "€", "£") and nxt_tok[:1].isdigit():
                 merged.append(t + nxt_tok)
                 k += 2
-            elif t[:1].isdigit() and nxt_tok in ("$", "€", "£"):
+            elif t[:1].isdigit() and nxt_tok in ("$", "€", "£", "%"):
                 merged.append(t + nxt_tok)
                 k += 2
             else:

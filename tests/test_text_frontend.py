@@ -551,3 +551,17 @@ def test_currency_suffix_and_cents():
     ]
     assert w("kostet 3,50€", "de-de") == ["kostet", "drei", "Euro", "fünfzig"]
     assert w("costs $100", "en-us") == ["costs", "one", "hundred", "dollars"]
+
+
+def test_percent_sign_all_languages():
+    from larynx_tpu.text.tokenize import words_of
+
+    def w(text, lang):
+        return [t for k, t in words_of(text, lang) if k == "word"]
+
+    assert w("rose by 42%", "en-us") == ["rose", "by", "forty", "two",
+                                         "percent"]
+    assert w("um 3,5 %", "de-de") == ["um", "drei", "Komma", "fünf",
+                                      "Prozent"]
+    assert w("на 20 %", "ru-ru") == ["на", "двадцать", "процентов"]
+    assert w("ilipanda 3%", "sw") == ["ilipanda", "asilimia", "tatu"]
