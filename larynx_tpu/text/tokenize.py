@@ -240,17 +240,23 @@ def words_of(
                 expanded_tokens.append(t)
                 k += 1
         tokens = expanded_tokens
-    # "7:30 Uhr" / "7:30 uur": the clock word is already part of the
-    # spoken time expansion ("sieben Uhr dreißig") — drop the written one
-    clock_word = {"de-de": "uhr", "nl": "uur"}.get(lang)
+    # "7:30 Uhr" / "saa 4:30": the clock word is already part of the
+    # spoken time expansion ("sieben Uhr dreißig", "saa nne ...") —
+    # drop the written one next to an h:mm token (after it in de/nl,
+    # before it in sw)
+    clock_word = {"de-de": "uhr", "nl": "uur", "sw": "saa"}.get(lang)
     if clock_word:
+        def _is_time(k):
+            return 0 <= k < len(tokens) and re.match(
+                r"^\d{1,2}:\d{2}$", tokens[k]
+            )
+
         tokens = [
             t
             for k, t in enumerate(tokens)
             if not (
                 t.lower() == clock_word
-                and k > 0
-                and re.match(r"^\d{1,2}:\d{2}$", tokens[k - 1])
+                and (_is_time(k - 1) or _is_time(k + 1))
             )
         ]
     for token in tokens:
