@@ -33,16 +33,21 @@ def _phonemize_words(
         elif kind == "major":
             words.append(Word(text=token, phonemes=[MAJOR_BREAK], is_break=True))
         elif ssml_lexicon and token.lower() in ssml_lexicon:
-            # inline <lexicon>/<lookup> pronunciation wins over G2P
-            words.append(
-                Word(text=token, phonemes=list(ssml_lexicon[token.lower()]))
-            )
+            # inline <lexicon>/<lookup> pronunciation wins over G2P;
+            # the role-less entry is the default (roles select via
+            # <w role> in ssml.py)
+            entry = ssml_lexicon[token.lower()]
+            phones = entry.get("") or next(iter(entry.values()))
+            words.append(Word(text=token, phonemes=list(phones)))
             word_idx += 1
         elif spell_out:
+            # letter-name spelling (the gruut:letter role: "a" is /eɪ/,
+            # not the article)
+            names = getattr(phonemize, "letter_names", None)
             for ch in token:
-                phonemes = phonemize(ch)
+                phonemes = (names or {}).get(ch.lower()) or phonemize(ch)
                 if phonemes:
-                    words.append(Word(text=ch, phonemes=phonemes))
+                    words.append(Word(text=ch, phonemes=list(phonemes)))
             word_idx += 1
         else:
             if context_aware:
@@ -111,14 +116,15 @@ def _ssml_sentences(text: str, lang: str) -> typing.List[Sentence]:
     # ordered segment contents: text chunks interleaved with explicit
     # <phoneme> Words — order matters ("I say <phoneme...> loudly" must
     # not move the phoneme word to the segment end)
-    # text items carry their own <lookup> lexicon so a scope change
-    # mid-sentence does not force a sentence split
+    # text items carry their own <lookup> lexicon and spell-out flag
+    # so a scope change mid-sentence does not force a sentence split
     segment_items: typing.List[
-        typing.Union[typing.Tuple[str, typing.Optional[dict]], Word]
+        typing.Union[
+            typing.Tuple[str, typing.Optional[dict], bool], Word
+        ]
     ] = []
     segment_voice = ""
     segment_lang = lang
-    segment_spell = False
 
     def segment_nonempty() -> bool:
         return any(
@@ -151,7 +157,7 @@ def _ssml_sentences(text: str, lang: str) -> typing.List[Sentence]:
                 open_words.append(item)
                 open_text.append(item.text)
                 continue
-            chunk, chunk_lexicon = item
+            chunk, chunk_lexicon, chunk_spell = item
             if not chunk.strip():
                 continue
             raws = split_sentences(chunk, seg_lang)
@@ -160,7 +166,7 @@ def _ssml_sentences(text: str, lang: str) -> typing.List[Sentence]:
                     _phonemize_words(
                         words_of(raw, seg_lang),
                         seg_lang,
-                        segment_spell,
+                        chunk_spell,
                         chunk_lexicon,
                     )
                 )
@@ -192,13 +198,13 @@ def _ssml_sentences(text: str, lang: str) -> typing.List[Sentence]:
             if (
                 event.voice != segment_voice
                 or (event.lang or lang) != segment_lang
-                or event.spell_out != segment_spell
             ) and segment_nonempty():
                 out.extend(flush())
             segment_voice = event.voice
             segment_lang = event.lang or lang
-            segment_spell = event.spell_out
-            segment_items.append((event.text, event.lexicon))
+            segment_items.append(
+                (event.text, event.lexicon, event.spell_out)
+            )
         elif isinstance(event, ssml_mod.PhonemesEvent):
             segment_voice = event.voice or segment_voice
             segment_lang = event.lang or segment_lang

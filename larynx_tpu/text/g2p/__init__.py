@@ -51,6 +51,7 @@ def get_phonemizer(lang: str) -> Phonemizer:
 
     lexicon = LEXICONS.get(lang)
     base = mod.phonemize
+    letter_names = getattr(mod, "_LETTER_NAMES", None)
     base_ctx = getattr(base, "context_aware", False)
     if lexicon:
 
@@ -68,5 +69,7 @@ def get_phonemizer(lang: str) -> Phonemizer:
     else:
         phonemize = base
 
+    if letter_names is not None:
+        phonemize.letter_names = letter_names  # type: ignore[attr-defined]
     _CACHE[lang] = phonemize
     return phonemize

@@ -93,43 +93,50 @@ def parse_ssml(markup: str, default_lang: str = "") -> typing.List[Event]:
 
     lexicons = _collect_lexicons(root)
     events: typing.List[Event] = []
-    _walk(root, "", default_lang, False, None, lexicons, events)
+    # an id-less <lexicon> is active document-wide without <lookup>
+    _walk(
+        root, "", default_lang, False, lexicons.get(""), lexicons, events
+    )
     return events
 
 
-def _collect_lexicons(
-    root: ET.Element,
-) -> typing.Dict[str, typing.Dict[str, typing.List[str]]]:
+# An inline lexicon maps word -> {role: phonemes}; "" is the role-less
+# default entry.
+Lexicon = typing.Dict[str, typing.Dict[str, typing.List[str]]]
+
+
+def _collect_lexicons(root: ET.Element) -> typing.Dict[str, Lexicon]:
     """Gather <lexicon id> inline pronunciation lexicons.
 
     Reference contract (README "SSML"): one or more <lexeme> children,
-    each with <grapheme> word text and <phoneme> whitespace-separated
-    phonemes.  Grapheme roles are accepted but not used to disambiguate
-    (we have no POS tagger); the last role's entry wins.
+    each with <grapheme role=...> word text and <phoneme>
+    whitespace-separated phonemes.  An id-less <lexicon> becomes the
+    DOCUMENT lexicon (key ""), active without any <lookup> — gruut's
+    "override the pronunciation of any word in the document".
     """
-    out: typing.Dict[str, typing.Dict[str, typing.List[str]]] = {}
+    out: typing.Dict[str, Lexicon] = {}
     for elem in root.iter():
         if _strip_ns(elem.tag) != "lexicon":
             continue
         lex_id = _attr(elem, "id") or ""
-        entries: typing.Dict[str, typing.List[str]] = {}
+        entries = out.setdefault(lex_id, {})
         for lexeme in elem:
             if _strip_ns(lexeme.tag) != "lexeme":
                 continue
-            graphemes: typing.List[str] = []
+            graphemes: typing.List[typing.Tuple[str, str]] = []
             phonemes: typing.List[str] = []
             for child in lexeme:
                 ctag = _strip_ns(child.tag)
                 ctext = "".join(child.itertext()).strip()
                 if ctag == "grapheme" and ctext:
-                    graphemes.append(ctext.lower())
+                    graphemes.append(
+                        (ctext.lower(), _attr(child, "role") or "")
+                    )
                 elif ctag == "phoneme" and ctext:
                     phonemes = ctext.split()
-            for g in graphemes:
+            for g, role in graphemes:
                 if phonemes:
-                    entries[g] = phonemes
-        if lex_id:
-            out[lex_id] = entries
+                    entries.setdefault(g, {})[role] = phonemes
     return out
 
 
@@ -215,6 +222,24 @@ def _walk(
         return
     elif tag == "w":
         lang = elem_lang
+        role = _attr(elem, "role") or ""
+        if role:
+            word_text = "".join(elem.itertext()).strip()
+            if role == "gruut:letter":
+                _emit_text(events, word_text, voice, lang, True, lookup)
+                return
+            entry = (lookup or {}).get(word_text.lower(), {})
+            phones = entry.get(role)
+            if phones:
+                events.append(
+                    PhonemesEvent(
+                        text=word_text,
+                        phonemes=list(phones),
+                        voice=voice,
+                        lang=lang,
+                    )
+                )
+                return
 
     _emit_text(events, elem.text, voice, lang, spell_out, lookup)
     for child in elem:

@@ -565,3 +565,43 @@ def test_percent_sign_all_languages():
                                       "Prozent"]
     assert w("на 20 %", "ru-ru") == ["на", "двадцать", "процентов"]
     assert w("ilipanda 3%", "sw") == ["ilipanda", "asilimia", "tatu"]
+
+
+def test_ssml_word_roles_and_document_lexicon():
+    """The reference README's tomato example verbatim: default lexicon
+    outside lookup, role-less inline entry inside, role-keyed entry via
+    <w role>; an id-less <lexicon> overrides document-wide; the
+    gruut:letter role spells letter names inline without splitting the
+    sentence."""
+    m = (
+        '<speak><lexicon id="test">'
+        "<lexeme><grapheme>tomato</grapheme>"
+        "<phoneme>t ə m ˈɑ t oʊ</phoneme></lexeme>"
+        '<lexeme><grapheme role="fake-role">tomato</grapheme>'
+        "<phoneme>t ə m ˈi t oʊ</phoneme></lexeme>"
+        "</lexicon><w>tomato</w> "
+        '<lookup ref="test"><w>tomato</w> '
+        '<w role="fake-role">tomato</w></lookup></speak>'
+    )
+    words = [
+        (w.text, w.phonemes)
+        for s in sentences(m, "en-us", ssml=True)
+        for w in s.words
+    ]
+    assert [p[3] for _, p in words] == ["ˈeɪ", "ˈɑ", "ˈi"]
+
+    m2 = (
+        "<speak><lexicon><lexeme><grapheme>larynx</grapheme>"
+        "<phoneme>l ˈɛ ɹ ɪ ŋ k s</phoneme></lexeme></lexicon>"
+        "The larynx works.</speak>"
+    )
+    sents = list(sentences(m2, "en-us", ssml=True))
+    by_text = {w.text: w.phonemes for s in sents for w in s.words}
+    assert by_text["larynx"] == ["l", "ˈɛ", "ɹ", "ɪ", "ŋ", "k", "s"]
+
+    m3 = '<speak>Spell <say-as interpret-as="spell-out">ab</say-as> now.</speak>'
+    sents = list(sentences(m3, "en-us", ssml=True))
+    assert len(sents) == 1  # spell-out no longer splits the sentence
+    texts = [w.text for w in sents[0].words if not w.is_break]
+    assert texts == ["Spell", "a", "b", "now"]
+    assert sents[0].words[1].phonemes == ["ˈeɪ"]  # letter name, not the article
