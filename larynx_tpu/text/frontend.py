@@ -157,10 +157,14 @@ def _ssml_sentences(text: str, lang: str) -> typing.List[Sentence]:
                 open_words.append(item)
                 open_text.append(item.text)
                 continue
-            chunk, chunk_lexicon, chunk_spell = item
+            chunk, chunk_lexicon, chunk_spell, chunk_no_split = item
             if not chunk.strip():
                 continue
-            raws = split_sentences(chunk, seg_lang)
+            raws = (
+                [chunk.strip()]
+                if chunk_no_split
+                else split_sentences(chunk, seg_lang)
+            )
             for i, raw in enumerate(raws):
                 open_words.extend(
                     _phonemize_words(
@@ -171,7 +175,9 @@ def _ssml_sentences(text: str, lang: str) -> typing.List[Sentence]:
                     )
                 )
                 open_text.append(raw)
-                if i < len(raws) - 1 or raw.rstrip()[-1:] in ".!?…。":
+                if not chunk_no_split and (
+                    i < len(raws) - 1 or raw.rstrip()[-1:] in ".!?…。"
+                ):
                     close()  # chunk completed this sentence
         close()
 
@@ -203,7 +209,8 @@ def _ssml_sentences(text: str, lang: str) -> typing.List[Sentence]:
             segment_voice = event.voice
             segment_lang = event.lang or lang
             segment_items.append(
-                (event.text, event.lexicon, event.spell_out)
+                (event.text, event.lexicon, event.spell_out,
+                 event.no_split)
             )
         elif isinstance(event, ssml_mod.PhonemesEvent):
             segment_voice = event.voice or segment_voice

@@ -19,8 +19,10 @@ class TextEvent:
     voice: str = ""
     lang: str = ""
     spell_out: bool = False
-    # active <lookup ref> inline lexicon: word -> phoneme list
-    lexicon: typing.Optional[typing.Dict[str, typing.List[str]]] = None
+    # active <lookup ref> inline lexicon: word -> {role: phonemes}
+    lexicon: typing.Optional[dict] = None
+    # inside <s>: automatic sentence re-splitting is disabled
+    no_split: bool = False
 
 
 @dataclass
@@ -147,12 +149,13 @@ def _emit_text(
     lang,
     spell,
     lexicon=None,
+    no_split=False,
 ):
     if text and text.strip():
         events.append(
             TextEvent(
                 text=text, voice=voice, lang=lang, spell_out=spell,
-                lexicon=lexicon,
+                lexicon=lexicon, no_split=no_split,
             )
         )
 
@@ -162,9 +165,10 @@ def _walk(
     voice: str,
     lang: str,
     spell_out: bool,
-    lookup: typing.Optional[typing.Dict[str, typing.List[str]]],
-    lexicons: typing.Dict[str, typing.Dict[str, typing.List[str]]],
+    lookup: typing.Optional[Lexicon],
+    lexicons: typing.Dict[str, Lexicon],
     events: typing.List[Event],
+    no_split: bool = False,
 ) -> None:
     tag = _strip_ns(elem.tag)
 
@@ -177,6 +181,8 @@ def _walk(
     elif tag in ("p", "s"):
         events.append(BoundaryEvent())
         lang = elem_lang
+        if tag == "s":
+            no_split = True  # <s> content stays ONE sentence
     elif tag == "break":
         events.append(BreakEvent(parse_time_ms(_attr(elem, "time"))))
         return
@@ -241,10 +247,17 @@ def _walk(
                 )
                 return
 
-    _emit_text(events, elem.text, voice, lang, spell_out, lookup)
+    _emit_text(
+        events, elem.text, voice, lang, spell_out, lookup, no_split
+    )
     for child in elem:
-        _walk(child, voice, lang, spell_out, lookup, lexicons, events)
-        _emit_text(events, child.tail, voice, lang, spell_out, lookup)
+        _walk(
+            child, voice, lang, spell_out, lookup, lexicons, events,
+            no_split,
+        )
+        _emit_text(
+            events, child.tail, voice, lang, spell_out, lookup, no_split
+        )
 
     if tag in ("p", "s"):
         events.append(BoundaryEvent())

@@ -605,3 +605,15 @@ def test_ssml_word_roles_and_document_lexicon():
     texts = [w.text for w in sents[0].words if not w.is_break]
     assert texts == ["Spell", "a", "b", "now"]
     assert sents[0].words[1].phonemes == ["ˈeɪ"]  # letter name, not the article
+
+
+def test_ssml_s_disables_sentence_splitting():
+    """<s> content stays one sentence even with interior periods
+    (reference README: "<s> - sentence (disables automatic sentence
+    breaking)"); plain text still splits."""
+    m = "<speak><s>One thing. Another thing.</s><s>Separate.</s></speak>"
+    sents = list(sentences(m, "en-us", ssml=True))
+    assert len(sents) == 2
+    assert [w.text for w in sents[0].words if not w.is_break] == [
+        "One", "thing", "Another", "thing",
+    ]
