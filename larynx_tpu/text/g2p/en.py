@@ -5243,7 +5243,7 @@ _HOMOGRAPHS: typing.Dict[str, typing.Tuple[typing.List[str], typing.List[str]]] 
 }
 
 # homographs whose cue-less default is the VERB column
-_VERB_DEFAULT = frozenset({"lives"})
+_VERB_DEFAULT = frozenset({"lives", "recall"})
 
 _HOMOGRAPHS_TAIL = {
     "wind": (["w", "ˈɪ", "n", "d"], ["w", "ˈaɪ", "n", "d"]),
@@ -5315,6 +5315,24 @@ _HOMOGRAPHS_TAIL = {
              ["ɪ", "s", "k", "ˈɔ", "ɹ", "t"]),
     "extract": (["ˈɛ", "k", "s", "t", "ɹ", "æ", "k", "t"],
              ["ɪ", "k", "s", "t", "ɹ", "ˈæ", "k", "t"]),
+    "minute": (["m", "ˈɪ", "n", "ə", "t"],
+             ["m", "aɪ", "n", "ˈu", "t"]),
+    "console": (["k", "ˈɑ", "n", "s", "oʊ", "l"],
+             ["k", "ə", "n", "s", "ˈoʊ", "l"]),
+    "digest": (["d", "ˈaɪ", "d͡ʒ", "ɛ", "s", "t"],
+             ["d", "aɪ", "d͡ʒ", "ˈɛ", "s", "t"]),
+    "exploit": (["ˈɛ", "k", "s", "p", "l", "ɔɪ", "t"],
+             ["ɪ", "k", "s", "p", "l", "ˈɔɪ", "t"]),
+    "update": (["ˈʌ", "p", "d", "ˌeɪ", "t"],
+             ["ʌ", "p", "d", "ˈeɪ", "t"]),
+    "recall": (["ɹ", "ˈi", "k", "ɔ", "l"],
+             ["ɹ", "ɪ", "k", "ˈɔ", "l"]),
+    "addict": (["ˈæ", "d", "ɪ", "k", "t"],
+             ["ə", "d", "ˈɪ", "k", "t"]),
+    "intern": (["ˈɪ", "n", "t", "ɚ", "n"],
+             ["ɪ", "n", "t", "ˈɚ", "n"]),
+    "implant": (["ˈɪ", "m", "p", "l", "æ", "n", "t"],
+             ["ɪ", "m", "p", "l", "ˈæ", "n", "t"]),
     "refund": (["ɹ", "ˈi", "f", "ʌ", "n", "d"],
              ["ɹ", "ɪ", "f", "ˈʌ", "n", "d"]),
     "reject": (["ɹ", "ˈi", "d͡ʒ", "ɛ", "k", "t"],
