@@ -2181,6 +2181,14 @@ dare d ˈɛ ɹ
 darkness d ˈɑ ɹ k n ə s
 dash d ˈæ ʃ
 database d ˈeɪ t ə b ˌeɪ s
+gnome n ˈoʊ m
+gnat n ˈæ t
+gnaw n ˈɔ
+diet d ˈaɪ ə t
+dial d ˈaɪ ə l
+quiet k w ˈaɪ ə t
+poem p ˈoʊ ə m
+poet p ˈoʊ ə t
 dawn d ˈɔ n
 deaf d ˈɛ f
 dealer d ˈi l ɚ
@@ -4597,6 +4605,14 @@ video v ˈɪ d i oʊ
 data d ˈeɪ t ə
 server s ˈɚ v ɚ
 database d ˈeɪ t ə b ˌeɪ s
+gnome n ˈoʊ m
+gnat n ˈæ t
+gnaw n ˈɔ
+diet d ˈaɪ ə t
+dial d ˈaɪ ə l
+quiet k w ˈaɪ ə t
+poem p ˈoʊ ə m
+poet p ˈoʊ ə t
 """
 
 LEXICON: typing.Dict[str, typing.List[str]] = {}
