@@ -2189,6 +2189,14 @@ dial d ˈaɪ ə l
 quiet k w ˈaɪ ə t
 poem p ˈoʊ ə m
 poet p ˈoʊ ə t
+geology d͡ʒ i ˈɑ l ə d͡ʒ i
+photography f ə t ˈɑ ɡ ɹ ə f i
+anatomy ə n ˈæ t ə m i
+celebrity s ə l ˈɛ b ɹ ə t i
+mysterious m ɪ s t ˈɪ ɹ i ə s
+mystery m ˈɪ s t ɚ i
+encyclopedia ɪ n s ˌaɪ k l ə p ˈi d i ə
+association ə s ˌoʊ s i ˈeɪ ʃ ə n
 dawn d ˈɔ n
 deaf d ˈɛ f
 dealer d ˈi l ɚ
@@ -3090,6 +3098,14 @@ plumber p l ˈʌ m ɚ
 plunge p l ˈʌ n d͡ʒ
 plus p l ˈʌ s
 poet p ˈoʊ ə t
+geology d͡ʒ i ˈɑ l ə d͡ʒ i
+photography f ə t ˈɑ ɡ ɹ ə f i
+anatomy ə n ˈæ t ə m i
+celebrity s ə l ˈɛ b ɹ ə t i
+mysterious m ɪ s t ˈɪ ɹ i ə s
+mystery m ˈɪ s t ɚ i
+encyclopedia ɪ n s ˌaɪ k l ə p ˈi d i ə
+association ə s ˌoʊ s i ˈeɪ ʃ ə n
 poetry p ˈoʊ ə t ɹ i
 poison p ˈɔɪ z ə n
 pole p ˈoʊ l
@@ -4613,6 +4629,14 @@ dial d ˈaɪ ə l
 quiet k w ˈaɪ ə t
 poem p ˈoʊ ə m
 poet p ˈoʊ ə t
+geology d͡ʒ i ˈɑ l ə d͡ʒ i
+photography f ə t ˈɑ ɡ ɹ ə f i
+anatomy ə n ˈæ t ə m i
+celebrity s ə l ˈɛ b ɹ ə t i
+mysterious m ɪ s t ˈɪ ɹ i ə s
+mystery m ˈɪ s t ɚ i
+encyclopedia ɪ n s ˌaɪ k l ə p ˈi d i ə
+association ə s ˌoʊ s i ˈeɪ ʃ ə n
 """
 
 LEXICON: typing.Dict[str, typing.List[str]] = {}
@@ -4696,6 +4720,16 @@ def _derive_inflections() -> None:
         # adverbial -ly
         if not word.endswith("ly"):
             derived.setdefault(word + "ly", phones + ["l", "i"])
+
+        # -y nouns take -ist with the same stress (biology -> biologist,
+        # economy -> economist)
+        if word.endswith("y") and len(word) > 4 and phones[-1] == "i":
+            derived.setdefault(
+                word[:-1] + "ist", phones[:-1] + ["ɪ", "s", "t"]
+            )
+            derived.setdefault(
+                word[:-1] + "ists", phones[:-1] + ["ɪ", "s", "t", "s"]
+            )
 
     for key, phones in derived.items():
         if key not in LEXICON:
