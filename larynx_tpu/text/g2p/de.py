@@ -91,6 +91,24 @@ def _context(word: str, i: int):
     # Latin -tion- is [tsjoːn] (Lektion, funktionieren); never word-initial
     if word.startswith("tion", i) and i > 0:
         return 4, ["t͡s", "j", "oː", "n"]
+    # other Latin -ion finals are [joːn] (Version, Region, Diskussion)
+    if word.startswith("ion", i) and i > 1 and i + 3 == len(word):
+        return 3, ["j", "oː", "n"]
+    # French -eur is [øːɐ] (Friseur, Amateur)
+    if word.startswith("eur", i) and i > 0 and i + 3 == len(word):
+        return 3, ["øː", "ɐ"]
+    # -igkeit keeps the ich-Laut (Schwierigkeit)
+    if word.startswith("igkeit", i) and i > 0:
+        return 6, ["ɪ", "ç", "k", "aɪ̯", "t"]
+    # -enheit with linker schwa (Gelegenheit, Vergangenheit)
+    if word.startswith("enheit", i) and i > 0:
+        return 6, ["ə", "n", "h", "aɪ̯", "t"]
+    # compound-final -tag/-hof keep their standalone long vowels
+    # (Geburtstag, Hauptbahnhof)
+    if word.startswith("tag", i) and i > 0 and i + 3 == len(word):
+        return 3, ["t", "aː", "k"]
+    if word.startswith("hof", i) and i > 0 and i + 3 == len(word):
+        return 3, ["h", "oː", "f"]
     # number-compound interiors keep their standalone reading: -hundert-
     # [hʊndɐt] and -tausend- [taʊzənt] (dreihundertfünf..., zweitausend...).
     # The final letter is left to the normal rules (devoicing / following e)
@@ -307,6 +325,18 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     "vorher": ("f", "oː", "ɐ", "h", "eː", "ɐ"),
     "vorhin": ("f", "oː", "ɐ", "h", "ɪ", "n"),
     "erklärt": ("ɛ", "ʁ", "k", "l", "ɛː", "ʁ", "t"),
+    "entschuldigung": ("ɛ", "n", "t", "ʃ", "ʊ", "l", "d", "ɪ", "g",
+                       "ʊ", "ŋ"),
+    "selbstverständlich": ("z", "ɛ", "l", "p", "s", "t", "f", "ɛ", "ʁ",
+                           "ʃ", "t", "ɛ", "n", "t", "l", "ɪ", "ç"),
+    "flughafen": ("f", "l", "uː", "k", "h", "aː", "f", "ə", "n"),
+    "toilette": ("t", "ɔ", "a", "l", "ɛ", "t", "ə"),
+    "garage": ("g", "a", "ʁ", "aː", "ʒ", "ə"),
+    "etage": ("eː", "t", "aː", "ʒ", "ə"),
+    "wochenende": ("v", "ɔ", "x", "ə", "n", "ɛ", "n", "d", "ə"),
+    "krankenwagen": ("k", "ʁ", "a", "ŋ", "k", "ə", "n", "v", "aː", "g",
+                     "ə", "n"),
+    "orangensaft": ("oː", "ʁ", "ãː", "ʒ", "ə", "n", "z", "a", "f", "t"),
     "erklären": ("ɛ", "ʁ", "k", "l", "ɛː", "ʁ", "ə", "n"),
     "erklärte": ("ɛ", "ʁ", "k", "l", "ɛː", "ʁ", "t", "ə"),
     "besuch": ("b", "ə", "z", "uː", "x"),
