@@ -318,6 +318,13 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     "sixième": ("s", "i", "z", "j", "ɛ", "m"),
     "dixième": ("d", "i", "z", "j", "ɛ", "m"),
     "hier": ("j", "ɛ", "ʁ"),
+    "mesdames": ("m", "e", "d", "a", "m"),
+    # fais- conjugation has the irregular schwa (nous faisons [fəzɔ̃])
+    "faisons": ("f", "ə", "z", "ɔ̃"),
+    "faisait": ("f", "ə", "z", "ɛ"),
+    "faisais": ("f", "ə", "z", "ɛ"),
+    "faisaient": ("f", "ə", "z", "ɛ"),
+    "faisant": ("f", "ə", "z", "ɑ̃"),
     "lyon": ("l", "j", "ɔ̃"),
     "manuel": ("m", "a", "n", "ɥ", "ɛ", "l"),
     "manuels": ("m", "a", "n", "ɥ", "ɛ", "l"),
