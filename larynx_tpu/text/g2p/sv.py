@@ -189,6 +189,8 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     "maskinerna": ("m", "a", "ɧ", "'iː", "n", "ɛ", "r", "n", "a"),
     "tjugo": ("²", "ɕ", "'ʉː", "ɡ", "ʊ"),
     "tionde": ("²", "t", "'iː", "ʊ", "n", "d", "ɛ"),
+    "människa": ("²", "m", "'ɛ", "n", "ɪ", "ɧ", "a"),
+    "människor": ("²", "m", "'ɛ", "n", "ɪ", "ɧ", "ʊ", "r"),
     "trettio": ("²", "t", "r", "'ɛ", "t", "iː", "ʊ"),
     "fyrtio": ("²", "f", "'ʏ", "r", "t", "iː", "ʊ"),
     "femtio": ("²", "f", "'ɛ", "m", "t", "iː", "ʊ"),
@@ -249,6 +251,7 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
 # våningen [ˈvoːnɪŋen], nyttiga [ˈnʏtːɪɡa]).  Value = vowel count.
 _NEUTRAL_SUFFIXES = (
     ("ingen", 2), ("erna", 2), ("arna", 2), ("orna", 2), ("ades", 2),
+    ("elser", 2), ("else", 2),
     ("aren", 2), ("ade", 2), ("are", 2), ("ena", 2), ("iga", 2),
 )
 
