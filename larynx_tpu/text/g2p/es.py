@@ -107,10 +107,25 @@ su al del hay fue onu otan
 """.split())
 
 
+# x = [x] in Mexican place names kept with historic spelling
+_EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
+    "méxico": ("m", "e", "x", "i", "k", "o"),
+    "mexico": ("m", "e", "x", "i", "k", "o"),
+    "mexicano": ("m", "e", "x", "i", "k", "a", "n", "o"),
+    "mexicana": ("m", "e", "x", "i", "k", "a", "n", "a"),
+    "texas": ("t", "e", "x", "a", "s"),
+    "oaxaca": ("w", "a", "x", "a", "k", "a"),
+}
+
+
 def phonemize(word: str) -> typing.List[str]:
     w = word.lower().strip()
     if not w:
         return []
+
+    hit = _EXCEPTIONS.get(w)
+    if hit is not None:
+        return list(hit)
 
     # ALL-CAPS initialisms spell their letters (ONG, DNI, EEUU)
     if (

@@ -91,6 +91,29 @@ def _segments(w: str) -> typing.List[str]:
     return out
 
 
+# Irregular segmental forms the letter mapping cannot produce: что-
+# class ч->[ʂ], чн->[ʂn] in конечно, and the standard silent clusters
+# of the highest-frequency words (здравствуйте, солнце, праздник).
+_SEGMENT_EXCEPTIONS: typing.Dict[str, typing.List[str]] = {
+    "что": ["ʂ", "t", "oː"],
+    "чтобы": ["ʂ", "t", "oː", "b", "ɨ"],
+    "что-то": ["ʂ", "t", "oː", "t", "o"],
+    "ничто": ["nʲ", "i", "ʂ", "t", "oː"],
+    "конечно": ["k", "o", "nʲ", "eː", "ʂ", "n", "o"],
+    "скучно": ["s", "k", "uː", "ʂ", "n", "o"],
+    "здравствуйте": ["z", "d", "r", "aː", "s", "t", "v", "u", "j",
+                     "tʲ", "e"],
+    "здравствуй": ["z", "d", "r", "aː", "s", "t", "v", "u", "j"],
+    "солнце": ["s", "oː", "n", "t͡s", "e"],
+    "сердце": ["sʲ", "eː", "r", "t͡s", "e"],
+    "праздник": ["p", "r", "aː", "z", "nʲ", "i", "k"],
+    "праздники": ["p", "r", "aː", "z", "nʲ", "i", "kʲ", "i"],
+    "счастье": ["ɕː", "aː", "s", "tʲ", "j", "e"],
+    "счастлив": ["ɕː", "aː", "s", "lʲ", "i", "f"],
+    "счастлива": ["ɕː", "aː", "s", "lʲ", "i", "v", "a"],
+}
+
+
 # Homographs whose stress needs sentence context.  "стоит" defaults to
 # the position verb (стои́т "stands", matching the golden fixtures'
 # сиди́т/стои́т/лежи́т row); a price context selects сто́ит "costs".
@@ -135,6 +158,9 @@ def phonemize(
         and all(ch in _LETTER_NAMES for ch in w)
     ):
         return spell_letters(w, _LETTER_NAMES)
+    hit = _SEGMENT_EXCEPTIONS.get(w)
+    if hit is not None:
+        return list(hit)
     out = _segments(w)
 
     vowel_idx = [k for k, p in enumerate(out) if p in _VOWEL_SYMBOLS]

@@ -173,7 +173,7 @@ _EXACT_RAW = """
 час+ы час+ов час+ам семь+я семь+е семь+и
 молок+о молок+а хл+еба
 зов+ут зов+у год+у утр+а утр+у кин+о запят+ая хоч+у по+ют
-прибыл+а пр+ибыл пр+ибыли
+прибыл+а пр+ибыл пр+ибыли ж+енщина ж+енщины ж+енщину ж+енщинам
 сад+у сад+ы
 шестьс+от семьс+от восемьс+от девятьс+от
 рек+а р+еку рек+е рек+и рек+ой
