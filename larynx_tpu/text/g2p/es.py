@@ -114,7 +114,7 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     "mexicano": ("m", "e", "x", "i", "k", "a", "n", "o"),
     "mexicana": ("m", "e", "x", "i", "k", "a", "n", "a"),
     "texas": ("t", "e", "x", "a", "s"),
-    "oaxaca": ("w", "a", "x", "a", "k", "a"),
+    "oaxaca": ("wa", "x", "a", "k", "a"),
 }
 
 
