@@ -88,6 +88,17 @@ def _context(word: str, i: int):
     # ieh is long i with silent h (sieht, zieht, Vieh)
     if word.startswith("ieh", i):
         return 3, ["iː"]
+    # -schaft suffix after a t-final stem: the t|sch morpheme boundary
+    # must not merge into the t͡ʃ affricate (Wirtschaft, Botschaft)
+    if ch == "t" and word.startswith("tschaft", i) and i > 0:
+        return 1, ["t"]
+    # -en- linker before -schaft stays schwa (Wissenschaften)
+    if word.startswith("enschaft", i) and i > 0:
+        return 2, ["ə", "n"]
+    # -entlich adverbs carry an unstressed schwa (eigentlich, öffentlich,
+    # hoffentlich, wesentlich, ordentlich)
+    if word.startswith("entlich", i) and i > 0:
+        return 7, ["ə", "n", "t", "l", "ɪ", "ç"]
     # Latin -tion- is [tsjoːn] (Lektion, funktionieren); never word-initial
     if word.startswith("tion", i) and i > 0:
         return 4, ["t͡s", "j", "oː", "n"]
@@ -103,12 +114,20 @@ def _context(word: str, i: int):
     # -enheit with linker schwa (Gelegenheit, Vergangenheit)
     if word.startswith("enheit", i) and i > 0:
         return 6, ["ə", "n", "h", "aɪ̯", "t"]
-    # compound-final -tag/-hof keep their standalone long vowels
-    # (Geburtstag, Hauptbahnhof)
+    # compound-final -tag/-hof/-zug keep their standalone long vowels
+    # (Geburtstag, Hauptbahnhof, Schnellzug)
     if word.startswith("tag", i) and i > 0 and i + 3 == len(word):
         return 3, ["t", "aː", "k"]
     if word.startswith("hof", i) and i > 0 and i + 3 == len(word):
         return 3, ["h", "oː", "f"]
+    if word.startswith("zug", i) and i > 0 and i + 3 == len(word):
+        return 3, ["t͡s", "uː", "k"]
+    # compound-initial flug-/zug- likewise (Flugzeug, Zugfahrt) — the
+    # devoicing rule would otherwise leave the short default vowel
+    if i == 0 and word.startswith("flug") and len(word) > 4:
+        return 4, ["f", "l", "uː", "k"]
+    if i == 0 and word.startswith("zug") and len(word) > 3 and word[3] not in _VOWEL_LETTERS:
+        return 3, ["t͡s", "uː", "k"]
     # number-compound interiors keep their standalone reading: -hundert-
     # [hʊndɐt] and -tausend- [taʊzənt] (dreihundertfünf..., zweitausend...).
     # The final letter is left to the normal rules (devoicing / following e)
@@ -296,6 +315,10 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     "cousin": ("k", "uː", "z", "ɛ̃ː"),
     "orange": ("ʔ", "oː", "ʁ", "ãː", "ʒ", "ə"),
     "violett": ("v", "iː", "oː", "l", "ɛ", "t"),
+    "fahrrad": ("f", "aː", "ɐ", "ʁ", "aː", "t"),
+    "fahrräder": ("f", "aː", "ɐ", "ʁ", "ɛː", "d", "ɐ"),
+    "trotzdem": ("t", "ʁ", "ɔ", "t͡s", "d", "eː", "m"),
+    "erde": ("eː", "ɐ", "d", "ə"),
     "mit": ("m", "ɪ", "t"),
     "von": ("f", "ɔ", "n"),
     "man": ("m", "a", "n"),
