@@ -39,6 +39,7 @@ _RULES = [
     ("oi", "w a"), ("oy", "w a j"),
     ("au", "o"),
     ("ai", "ɛ"), ("ei", "ɛ"), ("ay", "ɛ j"),
+    ("eû", "ø"),
     ("eu", "ø"), ("œu", "œ"), ("œ", "œ"), ("oeu", "œ"), ("oe", "œ"),
     ("uin", "ɥ ɛ̃"), ("uill", "ɥ i j"), ("ui", "ɥ i"),
     ("aî", "ɛ"),
@@ -89,6 +90,30 @@ def _context(word: str, i: int):
         }.get(tri)
         if oral is not None:
             return 2, oral
+
+    # eu in a closed syllable opens to œ (jeune, seul, peur, neuf,
+    # veuve, beurre, heurter); it stays ø before t/s sounds (meute,
+    # neutre, chanteuse) and before silent finals (peut); -eux has its
+    # own rule.  n/m only close the syllable with a following mute e
+    # (jeune) — a bare coda n is the nasal (à jeun).
+    if word.startswith("eu", i) and not word.startswith("eux", i):
+        rest = word[i + 2:]
+        if rest and rest[0] in _CONSONANTS and rest[0] not in "st":
+            if rest[0] in "nm":
+                closed = rest in (rest[0] + "e", rest[0] + "es")
+            elif len(rest) == 1:
+                closed = rest[0] not in _SILENT_FINALS
+            else:
+                closed = (
+                    rest in (rest[0] + "e", rest[0] + "es")
+                    or rest[1] in _CONSONANTS
+                )
+            if closed:
+                return 2, ["œ"]
+    # entre- prefix keeps its schwa (entreprise, entretien) — the
+    # closed-syllable e rule would otherwise read [ɛ]
+    if i == 0 and word.startswith("entre") and len(word) > 6:
+        return 5, ["ɑ̃", "t", "ʁ", "ə"]
 
     # digraphs the single-letter context rules must not shadow
     if word.startswith("ch", i):
@@ -184,6 +209,9 @@ def _context(word: str, i: int):
         and not (word.endswith("es") and i + 3 == len(word))
     ):
         return 1, ["j"]
+    # word-final -o is close [o] (vélo, piano, radio)
+    if ch == "o" and i + 1 == len(word) and len(word) > 1:
+        return 1, ["o"]
     # o closes before a final silent coda (mot, gros, trop, mots)
     if (
         ch == "o"
@@ -242,6 +270,11 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     "oeil": ("œ", "j"),
     "œil": ("œ", "j"),
     "aujourd'hui": ("o", "ʒ", "u", "ʁ", "d", "ɥ", "i"),
+    # hyphen liaison: the t of peut sounds (checked before "-" splitting)
+    "peut-être": ("p", "ø", "t", "ɛ", "t", "ʁ"),
+    # derivatives keep the base's closed-syllable œ
+    "jeunesse": ("ʒ", "œ", "n", "ɛ", "s"),
+    "seulement": ("s", "œ", "l", "m", "ɑ̃"),
     "six": ("s", "i", "s"),
     "dix": ("d", "i", "s"),
     "huit": ("ɥ", "i", "t"),
