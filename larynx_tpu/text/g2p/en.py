@@ -390,6 +390,7 @@ said s ˈɛ d
 same s ˈeɪ m
 saw s ˈɔ
 say s ˈeɪ
+says s ˈɛ z
 school s k ˈu l
 sea s ˈi
 second s ˈɛ k ə n d
@@ -1239,6 +1240,10 @@ report ɹ ɪ p ˈɔ ɹ t
 represent ɹ ˌɛ p ɹ ɪ z ˈɛ n t
 require ɹ ɪ k w ˈaɪ ɚ
 research ɹ ˈi s ɚ t͡ʃ
+reservoir ɹ ˈɛ z ɚ v w ˌɑ ɹ
+massage m ə s ˈɑ ʒ
+miniature m ˈɪ n i ə t͡ʃ ɚ
+suite s w ˈi t
 resource ɹ ˈi s ɔ ɹ s
 respect ɹ ɪ s p ˈɛ k t
 respond ɹ ɪ s p ˈɑ n d
