@@ -160,6 +160,9 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     "sedia": ("s", "ɛ", "d", "j", "a"),
     "strada": ("s", "t", "r", "a", "d", "a"),
     "farmacia": ("f", "a", "r", "m", "a", "t͡ʃ", "i", "a"),
+    # hiatus i before the stressed vowel (no glide)
+    "cliente": ("k", "l", "i", "ˈɛ", "n", "t", "e"),
+    "clienti": ("k", "l", "i", "ˈɛ", "n", "t", "i"),
     "polizia": ("p", "o", "l", "i", "t͡s", "i", "a"),
     "zio": ("t͡s", "i", "o"),
     "zia": ("t͡s", "i", "a"),
@@ -189,7 +192,7 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
 # "il", "di", "un'altra" all unmarked) — a stressed article would feed
 # the voice a pattern it never saw on these words.
 _UNSTRESSED = frozenset("""
-la le lo i gli un a e ed o in con su per tra fra se che ma ne
+il la le lo i gli un a e ed o in con su per tra fra se che ma ne
 si mi ti ci vi li
 al allo alla ai agli alle dal dallo dalla dai dagli dalle
 del dello della dei degli delle nel nello nella nei negli nelle
@@ -218,7 +221,7 @@ lettera lettere tavolo tavola tavoli tavole napoli camera camere
 numero numeri opera opere ordine ordini pagina pagine popolo popoli
 secolo secoli simbolo simboli stomaco subito ultimo ultima ultimi
 ultime utile utili albero alberi attimo euro genere generi termine
-termini pericolo pericoli spettacolo spettacoli
+termini pericolo pericoli spettacolo spettacoli giovane giovani
 essere prendere vendere scrivere vivere leggere credere chiudere
 correre decidere dividere mettere nascere perdere piangere ridere
 rompere scendere spendere vincere chiedere rispondere conoscere
@@ -242,6 +245,22 @@ visitano
 
 _ELISION_PREFIXES = ("dell'", "nell'", "sull'", "dall'", "all'",
                      "un'", "l'", "d'", "quest'", "sant'")
+
+# -ia endings pronounced as stressed hiatus.  The derivational suffixes
+# are productive (biologia, fotografia, pizzeria); the word set covers
+# common hiatus nouns outside them.  Stem -eria/-oria words that glide
+# (seria, materia, storia) never reach this: they are not listed and
+# none ends in a listed suffix.
+_IA_HIATUS_SUFFIXES = (
+    "logia", "grafia", "nomia", "crazia", "fonia", "patia", "sofia",
+    "scopia", "terapia",
+)
+_IA_HIATUS = frozenset("""
+allegria energia malattia magia bugia follia gelosia nostalgia
+fantasia poesia cortesia pizzeria birreria libreria galleria lotteria
+batteria segreteria periferia osteria gelateria pasticceria
+biancheria cartoleria macelleria salumeria trattoria
+""".split())
 
 
 def _phonemize_vowel_stress(word: str) -> typing.List[str]:
@@ -268,6 +287,14 @@ def _phonemize_vowel_stress(word: str) -> typing.List[str]:
         head = apply_rules(w[:-3], _RULES, _context)
         s = "z" if head and head[-1] in VOWELS else "s"
         return head + [s, "ˈɛ", "j"]
+    # Greek/abstract and shop -ia suffixes are stressed hiatus [ˈi a]
+    # (economia, energia, pizzeria); plain -ia words glide (storia,
+    # grazia) and take the regular penult path
+    if w.endswith("ia") and len(w) > 4 and (
+        any(w.endswith(s) for s in _IA_HIATUS_SUFFIXES) or w in _IA_HIATUS
+    ):
+        head = apply_rules_span(w, 0, len(w) - 2, _RULES, _context)
+        return head + ["ˈi", "a"]
     n = 3 if (w in _SDRUCCIOLE or w in _VERB_ANO or (
         w.endswith("ono") and len(w) > 3
     )) else 2
