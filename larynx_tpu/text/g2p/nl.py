@@ -168,6 +168,14 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     "eigenlijk": ("ɛi", "ɣ", "ə", "l", "ə", "k"),
     "natuurlijk": ("n", "ɑ", "t", "yː", "ɹ", "l", "ə", "k"),
     "geschiedenis": ("ɣ", "ə", "s", "x", "i", "d", "ə", "n", "ɪ", "s"),
+    "regering": ("ɹ", "ə", "ɣ", "eː", "ɹ", "ɪ", "ŋ"),
+    "meneer": ("m", "ə", "n", "eː", "ɹ"),
+    "helemaal": ("h", "eː", "l", "ə", "m", "aː", "l"),
+    "ontwikkeling": ("ɔ", "n", "t", "w", "ɪ", "k", "ə", "l", "ɪ", "ŋ"),
+    # French loans keep final stress (pre-stressed: the penult default
+    # must not fire)
+    "economie": ("eː", "k", "oː", "n", "oː", "m", "ˈi"),
+    "misschien": ("m", "ɪ", "s", "x", "ˈi", "n"),
     "geleden": ("ɣ", "ə", "l", "eː", "d", "ə", "n"),
     "genoeg": ("ɣ", "ə", "n", "u", "x"),
     "gelukkig": ("ɣ", "ə", "l", "ʏ", "k", "ə", "x"),
