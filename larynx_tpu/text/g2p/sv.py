@@ -85,12 +85,20 @@ def _context(word: str, i: int):
     # word-initial silent-letter clusters: hjärta, djur, ljus, gjort
     if i == 0 and word[:2] in ("hj", "dj", "lj", "gj"):
         return 2, ["j"]
-    # Latin -tion(en/er) = [ʃuːn] (station, lektionen) — NOT the native
-    # tio of tionde/nationde counting words
+    # Latin -tion(en/er) = [ɧuːn] (station, lektionen) — NOT the native
+    # tio of tionde/nationde counting words.  The sv inventory has no ʃ;
+    # the sj-sound ɧ is the voices' id for this suffix.
     if word.startswith("tion", i) and i > 0 and word[i + 4 :] in (
         "", "s", "en", "er", "ens", "erna"
     ):
-        return 4, ["ʃ", "uː", "n"]
+        return 4, ["ɧ", "uː", "n"]
+    # abstract -het suffix keeps its full vowel (nyhet [²nˈyːheːt],
+    # lägenheten): the unstressed-final-syllable shortening must not
+    # reduce it to ɛ
+    if word.startswith("het", i) and i > 0 and word[i + 3 :] in (
+        "", "s", "en", "er", "ens", "erna"
+    ) and any(c in "aeiouyåäö" for c in word[:i]):
+        return 3, ["h", "eː", "t"]
     # n assimilates before k (tänka, bank)
     if ch == "n" and nxt == "k":
         return 1, ["ŋ"]
@@ -216,8 +224,8 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     "det": ("d", "eː"),
     "vid": ("v", "iː", "d"),
     "att": ("a", "t"),
-    "station": ("s", "t", "a", "ɧ", "uː", "n"),
-    "nation": ("n", "a", "ɧ", "uː", "n"),
+    "station": ("s", "t", "a", "ɧ", "'uː", "n"),
+    "nation": ("n", "a", "ɧ", "'uː", "n"),
     "kanske": ("k", "a", "n", "ɧ", "ɛ"),
     "sverige": ("s", "v", "ɛ", "r", "j", "ɛ"),
     "mycket": ("m", "ʏ", "k", "ɛ", "t"),
@@ -241,8 +249,43 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     "telefon": ("t", "eː", "l", "eː", "f", "uː", "n"),
     "bibliotek": ("b", "ɪ", "b", "l", "ɪ", "uː", "t", "eː", "k"),
     "apotek": ("a", "p", "uː", "t", "eː", "k"),
-    "universitet": ("ʉː", "n", "ɪ", "v", "ɛ", "r", "s", "ɪ", "t", "eː", "t"),
+    "universitet": ("ʉː", "n", "ɪ", "v", "ɛ", "r", "s", "ɪ", "t", "'eː", "t"),
+    "universitetet": ("ʉː", "n", "ɪ", "v", "ɛ", "r", "s", "ɪ", "t", "'eː",
+                      "t", "ɛ", "t"),
     "sjukhus": ("ɧ", "ʉː", "k", "h", "ʉː", "s"),
+    # loanwords with final stress (pre-marked: the penult default and
+    # the accent-2 prepend must not fire)
+    "ekonomi": ("eː", "k", "uː", "n", "uː", "m", "'iː"),
+    "ekonomin": ("eː", "k", "uː", "n", "uː", "m", "'iː", "n"),
+    "naturligtvis": ("n", "a", "t", "ʉː", "r", "l", "ɪ", "ɡ", "t", "v",
+                     "'iː", "s"),
+    # medial soft g (regering [rɛˈjeːrɪŋ], egentligen [ɛˈjɛntlɪɡɛn])
+    "regering": ("r", "ɛ", "j", "'eː", "r", "ɪ", "ŋ"),
+    "regeringen": ("r", "ɛ", "j", "'eː", "r", "ɪ", "ŋ", "ɛ", "n"),
+    "egentligen": ("eː", "j", "'ɛ", "n", "t", "l", "ɪ", "ɡ", "ɛ", "n"),
+    "egentlig": ("eː", "j", "'ɛ", "n", "t", "l", "ɪ", "ɡ"),
+    # compound/derived initial stress the penult default misses
+    "vetenskap": ("²", "v", "'eː", "t", "ɛ", "n", "s", "k", "a", "p"),
+    "vetenskapen": ("²", "v", "'eː", "t", "ɛ", "n", "s", "k", "a", "p",
+                    "ɛ", "n"),
+    "samhälle": ("²", "s", "'a", "m", "h", "ɛ", "l", "ɛ"),
+    "samhället": ("²", "s", "'a", "m", "h", "ɛ", "l", "ɛ", "t"),
+    "utveckling": ("²", "'ʉː", "t", "v", "ɛ", "k", "l", "ɪ", "ŋ"),
+    "utvecklingen": ("²", "'ʉː", "t", "v", "ɛ", "k", "l", "ɪ", "ŋ",
+                     "ɛ", "n"),
+    "företag": ("²", "f", "'øː", "r", "ɛ", "t", "ɑː", "ɡ"),
+    "företaget": ("²", "f", "'øː", "r", "ɛ", "t", "ɑː", "ɡ", "ɛ", "t"),
+    "lägenhet": ("²", "l", "'ɛː", "ɡ", "ɛ", "n", "h", "eː", "t"),
+    "lägenheten": ("²", "l", "'ɛː", "ɡ", "ɛ", "n", "h", "eː", "t",
+                   "ɛ", "n"),
+    "lägenheter": ("²", "l", "'ɛː", "ɡ", "ɛ", "n", "h", "eː", "t",
+                   "ɛ", "r"),
+    "historia": ("h", "ɪ", "s", "t", "'uː", "r", "iː", "a"),
+    "historien": ("h", "ɪ", "s", "t", "'uː", "r", "iː", "ɛ", "n"),
+    # silent l (värld [vɛːrd])
+    "värld": ("v", "ɛː", "r", "d"),
+    "världen": ("²", "v", "'ɛː", "r", "d", "ɛ", "n"),
+    "världar": ("²", "v", "'ɛː", "r", "d", "a", "r"),
 }
 
 
@@ -252,6 +295,8 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
 _NEUTRAL_SUFFIXES = (
     ("ingen", 2), ("erna", 2), ("arna", 2), ("orna", 2), ("ades", 2),
     ("elser", 2), ("else", 2),
+    ("ligheter", 3), ("igheter", 3), ("erheter", 3),
+    ("lighet", 2), ("ighet", 2), ("erhet", 2),
     ("aren", 2), ("ade", 2), ("are", 2), ("ena", 2), ("iga", 2),
 )
 
@@ -309,8 +354,10 @@ def phonemize(word: str) -> typing.List[str]:
     ) and w not in _EXCEPTIONS and all(c in _LETTER_NAMES for c in w):
         return spell_letters(w, _LETTER_NAMES)
     # a written acute é marks the stressed (final) syllable in loanwords
-    # (café, privé / idé, armé, kommitté) — override the penult default
-    n = 1 if "é" in w else 2
+    # (café, privé / idé, armé, kommitté) — override the penult default;
+    # bare -tion loans likewise stress the suffix (lektion [lɛkˈɧuːn])
+    n = 1 if ("é" in w or (w.endswith(("tion", "tions")) and len(w) > 4)) \
+        else 2
     hit = _EXCEPTIONS.get(w)
     if hit is not None:
         stressed = stress_nth_vowel_from_end(
@@ -326,6 +373,33 @@ def phonemize(word: str) -> typing.List[str]:
             head = apply_rules(w[: -len(tail)], _RULES, _context)
             tail_ph = [p for p in phonemize(tail) if p != "²"]
             return head + tail_ph
+    # adjectival -(l)ig suffixes: short ɪ (talesyntese: trevlig ->
+    # t r 'eː v l ɪ ɡ, aldrig -> 'a l d r ɪ ɡ), stem keeps its OWN
+    # vowel length (the suffix onset must not count as a cluster) and
+    # its own stress (vänlig reuses the short-ɛ lexicon entry for vän)
+    for sfx in ("ligast", "ligare", "ligen", "liga", "ligt", "lig",
+                "igast", "igare", "igen", "iga", "igt", "ig"):
+        if w.endswith(sfx) and len(w) > len(sfx) + 1:
+            stem = w[: len(w) - len(sfx)]
+            if not any(c in "aeiouyåäö" for c in stem):
+                break
+            hit = _EXCEPTIONS.get(stem)
+            if hit is not None and not any(
+                p == "²" or p.startswith("'") for p in hit
+            ):
+                head = list(hit)
+            else:
+                head = apply_rules(stem, _RULES, _context)
+            rest = sfx.split("ig", 1)[1]
+            tail = (["l"] if sfx.startswith("l") else []) + ["ɪ", "ɡ"] + {
+                "": [], "t": ["t"], "a": ["a"], "en": ["ɛ", "n"],
+                "are": ["a", "r", "ɛ"], "ast": ["a", "s", "t"],
+            }[rest]
+            stressed = stress_nth_vowel_from_end(
+                head + tail, VOWELS,
+                n=1 + sum(p in VOWELS for p in tail), marker="'"
+            )
+            return _with_accent2(w, stressed)
     if n == 2:
         for suf, k in _NEUTRAL_SUFFIXES:
             if w.endswith(suf) and len(w) > len(suf) + 2:
