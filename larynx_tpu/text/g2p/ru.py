@@ -114,6 +114,78 @@ _SEGMENT_EXCEPTIONS: typing.Dict[str, typing.List[str]] = {
 }
 
 
+# ё-restoration: modern text overwhelmingly writes е for ё (самолет,
+# еще, идет), which would otherwise mis-stress AND mis-vowel the word —
+# restored forms hit the inherent-stress ё layer and segment as [o].
+# Built from every ё-containing stress-lexicon token plus the word/stem
+# lists below; е-spellings that are themselves real words (все, небо,
+# берег) are never restored.
+_YO_AMBIGUOUS = frozenset("""
+все всем всех всеми небо берег слез мел осел поем узнаем заем
+передохнем
+""".split())
+
+_YO_WORDS = """
+ещё самолёт самолёта самолёту самолёте самолёты самолётов
+счёт счёта счёту счёте отчёт отчёта отчёте расчёт расчёта
+партнёр партнёра партнёру партнёры партнёров актёр актёра актёры
+шофёр шофёра подъём подъёма приём приёма приёме объём объёма
+ребёнок ребёнка ребёнку ребёнке котёнок щенок берёза берёзы берёзе
+тётя тётю тёти мёд мёда лётчик лётчика ковёр костёр орёл осёл
+пёс сёстрам звёзды звёздам гнёзда колёса колёсам
+слёзы слёз серьёзно трёх четырёх её неё поёт поёте поёшь
+идёт идёшь идём идёте несём везём найдём найдёт найдёшь придём придёт придёшь
+уйдём уйдёт зайдёт перейдёт подойдёт произойдёт
+""".split()
+
+_YO_ADJ_STEMS = ("чёрн", "жёлт", "зелён", "весёл", "тяжёл", "серьёзн",
+                 "далёк", "лёгк")
+_ADJ_ENDINGS = (
+    "ый", "ий", "ого", "его", "ому", "ему", "ым", "им", "ом", "ем",
+    "ая", "яя", "ой", "ей", "ую", "юю", "ое", "ее", "ые", "ие",
+    "ых", "их", "ыми", "ими", "о", "е",
+)
+
+
+def _build_yo_restore() -> typing.Dict[str, str]:
+    from larynx_tpu.text.g2p import ru_stress
+
+    known = set(ru_stress.EXACT)
+    out: typing.Dict[str, str] = {}
+
+    def add(token: str) -> None:
+        if "ё" not in token:
+            return
+        e_spelled = token.replace("ё", "е")
+        if e_spelled not in known and e_spelled not in _YO_AMBIGUOUS:
+            out[e_spelled] = token
+
+    for token in known:
+        add(token)
+    for token in ru_stress.YO_FORMS:
+        add(token)
+    for token in _YO_WORDS:
+        add(token)
+    for stem in _YO_ADJ_STEMS:
+        for end in _ADJ_ENDINGS:
+            add(stem + end)
+    return out
+
+
+_YO_RESTORE = _build_yo_restore()
+
+
+def _restore_yo(w: str) -> str:
+    hit = _YO_RESTORE.get(w)
+    if hit is not None:
+        return hit
+    # motion-verb pasts in -шёл (пришел, нашел, ушел ...); вы- prefix
+    # verbs genuinely have е (вы́шел)
+    if w.endswith("шел") and not w.startswith("вы") and len(w) >= 3:
+        return w[:-3] + "шёл"
+    return w
+
+
 # Homographs whose stress needs sentence context.  "стоит" defaults to
 # the position verb (стои́т "stands", matching the golden fixtures'
 # сиди́т/стои́т/лежи́т row); a price context selects сто́ит "costs".
@@ -161,6 +233,7 @@ def phonemize(
     hit = _SEGMENT_EXCEPTIONS.get(w)
     if hit is not None:
         return list(hit)
+    w = _restore_yo(w)
     out = _segments(w)
 
     vowel_idx = [k for k, p in enumerate(out) if p in _VOWEL_SYMBOLS]

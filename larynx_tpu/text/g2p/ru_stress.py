@@ -205,6 +205,7 @@ _STEM_RAW = """
 поним+ отвеч+ объясн+ получ+ реш+ счит+ молок+ люб+ смотр+ прос+
 больш+ друг+ втор+ молод+ жив+ прост+ сух+ худ+
 д+ел сд+ел д+ум под+ум сл+уш посл+уш спр+аш встр+ет
+прим+ер университ+ет господ+ин велосип+ед
 раб+от зн+а узн+а ч+увств в+ид ув+ид сл+ыш усл+ыш
 ст+ав пост+ав п+омн зап+омн в+ер пров+ер зн+ач гот+ов
 пр+ав ч+ист +ех +ед при+ех у+ех
@@ -342,6 +343,11 @@ def _parse_stems(raw: str) -> typing.Dict[str, int]:
 
 EXACT = _parse_exact(_EXACT_RAW)
 STEMS = _parse_stems(_STEM_RAW)
+# plain-ё forms skipped by _parse_exact (layer 1 stresses them); ru.py's
+# ё-restoration uses these as known ё spellings
+YO_FORMS = frozenset(
+    t for t in _EXACT_RAW.split() if "ё" in t and "+" not in t
+)
 _ENDINGS_BY_LEN = sorted(set(_ENDINGS), key=len, reverse=True)
 
 # Adjectival 2-vowel endings trigger the antepenult default (но́вая,

@@ -113,3 +113,31 @@ def test_lexicon_scale():
 )
 def test_segment_and_stress_integration(word, phones):
     assert ru.phonemize(word) == phones
+
+
+# ---------------------------------------------------------------------------
+# ё-restoration: modern text writes е for ё; phonemize must restore the
+# [oː] quality and the inherent stress (ru.py _YO_RESTORE).
+# ---------------------------------------------------------------------------
+
+_YO_CASES = [
+    ("еще", ["j", "e", "ɕː", "oː"]),
+    ("самолет", ["s", "a", "m", "o", "lʲ", "oː", "t"]),
+    ("идет", ["i", "dʲ", "oː", "t"]),
+    ("живет", ["ʐ", "ɨ", "vʲ", "oː", "t"]),
+    ("ее", ["j", "e", "j", "oː"]),
+    ("черный", ["t͡ɕ", "oː", "r", "n", "ɨ", "j"]),
+    ("пришел", ["p", "rʲ", "i", "ʂ", "oː", "l"]),
+    # вы- prefix verbs genuinely have е and keep the вы́- stress
+    ("вышел", ["v", "ɨː", "ʂ", "e", "l"]),
+    # е-spellings that are their own words are never restored
+    ("все", ["v", "sʲ", "eː"]),
+    ("небо", ["nʲ", "eː", "b", "o"]),
+]
+
+
+@pytest.mark.parametrize("word,phones", _YO_CASES)
+def test_yo_restoration(word, phones):
+    from larynx_tpu.text.g2p.ru import phonemize
+
+    assert phonemize(word) == phones, word
