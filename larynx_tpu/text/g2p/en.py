@@ -391,6 +391,7 @@ same s ˈeɪ m
 saw s ˈɔ
 say s ˈeɪ
 says s ˈɛ z
+hatred h ˈeɪ t ɹ ɪ d
 school s k ˈu l
 sea s ˈi
 second s ˈɛ k ə n d
@@ -1241,6 +1242,18 @@ represent ɹ ˌɛ p ɹ ɪ z ˈɛ n t
 require ɹ ɪ k w ˈaɪ ɚ
 research ɹ ˈi s ɚ t͡ʃ
 reservoir ɹ ˈɛ z ɚ v w ˌɑ ɹ
+resilience ɹ ɪ z ˈɪ l j ə n s
+resilient ɹ ɪ z ˈɪ l j ə n t
+ubiquitous j u b ˈɪ k w ɪ t ə s
+ephemeral ɪ f ˈɛ m ɚ ə l
+paradigm p ˈɛ ɹ ə d ˌaɪ m
+bureaucrat b j ˈʊ ɹ ə k ɹ ˌæ t
+bureaucratic b j ˌʊ ɹ ə k ɹ ˈæ t ɪ k
+entrepreneurial ˌɑ n t ɹ ə p ɹ ə n ˈɚ i ə l
+croissant k ɹ ə s ˈɑ n t
+quinoa k ˈi n w ɑ
+sriracha s ɪ ɹ ˈɑ t͡ʃ ə
+kubernetes k ˌu b ɚ n ˈɛ t i z
 massage m ə s ˈɑ ʒ
 miniature m ˈɪ n i ə t͡ʃ ɚ
 suite s w ˈi t
@@ -4873,6 +4886,19 @@ def _apply_rules(word: str) -> typing.List[str]:
     n = len(word)
     # final silent e ("make", "time") with magic-e vowel lengthening
     magic_e = bool(re.search(r"[bcdfgklmnprstvz]e$", word)) and n > 3
+    # word-initial silent-letter clusters (pneumatic, psychic, gnarl,
+    # pterodactyl, mnemonic; kn-/wr- mostly live in the lexicon but OOV
+    # coinages still need them)
+    for cluster, sound in (
+        ("pn", "n"), ("ps", "s"), ("pt", "t"), ("gn", "n"),
+        ("kn", "n"), ("mn", "n"), ("wr", "r"),
+    ):
+        if word.startswith(cluster) and n > 3 and any(
+            c in "aeiouy" for c in word[2:]
+        ):
+            word = sound + word[2:]
+            n = len(word)
+            break
     body = _collapse_geminates(word[:-1] if magic_e else word)
     if magic_e:
         body_vowels = {"a": "ˈeɪ", "i": "ˈaɪ", "o": "ˈoʊ", "u": "ˈu", "e": "ˈi"}
@@ -5042,6 +5068,10 @@ _FINAL_SUFFIX_PHONES: typing.Tuple[typing.Tuple[str, str, int], ...] = (
     ("ous", "ə s", 3),
     ("ive", "ɪ v", 3),
     ("age", "ɪ d͡ʒ", 3),
+    ("escence", "ˈɛ s ə n s", 3),
+    ("escent", "ˈɛ s ə n t", 3),
+    ("ism", "ˌɪ z ə m", 3),
+    ("tech", "t ˌɛ k", 3),
     ("fy", "f ˌaɪ", 3),
     ("le", "ə l", 2),
 )
@@ -5061,10 +5091,22 @@ _NEUTRAL_SUFFIXES: typing.Tuple[typing.Tuple[str, str], ...] = (
 # remainder resolves through the lexicon, so "mister" can never split as
 # mis+ter.
 _NEUTRAL_PREFIXES: typing.Tuple[typing.Tuple[str, str], ...] = (
+    ("electro", "ɪ l ˌɛ k t ɹ oʊ"),
+    ("thermo", "θ ˌɚ m oʊ"),
+    ("crypto", "k ɹ ˌɪ p t oʊ"),
     ("under", "ˌʌ n d ɚ"),
     ("inter", "ˌɪ n t ɚ"),
     ("super", "s ˌu p ɚ"),
     ("multi", "m ˌʌ l t i"),
+    ("hyper", "h ˌaɪ p ɚ"),
+    ("cyber", "s ˌaɪ b ɚ"),
+    ("micro", "m ˌaɪ k ɹ oʊ"),
+    ("macro", "m ˌæ k ɹ oʊ"),
+    ("psycho", "s ˌaɪ k oʊ"),
+    ("hypo", "h ˌaɪ p oʊ"),
+    ("auto", "ˌɔ t oʊ"),
+    ("nano", "n ˌæ n oʊ"),
+    ("bio", "b ˌaɪ oʊ"),
     ("over", "ˌoʊ v ɚ"),
     ("anti", "ˌæ n t i"),
     ("semi", "s ˌɛ m i"),
@@ -5134,6 +5176,24 @@ def _oov_phonemize(w: str, depth: int = 0) -> typing.List[str]:
         return inner(w[:-3] + "y") + ["z"]
     if w.endswith("ied") and len(w) >= 5:
         return inner(w[:-3] + "y") + ["d"]
+
+    # -ize verb family: always [aɪ z] (weaponized, gamifying aside);
+    # letter rules would read the i short before the inflection
+    for sfx, tail in (
+        ("izing", ["ˌaɪ", "z", "ɪ", "ŋ"]),
+        ("ized", ["ˌaɪ", "z", "d"]),
+        ("izer", ["ˌaɪ", "z", "ɚ"]),
+        ("ize", ["ˌaɪ", "z"]),
+    ):
+        if w.endswith(sfx) and len(w) >= len(sfx) + 3 and _has_vowel_letter(
+            w[: -len(sfx)]
+        ):
+            return inner(w[: -len(sfx)]) + tail
+
+    # -ically adverbs: the -al is silent in speech (basically
+    # [ˈbeɪsɪkli]) — ride the -ic adjective
+    if w.endswith("ically") and len(w) >= 9:
+        return inner(w[:-4]) + ["l", "i"]
 
     # regular plural / 3rd-person -s with correct voicing (trousers,
     # handbooks); -ss/-us/... finals are lexical s, not inflection
@@ -5215,6 +5275,23 @@ def _oov_phonemize(w: str, depth: int = 0) -> typing.List[str]:
         if cand is not None:
             return _past_phones(cand) if tail is None else cand + tail
 
+    # stress-neutral prefixes (unbreakable, misjudged, rewritten): the
+    # remainder must be a lexicon word, or long enough that its own OOV
+    # resolution beats letter rules on the unsplit word
+    for prefix, pphones in _NEUTRAL_PREFIXES:
+        if not w.startswith(prefix):
+            continue
+        rest = w[len(prefix):]
+        if len(rest) < 3 or not _has_vowel_letter(rest):
+            continue
+        if rest in LEXICON:
+            rest_ph = list(LEXICON[rest])
+        elif len(rest) >= 5 and depth < 2:
+            rest_ph = _oov_phonemize(rest, depth + 1)
+        else:
+            continue
+        return _ensure_stress(pphones.split() + rest_ph)
+
     for suffix, phones, min_prefix in _FINAL_SUFFIX_PHONES:
         prefix = w[: -len(suffix)]
         if (
@@ -5242,26 +5319,24 @@ def _oov_phonemize(w: str, depth: int = 0) -> typing.List[str]:
             return _demote_primary(prefix_ph) + suffix_ph
         return _ensure_stress(prefix_ph + suffix_ph)
 
-    # stress-neutral prefixes (unbreakable, misjudged, rewritten): the
-    # remainder must be a lexicon word, or long enough that its own OOV
-    # resolution beats letter rules on the unsplit word
-    for prefix, pphones in _NEUTRAL_PREFIXES:
-        if not w.startswith(prefix):
-            continue
-        rest = w[len(prefix):]
-        if len(rest) < 3 or not _has_vowel_letter(rest):
-            continue
-        if rest in LEXICON:
-            rest_ph = list(LEXICON[rest])
-        elif len(rest) >= 5 and depth < 2:
-            rest_ph = _oov_phonemize(rest, depth + 1)
-        else:
-            continue
-        return _ensure_stress(pphones.split() + rest_ph)
 
     split = _compound_split(w)
     if split is not None:
         return _ensure_stress(split)
+
+    # late fallback for regular OOV past tense: resolve the stem and
+    # voice the -ed (gnarled [nɑɹld]) — the letter rules would read a
+    # full [ɛ d].  After prefixes/compounds so mis+pronounced keeps its
+    # stem-aware path; -red nouns (hatred) stay lexical.
+    if (
+        w.endswith("ed")
+        and len(w) >= 6
+        and not w.endswith(("eed", "ied", "red"))
+        and _has_vowel_letter(w[:-2])
+        and depth < 2
+    ):
+        return _past_phones(_oov_phonemize(w[:-2], depth + 1))
+
     return _ensure_stress(_apply_rules(w), w)
 
 

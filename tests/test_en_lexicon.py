@@ -172,6 +172,20 @@ def test_oov_stress_position(word, stressed_syllable):
         ("underwater", "ˌʌ n d ɚ w ˈɔ t ɚ"),
         ("outperform", "ˌaʊ t p ɚ f ˈɔ ɹ m"),
         ("antivirus", "ˌæ n t i v ˈaɪ ɹ ə s"),
+        # -ize family, -ism, -ically, -escence
+        ("weaponized", "w ˈɛ p ə n ˌaɪ z d"),
+        ("modernize", "m ˈɑ d ɚ n ˌaɪ z"),
+        ("basically", "b ˈeɪ s ɪ k l i"),
+        ("electromagnetism", "ɛ l ɛ k t ɹ ɑ m æ ɡ n ɛ t ˌɪ z ə m"),
+        ("bioluminescence", "b ˌaɪ oʊ l ʌ m ɪ n ˈɛ s ə n s"),
+        # scientific prefixes
+        ("hyperventilate", "h ˌaɪ p ɚ v ɛ n t ɪ l ˈeɪ t"),
+        ("cryptocurrency", "k ɹ ˌɪ p t oʊ k ˈɚ ɛ n s i"),
+        ("psychosomatic", "s ˌaɪ k oʊ s ɑ m ˈæ t ɪ k"),
+        # word-initial silent clusters
+        ("pneumatic", "n ˌɛ ʌ m ˈæ t ɪ k"),
+        ("gnarled", "n ˈɑ ɹ l d"),
+        ("mnemonic", "n ɛ m ˈɑ n ɪ k"),
         # compounds: first half primary, second demoted
         ("watermelon", "w ˈɔ t ɚ m ˌɛ l ə n"),
         ("handbooks", "h ˈæ n d b ˌʊ k s"),
