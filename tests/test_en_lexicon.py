@@ -176,7 +176,7 @@ def test_oov_stress_position(word, stressed_syllable):
         ("weaponized", "w ˈɛ p ə n ˌaɪ z d"),
         ("modernize", "m ˈɑ d ɚ n ˌaɪ z"),
         ("basically", "b ˈeɪ s ɪ k l i"),
-        ("electromagnetism", "ɛ l ɛ k t ɹ ɑ m æ ɡ n ɛ t ˌɪ z ə m"),
+        ("electromagnetism", "ɪ l ˌɛ k t ɹ oʊ m ˈæ ɡ n ə t ˌɪ z ə m"),
         ("bioluminescence", "b ˌaɪ oʊ l ʌ m ɪ n ˈɛ s ə n s"),
         # scientific prefixes
         ("hyperventilate", "h ˌaɪ p ɚ v ɛ n t ɪ l ˈeɪ t"),
