@@ -619,9 +619,10 @@ _PERCENT = {
 _ORDINAL_RE = re.compile(r"^(\d+)(st|nd|rd|th)$", re.IGNORECASE)
 _YEAR_RE = re.compile(r"^[12]\d{3}$")
 _NUMBER_RE = re.compile(r"^-?\d{1,3}(?:[,.]\d{3})*(?:[.,]\d+)?$|^-?\d+(?:[.,]\d+)?$")
-_CURRENCY_RE = re.compile(r"^([$€£])(\d+(?:[.,]\d+)?)$")
+_CURRENCY_AMOUNT = r"\d{1,3}(?:[,.]\d{3})+(?:[.,]\d+)?|\d+(?:[.,]\d+)?"
+_CURRENCY_RE = re.compile(r"^([$€£])(" + _CURRENCY_AMOUNT + r")$")
 # European suffix notation: 5€, 3,50€
-_CURRENCY_SUFFIX_RE = re.compile(r"^(\d+(?:[.,]\d+)?)([$€£])$")
+_CURRENCY_SUFFIX_RE = re.compile(r"^(" + _CURRENCY_AMOUNT + r")([$€£])$")
 _TIME_RE = re.compile(r"^(\d{1,2}):(\d{2})$")
 
 
@@ -746,6 +747,16 @@ def normalize_token(token: str, lang: str = "en-us") -> typing.Optional[str]:
         symbol, amount = m.groups()
     if m:
         unit = _CURRENCY.get(symbol, {}).get(lang)
+        # strip thousands separators ($1,234.56 / 1.234,56 €) before the
+        # cents split; which mark groups thousands is language-dependent
+        if re.match(r"^\d{1,3}(?:,\d{3})+(?:\.\d+)?$", amount) and (
+            lang == "en-us" or "." in amount
+        ):
+            amount = amount.replace(",", "")
+        elif re.match(r"^\d{1,3}(?:\.\d{3})+(?:,\d+)?$", amount) and (
+            lang != "en-us"
+        ):
+            amount = amount.replace(".", "")
         cents_m = re.match(r"^(\d+)[.,](\d{1,2})$", amount)
         if cents_m and unit:
             # money reading: $3.50 -> three dollars fifty cents,

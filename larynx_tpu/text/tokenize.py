@@ -195,6 +195,29 @@ def words_of(
     """
     out: typing.List[typing.Tuple[str, str]] = []
     tokens = tokenize(sentence, lang)
+    # space-grouped thousands ("1 234 567,89" — the French/Swedish/
+    # Russian convention) re-join into one number token for normalize
+    if any(re.fullmatch(r"\d{1,3}", t) for t in tokens):
+        joined: typing.List[str] = []
+        k = 0
+        while k < len(tokens):
+            t = tokens[k]
+            if re.fullmatch(r"\d{1,3}", t):
+                j = k + 1
+                while j < len(tokens) and re.fullmatch(r"\d{3}", tokens[j]):
+                    j += 1
+                # the final group may carry the decimal part
+                if j < len(tokens) and re.fullmatch(
+                    r"\d{3}[.,]\d+", tokens[j]
+                ):
+                    j += 1
+                if j > k + 1:
+                    joined.append("".join(tokens[k:j]))
+                    k = j
+                    continue
+            joined.append(t)
+            k += 1
+        tokens = joined
     # standalone currency symbols attach to the neighboring number
     # ("5 €" / "€ 5" -> one 5€ token for normalize)
     if any(t in ("$", "€", "£", "%") for t in tokens):

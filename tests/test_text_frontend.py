@@ -551,6 +551,37 @@ def test_currency_suffix_and_cents():
     ]
     assert w("kostet 3,50€", "de-de") == ["kostet", "drei", "Euro", "fünfzig"]
     assert w("costs $100", "en-us") == ["costs", "one", "hundred", "dollars"]
+    # thousands separators combine with cents ($1,234.56 / 1.234,56 €)
+    assert w("costs $1,234.56", "en-us") == [
+        "costs", "one", "thousand", "two", "hundred", "thirty", "four",
+        "dollars", "fifty", "six", "cents",
+    ]
+    assert w("kostet 1.234,56 €", "de-de") == [
+        "kostet", "eintausendzweihundertvierunddreißig", "Euro",
+        "sechsundfünfzig",
+    ]
+
+
+def test_space_grouped_thousands():
+    """French/Swedish/Russian digit grouping by spaces re-joins into one
+    number ("1 234 567,89")."""
+    from larynx_tpu.text.tokenize import words_of
+
+    def w(text, lang):
+        return [t for k, t in words_of(text, lang) if k == "word"]
+
+    assert w("coûte 1 234,56 €", "fr-fr") == [
+        "coûte", "mille", "deux", "cent", "trente-quatre", "euros",
+        "cinquante-six",
+    ]
+    assert w("Il y a 1 234 567 habitants.", "fr-fr") == [
+        "Il", "y", "a", "un", "million", "deux", "cent", "trente-quatre",
+        "mille", "cinq", "cent", "soixante-sept", "habitants",
+    ]
+    # two independent small numbers do NOT merge (second group not 3 digits)
+    assert w("I have 2 cats and 30 dogs.", "en-us") == [
+        "I", "have", "two", "cats", "and", "thirty", "dogs",
+    ]
 
 
 def test_percent_sign_all_languages():
