@@ -175,6 +175,13 @@ _EXACT_RAW = """
 зов+ут зов+у год+у утр+а утр+у кин+о запят+ая хоч+у по+ют
 прибыл+а пр+ибыл пр+ибыли ж+енщина ж+енщины ж+енщину ж+енщинам
 сад+у сад+ы
+сл+ышат д+ержат д+ышат
+полет+ел полет+ела полет+ели принесл+а принесл+и перенесл+а
+постр+оил постр+оила постр+оили устр+оил устр+оила
+в+ыборы в+ыборов в+ыбор в+ыбора в+ыбрал в+ыбрали в+ыход в+ыхода
+журн+ал журн+ала журн+алы кан+ал кан+ала генер+ал генер+ала
+петерб+ург петерб+урге петерб+урга сиб+ирь сиб+ири кавк+аз кавк+азе
+мин+истр мин+истра мин+истры мин+истров
 шестьс+от семьс+от восемьс+от девятьс+от
 рек+а р+еку рек+е рек+и рек+ой
 л+етом зим+ой весн+ой +осень +осени +осенью
@@ -269,6 +276,12 @@ _SUFFIX_RULES = [
     re.compile(r"([а])ци(?:я|и|ю|ей|ям|ями|ях|й)$"),
     # капитал-и́зм, тур-и́ст(ка)
     re.compile(r"([и])зм(?:а|у|е|ом|ы|ов)?$"),
+    # Latin agent/office loans: студе́нт, президе́нт, аспира́нт
+    re.compile(r"([еа])нт(?:а|у|е|ом|ы|ов|ам|ах|ами)?$"),
+    # result/person loans in -а́т: результа́т, депута́т, адвока́т
+    # (native words ending -ат are rare; за́пад ends -ад, бра́т is
+    # monosyllabic and unaffected)
+    re.compile(r"([а])т(?:а|у|е|ом|ы|ов|ам|ах|ами)?$"),
     re.compile(r"([и])ст(?:а|у|е|ом|ы|ов|ам|ах|ами|ка|ки|ке|ку|ок)?$"),
     # план-и́ровать and its conjugation
     re.compile(r"([и])ру(?:ю|ешь|ет|ем|ете|ют)$"),
