@@ -663,9 +663,22 @@ _YEAR_TO_WORDS = {
 }
 
 
+_MINUS = {
+    "en-us": "minus", "de-de": "minus", "fr-fr": "moins",
+    "es-es": "menos", "it-it": "meno", "nl": "min", "sv-se": "minus",
+    "ru-ru": "минус", "sw": "hasi",
+}
+
+
 def _spell_number(token: str, lang: str) -> typing.Optional[str]:
     to_words = NUMBER_TO_WORDS.get(lang, en_number_to_words)
     decimal_word = _DECIMAL_POINT.get(lang, "point")
+
+    if token.startswith("-") and len(token) > 1:
+        rest = _spell_number(token[1:], lang)
+        if rest is not None:
+            return f"{_MINUS.get(lang, 'minus')} {rest}"
+        return None
 
     # Strip digit-group separators (1,000 / 1.000 heuristics)
     clean = token
@@ -725,6 +738,29 @@ def normalize_token(token: str, lang: str = "en-us") -> typing.Optional[str]:
         # (de neunzehnhundert..., nl negentienhonderd..., sv nittonhundra...)
         if lang in _YEAR_TO_WORDS and _YEAR_RE.match(token):
             return _YEAR_TO_WORDS[lang](int(token))
+
+    # version numbers (2.0.1): each dotted group read out, joined by the
+    # decimal word — the single-decimal pattern in _spell_number cannot
+    # match and the token would otherwise be dropped
+    if re.match(r"^\d+(?:\.\d+){2,}$", token):
+        to_words = NUMBER_TO_WORDS.get(lang, en_number_to_words)
+        sep = _DECIMAL_POINT.get(lang, "point")
+        return f" {sep} ".join(
+            to_words(int(part)) for part in token.split(".")
+        )
+
+    # English decades: "the 1980s" / "the 90s"
+    if lang == "en-us":
+        dm = re.match(r"^(\d{2})?([2-9])0s$", token)
+        if dm:
+            ties = {
+                "2": "twenties", "3": "thirties", "4": "forties",
+                "5": "fifties", "6": "sixties", "7": "seventies",
+                "8": "eighties", "9": "nineties",
+            }[dm.group(2)]
+            if dm.group(1):
+                return f"{en_number_to_words(int(dm.group(1)))} {ties}"
+            return ties
 
     pm = re.match(r"^(\d+(?:[.,]\d+)?)%$", token)
     if pm:

@@ -47,6 +47,9 @@ MAJOR_PUNCT = {".", "!", "?", "。"}
 # Each entry is an extra alternative tried BEFORE the generic number branch
 # so normalize_token sees the whole form (matching _ORDINAL_FORMS there).
 _ORDINAL_TOKEN = {
+    # decades ("the 1980s", "the 90s") stay one token; 2000s-style
+    # hundreds-decades are left split (no idiomatic reading)
+    "en-us": r"\d{0,2}[2-9]0s\b",
     "fr-fr": r"\d+(?:er|ère|ere|ème|eme|e)\b",
     "nl": r"\d+(?:ste|de|e)\b",
     "sv-se": r"\d+:[ea]\b",
@@ -218,6 +221,26 @@ def words_of(
             joined.append(t)
             k += 1
         tokens = joined
+    # a minus sign binds to a following number when it cannot be a range
+    # ("-5 degrees" -> minus five); between two numbers it stays a pause
+    # ("3-2" -> three, pause, two)
+    if "-" in tokens or "−" in tokens:
+        signed: typing.List[str] = []
+        k = 0
+        while k < len(tokens):
+            t = tokens[k]
+            if (
+                t in ("-", "−")
+                and k + 1 < len(tokens)
+                and tokens[k + 1][:1].isdigit()
+                and (k == 0 or not tokens[k - 1][-1:].isdigit())
+            ):
+                signed.append("-" + tokens[k + 1])
+                k += 2
+                continue
+            signed.append(t)
+            k += 1
+        tokens = signed
     # standalone currency symbols attach to the neighboring number
     # ("5 €" / "€ 5" -> one 5€ token for normalize)
     if any(t in ("$", "€", "£", "%") for t in tokens):

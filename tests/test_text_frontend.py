@@ -648,3 +648,36 @@ def test_ssml_s_disables_sentence_splitting():
     assert [w.text for w in sents[0].words if not w.is_break] == [
         "One", "thing", "Another", "thing",
     ]
+
+
+def test_minus_version_decades():
+    """Signed numbers, dotted version strings, and English decades."""
+    from larynx_tpu.text.tokenize import words_of
+
+    def w(text, lang):
+        return [t for k, t in words_of(text, lang) if k == "word"]
+
+    assert w("It is -5 degrees.", "en-us") == [
+        "It", "is", "minus", "five", "degrees",
+    ]
+    assert w("Es ist -3 Grad.", "de-de") == ["Es", "ist", "minus", "drei", "Grad"]
+    assert w("На улице -10 градусов.", "ru-ru") == [
+        "На", "улице", "минус", "десять", "градусов",
+    ]
+    # between two numbers the dash stays a pause (score/range)
+    assert [
+        (k, t) for k, t in words_of("was 3-2.", "en-us")
+    ] == [
+        ("word", "was"), ("word", "three"), ("minor", "-"), ("word", "two"),
+        ("major", "."),
+    ]
+    assert w("Version 2.0.1 shipped.", "en-us") == [
+        "Version", "two", "point", "zero", "point", "one", "shipped",
+    ]
+    assert w("Version 1.2.3 ist da.", "de-de") == [
+        "Version", "eins", "Komma", "zwei", "Komma", "drei", "ist", "da",
+    ]
+    assert w("The 1980s were wild.", "en-us") == [
+        "The", "nineteen", "eighties", "were", "wild",
+    ]
+    assert w("In the 90s.", "en-us") == ["In", "the", "nineties"]
