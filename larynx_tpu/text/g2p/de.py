@@ -126,7 +126,13 @@ def _context(word: str, i: int):
     # devoicing rule would otherwise leave the short default vowel
     if i == 0 and word.startswith("flug") and len(word) > 4:
         return 4, ["f", "l", "uː", "k"]
-    if i == 0 and word.startswith("zug") and len(word) > 3 and word[3] not in _VOWEL_LETTERS:
+    if (
+        i == 0
+        and word.startswith("zug")
+        and len(word) > 3
+        and word[3] not in _VOWEL_LETTERS
+        and word[3] not in "lr"  # zu+gleich, zu+grunde: g starts a cluster
+    ):
         return 3, ["t͡s", "uː", "k"]
     # number-compound interiors keep their standalone reading: -hundert-
     # [hʊndɐt] and -tausend- [taʊzənt] (dreihundertfünf..., zweitausend...).
