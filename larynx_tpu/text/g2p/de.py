@@ -436,6 +436,7 @@ _SEP_GE_PREFIXES = {
     "mitge": ["m", "ɪ", "t", "g", "ə"],
     "nachge": ["n", "aː", "x", "g", "ə"],
     "wegge": ["v", "ɛ", "k", "g", "ə"],
+    "zuge": ["t͡s", "uː", "g", "ə"],
 }
 
 
