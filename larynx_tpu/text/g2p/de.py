@@ -251,6 +251,19 @@ def _context(word: str, i: int):
 # ge-/be- prefixes (vs ge-/be- stems like "geben"), unpredictable vowel
 # length before ch, loanword stress shapes.  Hand-verified standard German.
 _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
+    # measurement vocabulary (Latin/English loans)
+    "celsius": ("t͡s", "ɛ", "l", "z", "j", "ʊ", "s"),
+    "fahrenheit": ("f", "aː", "ʁ", "ə", "n", "h", "aɪ̯", "t"),
+    "viertel": ("f", "ɪ", "ʁ", "t", "ə", "l"),
+    "byte": ("b", "aɪ̯", "t"),
+    "kilobyte": ("k", "iː", "l", "oː", "b", "aɪ̯", "t"),
+    "megabyte": ("m", "eː", "g", "aː", "b", "aɪ̯", "t"),
+    "gigabyte": ("g", "iː", "g", "aː", "b", "aɪ̯", "t"),
+    "terabyte": ("t", "eː", "ʁ", "aː", "b", "aɪ̯", "t"),
+    "hertz": ("h", "ɛ", "ʁ", "t͡s"),
+    "kilohertz": ("k", "iː", "l", "oː", "h", "ɛ", "ʁ", "t͡s"),
+    "megahertz": ("m", "eː", "g", "aː", "h", "ɛ", "ʁ", "t͡s"),
+    "gigahertz": ("g", "iː", "g", "aː", "h", "ɛ", "ʁ", "t͡s"),
     "buch": ("b", "uː", "x"),
     "bücher": ("b", "yː", "ç", "ɐ"),
     "tuch": ("t", "uː", "x"),

@@ -4655,6 +4655,17 @@ mysterious m ɪ s t ˈɪ ɹ i ə s
 mystery m ˈɪ s t ɚ i
 encyclopedia ɪ n s ˌaɪ k l ə p ˈi d i ə
 association ə s ˌoʊ s i ˈeɪ ʃ ə n
+byte b ˈaɪ t
+megabyte m ˈɛ ɡ ə b ˌaɪ t
+gigabyte ɡ ˈɪ ɡ ə b ˌaɪ t
+kilobyte k ˈɪ l ə b ˌaɪ t
+terabyte t ˈɛ ɹ ə b ˌaɪ t
+hertz h ˈɚ t s
+kilohertz k ˈɪ l ə h ˌɚ t s
+megahertz m ˈɛ ɡ ə h ˌɚ t s
+gigahertz ɡ ˈɪ ɡ ə h ˌɚ t s
+fahrenheit f ˈɛ ɹ ə n h ˌaɪ t
+celsius s ˈɛ l s i ə s
 """
 
 LEXICON: typing.Dict[str, typing.List[str]] = {}

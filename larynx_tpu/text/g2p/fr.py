@@ -242,6 +242,8 @@ def _context(word: str, i: int):
 # Function words and irregulars the rules cannot derive.  Hand-verified
 # against standard French (metropolitan, the gruut fr-fr convention).
 _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
+    # Latin loan: final -us is [ys] with the s sounded
+    "celsius": ("s", "ɛ", "l", "s", "j", "y", "s"),
     "le": ("l", "ə"),
     "les": ("l", "e"),
     "des": ("d", "e"),

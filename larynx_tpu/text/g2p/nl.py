@@ -174,6 +174,7 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     "ontwikkeling": ("ɔ", "n", "t", "w", "ɪ", "k", "ə", "l", "ɪ", "ŋ"),
     # French loans keep final stress (pre-stressed: the penult default
     # must not fire)
+    "celsius": ("s", "ˈɛ", "l", "s", "i", "ʏ", "s"),
     "economie": ("eː", "k", "oː", "n", "oː", "m", "ˈi"),
     "misschien": ("m", "ɪ", "s", "x", "ˈi", "n"),
     "geleden": ("ɣ", "ə", "l", "eː", "d", "ə", "n"),

@@ -171,6 +171,7 @@ _EXACT_RAW = """
 +ягода +ягоды н+есколько мн+огие мн+огих немн+ого
 +общество +обществе к+ачество кол+ичество
 час+ы час+ов час+ам семь+я семь+е семь+и
+ч+етверть ч+етверти ц+ельсия фаренг+ейта
 молок+о молок+а хл+еба
 зов+ут зов+у год+у утр+а утр+у кин+о запят+ая хоч+у по+ют
 прибыл+а пр+ибыл пр+ибыли ж+енщина ж+енщины ж+енщину ж+енщинам

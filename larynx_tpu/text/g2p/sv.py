@@ -138,6 +138,18 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     # loanword/compound stress and accent-II marks the defaults miss
     # (pre-marked entries: stress_nth is a no-op when ' is present)
     "engelska": ("²", "'ɛ", "ŋ", "ɛ", "l", "s", "k", "a"),
+    # fraction nouns: compound accent II with initial stress
+    "tredjedel": ("²", "t", "r", "'eː", "d", "j", "ɛ", "d", "eː", "l"),
+    "tredjedelar": ("²", "t", "r", "'eː", "d", "j", "ɛ", "d", "eː", "l", "a", "r"),
+    "fjärdedel": ("²", "f", "j", "'ɛ", "r", "d", "ɛ", "d", "eː", "l"),
+    "fjärdedelar": ("²", "f", "j", "'ɛ", "r", "d", "ɛ", "d", "eː", "l", "a", "r"),
+    "femtedel": ("²", "f", "'ɛ", "m", "t", "ɛ", "d", "eː", "l"),
+    "femtedelar": ("²", "f", "'ɛ", "m", "t", "ɛ", "d", "eː", "l", "a", "r"),
+    "åttondel": ("²", "'ɔ", "t", "ɔ", "n", "d", "eː", "l"),
+    "åttondelar": ("²", "'ɔ", "t", "ɔ", "n", "d", "eː", "l", "a", "r"),
+    "tiondel": ("²", "t", "'iː", "ʊ", "n", "d", "eː", "l"),
+    "tiondelar": ("²", "t", "'iː", "ʊ", "n", "d", "eː", "l", "a", "r"),
+    "celsius": ("s", "'ɛ", "l", "s", "ɪ", "ɵ", "s"),
     "förstår": ("f", "œ", "r", "s", "t", "'oː", "r"),
     "förstå": ("f", "œ", "r", "s", "t", "'oː"),
     "förstod": ("f", "œ", "r", "s", "t", "'uː", "d"),

@@ -68,7 +68,7 @@ def en_ordinal_to_words(n: int) -> str:
 
 def en_year_to_words(n: int) -> str:
     """1963 -> nineteen sixty three; 2011 -> two thousand eleven."""
-    if 1000 <= n <= 1999 or (2100 <= n <= 9999 and (n % 100) != 0):
+    if 1001 <= n <= 1999 or (2100 <= n <= 9999 and (n % 100) != 0):
         high, low = divmod(n, 100)
         if low == 0:
             return f"{en_number_to_words(high)} hundred"
@@ -813,6 +813,469 @@ def normalize_token(token: str, lang: str = "en-us") -> typing.Optional[str]:
             return spoken
 
     return _spell_number(token, lang)
+
+
+def _ru_agree(n: int, sg: str, paucal: str, pl: str) -> str:
+    """Russian noun form agreeing with numeral n (1 час, 2 часа, 5 часов)."""
+    if 11 <= n % 100 <= 14:
+        return pl
+    last = n % 10
+    if last == 1:
+        return sg
+    if 2 <= last <= 4:
+        return paucal
+    return pl
+
+
+def _agreed_form(amount: str, forms: typing.Sequence[str], lang: str) -> str:
+    """Pick the unit-noun form agreeing with a raw amount token.
+
+    ``forms`` is (singular, plural) — or (singular, paucal, plural) for
+    Russian, where a decimal amount takes the paucal/genitive-singular
+    ("2,5 километра").
+    """
+    amt = amount.lstrip("-")
+    is_decimal = not re.fullmatch(r"\d+", amt)
+    if lang == "ru-ru" and len(forms) == 3:
+        if is_decimal:
+            return forms[1]
+        return _ru_agree(int(amt), *forms)
+    if is_decimal:
+        return forms[-1]
+    return forms[0] if int(amt) == 1 else forms[-1]
+
+
+# Degree sign after a number ("25°", "25°C"). Russian carries the
+# case triple; Swahili reads the unit BEFORE the number (nyuzi joto 25).
+_DEGREE_WORDS: typing.Dict[str, typing.Sequence[str]] = {
+    "en-us": ("degree", "degrees"),
+    "de-de": ("Grad", "Grad"),
+    "fr-fr": ("degré", "degrés"),
+    "es-es": ("grado", "grados"),
+    "it-it": ("grado", "gradi"),
+    "nl": ("graad", "graden"),
+    "sv-se": ("grad", "grader"),
+    "ru-ru": ("градус", "градуса", "градусов"),
+    "sw": ("nyuzi joto", "nyuzi joto"),
+}
+
+_DEGREE_SCALE = {
+    "C": {
+        "en-us": "Celsius", "de-de": "Celsius", "fr-fr": "Celsius",
+        "es-es": "Celsius", "it-it": "Celsius", "nl": "Celsius",
+        "sv-se": "Celsius", "ru-ru": "Цельсия", "sw": "selsiasi",
+    },
+    "F": {
+        "en-us": "Fahrenheit", "de-de": "Fahrenheit",
+        "fr-fr": "Fahrenheit", "es-es": "Fahrenheit",
+        "it-it": "Fahrenheit", "nl": "Fahrenheit", "sv-se": "Fahrenheit",
+        "ru-ru": "Фаренгейта", "sw": "farenheiti",
+    },
+}
+
+
+def degree_tokens(
+    amount: str, scale: typing.Optional[str], lang: str
+) -> typing.Optional[typing.List[str]]:
+    """Replacement tokens for ``amount ° [C|F]`` (number token kept raw)."""
+    forms = _DEGREE_WORDS.get(lang)
+    if forms is None:
+        return None
+    unit = _agreed_form(amount, forms, lang)
+    tail = _DEGREE_SCALE.get(scale or "", {}).get(lang) if scale else None
+    if lang == "sw":  # nyuzi joto 25 (unit precedes the number)
+        toks = unit.split() + [amount]
+    else:
+        toks = [amount] + unit.split()
+    if tail:
+        toks.append(tail)
+    return toks
+
+
+# Measurement-unit abbreviations read out when they follow a number.
+# Only unambiguous abbreviations are listed (no bare m/g/l/s/h/in).
+# Values are (singular, plural); Russian (singular, paucal, plural).
+_UNIT_WORDS: typing.Dict[str, typing.Dict[str, typing.Sequence[str]]] = {
+    "km": {
+        "en-us": ("kilometer", "kilometers"),
+        "de-de": ("Kilometer", "Kilometer"),
+        "fr-fr": ("kilomètre", "kilomètres"),
+        "es-es": ("kilómetro", "kilómetros"),
+        "it-it": ("chilometro", "chilometri"),
+        "nl": ("kilometer", "kilometer"),
+        "sv-se": ("kilometer", "kilometer"),
+        "ru-ru": ("километр", "километра", "километров"),
+        "sw": ("kilomita", "kilomita"),
+    },
+    "cm": {
+        "en-us": ("centimeter", "centimeters"),
+        "de-de": ("Zentimeter", "Zentimeter"),
+        "fr-fr": ("centimètre", "centimètres"),
+        "es-es": ("centímetro", "centímetros"),
+        "it-it": ("centimetro", "centimetri"),
+        "nl": ("centimeter", "centimeter"),
+        "sv-se": ("centimeter", "centimeter"),
+        "ru-ru": ("сантиметр", "сантиметра", "сантиметров"),
+        "sw": ("sentimita", "sentimita"),
+    },
+    "mm": {
+        "en-us": ("millimeter", "millimeters"),
+        "de-de": ("Millimeter", "Millimeter"),
+        "fr-fr": ("millimètre", "millimètres"),
+        "es-es": ("milímetro", "milímetros"),
+        "it-it": ("millimetro", "millimetri"),
+        "nl": ("millimeter", "millimeter"),
+        "sv-se": ("millimeter", "millimeter"),
+        "ru-ru": ("миллиметр", "миллиметра", "миллиметров"),
+        "sw": ("milimita", "milimita"),
+    },
+    "kg": {
+        "en-us": ("kilogram", "kilograms"),
+        "de-de": ("Kilogramm", "Kilogramm"),
+        "fr-fr": ("kilogramme", "kilogrammes"),
+        "es-es": ("kilogramo", "kilogramos"),
+        "it-it": ("chilogrammo", "chilogrammi"),
+        "nl": ("kilogram", "kilogram"),
+        "sv-se": ("kilogram", "kilogram"),
+        "ru-ru": ("килограмм", "килограмма", "килограммов"),
+        "sw": ("kilogramu", "kilogramu"),
+    },
+    "mg": {
+        "en-us": ("milligram", "milligrams"),
+        "de-de": ("Milligramm", "Milligramm"),
+        "fr-fr": ("milligramme", "milligrammes"),
+        "es-es": ("miligramo", "miligramos"),
+        "it-it": ("milligrammo", "milligrammi"),
+        "nl": ("milligram", "milligram"),
+        "sv-se": ("milligram", "milligram"),
+        "ru-ru": ("миллиграмм", "миллиграмма", "миллиграммов"),
+        "sw": ("miligramu", "miligramu"),
+    },
+    "ml": {
+        "en-us": ("milliliter", "milliliters"),
+        "de-de": ("Milliliter", "Milliliter"),
+        "fr-fr": ("millilitre", "millilitres"),
+        "es-es": ("mililitro", "mililitros"),
+        "it-it": ("millilitro", "millilitri"),
+        "nl": ("milliliter", "milliliter"),
+        "sv-se": ("milliliter", "milliliter"),
+        "ru-ru": ("миллилитр", "миллилитра", "миллилитров"),
+        "sw": ("mililita", "mililita"),
+    },
+    "ms": {
+        "en-us": ("millisecond", "milliseconds"),
+        "de-de": ("Millisekunde", "Millisekunden"),
+        "fr-fr": ("milliseconde", "millisecondes"),
+        "es-es": ("milisegundo", "milisegundos"),
+        "it-it": ("millisecondo", "millisecondi"),
+        "nl": ("milliseconde", "milliseconden"),
+        "sv-se": ("millisekund", "millisekunder"),
+        "ru-ru": ("миллисекунда", "миллисекунды", "миллисекунд"),
+        "sw": ("milisekunde", "milisekunde"),
+    },
+    "min": {
+        "en-us": ("minute", "minutes"),
+        "de-de": ("Minute", "Minuten"),
+        "fr-fr": ("minute", "minutes"),
+        "es-es": ("minuto", "minutos"),
+        "it-it": ("minuto", "minuti"),
+        "nl": ("minuut", "minuten"),
+        "sv-se": ("minut", "minuter"),
+        "ru-ru": ("минута", "минуты", "минут"),
+        "sw": ("dakika", "dakika"),
+    },
+    "kb": {
+        "en-us": ("kilobyte", "kilobytes"),
+        "de-de": ("Kilobyte", "Kilobyte"),
+        "es-es": ("kilobyte", "kilobytes"),
+        "it-it": ("kilobyte", "kilobyte"),
+        "nl": ("kilobyte", "kilobyte"),
+        "sv-se": ("kilobyte", "kilobyte"),
+        "ru-ru": ("килобайт", "килобайта", "килобайт"),
+    },
+    "mb": {
+        "en-us": ("megabyte", "megabytes"),
+        "de-de": ("Megabyte", "Megabyte"),
+        "es-es": ("megabyte", "megabytes"),
+        "it-it": ("megabyte", "megabyte"),
+        "nl": ("megabyte", "megabyte"),
+        "sv-se": ("megabyte", "megabyte"),
+        "ru-ru": ("мегабайт", "мегабайта", "мегабайт"),
+    },
+    "gb": {
+        "en-us": ("gigabyte", "gigabytes"),
+        "de-de": ("Gigabyte", "Gigabyte"),
+        "es-es": ("gigabyte", "gigabytes"),
+        "it-it": ("gigabyte", "gigabyte"),
+        "nl": ("gigabyte", "gigabyte"),
+        "sv-se": ("gigabyte", "gigabyte"),
+        "ru-ru": ("гигабайт", "гигабайта", "гигабайт"),
+    },
+    "tb": {
+        "en-us": ("terabyte", "terabytes"),
+        "de-de": ("Terabyte", "Terabyte"),
+        "es-es": ("terabyte", "terabytes"),
+        "it-it": ("terabyte", "terabyte"),
+        "nl": ("terabyte", "terabyte"),
+        "sv-se": ("terabyte", "terabyte"),
+        "ru-ru": ("терабайт", "терабайта", "терабайт"),
+    },
+    "hz": {
+        "en-us": ("hertz", "hertz"),
+        "de-de": ("Hertz", "Hertz"),
+        "fr-fr": ("hertz", "hertz"),
+        "es-es": ("hercio", "hercios"),
+        "it-it": ("hertz", "hertz"),
+        "nl": ("hertz", "hertz"),
+        "sv-se": ("hertz", "hertz"),
+        "ru-ru": ("герц", "герца", "герц"),
+    },
+    "khz": {
+        "en-us": ("kilohertz", "kilohertz"),
+        "de-de": ("Kilohertz", "Kilohertz"),
+        "fr-fr": ("kilohertz", "kilohertz"),
+        "es-es": ("kilohercio", "kilohercios"),
+        "it-it": ("kilohertz", "kilohertz"),
+        "nl": ("kilohertz", "kilohertz"),
+        "sv-se": ("kilohertz", "kilohertz"),
+        "ru-ru": ("килогерц", "килогерца", "килогерц"),
+    },
+    "mhz": {
+        "en-us": ("megahertz", "megahertz"),
+        "de-de": ("Megahertz", "Megahertz"),
+        "fr-fr": ("mégahertz", "mégahertz"),
+        "es-es": ("megahercio", "megahercios"),
+        "it-it": ("megahertz", "megahertz"),
+        "nl": ("megahertz", "megahertz"),
+        "sv-se": ("megahertz", "megahertz"),
+        "ru-ru": ("мегагерц", "мегагерца", "мегагерц"),
+    },
+    "ghz": {
+        "en-us": ("gigahertz", "gigahertz"),
+        "de-de": ("Gigahertz", "Gigahertz"),
+        "fr-fr": ("gigahertz", "gigahertz"),
+        "es-es": ("gigahercio", "gigahercios"),
+        "it-it": ("gigahertz", "gigahertz"),
+        "nl": ("gigahertz", "gigahertz"),
+        "sv-se": ("gigahertz", "gigahertz"),
+        "ru-ru": ("гигагерц", "гигагерца", "гигагерц"),
+    },
+    "mph": {
+        "en-us": ("mile per hour", "miles per hour"),
+    },
+}
+
+# Cyrillic unit abbreviations as they appear in Russian text
+for _lat, _cyr in (
+    ("km", "км"), ("cm", "см"), ("mm", "мм"), ("kg", "кг"),
+    ("mg", "мг"), ("ml", "мл"), ("min", "мин"),
+):
+    _UNIT_WORDS[_cyr] = {"ru-ru": _UNIT_WORDS[_lat]["ru-ru"]}
+
+# "N km/h" — the whole unit phrase, invariant in number
+_PER_HOUR = {
+    "en-us": "kilometers per hour",
+    "de-de": "Kilometer pro Stunde",
+    "fr-fr": "kilomètres par heure",
+    "es-es": "kilómetros por hora",
+    "it-it": "chilometri orari",
+    "nl": "kilometer per uur",
+    "sv-se": "kilometer i timmen",
+    "ru-ru": "километров в час",
+    "sw": "kilomita kwa saa",
+}
+
+
+def measure_tokens(
+    amount: str, unit: str, lang: str
+) -> typing.Optional[typing.List[str]]:
+    """Replacement tokens for ``amount unit`` (number token kept raw)."""
+    forms = _UNIT_WORDS.get(unit.lower(), {}).get(lang)
+    if forms is None:
+        return None
+    return [amount] + _agreed_form(amount, forms, lang).split()
+
+
+# Common written fractions: denominator -> per-language (singular,
+# plural) fraction noun. Dutch/German fraction nouns are invariant;
+# Russian uses the feminine ordinal (одна вторая, три четвёртых).
+_FRACTION_WORDS: typing.Dict[int, typing.Dict[str, typing.Sequence[str]]] = {
+    2: {
+        "en-us": ("half", "halves"), "de-de": ("halb", "halbe"),
+        "fr-fr": ("demi", "demis"), "es-es": ("medio", "medios"),
+        "it-it": ("mezzo", "mezzi"), "nl": ("half", "half"),
+        "sv-se": ("halv", "halva"), "ru-ru": ("вторая", "вторых"),
+        "sw": ("nusu", "nusu"),
+    },
+    3: {
+        "en-us": ("third", "thirds"), "de-de": ("Drittel", "Drittel"),
+        "fr-fr": ("tiers", "tiers"), "es-es": ("tercio", "tercios"),
+        "it-it": ("terzo", "terzi"), "nl": ("derde", "derde"),
+        "sv-se": ("tredjedel", "tredjedelar"),
+        "ru-ru": ("третья", "третьих"), "sw": ("theluthi", "theluthi"),
+    },
+    4: {
+        "en-us": ("quarter", "quarters"), "de-de": ("Viertel", "Viertel"),
+        "fr-fr": ("quart", "quarts"), "es-es": ("cuarto", "cuartos"),
+        "it-it": ("quarto", "quarti"), "nl": ("kwart", "kwart"),
+        "sv-se": ("fjärdedel", "fjärdedelar"),
+        "ru-ru": ("четвёртая", "четвёртых"), "sw": ("robo", "robo"),
+    },
+    5: {
+        "en-us": ("fifth", "fifths"), "de-de": ("Fünftel", "Fünftel"),
+        "fr-fr": ("cinquième", "cinquièmes"),
+        "es-es": ("quinto", "quintos"), "it-it": ("quinto", "quinti"),
+        "nl": ("vijfde", "vijfde"),
+        "sv-se": ("femtedel", "femtedelar"),
+        "ru-ru": ("пятая", "пятых"),
+    },
+    8: {
+        "en-us": ("eighth", "eighths"), "de-de": ("Achtel", "Achtel"),
+        "fr-fr": ("huitième", "huitièmes"),
+        "es-es": ("octavo", "octavos"), "it-it": ("ottavo", "ottavi"),
+        "nl": ("achtste", "achtste"),
+        "sv-se": ("åttondel", "åttondelar"),
+        "ru-ru": ("восьмая", "восьмых"),
+    },
+    10: {
+        "en-us": ("tenth", "tenths"), "de-de": ("Zehntel", "Zehntel"),
+        "fr-fr": ("dixième", "dixièmes"),
+        "es-es": ("décimo", "décimos"), "it-it": ("decimo", "decimi"),
+        "nl": ("tiende", "tiende"),
+        "sv-se": ("tiondel", "tiondelar"),
+        "ru-ru": ("десятая", "десятых"),
+    },
+}
+
+# numerator word when it is 1 (gendered/reduced articles)
+_FRACTION_ONE = {
+    "en-us": "one", "de-de": "ein", "fr-fr": "un", "es-es": "un",
+    "it-it": "un", "nl": "een", "sv-se": "en", "ru-ru": "одна",
+}
+
+
+def fraction_words(num: int, den: int, lang: str) -> typing.Optional[str]:
+    """Spoken form of a simple written fraction like 1/2 or 3/4."""
+    forms = _FRACTION_WORDS.get(den, {}).get(lang)
+    if forms is None:
+        return None
+    noun = forms[0] if num == 1 else forms[-1]
+    if lang == "sw":  # noun precedes the numeral: robo tatu
+        if num == 1:
+            return noun
+        return f"{noun} {sw_number_to_words(num)}"
+    if num == 1:
+        one = _FRACTION_ONE.get(lang, "one")
+        return f"{one} {noun}"
+    if lang == "ru-ru":
+        head = "две" if num == 2 else ru_number_to_words(num)
+        return f"{head} {noun}"
+    to_words = NUMBER_TO_WORDS.get(lang, en_number_to_words)
+    return f"{to_words(num)} {noun}"
+
+
+_ROMAN_VALUES = {"I": 1, "V": 5, "X": 10, "L": 50, "C": 100, "D": 500, "M": 1000}
+
+
+def roman_to_int(s: str) -> typing.Optional[int]:
+    """Strict roman-numeral parse; None if s is not well-formed."""
+    if not s or any(ch not in _ROMAN_VALUES for ch in s):
+        return None
+    total = 0
+    prev = 0
+    for ch in reversed(s):
+        v = _ROMAN_VALUES[ch]
+        if v < prev:
+            total -= v
+        else:
+            total += v
+            prev = v
+    # round-trip check rejects malformed spellings like IIII or IXI
+    digits = [
+        (1000, "M"), (900, "CM"), (500, "D"), (400, "CD"), (100, "C"),
+        (90, "XC"), (50, "L"), (40, "XL"), (10, "X"), (9, "IX"),
+        (5, "V"), (4, "IV"), (1, "I"),
+    ]
+    n, out = total, []
+    for val, sym in digits:
+        while n >= val:
+            out.append(sym)
+            n -= val
+    return total if "".join(out) == s else None
+
+
+def kmh_tokens(amount: str, lang: str) -> typing.Optional[typing.List[str]]:
+    """Replacement tokens for ``amount km/h`` (number token kept raw)."""
+    phrase = _PER_HOUR.get(lang)
+    if phrase is None:
+        return None
+    return [amount] + phrase.split()
+
+
+UNIT_ABBREVIATIONS = frozenset(_UNIT_WORDS)
+
+# Words that put a following roman numeral in ordinal-series position
+# ("Chapter IV", "Kapitel IV", "siglo XXI") — read as a cardinal.
+_ROMAN_CONTEXT = {
+    "en-us": {
+        "chapter", "part", "act", "scene", "section", "volume", "book",
+        "phase", "stage", "article", "appendix", "level", "war",
+        "grade", "class", "type", "title",
+    },
+    "de-de": {"kapitel", "teil", "akt", "band", "artikel", "weltkrieg"},
+    "fr-fr": {
+        "chapitre", "partie", "acte", "tome", "article", "scène",
+        "livre", "guerre",
+    },
+    "es-es": {
+        "capítulo", "parte", "acto", "tomo", "artículo", "siglo",
+        "libro", "guerra",
+    },
+    "it-it": {"capitolo", "parte", "atto", "tomo", "articolo", "libro"},
+    "nl": {"hoofdstuk", "deel", "akte", "artikel", "boek"},
+    "sv-se": {"kapitel", "del", "akt", "artikel", "bok"},
+    "ru-ru": {"глава", "часть", "том", "акт"},
+}
+
+# Regnal/papal names: "Henry VIII" -> "Henry the eighth" (English only;
+# the reading is language-specific elsewhere and left to spell-out).
+_EN_REGNAL = {
+    "henry", "louis", "george", "edward", "charles", "james",
+    "william", "elizabeth", "richard", "philip", "frederick",
+    "alexander", "napoleon", "catherine", "mary", "anne", "john",
+    "paul", "benedict", "pius", "leo", "gregory", "urban", "innocent",
+    "clement", "nicholas", "ivan", "peter", "gustav", "carl", "olaf",
+    "juan", "felipe", "pedro", "umberto", "wilhelm", "ludwig", "otto",
+    "karl", "christian", "ramses", "ptolemy", "darius", "king",
+    "queen", "pope", "tsar", "emperor", "kaiser",
+}
+
+
+def roman_words(
+    prev_word: str, token: str, lang: str
+) -> typing.Optional[str]:
+    """Spoken form of a roman numeral in a reading context, else None.
+
+    Keyword contexts ("Chapter IV", "siglo XXI") read as cardinals in
+    every language; English regnal names ("Henry VIII") read as "the"
+    + ordinal. Single letters are only read after a keyword, and only
+    I/V/X — "Appendix C" keeps the letter C.
+    """
+    if not token.isupper():
+        return None
+    value = roman_to_int(token)
+    if value is None or value > 2200:
+        return None
+    prev = prev_word.lower().rstrip(".")
+    if prev in _ROMAN_CONTEXT.get(lang, ()):
+        if len(token) == 1 and token not in ("I", "V", "X"):
+            return None
+        to_words = NUMBER_TO_WORDS.get(lang)
+        return to_words(value) if to_words else None
+    if lang == "en-us" and len(token) >= 2 and 2 <= value <= 30:
+        if prev in _EN_REGNAL:
+            return f"the {en_ordinal_to_words(value)}"
+    return None
 
 
 def _ru_hour_noun(hours: int) -> str:

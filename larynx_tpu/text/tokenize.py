@@ -10,7 +10,15 @@ import functools
 import re
 import typing
 
-from larynx_tpu.text.normalize import normalize_token
+from larynx_tpu.text.normalize import (
+    UNIT_ABBREVIATIONS,
+    degree_tokens,
+    fraction_words,
+    kmh_tokens,
+    measure_tokens,
+    normalize_token,
+    roman_words,
+)
 
 # Sentence boundary: terminal punctuation followed by whitespace or EOT.
 _SENT_BOUNDARY = re.compile(r"(?<=[.!?…])[\)\]\"'”’]*\s+")
@@ -305,6 +313,89 @@ def words_of(
                 and (_is_time(k - 1) or _is_time(k + 1))
             )
         ]
+    # measurements and fractions: "25°C" -> 25 Grad Celsius, "5 km" ->
+    # 5 + kilometer-word, "120 km/h" -> 120 Kilometer pro Stunde,
+    # "3/4" -> drei Viertel. The unit becomes plain word tokens; the
+    # number token itself is expanded by normalize_token below.
+    if any(
+        "°" in t or t == "/" or t.lower() in UNIT_ABBREVIATIONS
+        for t in tokens
+    ):
+        measured: typing.List[str] = []
+        k = 0
+        while k < len(tokens):
+            t = tokens[k]
+            nxt = tokens[k + 1] if k + 1 < len(tokens) else ""
+            n2 = tokens[k + 2] if k + 2 < len(tokens) else ""
+            n3 = tokens[k + 3] if k + 3 < len(tokens) else ""
+            is_num = bool(re.fullmatch(r"-?\d+(?:[.,]\d+)?", t))
+            rep = None
+            if is_num and nxt == "°":
+                scale = n2 if n2 in ("C", "F") else None
+                rep = degree_tokens(t, scale, lang)
+                step = 3 if scale else 2
+            elif (
+                # es/it tokenize "25°" as one ordinal-marked token; a
+                # following C/F disambiguates it as a temperature
+                re.fullmatch(r"-?\d+(?:[.,]\d+)?°", t)
+                and nxt in ("C", "F")
+            ):
+                rep = degree_tokens(t[:-1], nxt, lang)
+                step = 2
+            elif (
+                is_num
+                and nxt.lower() in ("km", "км")
+                and n2 == "/"
+                and n3.lower() in ("h", "ч")
+            ):
+                rep = kmh_tokens(t, lang)
+                step = 4
+            elif is_num and nxt:
+                rep = measure_tokens(t, nxt, lang)
+                step = 2
+            if rep is None and (
+                re.fullmatch(r"\d{1,2}", t)
+                and nxt == "/"
+                and re.fullmatch(r"\d{1,2}", n2)
+                and n3 != "/"
+                and (k == 0 or tokens[k - 1] != "/")
+                and int(t) < int(n2)
+            ):
+                # simple written fraction, not part of a slashed date
+                spoken = fraction_words(int(t), int(n2), lang)
+                if spoken is not None:
+                    rep = spoken.split()
+                    step = 3
+            if rep is not None:
+                # "Ni nyuzi 25°C": the written degree word is already
+                # part of the expansion — drop the doubled one
+                if (
+                    lang == "sw"
+                    and measured
+                    and rep[:1] == ["nyuzi"]
+                    and measured[-1].lower() == "nyuzi"
+                ):
+                    measured.pop()
+                measured.extend(rep)
+                k += step
+            else:
+                measured.append(t)
+                k += 1
+        tokens = measured
+    # roman numerals in reading contexts ("Chapter IV", "Henry VIII")
+    if any(
+        len(t) >= 1 and t.isupper() and set(t) <= set("IVXLCDM")
+        for t in tokens
+    ):
+        romanized: typing.List[str] = []
+        for k, t in enumerate(tokens):
+            if t.isupper() and set(t) <= set("IVXLCDM") and k > 0:
+                spoken = roman_words(tokens[k - 1], t, lang)
+                if spoken is not None:
+                    romanized.extend(spoken.split())
+                    continue
+            romanized.append(t)
+        tokens = romanized
     for token in tokens:
         kind = classify_token(token)
         if kind == "skip":

@@ -681,3 +681,135 @@ def test_minus_version_decades():
         "The", "nineteen", "eighties", "were", "wild",
     ]
     assert w("In the 90s.", "en-us") == ["In", "the", "nineties"]
+
+
+def test_degrees_and_temperature():
+    """N° / N°C / N°F read as agreed degree words per language."""
+    from larynx_tpu.text.tokenize import words_of
+
+    def w(text, lang):
+        return [t for k, t in words_of(text, lang) if k == "word"]
+
+    assert w("It is 25°C.", "en-us") == [
+        "It", "is", "twenty", "five", "degrees", "Celsius",
+    ]
+    assert w("It was 98.6°F.", "en-us")[-4:] == [
+        "point", "six", "degrees", "Fahrenheit",
+    ]
+    assert w("1° only.", "en-us") == ["one", "degree", "only"]
+    assert w("Es sind 25°C.", "de-de") == [
+        "Es", "sind", "fünfundzwanzig", "Grad", "Celsius",
+    ]
+    # es/it tokenize 25° as an ordinal form; C/F disambiguates
+    assert w("Hace 25°C.", "es-es") == [
+        "Hace", "veinticinco", "grados", "Celsius",
+    ]
+    assert w("El 5º piso.", "es-es") == ["El", "quinto", "piso"]
+    assert w("Sono 25°C.", "it-it") == ["Sono", "venticinque", "gradi", "Celsius"]
+    # Russian case agreement: integer -> genitive plural, decimal -> paucal
+    assert w("Сегодня -7°C.", "ru-ru") == [
+        "Сегодня", "минус", "семь", "градусов", "Цельсия",
+    ]
+    assert w("Было 36,6°C.", "ru-ru")[-3:] == ["шесть", "градуса", "Цельсия"]
+    assert w("Было 21°C.", "ru-ru") == [
+        "Было", "двадцать", "один", "градус", "Цельсия",
+    ]
+    # Swahili reads the unit before the number, deduped against a
+    # written "nyuzi"
+    assert w("Ni nyuzi 25°C leo.", "sw") == [
+        "Ni", "nyuzi", "joto", "ishirini", "na", "tano", "selsiasi", "leo",
+    ]
+
+
+def test_measurement_units():
+    """Number + unit abbreviation expands with number agreement."""
+    from larynx_tpu.text.tokenize import words_of
+
+    def w(text, lang):
+        return [t for k, t in words_of(text, lang) if k == "word"]
+
+    assert w("He ran 5 km in 20 min.", "en-us") == [
+        "He", "ran", "five", "kilometers", "in", "twenty", "minutes",
+    ]
+    assert w("1 km away.", "en-us") == ["one", "kilometer", "away"]
+    assert w("A 2.5 MB file.", "en-us") == [
+        "A", "two", "point", "five", "megabytes", "file",
+    ]
+    assert w("He drove 120 km/h at 60 mph.", "en-us") == [
+        "He", "drove", "one", "hundred", "twenty", "kilometers", "per",
+        "hour", "at", "sixty", "miles", "per", "hour",
+    ]
+    assert w("Er fuhr 120 km/h.", "de-de") == [
+        "Er", "fuhr", "einhundertzwanzig", "Kilometer", "pro", "Stunde",
+    ]
+    # Cyrillic abbreviations + case agreement
+    assert w("Прошло 2 км, 1 км, 5 км.", "ru-ru") == [
+        "Прошло", "два", "километра", "один", "километр", "пять",
+        "километров",
+    ]
+    assert w("Скорость 60 км/ч.", "ru-ru") == [
+        "Скорость", "шестьдесят", "километров", "в", "час",
+    ]
+    # unit words NOT expanded without a preceding number
+    assert w("The km marker.", "en-us") == ["The", "km", "marker"]
+
+
+def test_fractions():
+    """Simple written fractions read as fraction nouns, not digit pairs."""
+    from larynx_tpu.text.tokenize import words_of
+
+    def w(text, lang):
+        return [t for k, t in words_of(text, lang) if k == "word"]
+
+    assert w("About 1/2 of it, then 3/4 more.", "en-us") == [
+        "About", "one", "half", "of", "it", "then", "three", "quarters",
+        "more",
+    ]
+    assert w("Nimm 1/2 Liter und 3/4 Kilo.", "de-de") == [
+        "Nimm", "ein", "halb", "Liter", "und", "drei", "Viertel", "Kilo",
+    ]
+    assert w("Bebe 1/2 litro.", "es-es") == ["Bebe", "un", "medio", "litro"]
+    assert w("kwa 1/2 saa.", "sw") == ["kwa", "nusu", "saa"]
+    assert w("Это 3/4 пути.", "ru-ru") == ["Это", "три", "четвёртых", "пути"]
+    # slashed dates are NOT fractions
+    assert "half" not in w("On 5/12/2021 nothing happened.", "en-us")
+    # improper or uncommon fractions stay digit-read
+    assert w("A 24/7 shop.", "en-us") == ["A", "twenty", "four", "seven", "shop"]
+
+
+def test_roman_numerals():
+    """Roman numerals read in series/regnal contexts, letters elsewhere."""
+    from larynx_tpu.text.tokenize import words_of
+
+    def w(text, lang):
+        return [t for k, t in words_of(text, lang) if k == "word"]
+
+    assert w("Chapter IV begins.", "en-us") == ["Chapter", "four", "begins"]
+    assert w("World War II ended.", "en-us") == ["World", "War", "two", "ended"]
+    assert w("Chapter I.", "en-us") == ["Chapter", "one"]
+    assert w("Henry VIII had six wives.", "en-us") == [
+        "Henry", "the", "eighth", "had", "six", "wives",
+    ]
+    assert w("Elizabeth II died.", "en-us") == ["Elizabeth", "the", "second", "died"]
+    # single letters that are not I/V/X stay letters (Appendix C)
+    assert w("Appendix C follows.", "en-us") == ["Appendix", "C", "follows"]
+    # no context -> stays a letter sequence (spelled out downstream)
+    assert w("the CD and DVD.", "en-us") == ["the", "CD", "and", "DVD"]
+    assert w("I went home.", "en-us") == ["I", "went", "home"]
+    assert w("Kapitel IV beginnt.", "de-de") == ["Kapitel", "vier", "beginnt"]
+    assert w("en el siglo XXI.", "es-es") == ["en", "el", "siglo", "veintiuno"]
+    assert w("Le chapitre IX commence.", "fr-fr") == [
+        "Le", "chapitre", "neuf", "commence",
+    ]
+    assert w("Глава IV, часть II.", "ru-ru") == [
+        "Глава", "четыре", "часть", "два",
+    ]
+
+
+def test_year_1000_reads_one_thousand():
+    from larynx_tpu.text.tokenize import words_of
+
+    got = [t for k, t in words_of("In the year 1000 and 1066.", "en-us") if k == "word"]
+    assert got == [
+        "In", "the", "year", "one", "thousand", "and", "ten", "sixty", "six",
+    ]
