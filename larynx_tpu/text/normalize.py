@@ -1174,6 +1174,26 @@ def fraction_words(num: int, den: int, lang: str) -> typing.Optional[str]:
     return f"{to_words(num)} {noun}"
 
 
+# Spoken symbol readings ("AT&T", "2+2=4"). & is read wherever it
+# joins words; + and = only between alphanumeric neighbors.
+SYMBOL_WORDS: typing.Dict[str, typing.Dict[str, str]] = {
+    "&": {
+        "en-us": "and", "de-de": "und", "fr-fr": "et", "es-es": "y",
+        "it-it": "e", "nl": "en", "sv-se": "och", "ru-ru": "и",
+        "sw": "na",
+    },
+    "+": {
+        "en-us": "plus", "de-de": "plus", "fr-fr": "plus",
+        "es-es": "más", "it-it": "più", "nl": "plus", "sv-se": "plus",
+        "ru-ru": "плюс",
+    },
+    "=": {
+        "en-us": "equals", "de-de": "gleich", "fr-fr": "égale",
+        "es-es": "igual a", "it-it": "uguale", "nl": "is",
+        "sv-se": "är lika med", "ru-ru": "равно",
+    },
+}
+
 _ROMAN_VALUES = {"I": 1, "V": 5, "X": 10, "L": 50, "C": 100, "D": 500, "M": 1000}
 
 

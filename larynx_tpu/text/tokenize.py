@@ -11,6 +11,7 @@ import re
 import typing
 
 from larynx_tpu.text.normalize import (
+    SYMBOL_WORDS,
     UNIT_ABBREVIATIONS,
     degree_tokens,
     fraction_words,
@@ -382,6 +383,24 @@ def words_of(
                 measured.append(t)
                 k += 1
         tokens = measured
+    # spoken symbols: & reads as "and" between words; + and = read
+    # only with alphanumeric neighbors on both sides ("2+2=4", "A+")
+    if any(t in SYMBOL_WORDS for t in tokens):
+        spoken_syms: typing.List[str] = []
+        for k, t in enumerate(tokens):
+            word_map = SYMBOL_WORDS.get(t)
+            if word_map is not None:
+                prev_ok = k > 0 and tokens[k - 1][-1:].isalnum()
+                nxt_ok = (
+                    k + 1 < len(tokens) and tokens[k + 1][:1].isalnum()
+                )
+                joins = prev_ok and (nxt_ok or t == "+")
+                spoken = word_map.get(lang) if joins else None
+                if spoken is not None:
+                    spoken_syms.extend(spoken.split())
+                    continue
+            spoken_syms.append(t)
+        tokens = spoken_syms
     # roman numerals in reading contexts ("Chapter IV", "Henry VIII")
     if any(
         len(t) >= 1 and t.isupper() and set(t) <= set("IVXLCDM")

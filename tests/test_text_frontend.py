@@ -813,3 +813,21 @@ def test_year_1000_reads_one_thousand():
     assert got == [
         "In", "the", "year", "one", "thousand", "and", "ten", "sixty", "six",
     ]
+
+
+def test_symbol_reading():
+    """& / + / = read as words between alphanumeric neighbors."""
+    from larynx_tpu.text.tokenize import words_of
+
+    def w(text, lang):
+        return [t for k, t in words_of(text, lang) if k == "word"]
+
+    assert w("AT&T and R&D.", "en-us") == ["AT", "and", "T", "and", "R", "and", "D"]
+    assert w("2+2=4.", "en-us") == ["two", "plus", "two", "equals", "four"]
+    assert w("Das macht 2+2=4.", "de-de") == [
+        "Das", "macht", "zwei", "plus", "zwei", "gleich", "vier",
+    ]
+    assert w("an A+ grade.", "en-us") == ["an", "A", "plus", "grade"]
+    assert w("Tom & Jerry.", "fr-fr") == ["Tom", "et", "Jerry"]
+    # stray symbols with no joinable neighbors stay silent
+    assert w("& oddly placed &.", "en-us") == ["oddly", "placed"]
