@@ -336,6 +336,18 @@ def words_of(
                 rep = degree_tokens(t, scale, lang)
                 step = 3 if scale else 2
             elif (
+                # "N° 5" (numéro) in the Romance languages
+                t in ("N", "n")
+                and nxt in ("°", "º")
+                and n2[:1].isdigit()
+                and lang in ("fr-fr", "it-it", "es-es")
+            ):
+                rep = [
+                    {"fr-fr": "numéro", "it-it": "numero",
+                     "es-es": "número"}[lang],
+                ]
+                step = 2
+            elif (
                 # es/it tokenize "25°" as one ordinal-marked token; a
                 # following C/F disambiguates it as a temperature
                 re.fullmatch(r"-?\d+(?:[.,]\d+)?°", t)

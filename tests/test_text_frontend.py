@@ -831,3 +831,14 @@ def test_symbol_reading():
     assert w("Tom & Jerry.", "fr-fr") == ["Tom", "et", "Jerry"]
     # stray symbols with no joinable neighbors stay silent
     assert w("& oddly placed &.", "en-us") == ["oddly", "placed"]
+
+
+def test_numero_sign_romance():
+    from larynx_tpu.text.tokenize import words_of
+
+    def w(text, lang):
+        return [t for k, t in words_of(text, lang) if k == "word"]
+
+    assert w("Le N° 5 est là.", "fr-fr") == ["Le", "numéro", "cinq", "est", "là"]
+    assert w("Il n° 3.", "it-it") == ["Il", "numero", "tre"]
+    assert w("El N° 7.", "es-es") == ["El", "número", "siete"]
