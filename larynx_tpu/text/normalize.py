@@ -1257,8 +1257,12 @@ _ROMAN_CONTEXT = {
     "ru-ru": {"глава", "часть", "том", "акт"},
 }
 
-# Regnal/papal names: "Henry VIII" -> "Henry the eighth" (English only;
-# the reading is language-specific elsewhere and left to spell-out).
+# Regnal/papal names: "Henry VIII" -> "Henry the eighth". Each language
+# has its own reading convention (gruut punts on all of them):
+#   en: "the" + ordinal            de: der/die + ordinal (nominative)
+#   fr: cardinal, except premier   es: ordinal <= 10, cardinal above
+#   it: plain ordinal              nl: "de" + ordinal
+#   sv: "den" + ordinal            ru: ordinal, gender-agreeing
 _EN_REGNAL = {
     "henry", "louis", "george", "edward", "charles", "james",
     "william", "elizabeth", "richard", "philip", "frederick",
@@ -1270,6 +1274,82 @@ _EN_REGNAL = {
     "queen", "pope", "tsar", "emperor", "kaiser",
 }
 
+# Shared masculine monarch/pope first names as they appear across the
+# eight non-English languages (lowercased, diacritics kept).
+_REGNAL_M = _EN_REGNAL | {
+    "heinrich", "friedrich", "georg", "johann", "franz", "maximilian",
+    "henri", "françois", "philippe", "napoléon", "charles",
+    "carlos", "alfonso", "fernando", "francisco",
+    "enrico", "carlo", "vittorio", "emanuele", "ferdinando",
+    "federico", "francesco", "giovanni", "paolo", "benedetto",
+    "pio", "leone", "gregorio", "urbano", "innocenzo", "clemente",
+    "willem", "karel", "filips", "frederik",
+    "johan", "fredrik", "erik", "oscar", "oskar", "magnus", "håkan",
+    "harald", "olav", "kristian",
+    "пётр", "петр", "николай", "александр", "иван", "павел",
+    "алексей", "михаил", "фёдор", "борис", "людовик", "карл",
+    "генрих", "георг", "вильгельм", "наполеон", "филипп",
+    "franziskus", "johannes", "benedikt", "benedicto", "benoît",
+    "léon", "pie", "клим",
+}
+
+# Feminine names take the feminine ordinal in de/es/it/ru (and the
+# feminine article in fr for "première").
+_REGNAL_F = {
+    "elizabeth", "elisabeth", "elisabetta", "isabel", "isabelle",
+    "catherine", "katharina", "catalina", "caterina", "екатерина",
+    "mary", "maria", "marie", "мария", "anne", "anna", "анна",
+    "victoria", "viktoria", "виктория", "christina", "kristina",
+    "juliana", "wilhelmina", "beatrix", "margrethe", "margareta",
+    "juana", "елизавета", "margarethe", "élisabeth", "catarina",
+    "queen", "königin", "kaiserin", "reine", "impératrice", "reina",
+    "emperatriz", "regina", "imperatrice", "koningin", "keizerin",
+    "drottning", "kejsarinna", "царица", "королева", "императрица",
+}
+
+# Masculine title words (per-language) that also trigger regnal reading
+_REGNAL_M |= {
+    "könig", "papst", "zar", "roi", "pape", "empereur", "rey", "papa",
+    "emperador", "re", "imperatore", "koning", "paus", "tsaar",
+    "keizer", "kung", "påve", "kejsare", "царь", "король", "папа",
+    "император",
+}
+
+
+def _regnal_words(value: int, fem: bool, lang: str) -> typing.Optional[str]:
+    """Language-specific spoken form of a regnal number."""
+    if lang == "en-us":
+        return f"the {en_ordinal_to_words(value)}"
+    if lang == "de-de":
+        return ("die " if fem else "der ") + de_ordinal_to_words(value)
+    if lang == "fr-fr":
+        if value == 1:
+            return "première" if fem else "premier"
+        return fr_number_to_words(value)
+    if lang == "es-es":
+        word = es_ordinal_to_words(value)
+        if fem and value <= 10:
+            word = word[:-1] + "a"
+        return word
+    if lang == "it-it":
+        word = it_ordinal_to_words(value)
+        if fem:
+            word = word[:-1] + "a"
+        return word
+    if lang == "nl":
+        return "de " + nl_ordinal_to_words(value)
+    if lang == "sv-se":
+        return "den " + sv_ordinal_to_words(value)
+    if lang == "ru-ru":
+        word = ru_ordinal_to_words(value)
+        if fem:
+            if word.endswith("ий"):       # третий -> третья
+                word = word[:-2] + "ья"
+            elif word.endswith(("ый", "ой")):
+                word = word[:-2] + "ая"   # первый/второй -> первая/вторая
+        return word
+    return None
+
 
 def roman_words(
     prev_word: str, token: str, lang: str
@@ -1277,24 +1357,39 @@ def roman_words(
     """Spoken form of a roman numeral in a reading context, else None.
 
     Keyword contexts ("Chapter IV", "siglo XXI") read as cardinals in
-    every language; English regnal names ("Henry VIII") read as "the"
-    + ordinal. Single letters are only read after a keyword, and only
-    I/V/X — "Appendix C" keeps the letter C.
+    every language; regnal names ("Henry VIII", "Wilhelm II.",
+    "Екатерина II") read in each language's convention (see
+    `_regnal_words`). Single letters are only read after a keyword or
+    regnal name, and only I/V/X — "Appendix C" keeps the letter C. In
+    English the bare "I" is never read (pronoun collision: "George I
+    was saying"); elsewhere "Пётр I"/"Karl V." are the common style.
     """
+    prev = prev_word.lower().rstrip(".")
+    if lang == "fr-fr" and token in ("Ier", "Ière", "1er"):
+        # the standard written style for "premier": François Ier
+        if prev in _REGNAL_F or prev in _REGNAL_M:
+            return "première" if token == "Ière" else "premier"
+        return None
     if not token.isupper():
         return None
     value = roman_to_int(token)
     if value is None or value > 2200:
         return None
-    prev = prev_word.lower().rstrip(".")
     if prev in _ROMAN_CONTEXT.get(lang, ()):
         if len(token) == 1 and token not in ("I", "V", "X"):
             return None
         to_words = NUMBER_TO_WORDS.get(lang)
         return to_words(value) if to_words else None
-    if lang == "en-us" and len(token) >= 2 and 2 <= value <= 30:
-        if prev in _EN_REGNAL:
-            return f"the {en_ordinal_to_words(value)}"
+    if 1 <= value <= 30:
+        fem = prev in _REGNAL_F
+        if not (fem or prev in _REGNAL_M):
+            return None
+        if len(token) == 1 and (
+            token not in ("I", "V", "X")
+            or (lang == "en-us" and token == "I")
+        ):
+            return None
+        return _regnal_words(value, fem, lang)
     return None
 
 

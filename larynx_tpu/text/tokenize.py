@@ -13,6 +13,7 @@ import typing
 from larynx_tpu.text.normalize import (
     SYMBOL_WORDS,
     UNIT_ABBREVIATIONS,
+    de_ordinal_to_words,
     degree_tokens,
     fraction_words,
     kmh_tokens,
@@ -123,6 +124,14 @@ def split_sentences(text: str, lang: str = "en-us") -> typing.List[str]:
                     or follow.split(" ", 1)[0].rstrip(".,!?")
                     not in _DE_STARTERS
                 ):
+                    continue
+            # German regnal ordinals ("Wilhelm II. war Kaiser"): a
+            # roman numeral + period followed by a lowercase word is
+            # mid-sentence (sentence starts are always capitalized)
+            raw_last = candidate.rsplit(" ", 1)[-1]
+            if lang == "de-de" and re.match(r"^[IVX]{1,6}\.$", raw_last):
+                follow = chunk[m.end() :].lstrip()
+                if follow and follow[:1].islower():
                     continue
             if candidate:
                 parts.append(chunk[start : m.end()].rstrip())
@@ -413,20 +422,45 @@ def words_of(
                     continue
             spoken_syms.append(t)
         tokens = spoken_syms
-    # roman numerals in reading contexts ("Chapter IV", "Henry VIII")
-    if any(
-        len(t) >= 1 and t.isupper() and set(t) <= set("IVXLCDM")
-        for t in tokens
-    ):
+    # roman numerals in reading contexts ("Chapter IV", "Henry VIII",
+    # "Wilhelm II."). The German written style puts an ordinal period
+    # after the numeral; swallow it when the sentence continues in
+    # lowercase so "Wilhelm II. war" doesn't pause mid-clause.
+    def _romanish(t: str) -> bool:
+        if t.isupper() and set(t) <= set("IVXLCDM"):
+            return True
+        return lang == "fr-fr" and t in ("Ier", "Ière", "1er")
+
+    if any(_romanish(t) for t in tokens):
         romanized: typing.List[str] = []
-        for k, t in enumerate(tokens):
-            if t.isupper() and set(t) <= set("IVXLCDM") and k > 0:
+        k = 0
+        while k < len(tokens):
+            t = tokens[k]
+            if _romanish(t) and k > 0:
                 spoken = roman_words(tokens[k - 1], t, lang)
                 if spoken is not None:
                     romanized.extend(spoken.split())
+                    if (
+                        k + 2 < len(tokens)
+                        and tokens[k + 1] == "."
+                        and tokens[k + 2][:1].islower()
+                    ):
+                        k += 2  # skip the ordinal period too
+                    else:
+                        k += 1
                     continue
             romanized.append(t)
+            k += 1
         tokens = romanized
+    # German date/ordinal case agreement: after am/vom/zum/dem/den the
+    # ordinal is weak dative/accusative ("am 3. Mai" -> "am dritten")
+    if lang == "de-de":
+        for k, t in enumerate(tokens):
+            m = re.fullmatch(r"(\d{1,2})\.", t)
+            if m and k > 0 and tokens[k - 1].lower() in (
+                "am", "vom", "zum", "dem", "den"
+            ):
+                tokens[k] = de_ordinal_to_words(int(m.group(1))) + "n"
     for token in tokens:
         kind = classify_token(token)
         if kind == "skip":

@@ -340,7 +340,8 @@ def test_written_ordinals_survive_tokenization():
 
     cases = [
         ("Der 3. Mann", "de-de", ["Der", "dritte", "Mann"]),
-        ("am 21. Dezember", "de-de", ["am", "einundzwanzigste", "Dezember"]),
+        # dative after "am" (weak -n): see test_de_ordinal_case_agreement
+        ("am 21. Dezember", "de-de", ["am", "einundzwanzigsten", "Dezember"]),
         ("le 1er prix", "fr-fr", ["le", "premier", "prix"]),
         ("la 3ème fois", "fr-fr", ["la", "troisième", "fois"]),
         ("de 21ste verdieping", "nl", ["de", "eenentwintigste", "verdieping"]),
@@ -803,6 +804,84 @@ def test_roman_numerals():
     ]
     assert w("Глава IV, часть II.", "ru-ru") == [
         "Глава", "четыре", "часть", "два",
+    ]
+
+
+def test_regnal_readings_all_languages():
+    """Monarch/pope numerals read in each language's convention."""
+    from larynx_tpu.text.tokenize import split_sentences, words_of
+
+    def w(text, lang):
+        return [t for k, t in words_of(text, lang) if k == "word"]
+
+    # de: der/die + ordinal, written with a trailing ordinal period
+    # that must neither split the sentence nor leave a pause
+    assert w("Wilhelm II. war Kaiser.", "de-de") == [
+        "Wilhelm", "der", "zweite", "war", "Kaiser",
+    ]
+    assert w("Katharina II. regierte.", "de-de") == [
+        "Katharina", "die", "zweite", "regierte",
+    ]
+    assert split_sentences("Wilhelm II. war Kaiser.", "de-de") == [
+        "Wilhelm II. war Kaiser."
+    ]
+    # a genuine sentence end after the numeral still splits
+    assert (
+        len(split_sentences("Das war Wilhelm II. Danach kam Weimar.", "de-de"))
+        == 2
+    )
+    # fr: cardinal, except premier (Ier written style)
+    assert w("Louis XIV régna.", "fr-fr") == ["Louis", "quatorze", "régna"]
+    assert w("François Ier régna.", "fr-fr") == [
+        "François", "premier", "régna",
+    ]
+    # es: ordinal through ten, cardinal above
+    assert w("Felipe II gobernó.", "es-es") == ["Felipe", "segundo", "gobernó"]
+    assert w("Isabel II reinó.", "es-es") == ["Isabel", "segunda", "reinó"]
+    assert w("Alfonso XIII abdicó.", "es-es") == [
+        "Alfonso", "trece", "abdicó",
+    ]
+    # it: plain ordinal, gender-agreeing
+    assert w("Enrico IV regnò.", "it-it") == ["Enrico", "quarto", "regnò"]
+    assert w("Elisabetta II morì.", "it-it") == [
+        "Elisabetta", "seconda", "morì",
+    ]
+    # nl / sv: definite article + ordinal
+    assert w("Willem III was koning.", "nl") == [
+        "Willem", "de", "derde", "was", "koning",
+    ]
+    assert w("Karl XII stupade.", "sv-se") == [
+        "Karl", "den", "tolfte", "stupade",
+    ]
+    # ru: gender-agreeing ordinal; bare I allowed outside English
+    assert w("Пётр I основал город.", "ru-ru") == [
+        "Пётр", "первый", "основал", "город",
+    ]
+    assert w("Екатерина II правила.", "ru-ru") == [
+        "Екатерина", "вторая", "правила",
+    ]
+    # en: bare I never reads as an ordinal (pronoun)
+    assert w("George I was saying something.", "en-us") == [
+        "George", "I", "was", "saying", "something",
+    ]
+
+
+def test_de_ordinal_case_agreement():
+    """am/vom/zum/dem/den force the weak -n ordinal (am 3. Mai)."""
+    from larynx_tpu.text.tokenize import words_of
+
+    def w(text):
+        return [t for k, t in words_of(text, "de-de") if k == "word"]
+
+    assert w("Am 3. Mai feiern wir.") == [
+        "Am", "dritten", "Mai", "feiern", "wir",
+    ]
+    assert w("Vom 1. bis zum 5. Juni.") == [
+        "Vom", "ersten", "bis", "zum", "fünften", "Juni",
+    ]
+    # nominative keeps the bare -e form
+    assert w("Der 3. Mai ist ein Montag.") == [
+        "Der", "dritte", "Mai", "ist", "ein", "Montag",
     ]
 
 
