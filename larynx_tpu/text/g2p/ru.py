@@ -217,6 +217,62 @@ _LETTER_NAMES: typing.Dict[str, typing.List[str]] = {
 }
 
 
+# Latin letters in Russian text (emails, domains, brand names) read
+# via the Russian renderings of the English letter names (эй, би, си…)
+# when ALL-CAPS, else transliterated and read as a Cyrillic word.
+_LATIN_LETTER_NAMES: typing.Dict[str, typing.List[str]] = {
+    "a": ["eː", "j"], "b": ["bʲ", "iː"], "c": ["sʲ", "iː"],
+    "d": ["dʲ", "iː"], "e": ["iː"], "f": ["eː", "f"],
+    "g": ["d", "ʐ", "ɨː"], "h": ["e", "j", "t͡ɕ"], "i": ["aː", "j"],
+    "j": ["d", "ʐ", "e", "j"], "k": ["k", "eː", "j"],
+    "l": ["eː", "l"], "m": ["eː", "m"], "n": ["eː", "n"],
+    "o": ["oː", "u"], "p": ["pʲ", "iː"], "q": ["kʲ", "uː"],
+    "r": ["aː", "r"], "s": ["eː", "s"], "t": ["tʲ", "iː"],
+    "u": ["j", "uː"], "v": ["vʲ", "iː"],
+    "w": ["d", "aː", "b", "l", "j", "u"], "x": ["eː", "k", "s"],
+    "y": ["u", "aː", "j"], "z": ["zʲ", "e", "t"],
+}
+
+_LATIN_DIGRAPHS = (
+    ("ch", "ч"), ("sh", "ш"), ("ph", "ф"), ("th", "т"), ("ck", "к"),
+    ("oo", "у"), ("ee", "и"), ("ay", "ей"), ("ey", "ей"), ("qu", "кв"),
+)
+_LATIN_TO_CYR = {
+    "a": "а", "b": "б", "c": "к", "d": "д", "e": "е", "f": "ф",
+    "g": "г", "h": "х", "i": "и", "j": "й", "k": "к", "l": "л",
+    "m": "м", "n": "н", "o": "о", "p": "п", "q": "к", "r": "р",
+    "s": "с", "t": "т", "u": "у", "v": "в", "w": "в", "x": "кс",
+    "y": "и", "z": "з",
+}
+
+
+def _transliterate_latin(w: str) -> str:
+    # English silent final e (google -> гугл, nice -> нис)
+    if (
+        len(w) > 3
+        and w.endswith("e")
+        and w[-2] not in "aeiou"
+        and any(ch in "aeiouy" for ch in w[:-1])
+    ):
+        w = w[:-1]
+    out: typing.List[str] = []
+    i = 0
+    while i < len(w):
+        for di, cyr in _LATIN_DIGRAPHS:
+            if w.startswith(di, i):
+                out.append(cyr)
+                i += 2
+                break
+        else:
+            ch = w[i]
+            if ch == "c" and i + 1 < len(w) and w[i + 1] in "eiy":
+                out.append("с")  # nice, cent — soft c
+            else:
+                out.append(_LATIN_TO_CYR.get(ch, ch))
+            i += 1
+    return "".join(out)
+
+
 def phonemize(
     word: str, prev: str = "", nxt: str = ""
 ) -> typing.List[str]:
@@ -230,6 +286,10 @@ def phonemize(
         and all(ch in _LETTER_NAMES for ch in w)
     ):
         return spell_letters(w, _LETTER_NAMES)
+    if any("a" <= ch <= "z" for ch in w):
+        if word.isupper() and word.isalpha() and len(word) <= 5:
+            return spell_letters(w, _LATIN_LETTER_NAMES)
+        w = _transliterate_latin(w)
     hit = _SEGMENT_EXCEPTIONS.get(w)
     if hit is not None:
         return list(hit)

@@ -519,7 +519,7 @@ def ru_ordinal_to_words(n: int) -> str:
         20: "двадцатый", 30: "тридцатый", 40: "сороковой",
         50: "пятидесятый", 60: "шестидесятый", 70: "семидесятый",
         80: "восьмидесятый", 90: "девяностый", 100: "сотый",
-        1000: "тысячный",
+        1000: "тысячный", 2000: "двухтысячный", 3000: "трёхтысячный",
     }
     if n in table:
         return table[n]
@@ -669,6 +669,111 @@ _MINUS = {
     "ru-ru": "минус", "sw": "hasi",
 }
 
+# Month names per language (Russian in the genitive, as dates read them)
+MONTH_NAMES = {
+    "en-us": ["January", "February", "March", "April", "May", "June",
+              "July", "August", "September", "October", "November",
+              "December"],
+    "de-de": ["Januar", "Februar", "März", "April", "Mai", "Juni",
+              "Juli", "August", "September", "Oktober", "November",
+              "Dezember"],
+    "fr-fr": ["janvier", "février", "mars", "avril", "mai", "juin",
+              "juillet", "août", "septembre", "octobre", "novembre",
+              "décembre"],
+    "es-es": ["enero", "febrero", "marzo", "abril", "mayo", "junio",
+              "julio", "agosto", "septiembre", "octubre", "noviembre",
+              "diciembre"],
+    "it-it": ["gennaio", "febbraio", "marzo", "aprile", "maggio",
+              "giugno", "luglio", "agosto", "settembre", "ottobre",
+              "novembre", "dicembre"],
+    "nl": ["januari", "februari", "maart", "april", "mei", "juni",
+           "juli", "augustus", "september", "oktober", "november",
+           "december"],
+    "ru-ru": ["января", "февраля", "марта", "апреля", "мая", "июня",
+              "июля", "августа", "сентября", "октября", "ноября",
+              "декабря"],
+    "sv-se": ["januari", "februari", "mars", "april", "maj", "juni",
+              "juli", "augusti", "september", "oktober", "november",
+              "december"],
+    "sw": ["Januari", "Februari", "Machi", "Aprili", "Mei", "Juni",
+           "Julai", "Agosti", "Septemba", "Oktoba", "Novemba",
+           "Desemba"],
+}
+
+
+def _ru_decline_ordinal(words: str, case: str) -> str:
+    """Decline the FINAL word of a masculine Russian ordinal phrase.
+
+    case: 'nom' (первый), 'gen' (первого), 'prep' (первом).
+    """
+    if case == "nom":
+        return words
+    head, _, last = words.rpartition(" ")
+    if last.endswith("ий"):       # третий -> третьего / третьем
+        last = last[:-2] + ("ьего" if case == "gen" else "ьем")
+    elif last.endswith(("ый", "ой")):
+        last = last[:-2] + ("ого" if case == "gen" else "ом")
+    return f"{head} {last}".strip()
+
+
+def ru_day_genitive(day: int) -> str:
+    """Day-of-month before a month name: 12 мая -> двенадцатого."""
+    return _ru_decline_ordinal(ru_ordinal_to_words(day), "gen")
+
+
+def ru_year_ordinal(n: int, case: str = "nom") -> str:
+    """Russian year as an ordinal phrase: 1999 -> тысяча девятьсот
+    девяносто девятый (год), declined for "в ... году" / "... года".
+
+    Year readings drop the "одна" of "одна тысяча"."""
+    words = ru_ordinal_to_words(n)
+    if words.startswith("одна тысяча"):
+        words = words[len("одна "):]
+    return _ru_decline_ordinal(words, case)
+
+
+# Dotted/dashed all-numeric dates (d.m.y / d-m-y), the common written
+# style in German, Russian and Dutch. day first; month must be valid.
+_NUMERIC_DATE_RE = re.compile(r"^(\d{1,2})[.\-](\d{1,2})[.\-](\d{4})$")
+
+
+def date_words(
+    token: str, lang: str, case: str = "nom"
+) -> typing.Optional[str]:
+    """Spoken form of a numeric d.m.y date, else None.
+
+    de: ordinal day + month + year in hundreds (case 'dat' after
+    am/vom/...: "zwölften Mai", else "zwölfter Mai"); ru: genitive
+    date reading (двенадцатого мая ... года); nl: cardinal day +
+    month + year.
+    """
+    m = _NUMERIC_DATE_RE.match(token)
+    if not m:
+        return None
+    day, month, year = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    if not (1 <= day <= 31 and 1 <= month <= 12):
+        return None
+    month_name = MONTH_NAMES[lang][month - 1] if lang in MONTH_NAMES else None
+    if month_name is None:
+        return None
+    if lang == "de-de":
+        # strong nominative (Zwölfter Mai), weak after an article
+        # (der zwölfte), dative after am/vom/... (am zwölften)
+        suffix = {"dat": "n", "nom_weak": ""}.get(case, "r")
+        d = de_ordinal_to_words(day) + suffix
+        return f"{d} {month_name} {de_year_to_words(year)}"
+    if lang == "ru-ru":
+        d = _ru_decline_ordinal(ru_ordinal_to_words(day), "gen")
+        # двенадцатое -> двенадцатого is the same gen form as masc
+        y = ru_year_ordinal(year, "gen")
+        return f"{d} {month_name} {y} года"
+    if lang == "nl":
+        return (
+            f"{nl_number_to_words(day)} {month_name} "
+            f"{nl_year_to_words(year)}"
+        )
+    return None
+
 
 def _spell_number(token: str, lang: str) -> typing.Optional[str]:
     to_words = NUMBER_TO_WORDS.get(lang, en_number_to_words)
@@ -738,6 +843,20 @@ def normalize_token(token: str, lang: str = "en-us") -> typing.Optional[str]:
         # (de neunzehnhundert..., nl negentienhonderd..., sv nittonhundra...)
         if lang in _YEAR_TO_WORDS and _YEAR_RE.match(token):
             return _YEAR_TO_WORDS[lang](int(token))
+
+    # numeric dates (12.05.2021 in de/ru, 12-05-2021 in nl) read with
+    # the month name; must beat the version-number branch
+    if _NUMERIC_DATE_RE.match(token):
+        spoken = date_words(token, lang)
+        if spoken is not None:
+            return spoken
+
+    # dotted thousands groups (1.000.000 in de/es/it/nl) are numbers,
+    # not versions — _spell_number strips the separators
+    if lang != "en-us" and re.match(r"^\d{1,3}(?:\.\d{3})+$", token):
+        spelled = _spell_number(token, lang)
+        if spelled is not None:
+            return spelled
 
     # version numbers (2.0.1): each dotted group read out, joined by the
     # decimal word — the single-decimal pattern in _spell_number cannot
@@ -1192,7 +1311,61 @@ SYMBOL_WORDS: typing.Dict[str, typing.Dict[str, str]] = {
         "es-es": "igual a", "it-it": "uguale", "nl": "is",
         "sv-se": "är lika med", "ru-ru": "равно",
     },
+    "@": {
+        "en-us": "at", "de-de": "at", "fr-fr": "arobase",
+        "es-es": "arroba", "it-it": "chiocciola", "nl": "apenstaartje",
+        "sv-se": "snabel a", "ru-ru": "собака", "sw": "at",
+    },
 }
+
+# spoken "." inside domain names / email addresses
+DOT_WORDS = {
+    "en-us": "dot", "de-de": "Punkt", "fr-fr": "point",
+    "es-es": "punto", "it-it": "punto", "nl": "punt",
+    "sv-se": "punkt", "ru-ru": "точка", "sw": "nukta",
+}
+
+_EMAIL_RE = re.compile(r"\b[\w+-]+(?:\.[\w+-]+)*@[A-Za-z][\w-]*(?:\.[\w-]+)+\b")
+# Bare domains: lowercase TLD only — a typo'd sentence boundary
+# ("Ende.Es war") continues with a capital and must not match
+_DOMAIN_RE = re.compile(
+    r"\b(?:https?://)?(?:[A-Za-z][\w-]*\.)+"
+    r"(?:com|net|org|edu|gov|mil|io|info|biz|app|dev|ai|tv|me|eu|uk"
+    r"|de|fr|es|it|nl|se|ru|ch|at|be|co|us|ca|ke|tz)\b(?![\w.@-])"
+)
+
+
+def _spoken_domain(domain: str, lang: str) -> str:
+    dot = DOT_WORDS.get(lang, "dot")
+    labels = []
+    for label in domain.split("."):
+        # "www" has no vowels and 2-letter TLDs are spelled, not read:
+        # uppercase them so the initialism pass spells the letters in
+        # the target language
+        if label.lower() == "www" or len(label) <= 2:
+            label = label.upper()
+        labels.append(label)
+    return f" {dot} ".join(labels)
+
+
+def verbalize_urls(sentence: str, lang: str) -> str:
+    """Rewrite email addresses and bare domains into spoken words so
+    the domain periods do not become sentence-level pauses."""
+    at_word = SYMBOL_WORDS["@"].get(lang, "at")
+    plus_word = SYMBOL_WORDS["+"].get(lang, "plus")
+
+    def email_sub(m: "re.Match[str]") -> str:
+        local, _, domain = m.group().partition("@")
+        dot = DOT_WORDS.get(lang, "dot")
+        local = local.replace(".", f" {dot} ").replace("+", f" {plus_word} ")
+        return f"{local} {at_word} {_spoken_domain(domain, lang)}"
+
+    def domain_sub(m: "re.Match[str]") -> str:
+        bare = re.sub(r"^https?://", "", m.group())
+        return _spoken_domain(bare, lang)
+
+    sentence = _EMAIL_RE.sub(email_sub, sentence)
+    return _DOMAIN_RE.sub(domain_sub, sentence)
 
 _ROMAN_VALUES = {"I": 1, "V": 5, "X": 10, "L": 50, "C": 100, "D": 500, "M": 1000}
 

@@ -12,6 +12,8 @@ import typing
 import xml.etree.ElementTree as ET
 from dataclasses import dataclass, field
 
+from larynx_tpu.text.normalize import MONTH_NAMES as _MONTH_NAMES
+
 
 @dataclass
 class TextEvent:
@@ -264,36 +266,6 @@ def _walk(
     elif tag == "voice":
         events.append(BoundaryEvent())
 
-
-_MONTH_NAMES = {
-    "en-us": ["January", "February", "March", "April", "May", "June",
-              "July", "August", "September", "October", "November",
-              "December"],
-    "de-de": ["Januar", "Februar", "März", "April", "Mai", "Juni",
-              "Juli", "August", "September", "Oktober", "November",
-              "Dezember"],
-    "fr-fr": ["janvier", "février", "mars", "avril", "mai", "juin",
-              "juillet", "août", "septembre", "octobre", "novembre",
-              "décembre"],
-    "es-es": ["enero", "febrero", "marzo", "abril", "mayo", "junio",
-              "julio", "agosto", "septiembre", "octubre", "noviembre",
-              "diciembre"],
-    "it-it": ["gennaio", "febbraio", "marzo", "aprile", "maggio",
-              "giugno", "luglio", "agosto", "settembre", "ottobre",
-              "novembre", "dicembre"],
-    "nl": ["januari", "februari", "maart", "april", "mei", "juni",
-           "juli", "augustus", "september", "oktober", "november",
-           "december"],
-    "ru-ru": ["января", "февраля", "марта", "апреля", "мая", "июня",
-              "июля", "августа", "сентября", "октября", "ноября",
-              "декабря"],
-    "sv-se": ["januari", "februari", "mars", "april", "maj", "juni",
-              "juli", "augusti", "september", "oktober", "november",
-              "december"],
-    "sw": ["Januari", "Februari", "Machi", "Aprili", "Mei", "Juni",
-           "Julai", "Agosti", "Septemba", "Oktoba", "Novemba",
-           "Desemba"],
-}
 
 _NUMBER_TOKEN_RE = re.compile(r"\d+")
 

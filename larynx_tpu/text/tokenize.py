@@ -11,16 +11,28 @@ import re
 import typing
 
 from larynx_tpu.text.normalize import (
+    MONTH_NAMES,
     SYMBOL_WORDS,
     UNIT_ABBREVIATIONS,
+    date_words,
     de_ordinal_to_words,
     degree_tokens,
+    en_ordinal_to_words,
     fraction_words,
     kmh_tokens,
     measure_tokens,
     normalize_token,
     roman_words,
+    ru_day_genitive,
+    ru_year_ordinal,
+    sv_ordinal_to_words,
+    verbalize_urls,
 )
+
+# month-name lookups for the date pre-passes in words_of
+_RU_MONTHS_GEN = frozenset(MONTH_NAMES["ru-ru"])
+_SV_MONTHS = frozenset(MONTH_NAMES["sv-se"])
+_EN_MONTHS = frozenset(MONTH_NAMES["en-us"])
 
 # Sentence boundary: terminal punctuation followed by whitespace or EOT.
 _SENT_BOUNDARY = re.compile(r"(?<=[.!?…])[\)\]\"'”’]*\s+")
@@ -215,6 +227,10 @@ def words_of(
     ``kind`` is 'word'/'minor'/'major'.
     """
     out: typing.List[typing.Tuple[str, str]] = []
+    # email addresses / bare domains verbalize at the string level —
+    # their periods must not tokenize into sentence-break punctuation
+    if "@" in sentence or "." in sentence:
+        sentence = verbalize_urls(sentence, lang)
     tokens = tokenize(sentence, lang)
     # space-grouped thousands ("1 234 567,89" — the French/Swedish/
     # Russian convention) re-join into one number token for normalize
@@ -452,15 +468,86 @@ def words_of(
             romanized.append(t)
             k += 1
         tokens = romanized
+    # Dutch dashed dates tokenize as 12 - 05 - 2021: re-join the
+    # d-m-y run so date_words can read it with the month name
+    if lang == "nl" and "-" in tokens:
+        rejoined: typing.List[str] = []
+        k = 0
+        while k < len(tokens):
+            if (
+                k + 4 < len(tokens)
+                and re.fullmatch(r"\d{1,2}", tokens[k])
+                and tokens[k + 1] == "-"
+                and re.fullmatch(r"\d{1,2}", tokens[k + 2])
+                and tokens[k + 3] == "-"
+                and re.fullmatch(r"\d{4}", tokens[k + 4])
+            ):
+                rejoined.append("-".join(
+                    (tokens[k], tokens[k + 2], tokens[k + 4])
+                ))
+                k += 5
+                continue
+            rejoined.append(tokens[k])
+            k += 1
+        tokens = rejoined
     # German date/ordinal case agreement: after am/vom/zum/dem/den the
-    # ordinal is weak dative/accusative ("am 3. Mai" -> "am dritten")
+    # ordinal is weak dative/accusative ("am 3. Mai" -> "am dritten",
+    # "am 12.05.2021" -> "am zwölften Mai ..."); after der/die/das the
+    # weak nominative drops the strong -r ("der zwölfte Mai")
     if lang == "de-de":
         for k, t in enumerate(tokens):
+            prev = tokens[k - 1].lower() if k > 0 else ""
+            dative = prev in ("am", "vom", "zum", "dem", "den")
             m = re.fullmatch(r"(\d{1,2})\.", t)
-            if m and k > 0 and tokens[k - 1].lower() in (
-                "am", "vom", "zum", "dem", "den"
-            ):
+            if m and dative:
                 tokens[k] = de_ordinal_to_words(int(m.group(1))) + "n"
+                continue
+            if dative or prev in ("der", "die", "das"):
+                spoken = date_words(
+                    t, lang, case="dat" if dative else "nom_weak"
+                )
+                if spoken is not None:
+                    tokens[k] = spoken
+    # Russian year ordinals: "в 1999 году" -> "... девяносто девятом
+    # году"; "1999 года" -> "девятого года"; "1999 год" -> "девятый"
+    if lang == "ru-ru":
+        _RU_YEAR_CASE = {"год": "nom", "года": "gen", "году": "prep"}
+        for k, t in enumerate(tokens):
+            nxt = tokens[k + 1].lower() if k + 1 < len(tokens) else ""
+            if re.fullmatch(r"[12]\d{3}", t) and nxt in _RU_YEAR_CASE:
+                tokens[k] = ru_year_ordinal(int(t), _RU_YEAR_CASE[nxt])
+            elif (
+                re.fullmatch(r"\d{1,2}", t)
+                and nxt in _RU_MONTHS_GEN
+                and 1 <= int(t) <= 31
+            ):
+                # день before a month name: "12 мая" -> двенадцатого
+                tokens[k] = ru_day_genitive(int(t))
+    # Swedish dates: "(den) 12 maj" -> "den tolfte maj"
+    if lang == "sv-se":
+        for k, t in enumerate(tokens):
+            nxt = tokens[k + 1].lower() if k + 1 < len(tokens) else ""
+            if (
+                re.fullmatch(r"\d{1,2}", t)
+                and nxt in _SV_MONTHS
+                and 1 <= int(t) <= 31
+            ):
+                tokens[k] = sv_ordinal_to_words(int(t))
+    # English month-day: "May 12" -> "May twelfth" (day-first "12 May"
+    # stays cardinal); the month token must be capitalized
+    if lang == "en-us":
+        for k, t in enumerate(tokens):
+            prev = tokens[k - 1] if k > 0 else ""
+            if (
+                re.fullmatch(r"\d{1,2}", t)
+                and prev in _EN_MONTHS
+                and 1 <= int(t) <= 31
+            ):
+                tokens[k] = en_ordinal_to_words(int(t))
+    # the date/year pre-passes above splice multi-word phrases into
+    # single slots; raw tokens never contain spaces, so split them out
+    if any(" " in t for t in tokens):
+        tokens = [w for t in tokens for w in t.split(" ") if w]
     for token in tokens:
         kind = classify_token(token)
         if kind == "skip":

@@ -885,6 +885,131 @@ def test_de_ordinal_case_agreement():
     ]
 
 
+def test_numeric_dates():
+    """Dotted/dashed d.m.y dates read with the month name (de/ru/nl)."""
+    from larynx_tpu.text.tokenize import words_of
+
+    def w(text, lang):
+        return [t for k, t in words_of(text, lang) if k == "word"]
+
+    assert w("Am 12.05.2021 war es soweit.", "de-de") == [
+        "Am", "zwölften", "Mai", "zweitausendeinundzwanzig",
+        "war", "es", "soweit",
+    ]
+    assert w("Der 12.05.2021 war schön.", "de-de")[:3] == [
+        "Der", "zwölfte", "Mai",
+    ]
+    assert w("03.10.1990 war die Einheit.", "de-de")[:3] == [
+        "dritter", "Oktober", "neunzehnhundertneunzig",
+    ]
+    assert w("Он родился 31.12.1980 здесь.", "ru-ru") == [
+        "Он", "родился", "тридцать", "первого", "декабря",
+        "тысяча", "девятьсот", "восьмидесятого", "года", "здесь",
+    ]
+    assert w("Op 12-05-2021 gebeurde het.", "nl")[:5] == [
+        "Op", "twaalf", "mei", "tweeduizend", "eenentwintig",
+    ]
+    # invalid month: not a date, stays a version-style reading
+    assert "Mai" not in w("Am 12.55.2021 nicht.", "de-de")
+
+
+def test_dotted_thousands_not_versions():
+    """1.000.000 is a number in dot-separator languages, not 1.0.0."""
+    from larynx_tpu.text.tokenize import words_of
+
+    def w(text, lang):
+        return [t for k, t in words_of(text, lang) if k == "word"]
+
+    assert w("Son 1.000.000 de personas.", "es-es") == [
+        "Son", "un", "millón", "de", "personas",
+    ]
+    assert w("Costa 1.234.567 euro.", "it-it")[1:4] == [
+        "un", "milione", "duecentotrentaquattromilacinquecentosessantasette",
+    ]
+    # genuine versions still read per-group
+    assert w("Version 2.0.1 shipped.", "en-us") == [
+        "Version", "two", "point", "zero", "point", "one", "shipped",
+    ]
+
+
+def test_ru_year_declension():
+    """Year ordinals decline with год/года/году."""
+    from larynx_tpu.text.tokenize import words_of
+
+    def w(text):
+        return [t for k, t in words_of(text, "ru-ru") if k == "word"]
+
+    assert w("В 1999 году было хорошо.") == [
+        "В", "тысяча", "девятьсот", "девяносто", "девятом",
+        "году", "было", "хорошо",
+    ]
+    assert w("С 1945 года.") == [
+        "С", "тысяча", "девятьсот", "сорок", "пятого", "года",
+    ]
+    assert w("Это 1941 год.") == [
+        "Это", "тысяча", "девятьсот", "сорок", "первый", "год",
+    ]
+    assert w("Это было в 2000 году.")[-2:] == ["двухтысячном", "году"]
+    # день + месяц: genitive ordinal
+    assert w("12 мая праздник.")[:2] == ["двенадцатого", "мая"]
+
+
+def test_month_day_ordinals():
+    """sv 'den 12 maj' and en 'May 12' read the day as an ordinal."""
+    from larynx_tpu.text.tokenize import words_of
+
+    got = [t for k, t in words_of("Den 12 maj 2021.", "sv-se") if k == "word"]
+    assert got[:3] == ["Den", "tolfte", "maj"]
+    got = [t for k, t in words_of("On May 12 we left.", "en-us") if k == "word"]
+    assert got == ["On", "May", "twelfth", "we", "left"]
+    # day-first English stays cardinal
+    got = [t for k, t in words_of("On 12 May we left.", "en-us") if k == "word"]
+    assert got == ["On", "twelve", "May", "we", "left"]
+
+
+def test_urls_and_emails():
+    """Domains/emails verbalize; their dots stop making pauses."""
+    from larynx_tpu.text.tokenize import words_of
+
+    def wk(text, lang):
+        return list(words_of(text, lang))
+
+    got = wk("Visit www.example.com or mail info@my-site.org.", "en-us")
+    words = [t for k, t in got if k == "word"]
+    assert words == [
+        "Visit", "WWW", "dot", "example", "dot", "com",
+        "or", "mail", "info", "at", "my-site", "dot", "org",
+    ]
+    # no major breaks before the final period
+    assert [k for k, _ in got].count("major") == 1
+    words = [
+        t for k, t in wk("Schreiben Sie an hans.m@firma.de!", "de-de")
+        if k == "word"
+    ]
+    assert words == [
+        "Schreiben", "Sie", "an", "hans", "Punkt", "m", "at",
+        "firma", "Punkt", "DE",
+    ]
+    words = [t for k, t in wk("Пишите на ivan@mail.ru.", "ru-ru") if k == "word"]
+    assert words == ["Пишите", "на", "ivan", "собака", "mail", "точка", "RU"]
+    # typo'd sentence boundary must NOT read as a domain (capital next)
+    words = [t for k, t in wk("Das Ende.Es war gut.", "de-de") if k == "word"]
+    assert "Punkt" not in words
+
+
+def test_ru_latin_fallback():
+    """Latin words in Russian text transliterate; CAPS spell out."""
+    from larynx_tpu.text.g2p import get_phonemizer
+
+    ph = get_phonemizer("ru-ru")
+    assert ph("ivan") == ["i", "v", "aː", "n"] or ph("ivan")[0] == "i"
+    assert ph("mail")  # non-empty
+    google = "".join(ph("google"))
+    assert "lʲe" not in google  # silent final e dropped
+    usb = "".join(ph("USB"))
+    assert usb.startswith("juː")  # ю-эс-би
+
+
 def test_year_1000_reads_one_thousand():
     from larynx_tpu.text.tokenize import words_of
 
