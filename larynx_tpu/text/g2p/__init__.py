@@ -55,12 +55,17 @@ def get_phonemizer(lang: str) -> Phonemizer:
     base_ctx = getattr(base, "context_aware", False)
     if lexicon:
 
+        sandhi_words = getattr(base, "sandhi_words", frozenset())
+
         def phonemize(
             word: str, prev: str = "", nxt: str = ""
         ) -> typing.List[str]:
-            hit = lexicon.get(word.lower().strip())
-            if hit is not None:
-                return list(hit)
+            w = word.lower().strip()
+            # context-dependent words (liaison) bypass the static lexicon
+            if w not in sandhi_words:
+                hit = lexicon.get(w)
+                if hit is not None:
+                    return list(hit)
             if base_ctx:
                 return base(word, prev=prev, nxt=nxt)
             return base(word)

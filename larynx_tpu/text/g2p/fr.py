@@ -352,6 +352,9 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     "euros": ("ø", "ʁ", "o"),
     "sixième": ("s", "i", "z", "j", "ɛ", "m"),
     "dixième": ("d", "i", "z", "j", "ɛ", "m"),
+    # silent g: vingtième [vɛ̃tjɛm]
+    "vingtième": ("v", "ɛ̃", "t", "j", "ɛ", "m"),
+    "vingtièmes": ("v", "ɛ̃", "t", "j", "ɛ", "m"),
     "hier": ("j", "ɛ", "ʁ"),
     "mesdames": ("m", "e", "d", "a", "m"),
     # fais- conjugation has the irregular schwa (nous faisons [fəzɔ̃])
@@ -487,6 +490,48 @@ _ELISION_PREFIXES: typing.Dict[str, typing.List[str]] = {
 _VOWEL_INITIAL = "aeiouyhéèêëàâîïôûùœæ"
 
 
+# obligatory liaison: closed-class words whose final consonant sounds
+# before a vowel-initial word (les amis [lez], un ami [œ̃n], est ici
+# [ɛt]). Keyed word -> (base phonemes, liaison consonant).
+_LIAISON = {
+    # plural determiners / pronouns / prepositions -> z
+    "les": (("l", "e"), "z"), "des": (("d", "e"), "z"),
+    "ces": (("s", "e"), "z"), "mes": (("m", "e"), "z"),
+    "tes": (("t", "e"), "z"), "ses": (("s", "e"), "z"),
+    "nos": (("n", "o"), "z"), "vos": (("v", "o"), "z"),
+    "leurs": (("l", "œ", "ʁ"), "z"), "aux": (("o",), "z"),
+    "nous": (("n", "u"), "z"), "vous": (("v", "u"), "z"),
+    "ils": (("i", "l"), "z"), "elles": (("ɛ", "l"), "z"),
+    "dans": (("d", "ɑ̃"), "z"), "chez": (("ʃ", "e"), "z"),
+    "sans": (("s", "ɑ̃"), "z"), "très": (("t", "ʁ", "ɛ"), "z"),
+    "quelques": (("k", "ɛ", "l", "k", "ə"), "z"),
+    "plusieurs": (("p", "l", "y", "z", "j", "œ", "ʁ"), "z"),
+    # nasal determiners / adverbs -> n (the nasal vowel stays)
+    "un": (("œ̃",), "n"), "mon": (("m", "ɔ̃"), "n"),
+    "ton": (("t", "ɔ̃"), "n"), "son": (("s", "ɔ̃"), "n"),
+    "on": (("ɔ̃",), "n"), "en": (("ɑ̃",), "n"),
+    "bien": (("b", "j", "ɛ̃"), "n"), "rien": (("ʁ", "j", "ɛ̃"), "n"),
+    "aucun": (("o", "k", "œ̃"), "n"),
+    # verb forms / adverbs -> t
+    "est": (("ɛ",), "t"), "sont": (("s", "ɔ̃"), "t"),
+    "ont": (("ɔ̃",), "t"), "tout": (("t", "u"), "t"),
+    "quand": (("k", "ɑ̃"), "t"), "c'est": (("s", "ɛ"), "t"),
+}
+
+# liaison never happens before these despite the initial vowel letter:
+# the conjunctions et/ou, oui, onze, and h-aspiré words
+_LIAISON_BLOCKED_NEXT = frozenset({
+    "et", "ou", "où", "oui", "onze", "onzième",
+    # h aspiré
+    "haricot", "haricots", "héros", "hasard", "haut", "haute", "hauts",
+    "hautes", "honte", "hache", "haine", "hall", "halles", "hamac",
+    "hanche", "handicap", "hareng", "harpe", "hibou", "hiboux",
+    "hockey", "homard", "homards", "hoquet", "hors", "huit",
+    "huitième", "hurle", "hurler", "hurlement", "hutte", "hérisson",
+    "hiérarchie", "hollande", "hongrie", "hongrois", "hasards",
+})
+
+
 def _sandhi(w: str, nxt: str) -> typing.Optional[typing.List[str]]:
     """Context-dependent function words (liaison/truncation).
 
@@ -496,6 +541,16 @@ def _sandhi(w: str, nxt: str) -> typing.Optional[typing.List[str]]:
     two lexicalized liaisons (neuf heures, neuf ans).
     """
     nxt = nxt.lower()
+    entry = _LIAISON.get(w)
+    if entry is not None:
+        base, cons = entry
+        if (
+            nxt
+            and nxt[0] in _VOWEL_INITIAL
+            and nxt not in _LIAISON_BLOCKED_NEXT
+        ):
+            return list(base) + [cons]
+        return None  # fall through to lexicon for the plain form
     if w in ("six", "dix"):
         head = ["s", "i"] if w == "six" else ["d", "i"]
         if not nxt:
@@ -509,6 +564,24 @@ def _sandhi(w: str, nxt: str) -> typing.Optional[typing.List[str]]:
         return ["p", "l", "y"]
     if w == "neuf" and nxt in ("heures", "heure", "ans", "an"):
         return ["n", "œ", "v"]
+    if w in ("deux", "trois") and nxt and nxt[0] in _VOWEL_INITIAL:
+        # obligatory numeral liaison: deux euros [døz], trois ans [tʁwaz]
+        head = ["d", "ø"] if w == "deux" else ["t", "ʁ", "w", "a"]
+        return head + ["z"]
+    if w == "huit" and nxt and nxt[0] not in _VOWEL_INITIAL:
+        # the t drops before a consonant: huit minutes [ɥi minyt]
+        return ["ɥ", "i"]
+    if w == "vingt":
+        # the t sounds in "vingt et un" and in liaison before a vowel
+        # (vingt ans, vingt heures); silent otherwise (vingt minutes)
+        if nxt == "et" or (nxt and nxt[0] in _VOWEL_INITIAL):
+            return ["v", "ɛ̃", "t"]
+        return ["v", "ɛ̃"]
+    if w == "cent" and nxt and nxt[0] in _VOWEL_INITIAL and nxt not in (
+        "et", "un", "une", "onze",
+    ):
+        # obligatory liaison: cent ans [sɑ̃tɑ̃]; but "cent un" [sɑ̃ œ̃]
+        return ["s", "ɑ̃", "t"]
     return None
 
 
@@ -601,3 +674,8 @@ def phonemize(
 
 
 phonemize.context_aware = True  # type: ignore[attr-defined]
+# words whose pronunciation depends on the next word must reach
+# _sandhi even when the shared exception lexicon has an entry
+phonemize.sandhi_words = frozenset(_LIAISON) | frozenset(
+    ("six", "dix", "plus", "neuf", "vingt", "cent", "deux", "trois", "huit")
+)  # type: ignore[attr-defined]

@@ -287,6 +287,24 @@ def _phonemize_vowel_stress(word: str) -> typing.List[str]:
         head = apply_rules(w[:-3], _RULES, _context)
         s = "z" if head and head[-1] in VOWELS else "s"
         return head + [s, "ˈɛ", "j"]
+    # -esimo words are sdrucciole with the suffix vowel stressed:
+    # numeral ordinals take open è (ventèsimo, centèsimo, undicèsimo —
+    # Treccani/DOP), noun formations closed é (battésimo, umanésimo)
+    if len(w) > 6 and w[-5:-1] == "esim" and w[-1] in "oaie":
+        stem = w[:-5]
+        numeral = stem.endswith((
+            "un", "du", "tre", "quattr", "cinqu", "sei", "sett", "ott",
+            "nov", "dic", "vent", "trent", "quarant", "cinquant",
+            "sessant", "settant", "ottant", "novant", "cent", "mill",
+            "milion", "miliard",
+        ))
+        # walk up to and including the suffix e so soft-c context holds
+        # (undicesimo [undiˈt͡ʃɛzimo]), then retint the suffix vowel
+        head = apply_rules_span(w, 0, len(w) - 4, _RULES, _context)
+        if head and head[-1] == "e" and numeral:
+            head[-1] = "ɛ"
+        phon = head + ["z", "i", "m", w[-1]]
+        return stress_nth_vowel_from_end(phon, VOWELS, n=3)
     # Greek/abstract and shop -ia suffixes are stressed hiatus [ˈi a]
     # (economia, energia, pizzeria); plain -ia words glide (storia,
     # grazia) and take the regular penult path

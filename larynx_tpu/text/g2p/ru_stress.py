@@ -213,7 +213,7 @@ _STEM_RAW = """
 поним+ отвеч+ объясн+ получ+ реш+ счит+ молок+ люб+ смотр+ прос+
 больш+ друг+ втор+ молод+ жив+ прост+ сух+ худ+
 д+ел сд+ел д+ум под+ум сл+уш посл+уш спр+аш встр+ет
-прим+ер университ+ет господ+ин велосип+ед
+прим+ер университ+ет господ+ин велосип+ед д+оллар +евр ф+унт ц+ент
 раб+от зн+а узн+а ч+увств в+ид ув+ид сл+ыш усл+ыш
 ст+ав пост+ав п+омн зап+омн в+ер пров+ер зн+ач гот+ов
 пр+ав ч+ист +ех +ед при+ех у+ех
@@ -405,6 +405,15 @@ def stress_index(word: str, n_vowels: int) -> typing.Optional[int]:
     hit = EXACT.get(w)
     if hit is not None:
         return min(hit, n_vowels - 1)
+
+    # teen numerals and their ordinals keep the cardinal's stress in
+    # every inflection: двена́дцатый, девятна́дцатом — the а of
+    # -на́дцат-, except оди́ннадцат- (the и before)
+    i = w.find("надцат")
+    if i > 0:
+        j = w.find("иннадцат")
+        pos = j if j >= 0 else i + 1
+        return len(_VOWEL_RE.findall(w[:pos]))
 
     # layer 3: stems (reflexive stripped first)
     base = w

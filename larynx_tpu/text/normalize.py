@@ -575,9 +575,65 @@ _ORDINAL_FORMS = {
     "it-it": re.compile(r"^(\d+)[ºª°]$"),
     "nl": re.compile(r"^(\d+)(e|de|ste)$"),
     "sv-se": re.compile(r"^(\d+):(e|a)$"),
-    "ru-ru": re.compile(r"^(\d+)-(й|я|е|го|му|х|ых|ой)$"),
+    "ru-ru": re.compile(r"^(\d+)-(й|я|е|го|му|х|ых|ом|ой|м)$"),
     "de-de": re.compile(r"^(\d+)\.$"),
 }
+
+
+_RU_OBLIQUE_TENS = {
+    20: "двадцати", 30: "тридцати", 40: "сорока", 50: "пятидесяти",
+    60: "шестидесяти", 70: "семидесяти", 80: "восьмидесяти",
+    90: "девяноста", 100: "ста",
+}
+_RU_OBLIQUE_UNITS = {
+    1: "одного", 2: "двух", 3: "трёх", 4: "четырёх", 5: "пяти",
+    6: "шести", 7: "семи", 8: "восьми", 9: "девяти", 10: "десяти",
+    11: "одиннадцати", 12: "двенадцати", 13: "тринадцати",
+    14: "четырнадцати", 15: "пятнадцати", 16: "шестнадцати",
+    17: "семнадцати", 18: "восемнадцати", 19: "девятнадцати",
+}
+
+
+def _ru_cardinal_oblique(n: int) -> typing.Optional[str]:
+    """Genitive/prepositional cardinal for written "3-х лет" forms
+    (трёх, двадцати пяти); None outside 1..100."""
+    if n in _RU_OBLIQUE_UNITS:
+        return _RU_OBLIQUE_UNITS[n]
+    if n in _RU_OBLIQUE_TENS:
+        return _RU_OBLIQUE_TENS[n]
+    if 20 < n < 100:
+        tens, unit = (n // 10) * 10, n % 10
+        return f"{_RU_OBLIQUE_TENS[tens]} {_RU_OBLIQUE_UNITS[unit]}"
+    return None
+
+
+def _ru_hyphen_ordinal(n: int, suffix: str) -> str:
+    """Russian written ordinal with a case tail: 5-й пятый, 2-е второе,
+    90-х девяностых, 5-м пятом. The tail determines the adjectival
+    ending; третий takes the soft-stem forms (третья, третьих).
+
+    "-х" is ordinal only for decades ("в 90-х годах" девяностых);
+    elsewhere it marks the oblique cardinal ("3-х лет" трёх)."""
+    if suffix == "х" and not (n % 10 == 0 and 20 <= n <= 100):
+        oblique = _ru_cardinal_oblique(n)
+        if oblique is not None:
+            return oblique
+    words = ru_ordinal_to_words(n)
+    head, _, last = words.rpartition(" ")
+    soft = last.endswith("ий")  # третий
+    stem = last[:-2]
+    hard = {
+        "й": last, "я": stem + "ая", "е": stem + "ое", "го": stem + "ого",
+        "му": stem + "ому", "х": stem + "ых", "ых": stem + "ых",
+        "м": stem + "ом", "ом": stem + "ом", "ой": stem + "ой",
+    }
+    soft_map = {
+        "й": last, "я": stem + "ья", "е": stem + "ье", "го": stem + "ьего",
+        "му": stem + "ьему", "х": stem + "ьих", "ых": stem + "ьих",
+        "м": stem + "ьем", "ом": stem + "ьем", "ой": stem + "ьей",
+    }
+    last = (soft_map if soft else hard).get(suffix, last)
+    return f"{head} {last}".strip()
 
 
 _DECIMAL_POINT = {
@@ -592,22 +648,47 @@ _DECIMAL_POINT = {
     "sw": "pointi",
 }
 
-_CURRENCY = {
+# (singular, plural) per language; Russian (singular, paucal, plural)
+_CURRENCY: typing.Dict[str, typing.Dict[str, typing.Sequence[str]]] = {
     "$": {
-        "en-us": "dollars", "de-de": "Dollar", "es-es": "dólares",
-        "fr-fr": "dollars", "it-it": "dollari", "nl": "dollar",
-        "ru-ru": "долларов", "sv-se": "dollar", "sw": "dola",
+        "en-us": ("dollar", "dollars"), "de-de": ("Dollar", "Dollar"),
+        "es-es": ("dólar", "dólares"), "fr-fr": ("dollar", "dollars"),
+        "it-it": ("dollaro", "dollari"), "nl": ("dollar", "dollar"),
+        "ru-ru": ("доллар", "доллара", "долларов"),
+        "sv-se": ("dollar", "dollar"), "sw": ("dola", "dola"),
     },
     "€": {
-        "en-us": "euros", "de-de": "Euro", "es-es": "euros",
-        "fr-fr": "euros", "it-it": "euro", "nl": "euro",
-        "ru-ru": "евро", "sv-se": "euro", "sw": "euro",
+        "en-us": ("euro", "euros"), "de-de": ("Euro", "Euro"),
+        "es-es": ("euro", "euros"), "fr-fr": ("euro", "euros"),
+        "it-it": ("euro", "euro"), "nl": ("euro", "euro"),
+        "ru-ru": ("евро", "евро", "евро"),
+        "sv-se": ("euro", "euro"), "sw": ("euro", "euro"),
     },
     "£": {
-        "en-us": "pounds", "de-de": "Pfund", "es-es": "libras",
-        "fr-fr": "livres", "it-it": "sterline", "nl": "pond",
-        "ru-ru": "фунтов", "sv-se": "pund", "sw": "pauni",
+        "en-us": ("pound", "pounds"), "de-de": ("Pfund", "Pfund"),
+        "es-es": ("libra", "libras"), "fr-fr": ("livre", "livres"),
+        "it-it": ("sterlina", "sterline"), "nl": ("pond", "pond"),
+        "ru-ru": ("фунт", "фунта", "фунтов"),
+        "sv-se": ("pund", "pund"), "sw": ("pauni", "pauni"),
     },
+}
+
+# the numeral "one" inflects before a currency noun in several languages
+# (de ein Euro, it un dollaro / una sterlina, es un euro / una libra,
+# sv en dollar / ett pund, fr une livre)
+_CURRENCY_ONE = {
+    ("de-de", "$"): "ein", ("de-de", "€"): "ein", ("de-de", "£"): "ein",
+    ("it-it", "$"): "un", ("it-it", "€"): "un", ("it-it", "£"): "una",
+    ("es-es", "$"): "un", ("es-es", "€"): "un", ("es-es", "£"): "una",
+    ("sv-se", "$"): "en", ("sv-se", "€"): "en", ("sv-se", "£"): "ett",
+    ("fr-fr", "£"): "une",
+}
+
+# sub-unit word for amounts under one unit ($0.99 -> ninety nine cents)
+_CENT_WORDS = {
+    "en-us": "cents", "de-de": "Cent", "fr-fr": "centimes",
+    "es-es": "céntimos", "it-it": "centesimi", "nl": "cent",
+    "sv-se": "cent", "ru-ru": "центов", "sw": "senti",
 }
 
 _PERCENT = {
@@ -616,7 +697,9 @@ _PERCENT = {
     "ru-ru": "процентов", "sv-se": "procent", "sw": "asilimia",
 }
 
-_ORDINAL_RE = re.compile(r"^(\d+)(st|nd|rd|th)$", re.IGNORECASE)
+_ORDINAL_RE = re.compile(
+    r"^(\d{1,3}(?:,\d{3})*|\d+)(st|nd|rd|th)$", re.IGNORECASE
+)
 _YEAR_RE = re.compile(r"^[12]\d{3}$")
 _NUMBER_RE = re.compile(r"^-?\d{1,3}(?:[,.]\d{3})*(?:[.,]\d+)?$|^-?\d+(?:[.,]\d+)?$")
 _CURRENCY_AMOUNT = r"\d{1,3}(?:[,.]\d{3})+(?:[.,]\d+)?|\d+(?:[.,]\d+)?"
@@ -662,6 +745,20 @@ _YEAR_TO_WORDS = {
     "sv-se": sv_year_to_words,
 }
 
+
+# scores/ratios "N:M" that are not clock times (3:2, 1:1000) read the
+# colon as the language's score word; ru/nl/sv/sw keep the plain pause
+SCORE_WORD = {
+    "en-us": "to", "de-de": "zu", "fr-fr": "à", "es-es": "a",
+    "it-it": "a",
+}
+
+# dimension/multiplication "x" between numbers (4x4, 1920x1080)
+_BY_WORD = {
+    "en-us": "by", "de-de": "mal", "fr-fr": "par", "es-es": "por",
+    "it-it": "per", "nl": "bij", "sv-se": "gånger", "ru-ru": "на",
+    "sw": "kwa",
+}
 
 _MINUS = {
     "en-us": "minus", "de-de": "minus", "fr-fr": "moins",
@@ -709,10 +806,10 @@ def _ru_decline_ordinal(words: str, case: str) -> str:
     if case == "nom":
         return words
     head, _, last = words.rpartition(" ")
-    if last.endswith("ий"):       # третий -> третьего / третьем
-        last = last[:-2] + ("ьего" if case == "gen" else "ьем")
+    if last.endswith("ий"):       # третий -> третьего / третьем / третьему
+        last = last[:-2] + {"gen": "ьего", "prep": "ьем", "dat": "ьему"}[case]
     elif last.endswith(("ый", "ой")):
-        last = last[:-2] + ("ого" if case == "gen" else "ом")
+        last = last[:-2] + {"gen": "ого", "prep": "ом", "dat": "ому"}[case]
     return f"{head} {last}".strip()
 
 
@@ -794,6 +891,10 @@ def _spell_number(token: str, lang: str) -> typing.Optional[str]:
     elif "," in token and lang != "en-us":
         clean = token.replace(",", ".")
 
+    # a leading zero marks a digit string, not a quantity (0123 -> zero
+    # one two three; phone extensions, codes) — int() would drop the zero
+    if re.match(r"^0\d+$", clean):
+        return " ".join(to_words(int(d)) for d in clean)
     if re.match(r"^-?\d+$", clean):
         return to_words(int(clean))
     m = re.match(r"^(-?\d+)\.(\d+)$", clean)
@@ -831,14 +932,28 @@ def normalize_token(token: str, lang: str = "en-us") -> typing.Optional[str]:
     if lang == "en-us":
         m = _ORDINAL_RE.match(token)
         if m:
-            return en_ordinal_to_words(int(m.group(1)))
+            return en_ordinal_to_words(int(m.group(1).replace(",", "")))
         if _YEAR_RE.match(token):
             return en_year_to_words(int(token))
     else:
         form = _ORDINAL_FORMS.get(lang)
         m = form.match(token) if form else None
         if m:
+            if lang == "ru-ru":
+                return _ru_hyphen_ordinal(int(m.group(1)), m.group(2))
             return ORDINAL_TO_WORDS[lang](int(m.group(1)))
+        # German er-decades: "die 90er" / "in den 90ern" / "die 1990er
+        # Jahre" — cardinal (or hundreds-style year) + attached "er(n)"
+        if lang == "de-de":
+            dm = re.match(r"^(\d{2}|\d{4})er(n?)$", token)
+            if dm:
+                n = int(dm.group(1))
+                base = (
+                    _YEAR_TO_WORDS["de-de"](n)
+                    if n >= 1000
+                    else de_number_to_words(n)
+                )
+                return base + "er" + dm.group(2)
         # plain 4-digit years read in hundreds where the language does
         # (de neunzehnhundert..., nl negentienhonderd..., sv nittonhundra...)
         if lang in _YEAR_TO_WORDS and _YEAR_RE.match(token):
@@ -881,6 +996,13 @@ def normalize_token(token: str, lang: str = "en-us") -> typing.Optional[str]:
                 return f"{en_number_to_words(int(dm.group(1)))} {ties}"
             return ties
 
+    # dimensions: 4x4 -> four by four, 1920x1080 (also × and lowercase x)
+    xm = re.match(r"^(\d+)[x×](\d+)$", token)
+    if xm:
+        to_words = NUMBER_TO_WORDS.get(lang, en_number_to_words)
+        by = _BY_WORD.get(lang, "by")
+        return f"{to_words(int(xm.group(1)))} {by} {to_words(int(xm.group(2)))}"
+
     pm = re.match(r"^(\d+(?:[.,]\d+)?)%$", token)
     if pm:
         spelled = _spell_number(pm.group(1), lang)
@@ -901,7 +1023,7 @@ def normalize_token(token: str, lang: str = "en-us") -> typing.Optional[str]:
     else:
         symbol, amount = m.groups()
     if m:
-        unit = _CURRENCY.get(symbol, {}).get(lang)
+        forms = _CURRENCY.get(symbol, {}).get(lang)
         # strip thousands separators ($1,234.56 / 1.234,56 €) before the
         # cents split; which mark groups thousands is language-dependent
         if re.match(r"^\d{1,3}(?:,\d{3})+(?:\.\d+)?$", amount) and (
@@ -913,17 +1035,42 @@ def normalize_token(token: str, lang: str = "en-us") -> typing.Optional[str]:
         ):
             amount = amount.replace(".", "")
         cents_m = re.match(r"^(\d+)[.,](\d{1,2})$", amount)
-        if cents_m and unit:
+        if cents_m and forms:
             # money reading: $3.50 -> three dollars fifty cents,
-            # 3,50 € -> drei Euro fünfzig
+            # 3,50 € -> drei Euro fünfzig; under one unit the whole
+            # part is dropped ($0.99 -> ninety nine cents)
             to_words = NUMBER_TO_WORDS.get(lang, en_number_to_words)
-            whole = to_words(int(cents_m.group(1)))
+            whole_n = int(cents_m.group(1))
             cents = to_words(int(cents_m.group(2)))
-            tail = f"{cents} cents" if lang == "en-us" else cents
+            cent_word = _CENT_WORDS.get(lang, "cents")
+            if lang == "en-us" and symbol == "£":
+                cent_word = "pence"
+            if whole_n == 0:
+                return f"{cents} {cent_word}"
+            unit = _agreed_form(str(whole_n), forms, lang)
+            whole = (
+                _CURRENCY_ONE.get((lang, symbol))
+                if whole_n == 1 else None
+            ) or to_words(whole_n)
+            tail = f"{cents} {cent_word}" if lang == "en-us" else cents
+            if lang == "sw":  # noun precedes the numeral: dola tano
+                return f"{unit} {whole} na senti {cents}"
             return f"{whole} {unit} {tail}"
-        spelled = _spell_number(amount, lang)
-        if spelled is not None:
-            return f"{spelled} {unit}" if unit else spelled
+        if forms:
+            unit = _agreed_form(amount, forms, lang)
+            if re.fullmatch(r"\d+", amount) and int(amount) == 1:
+                one = _CURRENCY_ONE.get((lang, symbol))
+                if one:
+                    return f"{one} {unit}"
+            spelled = _spell_number(amount, lang)
+            if spelled is not None:
+                if lang == "sw":  # dola tano, euro kumi
+                    return f"{unit} {spelled}"
+                return f"{spelled} {unit}"
+        else:
+            spelled = _spell_number(amount, lang)
+            if spelled is not None:
+                return spelled
 
     m = _TIME_RE.match(token)
     if m:
@@ -1190,6 +1337,17 @@ for _lat, _cyr in (
     ("mg", "мг"), ("ml", "мл"), ("min", "мин"),
 ):
     _UNIT_WORDS[_cyr] = {"ru-ru": _UNIT_WORDS[_lat]["ru-ru"]}
+
+# German unit nouns after which the numeral 1 inflects: masculine/neuter
+# take "ein" (ein Kilometer, ein Euro), feminine take "eine" (eine
+# Minute, eine Stunde)
+DE_UNIT_NOUNS_F = {"Minute", "Stunde", "Sekunde", "Millisekunde", "Woche"}
+DE_UNIT_NOUNS = (
+    {forms["de-de"][0] for forms in _UNIT_WORDS.values() if "de-de" in forms}
+    | {"Grad", "Prozent", "Euro", "Dollar", "Pfund", "Cent", "Meter",
+       "Liter", "Gramm", "Tag", "Monat", "Jahr"}
+    | DE_UNIT_NOUNS_F
+)
 
 # "N km/h" — the whole unit phrase, invariant in number
 _PER_HOUR = {
@@ -1524,19 +1682,44 @@ def _regnal_words(value: int, fem: bool, lang: str) -> typing.Optional[str]:
     return None
 
 
+# roman numeral BEFORE a century noun reads as an ordinal, declined to
+# the noun's case in Russian ("в XIX веке" -> девятнадцатом)
+_ROMAN_CENTURY_NEXT = {
+    "ru-ru": {
+        "век": "nom", "века": "gen", "веке": "prep", "веку": "dat",
+        "веков": "gen", "столетие": "nom", "столетия": "gen",
+        "столетии": "prep", "столетию": "dat",
+    },
+    "it-it": {"secolo": "nom", "secoli": "nom", "millennio": "nom"},
+}
+
+
 def roman_words(
-    prev_word: str, token: str, lang: str
+    prev_word: str, token: str, lang: str, next_word: str = ""
 ) -> typing.Optional[str]:
     """Spoken form of a roman numeral in a reading context, else None.
 
     Keyword contexts ("Chapter IV", "siglo XXI") read as cardinals in
     every language; regnal names ("Henry VIII", "Wilhelm II.",
     "Екатерина II") read in each language's convention (see
-    `_regnal_words`). Single letters are only read after a keyword or
-    regnal name, and only I/V/X — "Appendix C" keeps the letter C. In
-    English the bare "I" is never read (pronoun collision: "George I
-    was saying"); elsewhere "Пётр I"/"Karl V." are the common style.
+    `_regnal_words`). A century noun AFTER the numeral ("XIX веке",
+    "XX secolo") reads it as an ordinal, declined in Russian. Single
+    letters are only read after a keyword or regnal name, and only
+    I/V/X — "Appendix C" keeps the letter C. In English the bare "I"
+    is never read (pronoun collision: "George I was saying");
+    elsewhere "Пётр I"/"Karl V." are the common style.
     """
+    nxt_case = _ROMAN_CENTURY_NEXT.get(lang, {}).get(next_word.lower())
+    if nxt_case is not None and token.isupper():
+        value = roman_to_int(token)
+        if value is not None and 1 <= value <= 30 and (
+            len(token) >= 2 or token in ("I", "V", "X")
+        ):
+            if lang == "ru-ru":
+                return _ru_decline_ordinal(
+                    ru_ordinal_to_words(value), nxt_case
+                )
+            return it_ordinal_to_words(value)
     prev = prev_word.lower().rstrip(".")
     if lang == "fr-fr" and token in ("Ier", "Ière", "1er"):
         # the standard written style for "premier": François Ier
@@ -1578,6 +1761,11 @@ def _ru_hour_noun(hours: int) -> str:
     return "часов"
 
 
+def time_words(hours: int, minutes: int, lang: str) -> typing.Optional[str]:
+    """Public clock reading ("21 h 30" written style uses it too)."""
+    return _time_to_words(hours, minutes, lang)
+
+
 def _time_to_words(hours: int, minutes: int, lang: str) -> typing.Optional[str]:
     """Digital clock time -> words, per-language reading conventions."""
     if lang == "en-us":
@@ -1597,7 +1785,11 @@ def _time_to_words(hours: int, minutes: int, lang: str) -> typing.Optional[str]:
     if lang == "nl":
         return f"{h} uur" if minutes == 0 else f"{h} uur {mnt}"
     if lang == "fr-fr":
+        if hours % 10 == 1 and hours != 11:
+            h = re.sub(r"un$", "une", h)  # vingt et UNE heures
         heure = "une heure" if hours == 1 else f"{h} heures"
+        if hours == 0:
+            heure = "zéro heure"
         return heure if minutes == 0 else f"{heure} {mnt}"
     if lang == "es-es":
         h = "una" if hours == 1 else h

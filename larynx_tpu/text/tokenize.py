@@ -11,21 +11,29 @@ import re
 import typing
 
 from larynx_tpu.text.normalize import (
+    DE_UNIT_NOUNS,
+    DE_UNIT_NOUNS_F,
     MONTH_NAMES,
+    SCORE_WORD,
     SYMBOL_WORDS,
     UNIT_ABBREVIATIONS,
     date_words,
     de_ordinal_to_words,
     degree_tokens,
     en_ordinal_to_words,
+    fr_ordinal_to_words,
     fraction_words,
     kmh_tokens,
     measure_tokens,
     normalize_token,
+    roman_to_int,
     roman_words,
     ru_day_genitive,
     ru_year_ordinal,
+    sv_number_to_words,
     sv_ordinal_to_words,
+    sv_year_to_words,
+    time_words,
     verbalize_urls,
 )
 
@@ -33,6 +41,8 @@ from larynx_tpu.text.normalize import (
 _RU_MONTHS_GEN = frozenset(MONTH_NAMES["ru-ru"])
 _SV_MONTHS = frozenset(MONTH_NAMES["sv-se"])
 _EN_MONTHS = frozenset(MONTH_NAMES["en-us"])
+_IT_MONTHS = frozenset(MONTH_NAMES["it-it"])
+_FR_MONTHS = frozenset(MONTH_NAMES["fr-fr"])
 
 # Sentence boundary: terminal punctuation followed by whitespace or EOT.
 _SENT_BOUNDARY = re.compile(r"(?<=[.!?…])[\)\]\"'”’]*\s+")
@@ -75,14 +85,14 @@ _ORDINAL_TOKEN = {
     "fr-fr": r"\d+(?:er|ère|ere|ème|eme|e)\b",
     "nl": r"\d+(?:ste|de|e)\b",
     "sv-se": r"\d+:[ea]\b",
-    "ru-ru": r"\d+-(?:го|му|ых|ой|й|я|е|х)\b",
+    "ru-ru": r"\d+-(?:го|му|ых|ом|ой|й|я|е|х|м)\b",
     "es-es": r"\d+[ºª°]",
     "it-it": r"\d+[ºª°]",
     # German ordinals/dates are digit+period mid-sentence ("der 3. Mann",
     # "am 21. Dezember", "am 3., im Mai"); 1-2 digits only, so years keep
     # ending sentences; NOT at end-of-text, where the period is sentence-
     # final punctuation
-    "de-de": r"\d{1,2}\.(?=\s|[,;:)])",
+    "de-de": r"\d+ern?\b|\d{1,2}\.(?=\s|[,;:)])",
 }
 
 
@@ -93,8 +103,9 @@ def _token_re(lang: str) -> "re.Pattern[str]":
     ordinal = _ORDINAL_TOKEN.get(lang)
     return re.compile(
         r"\d+_[a-z]+"  # interpretation markers: 22_ordinal, 1963_year
+        r"|\d+[x×]\d+"  # dimensions: 4x4, 1920x1080
         + (rf"|{ordinal}" if ordinal else "")
-        + r"|[$€£]?\d+(?::\d{2})?(?:[.,]\d+)*[$€£%]?(?:st|nd|rd|th)?"  # numbers
+        + r"|[$€£]?\d+(?::\d{2}(?!\d))?(?:[.,]\d+)*[$€£%]?(?:st|nd|rd|th)?"  # numbers
         r"|[\w']+(?:[-'’][\w']+)*"  # words incl. apostrophes/hyphens
         r"|[^\w\s]",  # any single punctuation char
         re.UNICODE,
@@ -122,7 +133,14 @@ def split_sentences(text: str, lang: str = "en-us") -> typing.List[str]:
             if last_word in _ABBREVIATIONS or re.match(
                 r"^[^\W\d_]\.$", last_word
             ):
-                continue
+                # French clock "8 h." is a time, not an initial — the
+                # period does end the sentence
+                if not (
+                    lang == "fr-fr"
+                    and last_word == "h."
+                    and re.search(r"\d\s+h\.$", candidate)
+                ):
+                    continue
             # German ordinal/date periods ("der 3. Mann", "am 5. Januar")
             # are not sentence ends; years and longer numbers still are.
             # A sentence genuinely ending in a small number ("Er wurde 5.
@@ -275,6 +293,32 @@ def words_of(
             signed.append(t)
             k += 1
         tokens = signed
+    # model/product names "A380", "MP3", "B52": split the letter prefix
+    # from the digits so both are spoken (G2P would otherwise drop the
+    # digits). Ordinal forms (2nd, 90er, 1er) lex as single tokens
+    # earlier and never reach this shape.
+    for k, t in enumerate(tokens):
+        mm = re.fullmatch(r"([A-ZÄÖÜ]{1,4})(\d{1,4})", t)
+        if mm:
+            letters = mm.group(1)
+            if lang == "en-us" and letters == "A":
+                letters = "ay"  # letter name; bare "A" reads as the article
+            tokens[k] = f"{letters} {mm.group(2)}"
+    if any(" " in t for t in tokens):
+        tokens = [w for t in tokens for w in t.split(" ") if w]
+    # scores/ratios: "3:2", "1:1000" (clock times lex as single tokens,
+    # so a bare colon between numbers is never a time) — the colon reads
+    # as the language's score word where one exists (drei zu zwei)
+    score = SCORE_WORD.get(lang)
+    if score and ":" in tokens:
+        for k, t in enumerate(tokens):
+            if (
+                t == ":"
+                and 0 < k < len(tokens) - 1
+                and tokens[k - 1][-1:].isdigit()
+                and tokens[k + 1][:1].isdigit()
+            ):
+                tokens[k] = score
     # standalone currency symbols attach to the neighboring number
     # ("5 €" / "€ 5" -> one 5€ token for normalize)
     if any(t in ("$", "€", "£", "%") for t in tokens):
@@ -310,6 +354,12 @@ def words_of(
                 elif lang == "en-us" and low == "st":
                     # "St. Peter" saint, "Main St." street
                     spoken = "saint" if after[:1].isupper() else "street"
+                elif (
+                    lang == "fr-fr"
+                    and t == "M"
+                    and after[:1].isupper()
+                ):
+                    spoken = "monsieur"  # "M. Dupont"
             if spoken is not None:
                 expanded_tokens.extend(spoken.split())
                 # swallow the period mid-sentence; keep a sentence-final one
@@ -344,7 +394,10 @@ def words_of(
     # "3/4" -> drei Viertel. The unit becomes plain word tokens; the
     # number token itself is expanded by normalize_token below.
     if any(
-        "°" in t or t == "/" or t.lower() in UNIT_ABBREVIATIONS
+        "°" in t
+        or t == "/"
+        or t.lower() in UNIT_ABBREVIATIONS
+        or (lang == "fr-fr" and t == "h")
         for t in tokens
     ):
         measured: typing.List[str] = []
@@ -388,6 +441,22 @@ def words_of(
             ):
                 rep = kmh_tokens(t, lang)
                 step = 4
+            elif (
+                # French written clock "21 h 30" / "8 h"
+                lang == "fr-fr"
+                and re.fullmatch(r"\d{1,2}", t)
+                and nxt == "h"
+                and 0 <= int(t) <= 23
+            ):
+                mins = (
+                    int(n2)
+                    if re.fullmatch(r"[0-5]?\d", n2 or "")
+                    else None
+                )
+                spoken = time_words(int(t), mins or 0, lang)
+                if spoken:
+                    rep = spoken.split()
+                    step = 3 if mins is not None else 2
             elif is_num and nxt:
                 rep = measure_tokens(t, nxt, lang)
                 step = 2
@@ -447,13 +516,34 @@ def words_of(
             return True
         return lang == "fr-fr" and t in ("Ier", "Ière", "1er")
 
+    # French roman ordinals carry their own suffix ("le XXe siècle",
+    # "IIIème millénaire") — unambiguous without any context word
+    if lang == "fr-fr":
+        for k, t in enumerate(tokens):
+            rm = re.fullmatch(r"([IVXLCDM]+)(e|ème|eme)", t)
+            # single-letter romans only for V/X ("Ve République",
+            # "Xe siècle") — "Le"/"Ce"/"De"/"Me" are ordinary words
+            if (
+                rm
+                and rm.group(1).isupper()
+                and (len(rm.group(1)) >= 2 or rm.group(1) in ("V", "X"))
+            ):
+                value = roman_to_int(rm.group(1))
+                if value is not None and 1 <= value <= 100:
+                    tokens[k] = fr_ordinal_to_words(value)
+
     if any(_romanish(t) for t in tokens):
         romanized: typing.List[str] = []
         k = 0
         while k < len(tokens):
             t = tokens[k]
-            if _romanish(t) and k > 0:
-                spoken = roman_words(tokens[k - 1], t, lang)
+            if _romanish(t):
+                spoken = roman_words(
+                    tokens[k - 1] if k > 0 else "",
+                    t,
+                    lang,
+                    tokens[k + 1] if k + 1 < len(tokens) else "",
+                )
                 if spoken is not None:
                     romanized.extend(spoken.split())
                     if (
@@ -497,7 +587,7 @@ def words_of(
     if lang == "de-de":
         for k, t in enumerate(tokens):
             prev = tokens[k - 1].lower() if k > 0 else ""
-            dative = prev in ("am", "vom", "zum", "dem", "den")
+            dative = prev in ("am", "vom", "zum", "im", "dem", "den")
             m = re.fullmatch(r"(\d{1,2})\.", t)
             if m and dative:
                 tokens[k] = de_ordinal_to_words(int(m.group(1))) + "n"
@@ -508,6 +598,15 @@ def words_of(
                 )
                 if spoken is not None:
                     tokens[k] = spoken
+                    continue
+            # the numeral 1 inflects before a unit noun: ein Kilometer,
+            # eine Minute (standalone it stays "eins")
+            if t == "1" and k + 1 < len(tokens):
+                nxt_t = tokens[k + 1]
+                if nxt_t in DE_UNIT_NOUNS_F:
+                    tokens[k] = "eine"
+                elif nxt_t in DE_UNIT_NOUNS:
+                    tokens[k] = "ein"
     # Russian year ordinals: "в 1999 году" -> "... девяносто девятом
     # году"; "1999 года" -> "девятого года"; "1999 год" -> "девятый"
     if lang == "ru-ru":
@@ -523,7 +622,8 @@ def words_of(
             ):
                 # день before a month name: "12 мая" -> двенадцатого
                 tokens[k] = ru_day_genitive(int(t))
-    # Swedish dates: "(den) 12 maj" -> "den tolfte maj"
+    # Swedish dates: "(den) 12 maj" -> "den tolfte maj"; common-gender
+    # "1 krona" takes "en" (the standalone numeral is neuter "ett")
     if lang == "sv-se":
         for k, t in enumerate(tokens):
             nxt = tokens[k + 1].lower() if k + 1 < len(tokens) else ""
@@ -533,6 +633,21 @@ def words_of(
                 and 1 <= int(t) <= 31
             ):
                 tokens[k] = sv_ordinal_to_words(int(t))
+            elif t == "1" and nxt in ("krona", "kronan", "minut", "timme"):
+                tokens[k] = "en"
+            elif (
+                # decade compounds: "1990-talet" nittonhundranittiotalet,
+                # "90-talet" nittiotalet (one word; the dash is silent)
+                re.fullmatch(r"\d{2}|\d{4}", t)
+                and nxt == "-"
+                and k + 2 < len(tokens)
+                and re.fullmatch(r"tal(?:et|ets|s)?", tokens[k + 2])
+            ):
+                n = int(t)
+                base = sv_year_to_words(n) if n >= 1000 else sv_number_to_words(n)
+                tokens[k] = base + tokens[k + 2]
+                tokens[k + 1] = ""
+                tokens[k + 2] = ""
     # English month-day: "May 12" -> "May twelfth" (day-first "12 May"
     # stays cardinal); the month token must be capitalized
     if lang == "en-us":
@@ -544,9 +659,50 @@ def words_of(
                 and 1 <= int(t) <= 31
             ):
                 tokens[k] = en_ordinal_to_words(int(t))
+        # North-American phone groups (555-0123, 555-123-4567) read
+        # digit by digit, never as hundreds; dashes stay as pauses
+        k = 0
+        while k < len(tokens):
+            # match a run NNN-NNNN or NNN-NNN-NNNN starting at k
+            if re.fullmatch(r"\d{3}", tokens[k]):
+                if (
+                    k + 4 < len(tokens)
+                    and tokens[k + 1] == tokens[k + 3] == "-"
+                    and re.fullmatch(r"\d{3}", tokens[k + 2])
+                    and re.fullmatch(r"\d{4}", tokens[k + 4])
+                ):
+                    for j in (k, k + 2, k + 4):
+                        tokens[j] = " ".join(tokens[j])
+                    k += 5
+                    continue
+                if (
+                    k + 2 < len(tokens)
+                    and tokens[k + 1] == "-"
+                    and re.fullmatch(r"\d{4}", tokens[k + 2])
+                    and not (k + 3 < len(tokens) and tokens[k + 3] == "-")
+                ):
+                    tokens[k] = " ".join(tokens[k])
+                    tokens[k + 2] = " ".join(tokens[k + 2])
+                    k += 3
+                    continue
+            k += 1
+    # Italian/French first of the month is ordinal: "il 1 maggio" ->
+    # "il primo maggio", "le 1 mai" -> "le premier mai" (other days
+    # stay cardinal in both languages)
+    if lang == "it-it":
+        for k, t in enumerate(tokens):
+            nxt = tokens[k + 1].lower() if k + 1 < len(tokens) else ""
+            if t in ("1", "1º") and nxt in _IT_MONTHS:
+                tokens[k] = "primo"
+    if lang == "fr-fr":
+        for k, t in enumerate(tokens):
+            nxt = tokens[k + 1].lower() if k + 1 < len(tokens) else ""
+            if t == "1" and nxt in _FR_MONTHS:
+                tokens[k] = "premier"
     # the date/year pre-passes above splice multi-word phrases into
-    # single slots; raw tokens never contain spaces, so split them out
-    if any(" " in t for t in tokens):
+    # single slots (and may blank consumed tokens); raw tokens never
+    # contain spaces, so split them out and drop the blanks
+    if any(" " in t or not t for t in tokens):
         tokens = [w for t in tokens for w in t.split(" ") if w]
     for token in tokens:
         kind = classify_token(token)

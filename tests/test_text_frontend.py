@@ -563,6 +563,261 @@ def test_currency_suffix_and_cents():
     ]
 
 
+def test_currency_number_agreement():
+    """The currency noun agrees with the amount (singular/plural; Russian
+    paucal), "one" inflects before it (ein Euro, un dollaro, una libra,
+    en krona), sub-unit amounts drop the zero ($0.99 -> ninety nine
+    cents), and Swahili puts the noun before the numeral (dola tatu)."""
+    from larynx_tpu.text.tokenize import words_of
+
+    def w(text, lang):
+        return [t for k, t in words_of(text, lang) if k == "word"]
+
+    assert w("costs $1", "en-us") == ["costs", "one", "dollar"]
+    assert w("kostet 1 €", "de-de") == ["kostet", "ein", "Euro"]
+    assert w("costa 1 €", "it-it") == ["costa", "un", "euro"]
+    assert w("costa 1 £", "it-it") == ["costa", "una", "sterlina"]
+    assert w("cuesta 1 £", "es-es") == ["cuesta", "una", "libra"]
+    assert w("cuesta 1 $", "es-es") == ["cuesta", "un", "dólar"]
+    assert w("coûte 1 £", "fr-fr") == ["coûte", "une", "livre"]
+    assert w("kostar 1 £", "sv-se") == ["kostar", "ett", "pund"]
+    # Russian paucal: 2-4 take the genitive singular, 5+ the plural
+    assert w("стоит 1 $", "ru-ru") == ["стоит", "один", "доллар"]
+    assert w("стоит 2 $", "ru-ru") == ["стоит", "два", "доллара"]
+    assert w("стоит 5 $", "ru-ru") == ["стоит", "пять", "долларов"]
+    # sub-unit amounts: no "zero dollars" prefix; £ cents are pence
+    assert w("costs $0.99", "en-us") == ["costs", "ninety", "nine", "cents"]
+    assert w("costs £3.50", "en-us") == [
+        "costs", "three", "pounds", "fifty", "pence",
+    ]
+    # Swahili: noun-numeral order, "na senti" for the cents part
+    assert w("inagharimu $3.50", "sw") == [
+        "inagharimu", "dola", "tatu", "na", "senti", "hamsini",
+    ]
+    assert w("inagharimu $20", "sw") == ["inagharimu", "dola", "ishirini"]
+
+
+def test_numeral_one_inflects_before_unit_nouns():
+    """Standalone 1 stays eins/één/ett, but before a unit noun it takes
+    the article-like form (ein Kilometer, eine Minute, en krona)."""
+    from larynx_tpu.text.tokenize import words_of
+
+    def w(text, lang):
+        return [t for k, t in words_of(text, lang) if k == "word"]
+
+    assert w("Es dauert 1 Minute.", "de-de") == [
+        "Es", "dauert", "eine", "Minute",
+    ]
+    assert w("noch 1 Kilometer", "de-de") == ["noch", "ein", "Kilometer"]
+    assert w("Det kostar 1 krona.", "sv-se") == [
+        "Det", "kostar", "en", "krona",
+    ]
+    # bare numeral is unaffected
+    assert w("Die Antwort ist 1.", "de-de") == ["Die", "Antwort", "ist", "eins"]
+
+
+def test_french_written_clock_and_monsieur():
+    """French "21 h 30" / "8 h" clock notation reads as heures; "M."
+    before a capitalized name is monsieur; a sentence ending in "8 h."
+    still splits."""
+    from larynx_tpu.text.tokenize import split_sentences, words_of
+
+    def w(text, lang):
+        return [t for k, t in words_of(text, lang) if k == "word"]
+
+    assert w("Le train part à 21 h 30.", "fr-fr") == [
+        "Le", "train", "part", "à", "vingt", "et", "une", "heures", "trente",
+    ]
+    assert w("Il arrive à 8 h.", "fr-fr") == ["Il", "arrive", "à", "huit", "heures"]
+    assert w("M. Dupont est là.", "fr-fr") == [
+        "monsieur", "Dupont", "est", "là",
+    ]
+    assert split_sentences("Il part à 8 h. Elle reste.", "fr-fr") == [
+        "Il part à 8 h.", "Elle reste.",
+    ]
+
+
+def test_first_of_month_ordinal_it_fr():
+    """Italian and French read the 1st of a month as an ordinal (il primo
+    maggio, le premier mai); all other days stay cardinal."""
+    from larynx_tpu.text.tokenize import words_of
+
+    def w(text, lang):
+        return [t for k, t in words_of(text, lang) if k == "word"]
+
+    assert w("il 1 maggio", "it-it") == ["il", "primo", "maggio"]
+    assert w("il 12 maggio", "it-it") == ["il", "dodici", "maggio"]
+    assert w("le 1 mai", "fr-fr") == ["le", "premier", "mai"]
+    assert w("le 12 mai", "fr-fr") == ["le", "douze", "mai"]
+
+
+def test_phone_numbers_and_leading_zero_digits():
+    """NANP phone groups (555-0123, 555-123-4567) read digit by digit;
+    any number with a leading zero is a digit string, not a quantity.
+    Ranges, scores and year spans are untouched."""
+    from larynx_tpu.text.tokenize import words_of
+
+    def w(text, lang):
+        return [t for k, t in words_of(text, lang) if k == "word"]
+
+    assert w("Call 555-0123.", "en-us") == [
+        "Call", "five", "five", "five", "zero", "one", "two", "three",
+    ]
+    assert w("Call 555-123-4567.", "en-us") == [
+        "Call", "five", "five", "five", "one", "two", "three",
+        "four", "five", "six", "seven",
+    ]
+    assert w("Extension 0042.", "en-us") == [
+        "Extension", "zero", "zero", "four", "two",
+    ]
+    assert w("Die Nummer ist 0171.", "de-de") == [
+        "Die", "Nummer", "ist", "null", "eins", "sieben", "eins",
+    ]
+    # ranges/scores/yearspans keep their normal readings
+    assert w("Pages 10-20.", "en-us") == ["Pages", "ten", "twenty"]
+    assert w("It was 3-2.", "en-us") == ["It", "was", "three", "two"]
+    assert w("In 1995-1999.", "en-us") == [
+        "In", "nineteen", "ninety", "five", "nineteen", "ninety", "nine",
+    ]
+
+
+def test_decades_de_sv_ru():
+    """German er-decades (90er/1990er/90ern), Swedish -talet compounds
+    (1990-talet), Russian hyphen-ordinal declension (90-х девяностых,
+    5-м пятом) with oblique cardinals for non-decade -х (3-х трёх)."""
+    from larynx_tpu.text.tokenize import words_of
+
+    def w(text, lang):
+        return [t for k, t in words_of(text, lang) if k == "word"]
+
+    assert w("in den 90er Jahren", "de-de") == [
+        "in", "den", "neunziger", "Jahren",
+    ]
+    assert w("die 1990er Jahre", "de-de") == [
+        "die", "neunzehnhundertneunziger", "Jahre",
+    ]
+    assert w("in den 90ern", "de-de") == ["in", "den", "neunzigern"]
+    assert w("på 1990-talet", "sv-se") == ["på", "nittonhundranittiotalet"]
+    assert w("på 90-talet", "sv-se") == ["på", "nittiotalet"]
+    assert w("в 90-х годах", "ru-ru") == ["в", "девяностых", "годах"]
+    assert w("в 5-м ряду", "ru-ru") == ["в", "пятом", "ряду"]
+    assert w("3-я попытка", "ru-ru") == ["третья", "попытка"]
+    assert w("2-е место", "ru-ru") == ["второе", "место"]
+    assert w("3-х лет", "ru-ru") == ["трёх", "лет"]
+
+
+def test_french_roman_ordinals():
+    """Suffixed roman ordinals (XXe siècle, IIIème) read as ordinals
+    without needing a context word; regnal cardinals are unchanged."""
+    from larynx_tpu.text.tokenize import words_of
+
+    def w(text, lang):
+        return [t for k, t in words_of(text, lang) if k == "word"]
+
+    assert w("le XXe siècle", "fr-fr") == ["le", "vingtième", "siècle"]
+    assert w("au IIIème millénaire", "fr-fr") == [
+        "au", "troisième", "millénaire",
+    ]
+    assert w("Henri IV régna.", "fr-fr") == ["Henri", "quatre", "régna"]
+
+
+def test_dimension_x_readings():
+    """NxM dimensions read with the per-language "by" word (4x4 -> four
+    by four, vier mal vier)."""
+    from larynx_tpu.text.tokenize import words_of
+
+    def w(text, lang):
+        return [t for k, t in words_of(text, lang) if k == "word"]
+
+    assert w("the 4x4 truck", "en-us") == ["the", "four", "by", "four", "truck"]
+    assert w("ein 4x4 Auto", "de-de") == ["ein", "vier", "mal", "vier", "Auto"]
+
+
+def test_centuries_roman_and_german_dative():
+    """Roman century numerals before the century noun read as ordinals,
+    declined in Russian (в XIX веке -> девятнадцатом); German "im 19.
+    Jahrhundert" takes the dative -n."""
+    from larynx_tpu.text.tokenize import words_of
+
+    def w(text, lang):
+        return [t for k, t in words_of(text, lang) if k == "word"]
+
+    assert w("в XIX веке", "ru-ru") == ["в", "девятнадцатом", "веке"]
+    assert w("XX век", "ru-ru") == ["двадцатый", "век"]
+    assert w("к XXI веку", "ru-ru") == ["к", "двадцать", "первому", "веку"]
+    assert w("nel XX secolo", "it-it") == ["nel", "ventesimo", "secolo"]
+    assert w("im 19. Jahrhundert", "de-de") == [
+        "im", "neunzehnten", "Jahrhundert",
+    ]
+
+
+def test_scores_ratios_and_model_names():
+    """Colon scores/ratios read the score word (3:2 drei zu zwei, 3:1
+    three to one, 1:1000 scale); letter+digit model names split so the
+    digits are spoken (MP3, A380, B52)."""
+    from larynx_tpu.text.tokenize import words_of
+
+    def w(text, lang):
+        return [t for k, t in words_of(text, lang) if k == "word"]
+
+    assert w("Das Spiel endete 3:2.", "de-de") == [
+        "Das", "Spiel", "endete", "drei", "zu", "zwei",
+    ]
+    assert w("a 3:1 ratio", "en-us") == ["a", "three", "to", "one", "ratio"]
+    assert w("scale 1:1000", "en-us") == [
+        "scale", "one", "to", "one", "thousand",
+    ]
+    # clock times and verse-style numbers are untouched
+    assert w("at 9:05", "en-us") == ["at", "nine", "oh", "five"]
+    assert w("the MP3 player", "en-us") == ["the", "MP", "three", "player"]
+    assert w("the A380 plane", "en-us") == [
+        "the", "ay", "three", "hundred", "eighty", "plane",
+    ]
+    assert w("Flight B52 left.", "en-us") == [
+        "Flight", "B", "fifty", "two", "left",
+    ]
+    assert w("the 1,000th customer", "en-us") == [
+        "the", "one", "thousandth", "customer",
+    ]
+
+
+def test_french_obligatory_liaison():
+    """Obligatory liaisons sound the final consonant before a vowel:
+    les amis [lez], un ami [œ̃n], c'est une [sɛt], en avril [ɑ̃n],
+    vingt et un [vɛ̃t]; blocked before h-aspiré (les haricots) and
+    before consonants (un chat)."""
+    from larynx_tpu.text.frontend import sentences
+
+    def ph(text):
+        return [
+            (w.text, " ".join(w.phonemes))
+            for s in sentences(text, "fr-fr")
+            for w in s.words
+            if w.phonemes and not w.is_break
+        ]
+
+    assert ("les", "l e z") in ph("les amis")
+    assert ("les", "l e") in ph("les chiens")
+    assert ("les", "l e") in ph("les haricots")  # h aspiré blocks
+    assert ("un", "œ̃ n") in ph("un ami")
+    assert ("un", "œ̃") in ph("un chat")
+    assert ("c'est", "s ɛ t") in ph("c'est une maison")
+    assert ("en", "ɑ̃ n") in ph("en avril")
+    assert ("nous", "n u z") in ph("nous avons")
+    assert ("très", "t ʁ ɛ z") in ph("très utile")
+    assert ("vingt", "v ɛ̃ t") in ph("vingt et un")
+    assert ("vingt", "v ɛ̃ t") in ph("vingt ans")
+    assert ("vingt", "v ɛ̃") in ph("vingt minutes")
+    assert ("cent", "s ɑ̃ t") in ph("cent ans")
+    assert ("deux", "d ø z") in ph("deux euros")
+    assert ("trois", "t ʁ w a") in ph("trois fois")
+    assert ("huit", "ɥ i") in ph("huit minutes")
+    assert ("huit", "ɥ i t") in ph("huit heures")
+    assert ("vingtième", "v ɛ̃ t j ɛ m") in ph("le vingtième siècle")
+    # liaison never crosses "et"
+    assert ("vous", "v u") in ph("vous et moi")
+
+
 def test_space_grouped_thousands():
     """French/Swedish/Russian digit grouping by spaces re-joins into one
     number ("1 234 567,89")."""
