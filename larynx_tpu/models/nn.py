@@ -95,6 +95,58 @@ def conv_transpose1d(
     return y
 
 
+def conv_transpose1d_phased(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b=None,
+    stride: int = 1,
+) -> jnp.ndarray:
+    """ConvTranspose1d (padding=0) as ONE dense MXU matmul, trimmed to
+    ``T * stride`` output samples.
+
+    XLA lowers a transposed conv (``conv_transpose1d``) as a convolution
+    over the *input-dilated* signal: for WaveGlow's upsampler
+    (k=1024, stride=256 — NVIDIA geometry, see
+    models/waveglow/config.py) only 1 in 256 taps lands on a real
+    sample, so the dilated lowering pays ~256x the true FLOPs and
+    measures ~50 ms where ~0.2 ms of matmul suffices.  Because
+    ``k % stride == 0``, output sample ``f*stride + p`` depends on
+    exactly ``k/stride`` input frames:
+
+        out[b, f*S + p, co] = sum_j sum_ci x[b, f-j, ci] * w[j*S + p, ci, co]
+
+    which is a [B, T, J*Ci] @ [J*Ci, S*Co] matmul over a shifted-window
+    stack of the input — dense, lane-aligned, MXU-shaped.
+
+    Returns the FIRST ``T*stride`` samples of the torch transposed conv
+    (whose full length is ``T*stride + (k - stride)``) — i.e. exactly the
+    ``[:, :T*stride]`` trim WaveGlow's conditioning upsampler keeps.
+
+    x: [B, T, C_in]; w: [k, C_in, C_out] with ``k % stride == 0``.
+    """
+    k, ci, co = w.shape
+    if k % stride != 0:
+        raise ValueError(f"k={k} must be a multiple of stride={stride}")
+    j_taps = k // stride
+    bsz, t, _ = x.shape
+    # xj[b, f, j*ci + c] = x[b, f - j, c]  (zero for f - j < 0: those taps
+    # reference input frames before the signal, absent in the true
+    # transposed conv sum)
+    xpad = jnp.pad(x, ((0, 0), (j_taps - 1, 0), (0, 0)))
+    windows = [
+        jax.lax.dynamic_slice_in_dim(xpad, j_taps - 1 - j, t, axis=1)
+        for j in range(j_taps)
+    ]
+    xj = jnp.concatenate(windows, axis=-1)  # [B, T, J*Ci]
+    w2 = w.reshape(j_taps, stride, ci, co)
+    w2 = jnp.transpose(w2, (0, 2, 1, 3)).reshape(j_taps * ci, stride * co)
+    y = jnp.einsum("btj,jo->bto", xj, w2, preferred_element_type=x.dtype)
+    y = y.reshape(bsz, t * stride, co)
+    if b is not None:
+        y = y + b
+    return y
+
+
 def layer_norm(
     x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray, eps: float = 1e-4
 ) -> jnp.ndarray:

@@ -23,7 +23,12 @@ import typing
 import jax
 import jax.numpy as jnp
 
-from larynx_tpu.models.nn import conv1d, conv_transpose1d, matmul1x1
+from larynx_tpu.models.nn import (
+    conv1d,
+    conv_transpose1d,
+    conv_transpose1d_phased,
+    matmul1x1,
+)
 
 Params = typing.Dict[str, typing.Any]
 
@@ -106,11 +111,20 @@ def _upsample_cond(params: Params, cfg, mel: jnp.ndarray) -> jnp.ndarray:
     into channels with (mel_ch, offset) ordering.
     """
     up = params["upsample"]
-    spect = conv_transpose1d(
-        mel, up["w"], up["b"], stride=cfg.upsample_stride, padding=0
-    )
     t = mel.shape[1] * cfg.upsample_stride
-    spect = spect[:, :t, :]  # [B, T, n_mels]
+    if cfg.upsample_kernel % cfg.upsample_stride == 0:
+        # phase-matmul path: the dilated-conv lowering of this k=1024 /
+        # stride=256 transposed conv wastes ~256x the FLOPs (see
+        # models/nn.py::conv_transpose1d_phased) — measured 52 ms -> sub-ms
+        # at B=1, 128 mel frames on TPU v5e
+        spect = conv_transpose1d_phased(
+            mel, up["w"], up["b"], stride=cfg.upsample_stride
+        )
+    else:
+        spect = conv_transpose1d(
+            mel, up["w"], up["b"], stride=cfg.upsample_stride, padding=0
+        )
+        spect = spect[:, :t, :]  # [B, T, n_mels]
     b = spect.shape[0]
     blocks = t // cfg.groups
     # [B, blocks, groups, n_mels] -> [B, blocks, n_mels, groups] so the

@@ -466,3 +466,29 @@ def test_waveglow_infer_pallas_matches_xla():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4
     )
+
+
+def test_conv_transpose1d_phased_matches_dilated():
+    """The phase-matmul ConvTranspose1d (WaveGlow's upsampler fast path)
+    equals the dilated-conv lowering's first T*stride samples, including
+    the NVIDIA wn_256 geometry (k exactly 4x the stride)."""
+    from larynx_tpu.models.nn import conv_transpose1d, conv_transpose1d_phased
+
+    key = jax.random.PRNGKey(11)
+    for k, stride, ci, co, t in [
+        (8, 4, 3, 5, 7),
+        (6, 2, 2, 2, 5),
+        (4, 4, 1, 3, 4),
+        (1024, 256, 4, 3, 3),  # WaveGlow upsampler tap geometry
+    ]:
+        kw, kx = jax.random.split(jax.random.fold_in(key, k * stride))
+        w = jax.random.normal(kw, (k, ci, co))
+        b = jax.random.normal(jax.random.fold_in(kw, 1), (co,))
+        x = jax.random.normal(kx, (2, t, ci))
+        ref = conv_transpose1d(x, w, b, stride=stride, padding=0)
+        ref = ref[:, : t * stride, :]
+        got = conv_transpose1d_phased(x, w, b, stride=stride)
+        assert got.shape == (2, t * stride, co)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-4, rtol=2e-4
+        )
