@@ -246,7 +246,7 @@ def fused_wn_layer_state(
         kernel,
         grid=(b, grid_t),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x: DMA'd manually
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # x: DMA'd manually
             pl.BlockSpec((1, tile, cc), lambda b_, i: (b_, i, 0)),
             skip_spec,
             pl.BlockSpec((3, ch, 2 * ch), lambda b_, i: (0, 0, 0)),
@@ -320,7 +320,7 @@ def fused_wn_layer(
         kernel,
         grid=(b, grid_t),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x: DMA'd manually
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # x: DMA'd manually
             pl.BlockSpec((1, tile, cc), lambda b_, i: (b_, i, 0)),
             pl.BlockSpec((3, ch, 2 * ch), lambda b_, i: (0, 0, 0)),
             pl.BlockSpec((cc, 2 * ch), lambda b_, i: (0, 0)),

@@ -359,20 +359,19 @@ class SynthesisEngine:
                 # Pallas calls are not auto-partitionable; shard_map splits
                 # the batch rows over the data axis (rows are independent)
                 # and each device runs the identical local program.
-                from jax.experimental.shard_map import shard_map
                 from jax.sharding import PartitionSpec as P
 
                 def sharded_vocode(denoise: bool):
                     body = functools.partial(vocode_body, denoise=denoise)
                     return jax.jit(
-                        shard_map(
+                        jax.shard_map(
                             body,
                             mesh=self.mesh,
                             in_specs=(
                                 P(), P("data"), P("data"), P(), P("data"),
                             ),
                             out_specs=P("data"),
-                            check_rep=False,
+                            check_vma=False,
                         )
                     )
 

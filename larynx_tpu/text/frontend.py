@@ -25,9 +25,12 @@ def _phonemize_words(
     phonemize = get_phonemizer(lang)
     context_aware = getattr(phonemize, "context_aware", False)
     word_tokens = [t for k, t in kinds_tokens if k == "word"]
+    # full token stream (breaks as their punctuation text) for
+    # clause-window homograph cues
+    ctx_tokens = [t for _, t in kinds_tokens]
     words: typing.List[Word] = []
     word_idx = 0
-    for kind, token in kinds_tokens:
+    for pos, (kind, token) in enumerate(kinds_tokens):
         if kind == "minor":
             words.append(Word(text=token, phonemes=[MINOR_BREAK], is_break=True))
         elif kind == "major":
@@ -58,7 +61,10 @@ def _phonemize_words(
                     if word_idx + 1 < len(word_tokens)
                     else ""
                 )
-                phonemes = phonemize(token, prev=prev, nxt=nxt)
+                phonemes = phonemize(
+                    token, prev=prev, nxt=nxt,
+                    context=ctx_tokens, index=pos,
+                )
             else:
                 phonemes = phonemize(token)
             if phonemes:

@@ -58,7 +58,11 @@ def get_phonemizer(lang: str) -> Phonemizer:
         sandhi_words = getattr(base, "sandhi_words", frozenset())
 
         def phonemize(
-            word: str, prev: str = "", nxt: str = ""
+            word: str,
+            prev: str = "",
+            nxt: str = "",
+            context: typing.Optional[typing.Sequence[str]] = None,
+            index: int = -1,
         ) -> typing.List[str]:
             w = word.lower().strip()
             # context-dependent words (liaison) bypass the static lexicon
@@ -67,7 +71,8 @@ def get_phonemizer(lang: str) -> Phonemizer:
                 if hit is not None:
                     return list(hit)
             if base_ctx:
-                return base(word, prev=prev, nxt=nxt)
+                return base(word, prev=prev, nxt=nxt,
+                            context=context, index=index)
             return base(word)
 
         phonemize.context_aware = True

@@ -5509,8 +5509,83 @@ _NOUN_CUES = {
 _PAST_CUES = {"have", "has", "had", "was", "were", "been", "already", "he",
               "she", "i've", "we've", "they've", "he's", "she's"}
 
+# Attributive next-word cues: a following head noun selects the reading a
+# POS tagger would have picked (the reference's gruut 2.1 shipped one).
+# "minute" before these nouns is the adjective /maɪnut/ ("a minute
+# amount"), never the time noun.
+_MINUTE_ADJ_NOUNS = {
+    "amount", "amounts", "detail", "details", "quantity", "quantities",
+    "particle", "particles", "trace", "traces", "difference",
+    "differences", "fraction", "fractions", "change", "changes",
+    "variation", "variations", "adjustment", "adjustments", "crack",
+    "cracks", "flaw", "flaws", "error", "errors", "speck", "specks",
+    "examination", "inspection", "quantity", "dose", "doses",
+}
+# "lead" before these compound heads is the metal /lɛd/ ("lead pipe"),
+# not the verb/leading sense ("lead singer" stays /liːd/).
+_LEAD_METAL_NOUNS = {
+    "pipe", "pipes", "paint", "paints", "poisoning", "pencil",
+    "pencils", "bullet", "bullets", "shield", "shielding", "acid",
+    "exposure", "content", "levels", "contamination", "pollution",
+    "dust", "foil", "shot", "solder", "weight", "weights", "sinker",
+    "sinkers", "smelter", "lining",
+}
 
-def phonemize(word: str, prev: str = "", nxt: str = "") -> typing.List[str]:
+# Clause-level temporal markers: a past-tense homograph anywhere in a
+# clause containing one of these reads as past ("Yesterday I read...",
+# "I read the book two days ago").
+_TEMPORAL_PAST_WORDS = {
+    "yesterday", "ago", "earlier", "previously", "recently", "already",
+}
+_TEMPORAL_LAST_NOUNS = {
+    "week", "month", "year", "night", "evening", "morning", "summer",
+    "winter", "spring", "fall", "autumn", "time", "sunday", "monday",
+    "tuesday", "wednesday", "thursday", "friday", "saturday",
+}
+# determiner directly before a past-tense homograph = noun position
+# ("the wound", "a dove") — blocks the clause-temporal past reading
+_DETERMINERS = {
+    "the", "a", "an", "this", "that", "these", "those", "my", "your",
+    "his", "her", "its", "our", "their",
+}
+
+
+def _clause_has_past_cue(
+    context: typing.Optional[typing.Sequence[str]], index: int
+) -> bool:
+    """True if the clause around ``context[index]`` carries a temporal
+    past marker.  Clause = tokens between punctuation (breaks are passed
+    through as their punctuation text)."""
+    if not context or not (0 <= index < len(context)):
+        return False
+
+    def is_break(tok: str) -> bool:
+        return bool(tok) and not tok[:1].isalnum()
+
+    lo = index
+    while lo > 0 and not is_break(context[lo - 1]):
+        lo -= 1
+    hi = index
+    while hi + 1 < len(context) and not is_break(context[hi + 1]):
+        hi += 1
+    clause = [context[k].lower() for k in range(lo, hi + 1)]
+    for k, tok in enumerate(clause):
+        if tok in _TEMPORAL_PAST_WORDS:
+            return True
+        if tok == "last" and k + 1 < len(clause) and (
+            clause[k + 1] in _TEMPORAL_LAST_NOUNS
+        ):
+            return True
+    return False
+
+
+def phonemize(
+    word: str,
+    prev: str = "",
+    nxt: str = "",
+    context: typing.Optional[typing.Sequence[str]] = None,
+    index: int = -1,
+) -> typing.List[str]:
     w = word.lower().strip()
     if not w:
         return []
@@ -5536,6 +5611,10 @@ def phonemize(word: str, prev: str = "", nxt: str = "") -> typing.List[str]:
     if w in _HOMOGRAPHS:
         noun, verb = _HOMOGRAPHS[w]
         prev_l = prev.lower()
+        # attributive position beats the determiner cue: "a minute
+        # amount" is the adjective even though "a" says noun
+        if w == "minute" and nxt.lower() in _MINUTE_ADJ_NOUNS:
+            return list(verb)
         if prev_l in _NOUN_CUES:
             return list(noun)
         if prev_l in _VERB_CUES:
@@ -5544,7 +5623,18 @@ def phonemize(word: str, prev: str = "", nxt: str = "") -> typing.List[str]:
         return list(verb) if w in _VERB_DEFAULT else list(noun)
     if w in _PAST_HOMOGRAPHS:
         base, past = _PAST_HOMOGRAPHS[w]
-        return list(past) if prev.lower() in _PAST_CUES else list(base)
+        prev_l = prev.lower()
+        if w == "lead" and nxt.lower() in _LEAD_METAL_NOUNS:
+            return list(past)  # the metal shares the past-column form
+        if prev_l in _PAST_CUES:
+            return list(past)
+        # determiner => noun position ("the wound", "a dove"): the base
+        # column, regardless of clause-level temporal markers
+        if prev_l in _DETERMINERS:
+            return list(base)
+        if _clause_has_past_cue(context, index):
+            return list(past)
+        return list(base)
     if w == "bass":
         if prev.lower() in _BASS_FISH_CUES or nxt.lower() in _BASS_FISH_CUES:
             return ["b", "ˈæ", "s"]

@@ -599,7 +599,9 @@ _LETTER_NAMES: typing.Dict[str, typing.List[str]] = {
 
 
 def phonemize(
-    word: str, prev: str = "", nxt: str = ""
+    word: str, prev: str = "", nxt: str = "",
+    context: typing.Optional[typing.Sequence[str]] = None,
+    index: int = -1,
 ) -> typing.List[str]:
     """French word -> IPA with NO stress marks.
 

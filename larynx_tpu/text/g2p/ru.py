@@ -274,7 +274,9 @@ def _transliterate_latin(w: str) -> str:
 
 
 def phonemize(
-    word: str, prev: str = "", nxt: str = ""
+    word: str, prev: str = "", nxt: str = "",
+    context: typing.Optional[typing.Sequence[str]] = None,
+    index: int = -1,
 ) -> typing.List[str]:
     w = word.lower().strip()
     if not w:

@@ -872,6 +872,34 @@ def date_words(
     return None
 
 
+def slash_date_words(
+    first: str, second: str, year: str, lang: str
+) -> typing.Optional[str]:
+    """Spoken form of a slashed numeric date, else None.
+
+    en-us reads m/d/y with the month name, ordinal day and year
+    ("3/4/2021" -> "March fourth twenty twenty one" — the reference's
+    gruut 2.1 verbalized en dates the same way, fed at
+    /root/reference/larynx/__init__.py:71-73).  Other languages write
+    d/m/y; reuse their dotted-date reading where one exists.
+    """
+    if not (
+        re.fullmatch(r"\d{1,2}", first)
+        and re.fullmatch(r"\d{1,2}", second)
+        and re.fullmatch(r"\d{4}", year)
+    ):
+        return None
+    if lang == "en-us":
+        month, day = int(first), int(second)
+        if not (1 <= month <= 12 and 1 <= day <= 31):
+            return None
+        return (
+            f"{MONTH_NAMES['en-us'][month - 1]} "
+            f"{en_ordinal_to_words(day)} {en_year_to_words(int(year))}"
+        )
+    return date_words(f"{int(first)}.{int(second)}.{year}", lang)
+
+
 def _spell_number(token: str, lang: str) -> typing.Optional[str]:
     to_words = NUMBER_TO_WORDS.get(lang, en_number_to_words)
     decimal_word = _DECIMAL_POINT.get(lang, "point")

@@ -30,6 +30,7 @@ from larynx_tpu.text.normalize import (
     roman_words,
     ru_day_genitive,
     ru_year_ordinal,
+    slash_date_words,
     sv_number_to_words,
     sv_ordinal_to_words,
     sv_year_to_words,
@@ -460,6 +461,20 @@ def words_of(
             elif is_num and nxt:
                 rep = measure_tokens(t, nxt, lang)
                 step = 2
+            if rep is None and (
+                re.fullmatch(r"\d{1,2}", t)
+                and nxt == "/"
+                and re.fullmatch(r"\d{1,2}", n2)
+                and n3 == "/"
+                and (k == 0 or tokens[k - 1] != "/")
+            ):
+                # slashed numeric date: en-us m/d/y with the month name
+                # ("3/4/2021" -> March fourth ...), d/m/y elsewhere
+                n4 = tokens[k + 4] if k + 4 < len(tokens) else ""
+                spoken = slash_date_words(t, n2, n4, lang)
+                if spoken is not None:
+                    rep = spoken.split()
+                    step = 5
             if rep is None and (
                 re.fullmatch(r"\d{1,2}", t)
                 and nxt == "/"

@@ -106,10 +106,64 @@ def test_homograph_count():
         # topic-cued
         ("bass", "", "fishing", ["b", "ˈæ", "s"]),
         ("bass", "the", "", ["b", "ˈeɪ", "s"]),
+        # attributive next-word cues (formerly one-token-lookback misses)
+        ("lead", "the", "pipe", ["l", "ˈɛ", "d"]),
+        ("lead", "the", "paint", ["l", "ˈɛ", "d"]),
+        ("lead", "", "poisoning", ["l", "ˈɛ", "d"]),
+        ("lead", "the", "singer", ["l", "ˈi", "d"]),
+        ("lead", "the", "role", ["l", "ˈi", "d"]),
+        ("lead", "to", "", ["l", "ˈi", "d"]),
+        ("minute", "a", "amount", ["m", "aɪ", "n", "ˈu", "t"]),
+        ("minute", "the", "details", ["m", "aɪ", "n", "ˈu", "t"]),
+        ("minute", "a", "trace", ["m", "aɪ", "n", "ˈu", "t"]),
+        ("minute", "a", "", ["m", "ˈɪ", "n", "ə", "t"]),
+        ("minute", "a", "later", ["m", "ˈɪ", "n", "ə", "t"]),
+        ("wound", "the", "", ["w", "ˈu", "n", "d"]),
+        ("wound", "he", "", ["w", "ˈaʊ", "n", "d"]),
     ],
 )
 def test_homographs_in_context(word, prev, nxt, expected):
     assert phonemize(word, prev=prev, nxt=nxt) == expected
+
+
+@pytest.mark.parametrize(
+    "text,word,expected",
+    [
+        # clause-level temporal markers, invisible to one-token lookback
+        ("I read the book yesterday.", "read", "ɹˈɛd"),
+        ("Yesterday I read the paper.", "read", "ɹˈɛd"),
+        ("Last year I read ten books.", "read", "ɹˈɛd"),
+        ("She read it two days ago.", "read", "ɹˈɛd"),
+        ("We read the report earlier.", "read", "ɹˈɛd"),
+        ("I read books every day.", "read", "ɹˈid"),
+        ("I will read it tomorrow.", "read", "ɹˈid"),
+        # temporal cue in ANOTHER clause must not flip the reading
+        ("I read a lot, but yesterday I slept.", "read", "ɹˈid"),
+        # determiner blocks the clause-temporal past reading
+        ("The wound healed yesterday.", "wound", "wˈund"),
+        ("Yesterday I wound the clock.", "wound", "wˈaʊnd"),
+        ("The dove flew away yesterday.", "dove", "dˈʌv"),
+        ("He dove into the lake two days ago.", "dove", "dˈoʊv"),
+        # attributive compounds through the full frontend
+        ("The lead pipe was heavy.", "lead", "lˈɛd"),
+        ("She was the lead singer.", "lead", "lˈid"),
+        ("A minute amount of dust remained.", "minute", "maɪnˈut"),
+        ("Wait a minute please.", "minute", "mˈɪnət"),
+        ("Lead poisoning is dangerous.", "lead", "lˈɛd"),
+        ("Dogs lead the blind.", "lead", "lˈid"),
+    ],
+)
+def test_homographs_clause_context(text, word, expected):
+    from larynx_tpu.text.frontend import sentences
+
+    for sent in sentences(text, "en-us"):
+        for w in sent.words:
+            if w.text.lower().strip(".,") == word:
+                assert "".join(w.phonemes) == expected, (
+                    f"{word!r} in {text!r}"
+                )
+                return
+    raise AssertionError(f"{word!r} not found in {text!r}")
 
 
 @pytest.mark.parametrize(
