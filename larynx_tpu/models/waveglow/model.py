@@ -112,7 +112,13 @@ def _upsample_cond(params: Params, cfg, mel: jnp.ndarray) -> jnp.ndarray:
     """
     up = params["upsample"]
     t = mel.shape[1] * cfg.upsample_stride
-    if cfg.upsample_kernel % cfg.upsample_stride == 0:
+    if (
+        cfg.upsample_kernel % cfg.upsample_stride == 0
+        and cfg.upsample_kernel // cfg.upsample_stride <= 16
+    ):
+        # guard the tap count too: the phased path builds a
+        # [B, T, (k/stride)*Ci] window stack, so a degenerate config
+        # (stride=2, k=1024) would blow memory/compile time
         # phase-matmul path: the dilated-conv lowering of this k=1024 /
         # stride=256 transposed conv wastes ~256x the FLOPs (see
         # models/nn.py::conv_transpose1d_phased) — measured 52 ms -> sub-ms

@@ -492,3 +492,25 @@ def test_conv_transpose1d_phased_matches_dilated():
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), atol=2e-4, rtol=2e-4
         )
+        # the production WaveGlow path runs bf16 on TPU — pin phased ==
+        # dilated at bf16 too (looser tolerance: ~3 decimal digits)
+        ref16 = conv_transpose1d(
+            x.astype(jnp.bfloat16),
+            w.astype(jnp.bfloat16),
+            b.astype(jnp.bfloat16),
+            stride=stride,
+            padding=0,
+        )[:, : t * stride, :]
+        got16 = conv_transpose1d_phased(
+            x.astype(jnp.bfloat16),
+            w.astype(jnp.bfloat16),
+            b.astype(jnp.bfloat16),
+            stride=stride,
+        )
+        assert got16.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(got16, dtype=np.float32),
+            np.asarray(ref16, dtype=np.float32),
+            atol=0.15,
+            rtol=0.1,
+        )
