@@ -322,7 +322,7 @@ def main() -> None:
     quality = _flag("--quality", "high")
     batch = int(_flag("--batch", "8"))
     workload = _flag("--workload", "pangram")
-    denoiser = 0.0 if quality in ("griffin_lim", "waveglow") else 0.005
+    denoiser = 0.0 if quality == "griffin_lim" else 0.005
 
     latencies: list = []
     if workload in ("book", "ssml"):

@@ -471,8 +471,13 @@ class SynthesisEngine:
             else:
                 wg_pallas = wg_supported
 
-            @jax.jit
-            def vocode_wg(voc_params, mel, z_mask, z):
+            wg_fft = settings.filter_length
+            wg_hop = settings.hop_length
+
+            @functools.partial(jax.jit, static_argnames=("denoise",))
+            def vocode_wg(
+                voc_params, mel, z_mask, z, bias_spec, strength, denoise
+            ):
                 """``z`` is the pre-drawn, pre-scaled prior noise
                 [rows, blocks, groups] — drawn once for the WHOLE batch by
                 the caller so a row's audio is (up to padded-tail edge
@@ -487,9 +492,43 @@ class SynthesisEngine:
                     use_pallas=wg_pallas,
                 ).astype(jnp.float32)
                 y_len = jnp.sum(z_mask, axis=1, dtype=jnp.int32)
-                return to_int16(audio, y_len * voc_cfg.upsample_stride)
+                n_valid = y_len * voc_cfg.upsample_stride
+                if denoise:
+                    # same bias spectral subtraction as HiFi-GAN — the
+                    # reference denoiser contract is per-vocoder-output,
+                    # not HiFi-specific (larynx/hifi_gan.py:171-203;
+                    # NVIDIA's WaveGlow ships the identical Denoiser)
+                    audio = hifi_denoiser.denoise(
+                        audio, bias_spec, strength, wg_fft, wg_hop
+                    )
+                    nf = jnp.maximum(n_valid - wg_fft, 0)
+                    nf = -(-nf // wg_hop)
+                    n_valid = nf * wg_hop + wg_fft
+                return to_int16(audio, n_valid)
 
             self._vocode_gl = vocode_wg  # shares the non-hifi vocode slot
+
+            @jax.jit
+            def wg_bias_audio_fn(voc_params):
+                # zero mel + ZERO prior noise: the bias signature must be
+                # deterministic (sigma=0, exactly NVIDIA's Denoiser mode)
+                frames = hifi_denoiser.BIAS_MEL_FRAMES
+                zeros_mel = jnp.zeros(
+                    (1, frames, voc_cfg.mel_channels), dtype=self.voc_dtype
+                )
+                blocks = frames * voc_cfg.upsample_stride // voc_cfg.groups
+                zeros_z = jnp.zeros(
+                    (1, blocks, voc_cfg.groups), dtype=self.voc_dtype
+                )
+                audio = wg_model.infer(
+                    voc_params, voc_cfg, zeros_mel, z=zeros_z,
+                    use_pallas=wg_pallas,
+                )
+                return hifi_denoiser.compute_bias_spec(
+                    audio.astype(jnp.float32), wg_fft, wg_hop
+                )
+
+            self._bias_audio_fn = wg_bias_audio_fn
 
         elif self.vocoder_kind == "none":
             pass  # encode/decode only (phonemes_to_mels surface)
@@ -797,7 +836,7 @@ class SynthesisEngine:
             )
         if self.vocoder_kind == "waveglow":
             return self._vocode_launch_waveglow(
-                mel, z_mask, n_valid, key, y_lengths
+                mel, z_mask, n_valid, denoiser_strength, key, y_lengths
             )
         if self.vocoder_kind != "griffin_lim":
             raise RuntimeError(
@@ -810,7 +849,9 @@ class SynthesisEngine:
         _start_d2h(part)
         return [(part, list(range(mel.shape[0])))]
 
-    def _vocode_launch_waveglow(self, mel, z_mask, n_valid, key, y_lengths):
+    def _vocode_launch_waveglow(
+        self, mel, z_mask, n_valid, denoiser_strength, key, y_lengths
+    ):
         """Length-sorted ragged WaveGlow vocoding (sibling of the HiFi
         path at _vocode_launch_hifi — keep grouping conventions in sync).
 
@@ -845,14 +886,20 @@ class SynthesisEngine:
             0.0,
         )
 
+        denoise = bool(np.any(np.asarray(denoiser_strength) > 0))
+        bias = self._get_bias_spec() if denoise else jnp.zeros((1, 1, 1))
+        str_rows = self._row_values(denoiser_strength, b)
+
         if self.mesh is not None:
             # the vocode program is plain jit (pure XLA, so GSPMD
             # partitions it); same uniform grouping as the HiFi branch
+            strength = self._row_param(str_rows, b, 3)
             return self._mesh_uniform_groups(
                 b, m, n_valid, area,
-                (mel, z_mask, z_full),
-                lambda mel_g, mask_g, z_g: self._vocode_gl(
-                    self.vocoder_params, mel_g, mask_g, z_g
+                (mel, z_mask, z_full, strength),
+                lambda mel_g, mask_g, z_g, str_g: self._vocode_gl(
+                    self.vocoder_params, mel_g, mask_g, z_g,
+                    bias, str_g, denoise,
                 ),
             )
 
@@ -870,9 +917,15 @@ class SynthesisEngine:
             z_s = jnp.take(z_full, idx, axis=0)
         sorted_lens = lens[order]
 
+        # denoised rows crop past y*up by the STFT tail (see HiFi launch)
+        margin = (
+            -(-self.audio_settings.filter_length // self.upsample)
+            if denoise
+            else 0
+        )
         parts = []
         for start, rows, m_g in self._ragged_group_plan(
-            sorted_lens, n_valid, m, area
+            sorted_lens, n_valid, m, area, margin=margin
         ):
             blocks_g = m_g * cfg.upsample_stride // cfg.groups
             mel_g = jax.lax.dynamic_slice(
@@ -884,7 +937,13 @@ class SynthesisEngine:
             z_g = jax.lax.dynamic_slice(
                 z_s, (start, 0, 0), (rows, blocks_g, cfg.groups)
             )
-            part = self._vocode_gl(self.vocoder_params, mel_g, mask_g, z_g)
+            str_g = self._row_param(
+                str_rows[order[start : start + rows]], rows, 3
+            )
+            part = self._vocode_gl(
+                self.vocoder_params, mel_g, mask_g, z_g,
+                bias, str_g, denoise,
+            )
             _start_d2h(part)
             parts.append((part, [int(i) for i in order[start : start + rows]]))
         return parts
@@ -920,7 +979,9 @@ class SynthesisEngine:
             frames = int(y_lengths[i])
             if self.vocoder_kind in ("hifi_gan", "waveglow"):
                 n_samples = frames * self.upsample
-                if denoised and self.vocoder_kind == "hifi_gan":
+                if denoised and self.vocoder_kind in (
+                    "hifi_gan", "waveglow"
+                ):
                     nf = dsp.num_frames(
                         n_samples,
                         self.audio_settings.filter_length,

@@ -25,6 +25,7 @@ from larynx_tpu.constants import (
     VocoderModel,
     VocoderModelConfig,
 )
+from larynx_tpu.models.hifi_gan import denoiser as hifi_denoiser
 from larynx_tpu.models.waveglow import waveglow_config_from_json
 from larynx_tpu.models.waveglow import model as wg_model
 from larynx_tpu.runtime.buckets import BucketPolicy
@@ -158,6 +159,41 @@ class WaveGlowVocoder(VocoderModel):
 
         self._generate_z = generate_z
 
+        # bias denoiser, same contract as HiFiGanVocoder
+        # (larynx/hifi_gan.py:171-203): zero mel + ZERO prior (sigma=0,
+        # NVIDIA's Denoiser mode) -> first-STFT-frame bias spectrum
+        self.denoiser_strength = config.denoiser_strength
+        self.bias_spec: typing.Optional[jnp.ndarray] = None
+
+    def maybe_init_denoiser(self) -> None:
+        if self.bias_spec is None:
+            _LOGGER.debug("Initializing WaveGlow denoiser")
+            cfg = self.model_config
+            frames = hifi_denoiser.BIAS_MEL_FRAMES
+            zeros_mel = jnp.zeros((1, cfg.mel_channels, frames))
+            blocks = frames * cfg.upsample_stride // cfg.groups
+            zeros_z = jnp.zeros((1, blocks, cfg.groups))
+            bias_audio = self._generate_z(self.params, zeros_mel, zeros_z)
+            self.bias_spec = hifi_denoiser.compute_bias_spec(bias_audio)
+
+    def _maybe_denoise(
+        self,
+        audio: np.ndarray,
+        settings: typing.Optional[SettingsType],
+    ) -> np.ndarray:
+        strength = self.denoiser_strength
+        if settings:
+            strength = float(settings.get("denoiser_strength", strength))
+        if strength <= 0:
+            return audio
+        self.maybe_init_denoiser()
+        _LOGGER.debug("Running denoiser (strength=%s)", strength)
+        return np.asarray(
+            hifi_denoiser.denoise(
+                jnp.asarray(audio), self.bias_spec, strength
+            )
+        )
+
     def _halo_frames(self) -> int:
         """Mel frames covering the full compound receptive field.
 
@@ -197,9 +233,9 @@ class WaveGlowVocoder(VocoderModel):
         cap = max(256, (MAX_VOCODE_AREA // 4) // mels.shape[0])
         if frames <= cap:
             audio = self._vocode_bucketed(mels)
-            return audio_float_to_int16(audio.squeeze(0))
-
-        audio = self._vocode_chunked(mels, cap)
+        else:
+            audio = self._vocode_chunked(mels, cap)
+        audio = self._maybe_denoise(audio, settings)
         return audio_float_to_int16(audio.squeeze(0))
 
     def _vocode_chunked(

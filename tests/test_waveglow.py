@@ -498,3 +498,120 @@ def test_waveglow_wrapper_chunks_long_utterance(monkeypatch, tmp_path):
     assert audio.dtype == np.int16
     assert audio.shape == (frames * cfg.upsample_stride,)
     assert np.isfinite(audio.astype(np.float32)).all()
+
+
+def test_waveglow_wrapper_denoiser(tmp_path):
+    """WaveGlow gets the same bias denoiser as HiFi-GAN (reference
+    contract larynx/hifi_gan.py:171-203; NVIDIA ships the identical
+    Denoiser for WaveGlow): zero mel + zero prior -> bias spectrum,
+    spectral subtraction at synthesis, settings override honored."""
+    import dataclasses
+
+    import larynx_tpu
+    from larynx_tpu.audio import audio_float_to_int16
+    from larynx_tpu.models.hifi_gan import denoiser as hifi_denoiser
+
+    from larynx_tpu.convert.native import save_params
+
+    cfg = dataclasses.replace(SMALL_CFG, mel_channels=80)
+    model_dir = tmp_path / "waveglow" / "wn_256"
+    model_dir.mkdir(parents=True)
+    json.dump(
+        {
+            "mel_channels": 80,
+            "flows": cfg.flows, "groups": cfg.groups,
+            "early_every": cfg.early_every, "early_size": cfg.early_size,
+            "wn_channels": cfg.wn_channels, "wn_layers": cfg.wn_layers,
+            "upsample_kernel": cfg.upsample_kernel,
+            "upsample_stride": cfg.upsample_stride,
+        },
+        open(model_dir / "config.json", "w"),
+    )
+    save_params(
+        model_dir / "generator.npz",
+        wg.init_params(jax.random.PRNGKey(0), cfg),
+    )
+    larynx_tpu._VOCODER_MODEL_CACHE.clear()
+    voc = larynx_tpu.get_vocoder_model(
+        "waveglow", custom_voices_dir=tmp_path, no_download=True
+    )
+    mels = np.log(
+        np.maximum(1e-5, np.random.default_rng(0).uniform(0, 2, (80, 20)))
+    ).astype(np.float32)
+
+    plain = voc.mels_to_audio(mels, settings={"denoiser_strength": 0.0})
+    denoised = voc.mels_to_audio(mels, settings={"denoiser_strength": 0.02})
+    assert denoised.dtype == np.int16
+    assert np.isfinite(denoised.astype(np.float32)).all()
+    # the STFT round trip changes the waveform
+    n = min(plain.size, denoised.size)
+    assert not np.array_equal(plain[:n], denoised[:n])
+
+    # bias spectrum is deterministic (zero prior): re-init matches
+    bias_1 = np.asarray(voc.bias_spec)
+    voc.bias_spec = None
+    voc.maybe_init_denoiser()
+    np.testing.assert_array_equal(bias_1, np.asarray(voc.bias_spec))
+
+    # parity with manual spectral subtraction on the float audio
+    voc._counter = iter([123])  # pin the prior draw
+    float_audio = voc._vocode_bucketed(
+        np.asarray(mels, dtype=np.float32)[None]
+    )
+    expect = audio_float_to_int16(
+        np.asarray(
+            hifi_denoiser.denoise(
+                jnp.asarray(float_audio), voc.bias_spec, 0.02
+            )
+        ).squeeze(0)
+    )
+    voc._counter = iter([123])
+    got = voc.mels_to_audio(mels, settings={"denoiser_strength": 0.02})
+    np.testing.assert_array_equal(got, expect)
+    larynx_tpu._VOCODER_MODEL_CACHE.clear()
+
+
+def test_waveglow_engine_denoiser():
+    """The engine's batched WaveGlow path honors denoiser_strength:
+    bias init from zero mel + zero prior, spectral subtraction in the
+    vocode program, STFT-rounded crop lengths."""
+    import dataclasses
+
+    from larynx_tpu.audio import AudioSettings
+    from larynx_tpu.models.glow_tts import GlowTTSConfig
+    from larynx_tpu.models.glow_tts.model import init_params as glow_init
+    from larynx_tpu.runtime.engine import SynthesisEngine
+
+    glow_cfg = GlowTTSConfig(
+        hidden_channels=64, filter_channels=128, filter_channels_dp=64,
+        n_layers_enc=2, n_blocks_dec=2, n_block_layers=2,
+    )
+    cfg = dataclasses.replace(SMALL_CFG, mel_channels=80, upsample_stride=256,
+                              upsample_kernel=512)
+    settings = AudioSettings(signal_norm=True, max_norm=1.0,
+                             symmetric_norm=True, clip_norm=True)
+    eng = SynthesisEngine(
+        glow_init(jax.random.PRNGKey(0), glow_cfg), glow_cfg, settings,
+        vocoder_kind="waveglow",
+        vocoder_params=wg.init_params(jax.random.PRNGKey(1), cfg),
+        vocoder_cfg=cfg,
+        seed=7,
+    )
+    rng = np.random.default_rng(0)
+    ids = [rng.integers(1, 40, size=n).astype(np.int64) for n in (12, 8)]
+    plain = eng.synthesize_batch(ids, seed=3, length_scale=2.0)
+    denoised = eng.synthesize_batch(
+        ids, seed=3, length_scale=2.0, denoiser_strength=0.02
+    )
+    assert len(denoised) == 2
+    for p, d in zip(plain, denoised):
+        assert d.dtype == np.int16 and d.size > 0
+        assert np.isfinite(d.astype(np.float32)).all()
+        # denoised rows crop to nf*hop + fft (the STFT tail)
+        fft = settings.filter_length
+        hop = settings.hop_length
+        nf = max(p.size - fft, 0)
+        nf = -(-nf // hop)
+        assert d.size == nf * hop + fft
+        n = min(p.size, d.size)
+        assert not np.array_equal(p[:n], d[:n])
