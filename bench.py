@@ -14,8 +14,11 @@ Prints ONE JSON line:
 vs_baseline = reference_RTF / our_RTF against the published i7-8750H
 numbers (BASELINE.md: high 0.25, medium 0.06, low 0.05).
 
-Flags: --half (bfloat16), --quality {high,medium,low,griffin_lim},
---batch N, --workload {pangram,server}, --profile (jax.profiler trace).
+Flags: --half (bfloat16), --quality {high,medium,low,griffin_lim,waveglow},
+--batch N, --workload {pangram,server,book,ssml,stream}, --profile
+(jax.profiler trace).  The stream workload also reports
+time-to-first-audio p50/p95 (reference TTFA logging:
+larynx/__main__.py:287,318-326).
 """
 
 import json
@@ -185,6 +188,29 @@ def run_server(engine, n_requests, denoiser, latencies_out):
     return run_once
 
 
+def run_stream(engine, denoiser, ttfa_out):
+    """Streaming TTFA workload: one LONG utterance through
+    synthesize_stream; records time-to-first-audio per run (the
+    reference logged TTFA at larynx/__main__.py:287,318-326)."""
+    ids = np.concatenate(text_ids() * 8)  # ~1k phonemes, ~4.5 min audio
+
+    def run_once():
+        t0 = time.perf_counter()
+        total = 0
+        first = None
+        for chunk in engine.synthesize_stream(
+            ids, length_scale=LENGTH_SCALE, denoiser_strength=denoiser,
+            chunk_frames=64,
+        ):
+            if first is None:
+                first = time.perf_counter() - t0
+            total += chunk.shape[-1]
+        ttfa_out.append(first)
+        return total / engine.audio_settings.sample_rate
+
+    return run_once
+
+
 def _make_voice_dirs(quality: str):
     """Synthetic voice dirs (random weights) for full-pipeline workloads.
 
@@ -336,6 +362,11 @@ def main() -> None:
         n_requests = batch if batch > 8 else 32
         run_once = run_server(engine, n_requests, denoiser, latencies)
         metric = f"rtf_{quality}_server{n_requests}"
+    elif workload == "stream":
+        engine = build_engine(quality, half)
+        ttfa: list = []
+        run_once = run_stream(engine, denoiser, ttfa)
+        metric = f"rtf_{quality}_stream"
     else:
         engine = build_engine(quality, half)
         run_once = run_pangram(engine, batch, denoiser)
@@ -393,6 +424,11 @@ def main() -> None:
         result["p95_request_latency_sec"] = round(
             float(np.percentile(timed, 95)), 4
         )
+    if workload == "stream" and ttfa:
+        timed = ttfa[1:]  # first run includes compilation
+        result["ttfa_p50_sec"] = round(float(np.percentile(timed, 50)), 4)
+        result["ttfa_p95_sec"] = round(float(np.percentile(timed, 95)), 4)
+        result["ttfa_warmup_sec"] = round(ttfa[0], 4)
     print(json.dumps(result))
 
 

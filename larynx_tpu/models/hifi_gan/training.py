@@ -65,6 +65,7 @@ def make_gan_train_step(
     settings: AudioSettings,
     gen_optimizer: optax.GradientTransformation,
     disc_optimizer: optax.GradientTransformation,
+    mesh=None,
 ):
     """Build the jitted adversarial step.
 
@@ -72,7 +73,14 @@ def make_gan_train_step(
     One step = discriminator update on (real, detached fake), then
     generator update on adversarial + feature-matching + mel losses —
     matching the original HiFi-GAN training loop ordering.
+
+    With ``mesh``, the step is data-parallel over the ``data`` axis:
+    the batch shards by row, generator + discriminator parameters are
+    replicated, and XLA inserts the gradient all-reduces — symmetric
+    with the GlowTTS sharded step (parallel/train.py).  B must be a
+    multiple of the data-axis size.
     """
+    from jax.sharding import NamedSharding, PartitionSpec as P
     basis = jnp.asarray(
         mel_basis(
             settings.sample_rate,
@@ -83,10 +91,15 @@ def make_gan_train_step(
         )
     )
 
-    @jax.jit
     def train_step(state: GanTrainState, batch):
         mels = batch["mels"]
         real = batch["audio"]
+        if mesh is not None:
+            row = lambda v: NamedSharding(
+                mesh, P("data", *([None] * (v.ndim - 1)))
+            )
+            mels = jax.lax.with_sharding_constraint(mels, row(mels))
+            real = jax.lax.with_sharding_constraint(real, row(real))
 
         fake = gen_model.generator(state.gen_params, cfg, mels)
         fake_detached = jax.lax.stop_gradient(fake)
@@ -126,6 +139,18 @@ def make_gan_train_step(
         )
         gen_params = optax.apply_updates(state.gen_params, g_updates)
 
+        if mesh is not None:
+            # parameters stay replicated (they are tiny next to HBM;
+            # SURVEY.md §2.4 — DP is the vocoder-training axis)
+            replicate = lambda t: jax.tree.map(
+                lambda leaf: jax.lax.with_sharding_constraint(
+                    leaf, NamedSharding(mesh, P())
+                ),
+                t,
+            )
+            gen_params = replicate(gen_params)
+            disc_params = replicate(disc_params)
+
         new_state = GanTrainState(
             gen_params=gen_params,
             disc_params=disc_params,
@@ -142,4 +167,12 @@ def make_gan_train_step(
         }
         return new_state, metrics
 
-    return train_step
+    jitted = jax.jit(train_step)
+
+    def run(state: GanTrainState, batch):
+        if mesh is not None:
+            with mesh:
+                return jitted(state, batch)
+        return jitted(state, batch)
+
+    return run

@@ -1,0 +1,200 @@
+"""Latency-sharding ONE utterance's vocode across the device mesh.
+
+Row (data-parallel) sharding gives throughput but a single long request
+is one row — it gains nothing from more chips (parallel/serve.py).  Here
+the vocode is split along TIME instead: each device vocodes a haloed mel
+window covering its output chunk, exactly the receptive-field math the
+streaming chunker uses (runtime/engine.py::stream_halo_frames), and the
+chunks concatenate into the full waveform via the shard_map output
+sharding.  Peak normalization stays global through a ``pmax`` across the
+axis, so the result matches the single-device batched program up to
+single-LSB int16 rounding on a <0.1% sample fraction — the identical
+guarantee the streaming chunker gives (XLA float convs sum in a
+width-dependent order at the ~1 ulp level, so exact bit equality across
+different window widths is not a defined target).
+tests/test_time_shard.py pins this on an 8-device CPU mesh, including a
+halo=0 control proving the halo carries the exactness.
+
+The reference has no analogue: its vocoder is a single ONNX session per
+sentence (larynx/hifi_gan.py:150); SURVEY.md §2.4 names time/tensor
+sharding of the vocoder convs as the TPU-native extension point.
+
+Latency model
+-------------
+Per chip the window is ``M/N + 2*halo`` mel frames (interior devices;
+edge devices see one halo), so the compute cut over one chip is
+
+    speedup(N) = M / (M/N + 2*halo)
+
+HiFi-GAN universal_large has halo = 36 frames (stream_halo_frames), so a
+2048-frame utterance (~23.8 s audio) expects 2048/(256+72) = 6.2x on 8
+chips; a 512-frame one 512/(64+72) = 3.8x.  The halo tax means short
+utterances should stay on one chip (the engine only routes single-row
+batches through this path).  Audio leaves the mesh already int16 and
+time-sharded; the host gather is the same byte count as single-chip.
+
+The denoiser's STFT is not chunk-local, so when ``denoise`` is set the
+shard_map emits FLOAT chunks and a second (GSPMD-partitioned) jit applies
+the global spectral subtraction + int16 conversion; that path matches the
+single-device program to ~1 int16 step rather than bit-for-bit.
+"""
+
+import functools
+import typing
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from larynx_tpu.audio import AudioSettings
+from larynx_tpu.models.hifi_gan import denoiser as hifi_denoiser
+from larynx_tpu.models.hifi_gan import model as hifi_model
+
+
+def _round_up(n: int, k: int) -> int:
+    return -(-n // k) * k
+
+
+def make_time_sharded_vocode(
+    voc_cfg,
+    settings: AudioSettings,
+    mesh: Mesh,
+    halo: int,
+    axis: str = "data",
+    use_pallas: bool = False,
+    voc_dtype=jnp.float32,
+):
+    """Build ``fn(voc_params, mel [1,M,C], z_mask [1,M], bias_spec,
+    strength, denoise) -> int16 [1, M*upsample]`` vocoding one row's mel
+    time-sharded over ``mesh[axis]``.
+
+    ``mel`` is the engine's raw (normalized) mel; the postprocess chain
+    runs inside the window program, identical arithmetic to the engine's
+    batched vocode (runtime/engine.py::vocode_body) so outputs match
+    bit-for-bit when ``denoise`` is False.
+    """
+    # lazy: engine imports this module lazily too; both module levels
+    # stay import-cycle-free
+    from larynx_tpu.runtime.engine import SILENCE_LOG_MEL
+
+    import larynx_tpu.dsp.mel as dspmel
+
+    n_dev = mesh.shape[axis]
+    upsample = voc_cfg.total_upsample
+    fft = settings.filter_length
+    hop = settings.hop_length
+
+    def window_vocode(voc_params, mel, z_mask):
+        """Local program: vocode my haloed window, return my chunk as
+        FLOAT audio plus my local peak over valid samples."""
+        m = mel.shape[1]
+        chunk = m // n_dev
+        window = min(chunk + 2 * halo, m)
+        d = jax.lax.axis_index(axis)
+        # slide the window inward at the edges so its boundaries coincide
+        # with the true array edges (same trick as the streaming chunker)
+        w_start = jnp.clip(d * chunk - halo, 0, m - window)
+        mel_w = jax.lax.dynamic_slice_in_dim(mel, w_start, window, 1)
+        mask_w = jax.lax.dynamic_slice_in_dim(z_mask, w_start, window, 1)
+
+        mel_cm = jnp.swapaxes(mel_w.astype(jnp.float32), 1, 2)
+        mel_pp = dspmel.mel_postprocess(mel_cm, settings)
+        mel_pp = jnp.where(mask_w[:, None, :] > 0, mel_pp, SILENCE_LOG_MEL)
+        audio_w = hifi_model.generator(
+            voc_params,
+            voc_cfg,
+            jnp.swapaxes(mel_pp.astype(voc_dtype), 1, 2),
+            use_pallas=use_pallas,
+        ).astype(jnp.float32)
+        # my chunk's samples within the window
+        off = (d * chunk - w_start) * upsample
+        audio_c = jax.lax.dynamic_slice_in_dim(
+            audio_w, off, chunk * upsample, 1
+        )
+        # global valid-sample count (z_mask is replicated, so every
+        # device computes the same y_len)
+        n_valid = jnp.sum(z_mask, axis=1, dtype=jnp.int32) * upsample
+        global_idx = d * chunk * upsample + jnp.arange(chunk * upsample)
+        valid = global_idx[None, :] < n_valid[:, None]
+        local_peak = jnp.max(
+            jnp.where(valid, jnp.abs(audio_c), 0.0), axis=-1
+        )
+        peak = jax.lax.pmax(local_peak, axis)
+        return audio_c, peak[:, None], n_valid[:, None]
+
+    def int16_scale(audio, peak):
+        scaled = jnp.clip(
+            audio * (32767.0 / jnp.maximum(peak, 0.01)),
+            -32767.0,
+            32767.0,
+        )
+        return scaled.astype(jnp.int16)
+
+    def sharded_plain(voc_params, mel, z_mask):
+        audio_c, peak, _ = window_vocode(voc_params, mel, z_mask)
+        # identical scalar peak on every device -> bit-identical chunks
+        return int16_scale(audio_c, peak)
+
+    plain = jax.jit(
+        jax.shard_map(
+            sharded_plain,
+            mesh=mesh,
+            in_specs=(P(), P(), P()),
+            out_specs=P(None, axis),
+            check_vma=False,
+        )
+    )
+
+    float_chunks = jax.jit(
+        jax.shard_map(
+            window_vocode,
+            mesh=mesh,
+            in_specs=(P(), P(), P()),
+            out_specs=(P(None, axis), P(None, axis), P(None, axis)),
+            check_vma=False,
+        )
+    )
+
+    @jax.jit
+    def denoise_int16(audio, bias_spec, strength, n_valid):
+        # global program over the time-sharded float audio: GSPMD
+        # partitions the STFT; framing crosses chunk seams, so this is
+        # the one stage that cannot stay chunk-local
+        audio = hifi_denoiser.denoise(audio, bias_spec, strength, fft, hop)
+        nf = jnp.maximum(n_valid - fft, 0)
+        nf = -(-nf // hop)
+        n_valid = nf * hop + fft
+        t = audio.shape[-1]
+        valid = jnp.arange(t)[None, :] < n_valid
+        peak = jnp.max(jnp.where(valid, jnp.abs(audio), 0.0), axis=-1)
+        return int16_scale(audio, peak[:, None])
+
+    def run(
+        voc_params,
+        mel,
+        z_mask,
+        bias_spec=None,
+        strength=None,
+        denoise: bool = False,
+    ):
+        m = mel.shape[1]
+        m_pad = _round_up(m, n_dev)
+        if m_pad != m:
+            mel = jnp.pad(
+                mel, ((0, 0), (0, m_pad - m), (0, 0)),
+                constant_values=SILENCE_LOG_MEL,
+            )
+            z_mask = jnp.pad(z_mask, ((0, 0), (0, m_pad - m)))
+        with mesh:
+            if not denoise:
+                out = plain(voc_params, mel, z_mask)
+            else:
+                audio, _, n_valid = float_chunks(voc_params, mel, z_mask)
+                out = denoise_int16(
+                    audio, bias_spec, strength, n_valid[:, :1]
+                )
+        return out[:, : m * upsample]
+
+    return run

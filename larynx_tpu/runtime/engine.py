@@ -381,6 +381,26 @@ class SynthesisEngine:
                         bool(denoise)
                     ](p, mel, zm, bias, s)
                 )
+                # single-row batches gain nothing from row sharding —
+                # split ONE utterance's vocode along time instead
+                # (parallel/time_shard.py; matches the batched
+                # program via the streaming receptive-field halo)
+                from larynx_tpu.parallel.time_shard import (
+                    make_time_sharded_vocode,
+                )
+
+                self._vocode_time_sharded = make_time_sharded_vocode(
+                    voc_cfg,
+                    settings,
+                    self.mesh,
+                    halo=stream_halo_frames(voc_cfg),
+                    axis="data",
+                    # shard_map runs the LOCAL program per device, so the
+                    # Pallas kernels are fine here (it is GSPMD auto
+                    # partitioning they are opaque to)
+                    use_pallas=use_pallas,
+                    voc_dtype=self.voc_dtype,
+                )
 
             @functools.partial(
                 jax.jit, static_argnames=("window", "denoise")
@@ -1184,6 +1204,20 @@ class SynthesisEngine:
         str_rows = self._row_values(denoiser_strength, b)
 
         if self.mesh is not None:
+            if n_valid == 1:
+                # one utterance cannot be row-sharded — time-shard its
+                # vocode across the mesh instead (latency, not
+                # throughput; see parallel/time_shard.py)
+                part = self._vocode_time_sharded(
+                    self.vocoder_params,
+                    jax.lax.slice_in_dim(mel, 0, 1, axis=0),
+                    jax.lax.slice_in_dim(z_mask, 0, 1, axis=0),
+                    bias,
+                    self._row_param(str_rows[:1], 1, 3),
+                    denoise,
+                )
+                _start_d2h(part)
+                return [(part, [0])]
             strength = self._row_param(str_rows, b, 3)
             return self._mesh_uniform_groups(
                 b, m, n_valid, MAX_VOCODE_AREA,

@@ -292,7 +292,17 @@ def main(argv=None) -> None:
 
         object.__setattr__(state, "gen_params", load_params(args.resume))
         _LOGGER.info("Resumed generator from %s", args.resume)
-    train_step = make_gan_train_step(cfg, settings, gen_opt, disc_opt)
+    # DP mesh over every device (params replicated, batch row-sharded) —
+    # symmetric with the GlowTTS training CLI's sharded step
+    mesh = None
+    if len(jax.devices()) > 1 and args.batch_size % len(jax.devices()) == 0:
+        from larynx_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(model_parallel=1)
+        _LOGGER.info("Mesh: %s", dict(mesh.shape))
+    train_step = make_gan_train_step(
+        cfg, settings, gen_opt, disc_opt, mesh=mesh
+    )
 
     make_mels = _make_mel_fn(settings, args.segment_frames)
     out_dir = Path(args.out_dir)
