@@ -14,7 +14,12 @@ import jax
 import jax.numpy as jnp
 
 from larynx_tpu.models.hifi_gan.config import HiFiGanConfig
-from larynx_tpu.models.nn import conv1d, conv_transpose1d, leaky_relu
+from larynx_tpu.models.nn import (
+    conv1d,
+    conv_transpose1d,
+    conv_transpose1d_phased,
+    leaky_relu,
+)
 
 Params = typing.Dict[str, typing.Any]
 
@@ -49,6 +54,7 @@ def generator(
     mel: jnp.ndarray,
     use_pallas: bool = False,
     pallas_interpret: bool = False,
+    phased_ups: bool = False,
 ) -> jnp.ndarray:
     """mel [B, T, num_mels] -> audio [B, T * total_upsample].
 
@@ -107,9 +113,22 @@ def generator(
                 # free row-major reshape — rather than failing
                 x = x.reshape(x.shape[0], x.shape[1] * pack, c)
                 pack = 1
-            x = conv_transpose1d(
-                x, up["w"], up["b"], stride=u, padding=(k - u) // 2
-            )
+            pad = (k - u) // 2
+            if phased_ups and k % u == 0 and k - 2 * pad == u and k // u <= 16:
+                # phased dense matmul (models/nn.py::conv_transpose1d_phased).
+                # Off by default — measured NEGATIVE on v5e bf16: the full
+                # generator A/B (scripts/profile_vocoder_stages.py --ab-full)
+                # read 0.98x/1.01x/1.005x/0.87x across [8,2048]/[3,5120]/
+                # [8,512]/[1,2048], i.e. XLA:TPU's conv emitter does NOT pay
+                # the naive 8x input-dilation tax at k/stride=2 (unlike
+                # WaveGlow's k/stride=256 upsampler where phased is ~250x).
+                x = conv_transpose1d_phased(
+                    x, up["w"], up["b"], stride=u, padding=pad
+                )
+            else:
+                x = conv_transpose1d(
+                    x, up["w"], up["b"], stride=u, padding=pad
+                )
             c = c_out
 
         stage_blocks = [params["resblocks"][i * nk + j] for j in range(nk)]

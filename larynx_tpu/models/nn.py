@@ -14,6 +14,7 @@ import typing
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Params = typing.Dict[str, typing.Any]
 
@@ -100,46 +101,78 @@ def conv_transpose1d_phased(
     w: jnp.ndarray,
     b=None,
     stride: int = 1,
+    padding: int = 0,
 ) -> jnp.ndarray:
-    """ConvTranspose1d (padding=0) as ONE dense MXU matmul, trimmed to
-    ``T * stride`` output samples.
+    """ConvTranspose1d as ONE dense MXU matmul, emitting ``T * stride``
+    output samples.
 
     XLA lowers a transposed conv (``conv_transpose1d``) as a convolution
     over the *input-dilated* signal: for WaveGlow's upsampler
     (k=1024, stride=256 — NVIDIA geometry, see
     models/waveglow/config.py) only 1 in 256 taps lands on a real
     sample, so the dilated lowering pays ~256x the true FLOPs and
-    measures ~50 ms where ~0.2 ms of matmul suffices.  Because
-    ``k % stride == 0``, output sample ``f*stride + p`` depends on
-    exactly ``k/stride`` input frames:
+    measures ~50 ms where ~0.2 ms of matmul suffices.  HiFi-GAN's wide
+    upsample stages (k=16, stride=8, padding=4 — hifi_gan/models.py:
+    162-171) pay the same 8x tax on the dilated path.  Because
+    ``k % stride == 0``, output sample ``t = f*S + p`` depends on exactly
+    ``J = k/S`` input frames: with ``q = p + padding``, ``r = q // S``,
+    ``q0 = q % S``,
 
-        out[b, f*S + p, co] = sum_j sum_ci x[b, f-j, ci] * w[j*S + p, ci, co]
+        out[b, f*S + p, co] = sum_j' x[b, f + r - j'] @ w[j'*S + q0]
 
-    which is a [B, T, J*Ci] @ [J*Ci, S*Co] matmul over a shifted-window
-    stack of the input — dense, lane-aligned, MXU-shaped.
+    which is a [B, T, W*Ci] @ [W*Ci, S*Co] matmul over a shifted-window
+    stack of the input (W = J + r_max - r_min distinct shifts) — dense,
+    lane-aligned, MXU-shaped.  The block weight is mostly dense: the
+    FLOP inflation over the true per-sample cost is W/J (1.5x for the
+    HiFi-GAN geometry vs the dilated path's 8x).
 
-    Returns the FIRST ``T*stride`` samples of the torch transposed conv
-    (whose full length is ``T*stride + (k - stride)``) — i.e. exactly the
-    ``[:, :T*stride]`` trim WaveGlow's conditioning upsampler keeps.
+    Returns the first ``T*stride`` samples of the torch transposed conv.
+    For torch-"same" upsamples (``k - 2*padding == stride``) that is the
+    ENTIRE torch output ``(T-1)*S + k - 2*padding``; with padding=0 it is
+    exactly the ``[:, :T*stride]`` trim WaveGlow's conditioning upsampler
+    keeps.  Other paddings would need tail samples this layout never
+    emits, so they are rejected.
 
     x: [B, T, C_in]; w: [k, C_in, C_out] with ``k % stride == 0``.
     """
     k, ci, co = w.shape
     if k % stride != 0:
         raise ValueError(f"k={k} must be a multiple of stride={stride}")
+    if padding != 0 and k - 2 * padding != stride:
+        raise ValueError(
+            f"phased path needs k - 2*padding == stride (torch-'same' "
+            f"upsample) or padding == 0; got k={k} stride={stride} "
+            f"padding={padding}"
+        )
     j_taps = k // stride
+    r_min = padding // stride
+    r_max = (stride - 1 + padding) // stride
+    n_win = j_taps + r_max - r_min
     bsz, t, _ = x.shape
-    # xj[b, f, j*ci + c] = x[b, f - j, c]  (zero for f - j < 0: those taps
-    # reference input frames before the signal, absent in the true
-    # transposed conv sum)
-    xpad = jnp.pad(x, ((0, 0), (j_taps - 1, 0), (0, 0)))
+    # xj[b, f, u*ci + c] = x[b, f + r_max - u, c] (zero outside the signal:
+    # those taps reference input frames absent from the true transposed
+    # conv sum)
+    xpad = jnp.pad(x, ((0, 0), (n_win - 1 - r_max, r_max), (0, 0)))
     windows = [
-        jax.lax.dynamic_slice_in_dim(xpad, j_taps - 1 - j, t, axis=1)
-        for j in range(j_taps)
+        jax.lax.dynamic_slice_in_dim(xpad, n_win - 1 - u, t, axis=1)
+        for u in range(n_win)
     ]
-    xj = jnp.concatenate(windows, axis=-1)  # [B, T, J*Ci]
-    w2 = w.reshape(j_taps, stride, ci, co)
-    w2 = jnp.transpose(w2, (0, 2, 1, 3)).reshape(j_taps * ci, stride * co)
+    xj = jnp.concatenate(windows, axis=-1)  # [B, T, W*Ci]
+    if padding == 0:
+        # r(p) == 0 for every phase: window u IS tap j' — a pure reshape
+        w2 = w.reshape(j_taps, stride, ci, co)
+        w2 = jnp.transpose(w2, (0, 2, 1, 3)).reshape(j_taps * ci, stride * co)
+    else:
+        placement = np.zeros((k, n_win, stride), dtype=np.float32)
+        for p in range(stride):
+            r, q0 = divmod(p + padding, stride)
+            for u in range(n_win):
+                jp = r - r_max + u
+                if 0 <= jp < j_taps:
+                    placement[jp * stride + q0, u, p] = 1.0
+        w2 = jnp.einsum(
+            "tup,tio->uipo", jnp.asarray(placement, w.dtype), w
+        ).reshape(n_win * ci, stride * co)
     y = jnp.einsum("btj,jo->bto", xj, w2, preferred_element_type=x.dtype)
     y = y.reshape(bsz, t * stride, co)
     if b is not None:

@@ -39,11 +39,6 @@ the global spectral subtraction + int16 conversion; that path matches the
 single-device program to ~1 int16 step rather than bit-for-bit.
 """
 
-import functools
-import typing
-
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P

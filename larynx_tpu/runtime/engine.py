@@ -16,6 +16,7 @@ sentences/requests plus static-shape reuse is where the TPU build wins.
 import functools
 import math
 import logging
+import os
 import threading
 import typing
 
@@ -112,7 +113,18 @@ def stream_halo_frames(voc_cfg: "HiFiGanConfig") -> int:
 # device->host copies against later groups' compute).  The lane-dense
 # packed layout stores narrow stages unpadded, so the area can be ~4x the
 # old padded-layout limit: 8 x 8192 frames compiles in ~9 GB on v5e.
-MAX_VOCODE_AREA = 16384
+MAX_VOCODE_AREA = int(os.environ.get("LARYNX_TPU_MAX_VOCODE_AREA", "16384"))
+
+
+@functools.lru_cache(maxsize=1)
+def ramp_first_group() -> bool:
+    """Ramp multi-group vocode plans (1, 1, 2, ... rows) so the first
+    device->host audio copy starts after a 1-row compute instead of a full
+    group's — the large-batch wall clock is link-start-gated (see
+    ``_ragged_group_plan``).  LARYNX_TPU_RAMP_FIRST_GROUP=0 disables."""
+    return os.environ.get(
+        "LARYNX_TPU_RAMP_FIRST_GROUP", "1"
+    ).lower() not in ("0", "false", "no")
 
 
 def _start_d2h(x) -> None:
@@ -1291,6 +1303,15 @@ class SynthesisEngine:
         keeping the dispatch count low).  Power-of-two group sizes keep
         the compiled-shape set bounded (a remainder of 5 runs as 4 + 1,
         not a one-off (5, m) program).
+
+        Multi-group plans ramp the FIRST group down to one row: the wall
+        clock of a large batch is gated by when the audio device->host
+        transfer can start (the tunnel link moves ~50 MB/s while compute
+        finishes well before the transfer does), so a 1-row first group
+        puts bytes on the link one group-compute earlier, and the doubling
+        ramp (1, 1, 2, 4, ...) keeps the dispatch count logarithmic.  The
+        ramp sizes are the same power-of-two (rows, bucket) shapes the
+        un-ramped plan already compiles.
         """
         plan = []
         start = 0
@@ -1308,6 +1329,15 @@ class SynthesisEngine:
             ):
                 ext += 1
             group = 1 << (min(fit, ext, remaining).bit_length() - 1)
+            if ramp_first_group() and start == 0 and group > 1 and group < n_valid:
+                # multi-group batch: ramp-up so the first (longest) row's
+                # transfer starts after a 1-row compute, not a full group's
+                size = 1
+                while size <= group // 2:
+                    plan.append((start, size, m_g))
+                    start += size
+                    size = min(size * 2, group)
+                continue
             plan.append((start, group, m_g))
             start += group
         return plan

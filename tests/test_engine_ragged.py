@@ -255,3 +255,42 @@ def test_predicted_bucket_length_scale_normalized(engine):
     engine.vocode_collect(parts3, b3)
     assert engine._bucket_mispredicts == before
     np.testing.assert_array_equal(y3, y1)
+
+
+def test_ragged_group_plan_ramps_first_group(engine, monkeypatch):
+    """Multi-group plans start with a 1-row group: the large-batch wall
+    clock is gated by when the first audio D2H can start (the tunnel link
+    moves ~50 MB/s while compute finishes well before the transfer), so
+    the longest row's transfer should begin after a single-row compute.
+    Single-group plans are untouched (no extra dispatches for small work),
+    and every emitted (rows, bucket) shape stays power-of-two."""
+    import larynx_tpu.runtime.engine as engine_module
+
+    plan_fn = engine_module.SynthesisEngine._ragged_group_plan
+
+    # 8 uniform long rows, cap fits 3 -> ramp 1 then 2s (was 2,2,2,2)
+    lens = np.full(8, 4900, dtype=np.int64)
+    plan = plan_fn(engine, lens, 8, 5120, 16384)
+    assert plan[0][1] == 1
+    assert sum(g for _, g, _ in plan) == 8
+    assert all(g & (g - 1) == 0 for _, g, _ in plan)  # powers of two
+    starts = [s for s, _, _ in plan]
+    assert starts == sorted(starts) and starts[0] == 0
+
+    # single group: no ramp, one dispatch
+    lens_small = np.full(8, 2000, dtype=np.int64)
+    assert plan_fn(engine, lens_small, 8, 2048, 16384) == [(0, 8, 2048)]
+
+    # one row: trivially one group
+    assert plan_fn(engine, np.array([4900]), 1, 5120, 16384) == [(0, 1, 5120)]
+
+    # opt-out restores the unramped plan
+    monkeypatch.setenv("LARYNX_TPU_RAMP_FIRST_GROUP", "0")
+    engine_module.ramp_first_group.cache_clear()
+    try:
+        plan_off = plan_fn(engine, lens, 8, 5120, 16384)
+        assert plan_off[0][1] > 1
+        assert sum(g for _, g, _ in plan_off) == 8
+    finally:
+        monkeypatch.delenv("LARYNX_TPU_RAMP_FIRST_GROUP")
+        engine_module.ramp_first_group.cache_clear()

@@ -469,25 +469,30 @@ def test_waveglow_infer_pallas_matches_xla():
 
 
 def test_conv_transpose1d_phased_matches_dilated():
-    """The phase-matmul ConvTranspose1d (WaveGlow's upsampler fast path)
+    """The phase-matmul ConvTranspose1d (WaveGlow's upsampler fast path,
+    and with torch-'same' padding the HiFi-GAN wide upsample stages)
     equals the dilated-conv lowering's first T*stride samples, including
-    the NVIDIA wn_256 geometry (k exactly 4x the stride)."""
+    the NVIDIA wn_256 geometry (k exactly 4x the stride) and the
+    universal_large geometry (k=16, stride=8, padding=4)."""
     from larynx_tpu.models.nn import conv_transpose1d, conv_transpose1d_phased
 
     key = jax.random.PRNGKey(11)
-    for k, stride, ci, co, t in [
-        (8, 4, 3, 5, 7),
-        (6, 2, 2, 2, 5),
-        (4, 4, 1, 3, 4),
-        (1024, 256, 4, 3, 3),  # WaveGlow upsampler tap geometry
+    for k, stride, ci, co, t, pad in [
+        (8, 4, 3, 5, 7, 0),
+        (6, 2, 2, 2, 5, 0),
+        (4, 4, 1, 3, 4, 0),
+        (1024, 256, 4, 3, 3, 0),  # WaveGlow upsampler tap geometry
+        (16, 8, 3, 5, 9, 4),  # HiFi-GAN universal_large up0/up1
+        (4, 2, 2, 3, 7, 1),  # HiFi-GAN universal_large up2/up3
+        (8, 4, 3, 2, 6, 2),  # vctk_small up2
     ]:
-        kw, kx = jax.random.split(jax.random.fold_in(key, k * stride))
+        kw, kx = jax.random.split(jax.random.fold_in(key, k * stride + pad))
         w = jax.random.normal(kw, (k, ci, co))
         b = jax.random.normal(jax.random.fold_in(kw, 1), (co,))
         x = jax.random.normal(kx, (2, t, ci))
-        ref = conv_transpose1d(x, w, b, stride=stride, padding=0)
+        ref = conv_transpose1d(x, w, b, stride=stride, padding=pad)
         ref = ref[:, : t * stride, :]
-        got = conv_transpose1d_phased(x, w, b, stride=stride)
+        got = conv_transpose1d_phased(x, w, b, stride=stride, padding=pad)
         assert got.shape == (2, t * stride, co)
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), atol=2e-4, rtol=2e-4
@@ -499,13 +504,14 @@ def test_conv_transpose1d_phased_matches_dilated():
             w.astype(jnp.bfloat16),
             b.astype(jnp.bfloat16),
             stride=stride,
-            padding=0,
+            padding=pad,
         )[:, : t * stride, :]
         got16 = conv_transpose1d_phased(
             x.astype(jnp.bfloat16),
             w.astype(jnp.bfloat16),
             b.astype(jnp.bfloat16),
             stride=stride,
+            padding=pad,
         )
         assert got16.dtype == jnp.bfloat16
         np.testing.assert_allclose(
