@@ -425,11 +425,41 @@ def _run_jobs(
         )
         tails[j] = (parts, y_lengths, b_rows, t0)
 
+    def tail_bytes(j: int) -> int:
+        """Actual int16 audio bytes of a launched unit (y_lengths are on
+        host by the time launch_tail returns)."""
+        if tails[j] is None:
+            return 0
+        engine, _ = units[j]
+        _, y_lengths, _, _ = tails[j]
+        return int(np.sum(np.asarray(y_lengths))) * engine.upsample * 2
+
+    # Adaptive lookahead: one unit ahead always (overlaps unit j's audio
+    # transfer with j+1's compute), deeper while the in-flight audio is
+    # small — for a multi-voice SSML document the units are a few hundred
+    # KB each and the wall is the per-unit dispatch round trips, so every
+    # tail should be on the device before the first blocking collect.
+    # Large batches still stop at one unit of lookahead: their in-flight
+    # bytes exceed the gate and the link is the wall anyway.
+    from larynx_tpu.runtime.engine import ramp_min_bytes
+
+    launched = 0
+    inflight_bytes = 0
+
+    def launch_ahead(j_current: int) -> None:
+        nonlocal launched, inflight_bytes
+        while launched < len(units):
+            deep = launched > j_current + 1
+            if deep and inflight_bytes >= ramp_min_bytes():
+                break
+            launch_tail(launched)
+            inflight_bytes += tail_bytes(launched)
+            launched += 1
+
     if units:
-        launch_tail(0)
+        launch_ahead(-1)
     for j, (engine, indices) in enumerate(units):
-        if j + 1 < len(units):
-            launch_tail(j + 1)
+        launch_ahead(j)
         if encodes[j] is None:
             start = time.perf_counter()
             audios = [
@@ -440,6 +470,7 @@ def _run_jobs(
         else:
             parts, y_lengths, b_rows, t0 = tails[j]
             audio_rows = engine.vocode_collect(parts, b_rows)
+            inflight_bytes -= tail_bytes(j)
             audios = engine.crop_rows(
                 audio_rows, y_lengths, len(indices), denoiser_strength
             )

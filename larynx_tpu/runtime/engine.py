@@ -127,6 +127,18 @@ def ramp_first_group() -> bool:
     ).lower() not in ("0", "false", "no")
 
 
+@functools.lru_cache(maxsize=1)
+def ramp_min_bytes() -> int:
+    """Ramping only pays when the audio transfer, not compute, gates the
+    wall clock: each extra ramp group costs a ~24 ms dispatch round trip
+    through the tunnel, worth it for a 20 MB pangram batch (~450 ms on the
+    ~50 MB/s link) but a pure loss for a ~3 MB SSML voice unit (the round-4
+    SSML profile showed a 6-row unit fragmented into 4 vocode dispatches).
+    Plans whose estimated int16 transfer is below this many bytes skip the
+    ramp.  LARYNX_TPU_RAMP_MIN_BYTES overrides (0 ramps everything)."""
+    return int(os.environ.get("LARYNX_TPU_RAMP_MIN_BYTES", "8000000"))
+
+
 def _start_d2h(x) -> None:
     """Begin an async device->host copy (no-op for non-device arrays)."""
     try:
@@ -1311,8 +1323,39 @@ class SynthesisEngine:
         puts bytes on the link one group-compute earlier, and the doubling
         ramp (1, 1, 2, 4, ...) keeps the dispatch count logarithmic.  The
         ramp sizes are the same power-of-two (rows, bucket) shapes the
-        un-ramped plan already compiles.
+        un-ramped plan already compiles.  Plans whose total estimated
+        transfer is small (< ramp_min_bytes) skip the ramp — there the
+        extra dispatch round trips ARE the wall (the SSML workload's small
+        per-voice units fragmented 1,1,2,2 before this gate).
         """
+        # the ramp trades extra dispatches (~24 ms each through the
+        # tunnel) for an earlier link start — only worth it when the
+        # transfer itself dominates the wall (see ramp_min_bytes)
+        est_bytes = (
+            2
+            * self.upsample
+            * sum(
+                min(self.policy.mel_bucket(int(L) + margin), m)
+                for L in sorted_lens[:n_valid]
+            )
+        )
+        ramp = ramp_first_group() and est_bytes >= ramp_min_bytes()
+
+        # Small DISPATCH-BOUND batches (a multi-voice SSML document's
+        # per-voice units) merge into ONE group at the longest row's
+        # bucket: each avoided group saves a ~24 ms tunnel round trip,
+        # which beats the <=2x padding compute/transfer of the short
+        # rows (the round-4 SSML profile showed a 6-row ~3 MB unit
+        # split into 4 vocode dispatches ~= 96 ms of round trips for
+        # ~80 ms of total compute).  Capped at 8 rows so the one-off
+        # (n, bucket) shapes stay a small, persistent-cacheable set.
+        if 1 < n_valid <= 8 and est_bytes < ramp_min_bytes():
+            m_g = min(
+                self.policy.mel_bucket(int(sorted_lens[0]) + margin), m
+            )
+            if n_valid * m_g <= area:
+                return [(0, n_valid, m_g)]
+
         plan = []
         start = 0
         while start < n_valid:
@@ -1329,7 +1372,7 @@ class SynthesisEngine:
             ):
                 ext += 1
             group = 1 << (min(fit, ext, remaining).bit_length() - 1)
-            if ramp_first_group() and start == 0 and group > 1 and group < n_valid:
+            if ramp and start == 0 and group > 1 and group < n_valid:
                 # multi-group batch: ramp-up so the first (longest) row's
                 # transfer starts after a 1-row compute, not a full group's
                 size = 1

@@ -24,6 +24,13 @@ from aiohttp import web
 
 import larynx_tpu
 from larynx_tpu import text_to_speech
+
+if typing.TYPE_CHECKING:
+    from larynx_tpu.runtime.scheduler import BatchScheduler
+
+# typed aiohttp app-state keys (aiohttp recommends AppKey over str keys)
+SCHEDULER_KEY: "web.AppKey[BatchScheduler]" = web.AppKey("scheduler")
+EXECUTOR_KEY: "web.AppKey[ThreadPoolExecutor]" = web.AppKey("executor")
 from larynx_tpu.constants import VocoderQuality
 from larynx_tpu.io.wavfile import wav_bytes as wavfile_bytes
 from larynx_tpu.dsp import ipa_synth
@@ -631,8 +638,8 @@ def create_app(settings: typing.Optional[ServerSettings] = None) -> web.Applicat
         return response
 
     app = web.Application(middlewares=[error_middleware, cors_middleware])
-    app["scheduler"] = scheduler
-    app["executor"] = executor
+    app[SCHEDULER_KEY] = scheduler
+    app[EXECUTOR_KEY] = executor
     app.router.add_get("/api/tts", app_say)
     app.router.add_post("/api/tts", app_say)
     app.router.add_get("/api/stream", api_stream)

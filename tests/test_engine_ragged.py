@@ -20,6 +20,17 @@ from larynx_tpu.models.hifi_gan.model import init_params as hifi_init
 from larynx_tpu.runtime.engine import SynthesisEngine
 
 
+@pytest.fixture(autouse=True)
+def _reset_plan_gate_caches():
+    """The ramp/merge gates are lru_cached env reads — clear them after
+    every test so a monkeypatched LARYNX_TPU_RAMP_* value never leaks."""
+    yield
+    import larynx_tpu.runtime.engine as engine_module
+
+    engine_module.ramp_first_group.cache_clear()
+    engine_module.ramp_min_bytes.cache_clear()
+
+
 @pytest.fixture(scope="module")
 def engine():
     glow_cfg = GlowTTSConfig(
@@ -84,7 +95,14 @@ def test_synthesize_launch_matches_explicit_two_step(engine, denoiser):
 
 
 @pytest.mark.parametrize("denoiser", [0.0, 0.01])
-def test_ragged_matches_uniform(engine, denoiser):
+def test_ragged_matches_uniform(engine, denoiser, monkeypatch):
+    import larynx_tpu.runtime.engine as engine_module
+
+    # the test geometry is tiny, so the dispatch-bound small-batch merge
+    # would collapse it into one group — force the width-split plan (the
+    # production behavior for link-bound batches) to exercise raggedness
+    monkeypatch.setenv("LARYNX_TPU_RAMP_MIN_BYTES", "0")
+    engine_module.ramp_min_bytes.cache_clear()
     rng = np.random.default_rng(1)
     ids = [
         rng.integers(1, 48, size=t).astype(np.int64) for t in (8, 44, 17, 30)
@@ -294,3 +312,43 @@ def test_ragged_group_plan_ramps_first_group(engine, monkeypatch):
     finally:
         monkeypatch.delenv("LARYNX_TPU_RAMP_FIRST_GROUP")
         engine_module.ramp_first_group.cache_clear()
+
+
+def test_ragged_group_plan_small_transfer_skips_ramp(engine, monkeypatch):
+    """A small-batch plan (a few MB of audio) must NOT pay ramp dispatches:
+    each extra group costs a ~24 ms tunnel round trip while the whole
+    transfer is <100 ms — the round-4 SSML profile showed a 6-row voice
+    unit fragmented into 4 vocode parts by the ramp.  The byte gate keeps
+    the ramp for link-bound batches only."""
+    import larynx_tpu.runtime.engine as engine_module
+
+    plan_fn = engine_module.SynthesisEngine._ragged_group_plan
+
+    # 6 rows, 1536/768 buckets ~= the SSML profile unit: ~3 MB of int16
+    # at x256 upsample -> below the 8 MB default gate -> ONE dispatch at
+    # the longest row's bucket (no ramp, no width splits: each avoided
+    # group is a ~24 ms tunnel round trip, more than the padding costs)
+    lens = np.array([1500, 1400, 700, 650, 600, 550], dtype=np.int64)
+    plan = plan_fn(engine, lens, 6, 2048, 16384)
+    est_bytes = 2 * engine.upsample * sum(
+        engine.policy.mel_bucket(int(x)) for x in lens
+    )
+    assert est_bytes < engine_module.ramp_min_bytes()
+    assert plan == [(0, 6, engine.policy.mel_bucket(1500))]
+
+    # a small batch whose area exceeds the cap still splits (HBM bound)
+    plan_big = plan_fn(engine, lens, 6, 2048, 4096)
+    assert len(plan_big) > 1
+    assert sum(g for _, g, _ in plan_big) == 6
+
+    # forcing the gate to zero restores the ramped width-split plan
+    monkeypatch.setenv("LARYNX_TPU_RAMP_MIN_BYTES", "0")
+    engine_module.ramp_min_bytes.cache_clear()
+    try:
+        plan_forced = plan_fn(engine, lens, 6, 2048, 16384)
+        assert plan_forced[0][1] == 1
+        assert sum(g for _, g, _ in plan_forced) == 6
+        assert all(g & (g - 1) == 0 for _, g, _ in plan_forced)
+    finally:
+        monkeypatch.delenv("LARYNX_TPU_RAMP_MIN_BYTES")
+        engine_module.ramp_min_bytes.cache_clear()

@@ -318,7 +318,9 @@ def test_api_stream_client_disconnect_frees_executor(app_client):
 
     # every executor thread must still be available for normal requests
     app = client.server.app
-    executor = app["executor"] if "executor" in app else None
+    from larynx_tpu.server.app import EXECUTOR_KEY
+
+    executor = app.get(EXECUTOR_KEY)
     assert executor is not None, "server no longer exposes its executor"
 
     async def tts_ok():
