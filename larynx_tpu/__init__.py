@@ -406,33 +406,122 @@ def _run_jobs(
         )
         encodes.append((enc_out, g, t0))
 
-    tails: typing.List[typing.Any] = [None] * len(units)
+    # Vocode pooling: units that share a vocoder (a multi-voice SSML
+    # document switches GlowTTS voices but keeps one HiFi-GAN) vocode as
+    # a SINGLE ragged launch — one dispatch chain and one device->host
+    # audio stream instead of one per voice (concurrent D2H copies
+    # through the tunnel are pathological; each extra dispatch is a
+    # ~24 ms round trip).  Units that cannot pool (seeded requests, mesh
+    # mode, griffin_lim/none vocoders) form singleton pools and behave
+    # exactly as before.
+    from larynx_tpu.runtime.engine import (
+        _pool_rows,
+        ramp_min_bytes,
+        vocode_pool_enabled,
+    )
 
-    def launch_tail(j: int) -> None:
-        if encodes[j] is None or tails[j] is not None:
+    pool_ids: typing.List[int] = [0] * len(units)
+    pools: typing.List[typing.List[int]] = []
+    pool_key_of: typing.Dict[typing.Tuple[int, bool], int] = {}
+    for j, (engine, indices) in enumerate(units):
+        key = None
+        if (
+            vocode_pool_enabled()
+            and seed is None
+            and engine is not None
+            and engine.mesh is None
+            and engine.vocoder_kind in ("hifi_gan", "waveglow")
+        ):
+            key = (id(jobs[indices[0]]["vocoder_model"]), engine.vocoder_half)
+        if key is not None and key in pool_key_of:
+            p = pool_key_of[key]
+            pools[p].append(j)
+        else:
+            p = len(pools)
+            if key is not None:
+                pool_key_of[key] = p
+            pools.append([j])
+        pool_ids[j] = p
+
+    pool_tails: typing.List[typing.Optional[dict]] = [None] * len(pools)
+
+    def launch_pool(p: int) -> None:
+        members = [j for j in pools[p] if encodes[j] is not None]
+        if pool_tails[p] is not None or not members:
             return
-        engine, indices = units[j]
-        enc_out, g, t0 = encodes[j]
-        n = len(indices)
-        # predictive bucket: the decode dispatch overlaps the y_lengths
-        # device->host round trip (engine.synthesize_launch_predicted)
-        parts, b_rows, y_lengths = engine.synthesize_launch_predicted(
-            enc_out, g, n,
-            max_id_len=max(len(jobs[i]["ids"]) for i in indices),
-            noise_scale=noise_scale, length_scale=length_scale,
-            seed=seed, batch_index=j,
-            denoiser_strength=denoiser_strength,
-        )
-        tails[j] = (parts, y_lengths, b_rows, t0)
+        # predictive bucket: each decode dispatch overlaps its y_lengths
+        # device->host round trip (engine.decode_launch_predicted)
+        decs = []
+        for j in members:
+            engine, indices = units[j]
+            enc_out, g, _t0 = encodes[j]
+            decs.append(
+                engine.decode_launch_predicted(
+                    enc_out, g, len(indices),
+                    max_id_len=max(len(jobs[i]["ids"]) for i in indices),
+                    noise_scale=noise_scale, length_scale=length_scale,
+                    seed=seed, batch_index=j,
+                )
+            )
+        n_valids = tuple(len(units[j][1]) for j in members)
+        bytes_of = {
+            j: int(np.sum(np.asarray(d[3])[:nv])) * units[j][0].upsample * 2
+            for j, d, nv in zip(members, decs, n_valids)
+        }
+        tail: dict = {"bytes_of": bytes_of}
+        # pooling only pays in the dispatch-bound regime; once the audio
+        # itself is the wall (>= ramp_min_bytes) per-unit launches keep
+        # the per-unit transfer overlapping the next unit's compute
+        if (
+            len(members) > 1
+            and sum(bytes_of.values()) < ramp_min_bytes()
+            and len({d[0].shape[2] for d in decs}) == 1
+        ):
+            eng0 = units[members[0]][0]
+            m_pool = max(d[0].shape[1] for d in decs)
+            mel_p, mask_p = _pool_rows(
+                tuple(d[0] for d in decs),
+                tuple(d[1] for d in decs),
+                n_valids, m_pool,
+            )
+            y_pool = np.concatenate(
+                [np.asarray(d[3])[:nv] for d, nv in zip(decs, n_valids)]
+            )
+            parts = eng0.vocode_launch(
+                mel_p, mask_p, int(sum(n_valids)), denoiser_strength,
+                decs[0][2], y_lengths=y_pool,
+            )
+            offs = np.concatenate([[0], np.cumsum(n_valids)])
+            tail.update(
+                mode="pooled", parts=parts, y_pool=y_pool, eng0=eng0,
+                total_rows=int(sum(n_valids)),
+                span={
+                    j: (int(offs[i]), int(n_valids[i]))
+                    for i, j in enumerate(members)
+                },
+            )
+        else:
+            per = {}
+            for j, (mel, z_mask, key_j, y_lengths) in zip(members, decs):
+                engine, indices = units[j]
+                per[j] = (
+                    engine.vocode_launch(
+                        mel, z_mask, len(indices), denoiser_strength,
+                        key_j, y_lengths=y_lengths,
+                    ),
+                    y_lengths,
+                    mel.shape[0],
+                )
+            tail.update(mode="per_unit", per=per)
+        pool_tails[p] = tail
 
     def tail_bytes(j: int) -> int:
         """Actual int16 audio bytes of a launched unit (y_lengths are on
-        host by the time launch_tail returns)."""
-        if tails[j] is None:
+        host by the time launch_pool returns)."""
+        tail = pool_tails[pool_ids[j]]
+        if tail is None:
             return 0
-        engine, _ = units[j]
-        _, y_lengths, _, _ = tails[j]
-        return int(np.sum(np.asarray(y_lengths))) * engine.upsample * 2
+        return tail["bytes_of"].get(j, 0)
 
     # Adaptive lookahead: one unit ahead always (overlaps unit j's audio
     # transfer with j+1's compute), deeper while the in-flight audio is
@@ -441,8 +530,6 @@ def _run_jobs(
     # tail should be on the device before the first blocking collect.
     # Large batches still stop at one unit of lookahead: their in-flight
     # bytes exceed the gate and the link is the wall anyway.
-    from larynx_tpu.runtime.engine import ramp_min_bytes
-
     launched = 0
     inflight_bytes = 0
 
@@ -452,7 +539,7 @@ def _run_jobs(
             deep = launched > j_current + 1
             if deep and inflight_bytes >= ramp_min_bytes():
                 break
-            launch_tail(launched)
+            launch_pool(pool_ids[launched])
             inflight_bytes += tail_bytes(launched)
             launched += 1
 
@@ -468,12 +555,25 @@ def _run_jobs(
             ]
             elapsed = time.perf_counter() - start
         else:
-            parts, y_lengths, b_rows, t0 = tails[j]
-            audio_rows = engine.vocode_collect(parts, b_rows)
+            tail = pool_tails[pool_ids[j]]
+            t0 = encodes[j][2]
+            if tail["mode"] == "pooled":
+                if "rows_np" not in tail:
+                    tail["rows_np"] = tail["eng0"].vocode_collect(
+                        tail["parts"], tail["total_rows"]
+                    )
+                off, nv = tail["span"][j]
+                audios = engine.crop_rows(
+                    tail["rows_np"][off : off + nv],
+                    tail["y_pool"][off : off + nv], nv, denoiser_strength,
+                )
+            else:
+                parts, y_lengths, b_rows = tail["per"][j]
+                audio_rows = engine.vocode_collect(parts, b_rows)
+                audios = engine.crop_rows(
+                    audio_rows, y_lengths, len(indices), denoiser_strength
+                )
             inflight_bytes -= tail_bytes(j)
-            audios = engine.crop_rows(
-                audio_rows, y_lengths, len(indices), denoiser_strength
-            )
             elapsed = time.perf_counter() - t0
 
         for i, audio in zip(indices, audios):

@@ -171,7 +171,10 @@ def _wn(
             p["cond_b"], i * 2 * ch, 2 * ch, 0
         )
         if use_pallas:
-            from larynx_tpu.ops.wn_layer import fused_wn_layer_state
+            from larynx_tpu.ops.wn_layer import (
+                default_tile,
+                fused_wn_layer_state,
+            )
 
             h, skip = fused_wn_layer_state(
                 h, spect_g, skip, p["in_w"][i], p["in_b"][i],
@@ -179,6 +182,7 @@ def _wn(
                 dilation=2**i,
                 first=(i == 0),
                 last=(i == cfg.wn_layers - 1),
+                tile=default_tile(),
                 interpret=pallas_interpret,
             )
         else:

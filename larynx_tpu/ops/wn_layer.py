@@ -28,6 +28,7 @@ Two variants:
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +38,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+@functools.lru_cache(maxsize=1)
+def default_tile() -> int:
+    """Time-tile rows per kernel invocation.  Larger tiles amortize the
+    per-step weight DMA (~1.7 MB/layer at wn_256) over more MXU work at
+    the cost of VMEM.  Full-program A/B on v5e (scripts/ab_wn_tile.py,
+    B=8 blocks=16384 bf16, 12-flow infer): 512 -> 163.7 ms,
+    1024 -> 159.6 ms (1.03x), 2048/4096 -> scoped-VMEM OOM (19.4/24.0 MB
+    vs the 16 MB limit).  1024 is the largest tile that compiles at the
+    worst halo (dilation 128).  LARYNX_TPU_WN_TILE overrides for A/B."""
+    return int(os.environ.get("LARYNX_TPU_WN_TILE", "1024"))
 
 
 def _kernel(

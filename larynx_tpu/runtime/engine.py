@@ -139,6 +139,42 @@ def ramp_min_bytes() -> int:
     return int(os.environ.get("LARYNX_TPU_RAMP_MIN_BYTES", "8000000"))
 
 
+@functools.lru_cache(maxsize=1)
+def vocode_pool_enabled() -> bool:
+    """Pool the vocode of multiple per-voice units that share a vocoder
+    (a multi-voice SSML document) into ONE ragged launch: one dispatch
+    chain and ONE device->host audio stream instead of one per voice —
+    concurrent D2H copies through the tunnel are pathological (measured,
+    see BENCH_NOTES) and each extra dispatch is a ~24 ms round trip.
+    LARYNX_TPU_VOCODE_POOL=0 disables."""
+    return os.environ.get(
+        "LARYNX_TPU_VOCODE_POOL", "1"
+    ).lower() not in ("0", "false", "no")
+
+
+@functools.partial(jax.jit, static_argnames=("n_valids", "m_pool"))
+def _pool_rows(mels, masks, n_valids: tuple, m_pool: int):
+    """Concatenate the first n_valids[i] rows of each (mel, mask) pair,
+    zero-padding every unit's frame axis to ``m_pool``.
+
+    Padded frames carry a zero mask, so the pooled vocode masks them
+    exactly as the uniform-width path would (vocode_body postprocess) —
+    pooling changes only WHERE a row is vocoded, not its audio (same
+    equivalence class as the ragged-vs-uniform plan, pinned by
+    tests/test_engine_ragged.py).
+    """
+    out_mel, out_mask = [], []
+    for mel, mask, n in zip(mels, masks, n_valids):
+        pad = m_pool - mel.shape[1]
+        mel_n = jax.lax.slice(
+            mel, (0, 0, 0), (n, mel.shape[1], mel.shape[2])
+        )
+        mask_n = jax.lax.slice(mask, (0, 0), (n, mask.shape[1]))
+        out_mel.append(jnp.pad(mel_n, ((0, 0), (0, pad), (0, 0))))
+        out_mask.append(jnp.pad(mask_n, ((0, 0), (0, pad))))
+    return jnp.concatenate(out_mel, axis=0), jnp.concatenate(out_mask, axis=0)
+
+
 def _start_d2h(x) -> None:
     """Begin an async device->host copy (no-op for non-device arrays)."""
     try:
@@ -793,6 +829,36 @@ class SynthesisEngine:
             typing.Sequence[typing.Optional[int]]
         ] = None,
     ):
+        """Predictive decode + vocode dispatch (see
+        :meth:`decode_launch_predicted` for the prediction mechanics).
+
+        Returns (parts, batch_rows, y_lengths).
+        """
+        mel, z_mask, key, y_lengths = self.decode_launch_predicted(
+            enc_out, g, n,
+            max_id_len=max_id_len,
+            noise_scale=noise_scale, length_scale=length_scale,
+            seed=seed, batch_index=batch_index, row_seeds=row_seeds,
+        )
+        parts = self.vocode_launch(
+            mel, z_mask, n, denoiser_strength, key, y_lengths=y_lengths
+        )
+        return parts, mel.shape[0], y_lengths
+
+    def decode_launch_predicted(
+        self,
+        enc_out,
+        g,
+        n: int,
+        max_id_len: int,
+        noise_scale: float = 0.667,
+        length_scale: typing.Union[float, typing.Sequence[float]] = 1.0,
+        seed: typing.Optional[int] = None,
+        batch_index: int = 0,
+        row_seeds: typing.Optional[
+            typing.Sequence[typing.Optional[int]]
+        ] = None,
+    ):
         """Decode without waiting for the y_lengths device->host sync.
 
         The only host decision the decode dispatch needs is the mel
@@ -806,7 +872,8 @@ class SynthesisEngine:
         discarded decode and a redispatch at the exact bucket; the
         estimator is deliberately an upper bound so this is rare.
 
-        Returns (parts, batch_rows, y_lengths).
+        Returns (mel, z_mask, key, y_lengths) with ``y_lengths`` already
+        resolved on host (the copy overlapped the decode dispatch).
         """
         # the learned ratio is per TOKEN at length_scale 1.0: a request's
         # length_scale multiplies durations linearly, so it divides out
@@ -857,10 +924,7 @@ class SynthesisEngine:
                 noise_scale=noise_scale, seed=seed, batch_index=batch_index,
                 row_seeds=row_seeds,
             )
-        parts = self.vocode_launch(
-            mel, z_mask, n, denoiser_strength, key, y_lengths=y_lengths
-        )
-        return parts, mel.shape[0], y_lengths
+        return mel, z_mask, key, y_lengths
 
     def vocode_launch(
         self,

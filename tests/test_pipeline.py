@@ -211,6 +211,72 @@ def test_interleaved_batching_multivoice(voices_dir):
         assert np.abs(b.audio).max() > 0
 
 
+def test_vocode_pooling_multivoice(voices_dir, monkeypatch):
+    """Units that share a vocoder (multi-voice SSML) vocode as ONE pooled
+    ragged launch (engine._pool_rows + a single vocode_launch) instead of
+    one launch per voice; audio matches the per-unit path within the
+    same +-1 int16 LSB contract as the ragged/uniform bucket tests
+    (pooling only changes the padded width a row is vocoded at)."""
+    _clear_caches()
+    import larynx_tpu.runtime.engine as engine_module
+    from larynx_tpu.runtime.engine import SynthesisEngine
+
+    markup = (
+        "<speak>"
+        '<voice name="en-us_test_voice-glow_tts"><s>One thing here.</s>'
+        "<s>And something much longer follows it immediately.</s></voice>"
+        '<voice name="en-us_test_voice2-glow_tts"><s>Second thing now.</s></voice>'
+        '<voice name="en-us_test_voice-glow_tts"><s>Third thing too.</s></voice>'
+        "</speak>"
+    )
+    # noise_scale 0 makes the decode deterministic so the two runs are
+    # comparable without a seed (a seed would disable pooling on purpose)
+    kwargs = dict(
+        voice_or_lang="en-us_test_voice-glow_tts",
+        vocoder_or_quality=VocoderQuality.LOW,
+        custom_voices_dir=voices_dir,
+        ssml=True,
+        tts_settings={"noise_scale": 0.0},
+    )
+
+    calls = []
+    real_launch = SynthesisEngine.vocode_launch
+
+    def counting_launch(self, *args, **kw):
+        calls.append(args[2] if len(args) > 2 else kw.get("n_valid"))
+        return real_launch(self, *args, **kw)
+
+    monkeypatch.setattr(SynthesisEngine, "vocode_launch", counting_launch)
+    try:
+        monkeypatch.setenv("LARYNX_TPU_VOCODE_POOL", "0")
+        engine_module.vocode_pool_enabled.cache_clear()
+        base = list(larynx_tpu.text_to_speech(markup, **kwargs))
+        per_unit_calls = len(calls)
+
+        calls.clear()
+        monkeypatch.setenv("LARYNX_TPU_VOCODE_POOL", "1")
+        engine_module.vocode_pool_enabled.cache_clear()
+        pooled = list(larynx_tpu.text_to_speech(markup, **kwargs))
+        pooled_calls = len(calls)
+    finally:
+        monkeypatch.delenv("LARYNX_TPU_VOCODE_POOL", raising=False)
+        engine_module.vocode_pool_enabled.cache_clear()
+
+    # several per-voice/per-bucket units collapsed into one pooled launch
+    assert per_unit_calls >= 3
+    assert pooled_calls == 1
+    assert calls == [4]  # every sentence row in the single pooled launch
+
+    assert len(base) == len(pooled) == 4
+    assert [r.text for r in base] == [r.text for r in pooled]
+    for a, b in zip(base, pooled):
+        assert a.audio is not None and b.audio is not None
+        assert a.audio.shape == b.audio.shape
+        diff = np.abs(a.audio.astype(np.int32) - b.audio.astype(np.int32))
+        assert diff.max() <= 1, diff.max()
+        assert np.abs(b.audio).max() > 0
+
+
 def test_batching_determinism(voices_dir):
     """Same text + seed -> identical audio."""
     _clear_caches()
