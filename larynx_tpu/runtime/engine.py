@@ -236,8 +236,6 @@ class SynthesisEngine:
             # Fast Griffin-Lim (Perraudin et al.) converges much closer to
             # the target magnitudes at the same iteration count; plain
             # iteration (0.0) only matters for exact reference parity
-            import os
-
             griffin_lim_momentum = float(
                 os.environ.get("LARYNX_TPU_GL_MOMENTUM", "0.99")
             )
@@ -248,6 +246,9 @@ class SynthesisEngine:
         # synthesize_launch_predicted).  0.0 = no observation yet.
         self._frames_per_token = 0.0
         self._bucket_mispredicts = 0
+        # route counter for the single-utterance time-sharded vocode
+        # (tests pin that the length gate picks the right path)
+        self._time_shard_hits = 0
 
         self.dtype = jnp.bfloat16 if half else jnp.float32
         self.voc_dtype = jnp.bfloat16 if self.vocoder_half else jnp.float32
@@ -449,17 +450,33 @@ class SynthesisEngine:
                     make_time_sharded_vocode,
                 )
 
+                ts_halo = stream_halo_frames(voc_cfg)
                 self._vocode_time_sharded = make_time_sharded_vocode(
                     voc_cfg,
                     settings,
                     self.mesh,
-                    halo=stream_halo_frames(voc_cfg),
+                    halo=ts_halo,
                     axis="data",
                     # shard_map runs the LOCAL program per device, so the
-                    # Pallas kernels are fine here (it is GSPMD auto
+                    # Pallas calls are fine here (it is GSPMD auto
                     # partitioning they are opaque to)
                     use_pallas=use_pallas,
                     voc_dtype=self.voc_dtype,
+                )
+                # Minimum mel width for the time-shard route.  The
+                # documented model (parallel/time_shard.py) gives
+                # speedup(M) = M / (M/N + 2*halo): break-even is
+                # M = 2*halo*N/(N-1) (~82 frames at N=8, halo=36), but
+                # shard_map dispatch overhead eats small wins, so gate at
+                # 2*N*halo (predicted speedup N/2) — shorter utterances
+                # take the row-sharded group path, where device 0 runs
+                # the one real row at plain single-device latency with no
+                # halo tax.
+                self._time_shard_min_frames = int(
+                    os.environ.get(
+                        "LARYNX_TPU_TIME_SHARD_MIN_FRAMES",
+                        2 * self._n_data * ts_halo,
+                    )
                 )
 
             @functools.partial(
@@ -518,8 +535,6 @@ class SynthesisEngine:
             voc_cfg = self.vocoder_cfg
 
             from larynx_tpu.models.waveglow import model as wg_model
-
-            import os
 
             # fused Pallas WN layers (ops/wn_layer.py): DEFAULT on TPU.
             # Measured vs XLA (v5e, bf16, state-fused kernel): 1.99x at
@@ -1292,10 +1307,14 @@ class SynthesisEngine:
         str_rows = self._row_values(denoiser_strength, b)
 
         if self.mesh is not None:
-            if n_valid == 1:
-                # one utterance cannot be row-sharded — time-shard its
-                # vocode across the mesh instead (latency, not
-                # throughput; see parallel/time_shard.py)
+            if n_valid == 1 and m >= self._time_shard_min_frames:
+                self._time_shard_hits += 1
+                # one long utterance cannot be row-sharded — time-shard
+                # its vocode across the mesh instead (latency, not
+                # throughput; see parallel/time_shard.py).  Short buckets
+                # fall through to the group path below: the halo tax
+                # would make time sharding SLOWER than one device for
+                # m < ~2*halo*N/(N-1) (gate set in __init__).
                 part = self._vocode_time_sharded(
                     self.vocoder_params,
                     jax.lax.slice_in_dim(mel, 0, 1, axis=0),

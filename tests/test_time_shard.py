@@ -197,3 +197,38 @@ def test_mesh_engine_single_row_denoised(small_models, monkeypatch):
     assert out[0].shape == ref[0].shape
     diff = np.abs(out[0].astype(np.int32) - ref[0].astype(np.int32))
     assert np.max(diff) <= 2, np.max(diff)
+
+
+def test_time_shard_length_gate(small_models, monkeypatch):
+    """VERDICT round-4 item 4: the time-shard route is gated by mel
+    width — below the break-even (speedup = M/(M/N + 2*halo) from
+    parallel/time_shard.py, gate 2*N*halo) a single-row mesh batch must
+    take the row-sharded group path instead of paying the halo tax.
+    Both routes produce the single-device waveform."""
+    monkeypatch.setenv("LARYNX_TPU_MESH", "on")
+    mesh = serving_mesh()
+    single = _make_engine(small_models, mesh=None)
+    ids = [np.arange(1, 40, dtype=np.int64)]
+    ref = single.synthesize_batch(ids, seed=5, length_scale=2.0)
+
+    # force the gate ABOVE every bucket: short route = uniform groups
+    monkeypatch.setenv("LARYNX_TPU_TIME_SHARD_MIN_FRAMES", "1000000")
+    eng = _make_engine(small_models, mesh=mesh)
+    assert eng._time_shard_min_frames == 1000000
+    out = eng.synthesize_batch(ids, seed=5, length_scale=2.0)
+    assert eng._time_shard_hits == 0
+    assert out[0].shape == ref[0].shape
+    assert np.max(np.abs(out[0].astype(np.int32) - ref[0].astype(np.int32))) <= 2
+
+    # force the gate to zero: the time-sharded program must run
+    monkeypatch.setenv("LARYNX_TPU_TIME_SHARD_MIN_FRAMES", "0")
+    eng2 = _make_engine(small_models, mesh=mesh)
+    out2 = eng2.synthesize_batch(ids, seed=5, length_scale=2.0)
+    assert eng2._time_shard_hits == 1
+    assert np.max(np.abs(out2[0].astype(np.int32) - ref[0].astype(np.int32))) <= 2
+
+    # default gate derives from the documented model: 2 * N * halo
+    monkeypatch.delenv("LARYNX_TPU_TIME_SHARD_MIN_FRAMES")
+    eng3 = _make_engine(small_models, mesh=mesh)
+    hifi_cfg = small_models[2]
+    assert eng3._time_shard_min_frames == 2 * 8 * stream_halo_frames(hifi_cfg)
