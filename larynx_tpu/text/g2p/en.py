@@ -5490,16 +5490,59 @@ _PAST_HOMOGRAPHS: typing.Dict[str, typing.Tuple[typing.List[str], typing.List[st
 }
 
 # "bass" flips on topic words rather than syntax: the fish is [bæs],
-# the music sense (default) is [beɪs].
+# the music sense (default) is [beɪs].  The clause-window set extends
+# the adjacent-word set with verbs/places of the fishing field
+# ("the bass swam near the dock").
 _BASS_FISH_CUES = {
     "fish", "fishing", "caught", "catch", "lake", "river", "sea",
     "fresh", "smallmouth", "largemouth", "striped",
+}
+_BASS_FISH_CLAUSE_CUES = _BASS_FISH_CUES | {
+    "swam", "swim", "swims", "swimming", "pond", "dock", "boat",
+    "hook", "hooked", "angler", "fisherman", "bait", "reel", "water",
+}
+
+# Semantic-field pairs: bow/tear are noun/noun homographs a POS tagger
+# alone cannot split — topic words in the clause pick the reading
+# (gruut 2.1's tagger + frequency priors covered most of these).
+# "bow" = the knot/weapon [boʊ] near these objects ...
+_BOW_OBJECT_CUES = {
+    "arrow", "arrows", "violin", "cello", "fiddle", "ribbon",
+    "ribbons", "hair", "gift", "gifts", "shoelace", "shoelaces",
+    "tie", "tied", "tying", "wrap", "wrapped", "dress", "string",
+}
+# ... and the bending gesture [baʊ] after take/took or on stage
+_BOW_BEND_CUES = {
+    "took", "take", "takes", "taking", "bowed", "stage", "audience",
+    "curtain", "applause", "performer", "performers", "actors",
+    "deep", "polite", "respectful",
+}
+# "tear" = the teardrop [tɪɹ] in the crying field ...
+_TEAR_CRY_CUES = {
+    "eye", "eyes", "cry", "cried", "crying", "wept", "weep", "cheek",
+    "cheeks", "rolled", "wiped", "shed", "sorrow", "joy", "single",
+}
+# ... and the rip [tɛɹ] as object of in/rip or near torn materials
+_TEAR_RIP_CUES = {
+    "paper", "page", "pages", "fabric", "cloth", "shirt", "jeans",
+    "muscle", "ligament", "rip", "ripped", "hole", "mend", "mended",
+    "repair", "repaired", "sleeve", "seam",
+}
+
+# Plural-subject rule stoplist: s-final tokens that pass the
+# plural-of-lexicon-word test but are not plural subjects
+_PLURAL_SUBJECT_STOP = {
+    "news", "series", "species", "yes", "its", "his", "hers", "ours",
+    "yours", "theirs", "always", "perhaps", "less", "unless", "plus",
+    "thus", "as", "is", "was", "has", "does", "gas", "this",
 }
 
 _VERB_CUES = {
     "to", "will", "would", "can", "could", "shall", "should", "may",
     "might", "must", "cannot", "don't", "doesn't", "didn't", "won't",
     "i", "we", "you", "they", "please", "not", "gonna", "let's",
+    # imperative-chaining adverbs: "then wind the crank", "just record it"
+    "then", "now", "just", "simply",
 }
 _NOUN_CUES = {
     "the", "a", "an", "this", "that", "these", "those", "my", "your",
@@ -5550,25 +5593,46 @@ _DETERMINERS = {
 }
 
 
+def _is_break_token(tok: str) -> bool:
+    return bool(tok) and not tok[:1].isalnum()
+
+
+def _clause_tokens(
+    context: typing.Optional[typing.Sequence[str]], index: int
+) -> typing.List[str]:
+    """Lower-cased tokens of the clause around ``context[index]``.
+    Clause = tokens between punctuation (breaks are passed through as
+    their punctuation text)."""
+    if not context or not (0 <= index < len(context)):
+        return []
+    lo = index
+    while lo > 0 and not _is_break_token(context[lo - 1]):
+        lo -= 1
+    hi = index
+    while hi + 1 < len(context) and not _is_break_token(context[hi + 1]):
+        hi += 1
+    return [context[k].lower() for k in range(lo, hi + 1)]
+
+
+def _clause_initial(
+    context: typing.Optional[typing.Sequence[str]],
+    index: int,
+    prev: str,
+) -> bool:
+    """True when the word is the first of its clause ("Wind the rope",
+    "..., then wind the rope").  Falls back to prev=="" when no token
+    stream was provided (direct phonemize calls)."""
+    if context and 0 <= index < len(context):
+        return index == 0 or _is_break_token(context[index - 1])
+    return not prev
+
+
 def _clause_has_past_cue(
     context: typing.Optional[typing.Sequence[str]], index: int
 ) -> bool:
     """True if the clause around ``context[index]`` carries a temporal
-    past marker.  Clause = tokens between punctuation (breaks are passed
-    through as their punctuation text)."""
-    if not context or not (0 <= index < len(context)):
-        return False
-
-    def is_break(tok: str) -> bool:
-        return bool(tok) and not tok[:1].isalnum()
-
-    lo = index
-    while lo > 0 and not is_break(context[lo - 1]):
-        lo -= 1
-    hi = index
-    while hi + 1 < len(context) and not is_break(context[hi + 1]):
-        hi += 1
-    clause = [context[k].lower() for k in range(lo, hi + 1)]
+    past marker."""
+    clause = _clause_tokens(context, index)
     for k, tok in enumerate(clause):
         if tok in _TEMPORAL_PAST_WORDS:
             return True
@@ -5611,13 +5675,47 @@ def phonemize(
     if w in _HOMOGRAPHS:
         noun, verb = _HOMOGRAPHS[w]
         prev_l = prev.lower()
+        nxt_l = nxt.lower()
+        # semantic-field pairs first: clause topic words beat the
+        # syntactic determiner cue ("He took a bow" — "a" says noun,
+        # but "took" selects the bending gesture)
+        if w == "bow":
+            clause = set(_clause_tokens(context, index))
+            if clause & _BOW_OBJECT_CUES or nxt_l in _BOW_OBJECT_CUES:
+                return list(noun)  # boʊ — the knot / the weapon
+            if clause & _BOW_BEND_CUES:
+                return list(verb)  # baʊ — the gesture
+        elif w == "tear":
+            clause = set(_clause_tokens(context, index))
+            if clause & _TEAR_CRY_CUES:
+                return list(noun)  # tɪɹ — the teardrop
+            if nxt_l == "in" or clause & _TEAR_RIP_CUES:
+                return list(verb)  # tɛɹ — the rip
         # attributive position beats the determiner cue: "a minute
         # amount" is the adjective even though "a" says noun
-        if w == "minute" and nxt.lower() in _MINUTE_ADJ_NOUNS:
+        if w == "minute" and nxt_l in _MINUTE_ADJ_NOUNS:
             return list(verb)
         if prev_l in _NOUN_CUES:
             return list(noun)
         if prev_l in _VERB_CUES:
+            return list(verb)
+        # imperative-initial: the homograph opens its clause and takes a
+        # determined object — a command reads as the verb ("Wind the
+        # rope", "Record the meeting")
+        if nxt_l in _DETERMINERS and _clause_initial(context, index, prev):
+            return list(verb)
+        # plural-subject: a plural noun directly before the homograph is
+        # its subject, so the homograph is the verb ("The farms produce
+        # wheat") — gruut's POS tagger got these via NNS+VBP
+        if (
+            len(prev_l) >= 4
+            and prev_l.endswith("s")
+            and prev_l not in _PLURAL_SUBJECT_STOP
+            and (
+                prev_l[:-1] in LEXICON
+                or (prev_l.endswith("es") and prev_l[:-2] in LEXICON)
+            )
+        ):
             return list(verb)
         # "she lives here" is the overwhelmingly common cue-less reading
         return list(verb) if w in _VERB_DEFAULT else list(noun)
@@ -5636,7 +5734,12 @@ def phonemize(
             return list(past)
         return list(base)
     if w == "bass":
-        if prev.lower() in _BASS_FISH_CUES or nxt.lower() in _BASS_FISH_CUES:
+        clause = set(_clause_tokens(context, index))
+        if (
+            prev.lower() in _BASS_FISH_CUES
+            or nxt.lower() in _BASS_FISH_CUES
+            or clause & _BASS_FISH_CLAUSE_CUES
+        ):
             return ["b", "ˈæ", "s"]
         return ["b", "ˈeɪ", "s"]
 

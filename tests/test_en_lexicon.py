@@ -151,6 +151,31 @@ def test_homographs_in_context(word, prev, nxt, expected):
         ("Wait a minute please.", "minute", "mˈɪnət"),
         ("Lead poisoning is dangerous.", "lead", "lˈɛd"),
         ("Dogs lead the blind.", "lead", "lˈid"),
+        # semantic-field pairs: clause topic words select the reading
+        ("He took a bow.", "bow", "bˈaʊ"),
+        ("The actors take a bow on stage.", "bow", "bˈaʊ"),
+        ("He took a bow and arrow.", "bow", "bˈoʊ"),
+        ("She tied a bow on the gift.", "bow", "bˈoʊ"),
+        ("A tear in the paper.", "tear", "tˈɛɹ"),
+        ("There was a tear in his shirt.", "tear", "tˈɛɹ"),
+        ("A tear rolled down her cheek.", "tear", "tˈɪɹ"),
+        ("There was a tear in her eye.", "tear", "tˈɪɹ"),
+        ("The bass swam near the dock.", "bass", "bˈæs"),
+        ("The bass was caught in the lake.", "bass", "bˈæs"),
+        ("He plays the bass guitar.", "bass", "bˈeɪs"),
+        # imperative-initial: clause-first homograph + determiner = verb
+        ("Wind the rope.", "wind", "wˈaɪnd"),
+        ("Record the meeting, please.", "record", "ɹɪkˈɔɹd"),
+        ("Stop, then wind the crank.", "wind", "wˈaɪnd"),
+        ("The wind blew all night.", "wind", "wˈɪnd"),
+        ("Present the award now.", "present", "pɹɪzˈɛnt"),
+        # plural-subject: plural noun directly before the homograph
+        ("The farms produce wheat.", "produce", "pɹədˈus"),
+        ("These plants produce oxygen.", "produce", "pɹədˈus"),
+        ("The students present their findings.", "present", "pɹɪzˈɛnt"),
+        ("The farms increase their output.", "increase", "ɪnkɹˈis"),
+        ("Fresh produce is expensive.", "produce", "pɹˈoʊdus"),
+        ("She bought him a present.", "present", "pɹˈɛzənt"),
     ],
 )
 def test_homographs_clause_context(text, word, expected):
