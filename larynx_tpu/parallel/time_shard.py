@@ -52,18 +52,28 @@ def _round_up(n: int, k: int) -> int:
     return -(-n // k) * k
 
 
-def make_time_sharded_vocode(
+def make_grid_sharded_vocode(
     voc_cfg,
     settings: AudioSettings,
-    mesh: Mesh,
+    devices,
+    n_rows: int,
+    n_time: int,
     halo: int,
-    axis: str = "data",
     use_pallas: bool = False,
     voc_dtype=jnp.float32,
 ):
-    """Build ``fn(voc_params, mel [1,M,C], z_mask [1,M], bias_spec,
-    strength, denoise) -> int16 [1, M*upsample]`` vocoding one row's mel
-    time-sharded over ``mesh[axis]``.
+    """Build ``fn(voc_params, mel [B,M,C], z_mask [B,M], bias_spec,
+    strength, denoise) -> int16 [B, M*upsample]`` vocoding a batch over a
+    ``n_rows x n_time`` device grid: rows split across row shards
+    (independent, exact) and each row's time axis splits across haloed
+    windows (the streaming receptive-field construction above).
+
+    ``n_rows == 1`` is the single-utterance time shard; ``n_time == 1``
+    degenerates to plain row sharding.  Per-device work is
+    ``ceil(B/n_rows) * (M/n_time + 2*halo)`` frames; the engine picks the
+    grid minimizing it (runtime/engine.py::_grid_vocode_plan) so a 3-row
+    batch on 8 chips no longer leaves 5 devices re-vocoding padding
+    (the round-4 `_mesh_uniform_groups` behavior).
 
     ``mel`` is the engine's raw (normalized) mel; the postprocess chain
     runs inside the window program, identical arithmetic to the engine's
@@ -74,20 +84,31 @@ def make_time_sharded_vocode(
     # stay import-cycle-free
     from larynx_tpu.runtime.engine import SILENCE_LOG_MEL
 
+    import numpy as np
+
     import larynx_tpu.dsp.mel as dspmel
 
-    n_dev = mesh.shape[axis]
+    devices = list(devices)
+    if len(devices) != n_rows * n_time:
+        raise ValueError(
+            f"grid {n_rows}x{n_time} needs {n_rows * n_time} devices, "
+            f"got {len(devices)}"
+        )
+    mesh = Mesh(
+        np.asarray(devices).reshape(n_rows, n_time), ("rows", "time")
+    )
     upsample = voc_cfg.total_upsample
     fft = settings.filter_length
     hop = settings.hop_length
 
     def window_vocode(voc_params, mel, z_mask):
-        """Local program: vocode my haloed window, return my chunk as
-        FLOAT audio plus my local peak over valid samples."""
+        """Local program: vocode my row shard's haloed window, return my
+        chunk as FLOAT audio plus the rows' global peaks over valid
+        samples."""
         m = mel.shape[1]
-        chunk = m // n_dev
+        chunk = m // n_time
         window = min(chunk + 2 * halo, m)
-        d = jax.lax.axis_index(axis)
+        d = jax.lax.axis_index("time")
         # slide the window inward at the edges so its boundaries coincide
         # with the true array edges (same trick as the streaming chunker)
         w_start = jnp.clip(d * chunk - halo, 0, m - window)
@@ -108,15 +129,17 @@ def make_time_sharded_vocode(
         audio_c = jax.lax.dynamic_slice_in_dim(
             audio_w, off, chunk * upsample, 1
         )
-        # global valid-sample count (z_mask is replicated, so every
-        # device computes the same y_len)
+        # global valid-sample count (z_mask is replicated along the time
+        # axis, so every device in a row shard computes the same y_len)
         n_valid = jnp.sum(z_mask, axis=1, dtype=jnp.int32) * upsample
         global_idx = d * chunk * upsample + jnp.arange(chunk * upsample)
         valid = global_idx[None, :] < n_valid[:, None]
         local_peak = jnp.max(
             jnp.where(valid, jnp.abs(audio_c), 0.0), axis=-1
         )
-        peak = jax.lax.pmax(local_peak, axis)
+        # peaks are per ROW: reduce across this row shard's time windows
+        # only — other row shards hold different rows
+        peak = jax.lax.pmax(local_peak, "time")
         return audio_c, peak[:, None], n_valid[:, None]
 
     def int16_scale(audio, peak):
@@ -129,15 +152,16 @@ def make_time_sharded_vocode(
 
     def sharded_plain(voc_params, mel, z_mask):
         audio_c, peak, _ = window_vocode(voc_params, mel, z_mask)
-        # identical scalar peak on every device -> bit-identical chunks
+        # identical per-row peak on every time window -> bit-identical
+        # chunks
         return int16_scale(audio_c, peak)
 
     plain = jax.jit(
         jax.shard_map(
             sharded_plain,
             mesh=mesh,
-            in_specs=(P(), P(), P()),
-            out_specs=P(None, axis),
+            in_specs=(P(), P("rows"), P("rows")),
+            out_specs=P("rows", "time"),
             check_vma=False,
         )
     )
@@ -146,15 +170,19 @@ def make_time_sharded_vocode(
         jax.shard_map(
             window_vocode,
             mesh=mesh,
-            in_specs=(P(), P(), P()),
-            out_specs=(P(None, axis), P(None, axis), P(None, axis)),
+            in_specs=(P(), P("rows"), P("rows")),
+            out_specs=(
+                P("rows", "time"),
+                P("rows", "time"),
+                P("rows", "time"),
+            ),
             check_vma=False,
         )
     )
 
     @jax.jit
     def denoise_int16(audio, bias_spec, strength, n_valid):
-        # global program over the time-sharded float audio: GSPMD
+        # global program over the grid-sharded float audio: GSPMD
         # partitions the STFT; framing crosses chunk seams, so this is
         # the one stage that cannot stay chunk-local
         audio = hifi_denoiser.denoise(audio, bias_spec, strength, fft, hop)
@@ -174,22 +202,56 @@ def make_time_sharded_vocode(
         strength=None,
         denoise: bool = False,
     ):
-        m = mel.shape[1]
-        m_pad = _round_up(m, n_dev)
+        b, m = mel.shape[0], mel.shape[1]
+        m_pad = _round_up(m, n_time)
         if m_pad != m:
             mel = jnp.pad(
                 mel, ((0, 0), (0, m_pad - m), (0, 0)),
                 constant_values=SILENCE_LOG_MEL,
             )
             z_mask = jnp.pad(z_mask, ((0, 0), (0, m_pad - m)))
+        b_pad = _round_up(b, n_rows)
+        if b_pad != b:
+            mel = jnp.pad(
+                mel, ((0, b_pad - b), (0, 0), (0, 0)),
+                constant_values=SILENCE_LOG_MEL,
+            )
+            z_mask = jnp.pad(z_mask, ((0, b_pad - b), (0, 0)))
         with mesh:
             if not denoise:
                 out = plain(voc_params, mel, z_mask)
             else:
                 audio, _, n_valid = float_chunks(voc_params, mel, z_mask)
                 out = denoise_int16(
-                    audio, bias_spec, strength, n_valid[:, :1]
+                    jax.lax.slice_in_dim(audio, 0, b, axis=0),
+                    bias_spec,
+                    strength,
+                    jax.lax.slice_in_dim(n_valid, 0, b, axis=0)[:, :1],
                 )
-        return out[:, : m * upsample]
+        return out[:b, : m * upsample]
 
     return run
+
+
+def make_time_sharded_vocode(
+    voc_cfg,
+    settings: AudioSettings,
+    mesh: Mesh,
+    halo: int,
+    axis: str = "data",
+    use_pallas: bool = False,
+    voc_dtype=jnp.float32,
+):
+    """Build ``fn(voc_params, mel [1,M,C], z_mask [1,M], bias_spec,
+    strength, denoise) -> int16 [1, M*upsample]`` vocoding one row's mel
+    time-sharded over ``mesh[axis]`` — the ``1 x N`` grid."""
+    return make_grid_sharded_vocode(
+        voc_cfg,
+        settings,
+        list(mesh.devices.flat),
+        1,
+        mesh.shape[axis],
+        halo,
+        use_pallas=use_pallas,
+        voc_dtype=voc_dtype,
+    )

@@ -478,6 +478,32 @@ class SynthesisEngine:
                         2 * self._n_data * ts_halo,
                     )
                 )
+                # composed rows x time grids for 1 < n_valid < n_data:
+                # row-shard across ceil-divide row groups and time-shard
+                # within, so every device holds real work instead of five
+                # chips re-vocoding padding on a 3-row batch.  Built
+                # lazily per (n_rows, n_time) and cached.
+                self._ts_halo = ts_halo
+                self._grid_fns = {}
+                self._grid_shard_hits = 0
+
+                def build_grid(n_rows: int, n_time: int):
+                    from larynx_tpu.parallel.time_shard import (
+                        make_grid_sharded_vocode,
+                    )
+
+                    return make_grid_sharded_vocode(
+                        voc_cfg,
+                        settings,
+                        list(self.mesh.devices.flat),
+                        n_rows,
+                        n_time,
+                        halo=ts_halo,
+                        use_pallas=use_pallas,
+                        voc_dtype=self.voc_dtype,
+                    )
+
+                self._build_grid_vocode = build_grid
 
             @functools.partial(
                 jax.jit, static_argnames=("window", "denoise")
@@ -1250,6 +1276,42 @@ class SynthesisEngine:
             yield np.asarray(p_audio)[0, p_off : p_off + p_n]
 
 
+    def _grid_vocode_plan(
+        self, n_valid: int, m: int
+    ) -> typing.Optional[typing.Tuple[int, int]]:
+        """Pick the (n_rows, n_time) vocode grid minimizing per-device
+        work ``ceil(n_valid/r) * (m/t + 2*halo)`` frames (the model in
+        parallel/time_shard.py), subject to the per-device HBM area cap.
+
+        Returns None when plain row sharding (r == n_data, t == 1, work
+        = m) is not beaten — the uniform-group path handles that.  Ties
+        prefer more rows (less halo re-compute, same wall time).  Grids
+        where an entire row shard would hold only padding are excluded:
+        every device must carry at least one real row (padded rows may
+        ride along in a shard that also holds real ones).
+        """
+        n = self._n_data
+        halo = self._ts_halo
+        best: typing.Optional[typing.Tuple[int, int]] = None
+        best_w = m  # plain row sharding's per-device work
+        for n_rows in range(n, 0, -1):
+            if n % n_rows:
+                continue
+            n_time = n // n_rows
+            if n_time > max(m, 1):
+                continue
+            rows_per = -(-n_valid // n_rows)
+            if (n_rows - 1) * rows_per >= n_valid:
+                continue  # last row shard would be pure padding
+            window = min(
+                -(-m // n_time) + (2 * halo if n_time > 1 else 0), m
+            )
+            work = rows_per * window
+            if work >= best_w or work > MAX_VOCODE_AREA:
+                continue
+            best, best_w = (n_rows, n_time), work
+        return best
+
     def _mesh_uniform_groups(self, b, m, n_valid, area, tensors, dispatch):
         """Mesh vocode grouping shared by HiFi-GAN and WaveGlow.
 
@@ -1325,6 +1387,26 @@ class SynthesisEngine:
                 )
                 _start_d2h(part)
                 return [(part, [0])]
+            if 1 < n_valid < self._n_data:
+                plan = self._grid_vocode_plan(n_valid, m)
+                if plan is not None:
+                    n_rows, n_time = plan
+                    fn = self._grid_fns.get(plan)
+                    if fn is None:
+                        fn = self._grid_fns[plan] = (
+                            self._build_grid_vocode(n_rows, n_time)
+                        )
+                    self._grid_shard_hits += 1
+                    part = fn(
+                        self.vocoder_params,
+                        jax.lax.slice_in_dim(mel, 0, n_valid, axis=0),
+                        jax.lax.slice_in_dim(z_mask, 0, n_valid, axis=0),
+                        bias,
+                        self._row_param(str_rows[:n_valid], n_valid, 3),
+                        denoise,
+                    )
+                    _start_d2h(part)
+                    return [(part, list(range(n_valid)))]
             strength = self._row_param(str_rows, b, 3)
             return self._mesh_uniform_groups(
                 b, m, n_valid, MAX_VOCODE_AREA,
