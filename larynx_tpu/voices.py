@@ -216,6 +216,12 @@ def get_voices_dirs(
         dirs.append(Path.home() / ".local" / "share" / "larynx" / "voices")
 
     dirs.append(Path(__file__).parent.parent / "local")
+    # system store the per-voice .debs install into
+    # (scripts/build-debian-voice.sh), mirroring the reference's
+    # /usr/lib/larynx-tts/local layout
+    system_dir = Path("/usr/lib/larynx-tpu/voices")
+    if system_dir.is_dir():
+        dirs.append(system_dir)
     extra = os.environ.get("LARYNX_TPU_EXTRA_VOICES_DIRS", "")
     for part in extra.split(os.pathsep):
         if part and Path(part).is_dir():
