@@ -128,6 +128,27 @@ def ramp_first_group() -> bool:
 
 
 @functools.lru_cache(maxsize=1)
+def fused_encode_enabled() -> bool:
+    """Fuse encode + flow decode into one jitted dispatch on the
+    predicted mel bucket (single-device, unseeded batches).
+
+    Default OFF — negative result (round 5, same-process alternating
+    A/B on the pangram batch, 10 pairs): fused median RTF 0.001458 vs
+    two-step 0.001378 (fused 5.8% SLOWER).  The saved ~24 ms dispatch
+    round trip loses to the two-step path's pipelining: the small encode
+    program materializes y_lengths early, so its device->host sync AND
+    the vocode dispatch both overlap the decode's device compute, while
+    the fused program cannot surface y_lengths (which the ragged vocode
+    group plan needs on host) until encode+decode have BOTH finished.
+    Same lesson as the decode+vocode fusion negative result
+    (synthesize_launch).  LARYNX_TPU_FUSED_ENCODE=1 enables for
+    re-measurement."""
+    return os.environ.get(
+        "LARYNX_TPU_FUSED_ENCODE", "0"
+    ).lower() not in ("0", "false", "no")
+
+
+@functools.lru_cache(maxsize=1)
 def ramp_min_bytes() -> int:
     """Ramping only pays when the audio transfer, not compute, gates the
     wall clock: each extra ramp group costs a ~24 ms dispatch round trip
@@ -331,6 +352,31 @@ class SynthesisEngine:
             return mel, z_mask
 
         self._decode = decode_fn
+
+        @functools.partial(jax.jit, static_argnames=("mel_max",))
+        def encode_decode_fn(params, ids, lengths, length_scale, key,
+                             noise_scale, mel_max, g=None):
+            """Fused encode + flow decode: ONE dispatch round trip.
+
+            Both stages are small-kernel dispatch-bound programs through
+            the remote tunnel (~24 ms/dispatch, CLAUDE.md phase table)
+            with no device->host decision between them once the mel
+            bucket is predicted — unlike decode+vocode fusion, which
+            lost to the D2H overlap (see synthesize_launch).  The encode
+            outputs are returned too so a bucket mispredict can
+            redispatch just the decode.
+            """
+            enc = glow_model.encode(
+                params, cfg, ids, lengths, length_scale=length_scale, g=g
+            )
+            x_m, x_logs, _logw, w_ceil, y_lengths, _mask = enc
+            mel, z_mask = glow_model.expand_and_decode(
+                params, cfg, x_m, x_logs, w_ceil, y_lengths, key,
+                mel_max_length=mel_max, noise_scale=noise_scale, g=g,
+            )
+            return mel, z_mask, enc
+
+        self._encode_decode = encode_decode_fn
 
         engine_seed = self.seed
 
@@ -728,6 +774,18 @@ class SynthesisEngine:
         ms, so launching every group's encode before syncing any of them
         hides most of that latency (multi-voice SSML documents).
         """
+        ids_dev, lengths_dev, b_bucket = self._pad_id_batch(id_seqs)
+        g = self._speaker_embedding(speaker_ids, b_bucket)
+        out = self._encode(
+            self.glow_params, ids_dev, lengths_dev,
+            self._row_param(length_scale, b_bucket, 2), g,
+        )
+        _start_d2h(out[4])
+        return out, g
+
+    def _pad_id_batch(self, id_seqs):
+        """Pad id sequences to (text, batch) buckets; returns device
+        arrays (mesh-sharded when serving on one) + the batch bucket."""
         n = len(id_seqs)
         t_bucket = self.policy.text_bucket(max(len(s) for s in id_seqs))
         b_bucket = self.policy.batch_bucket(n)
@@ -751,14 +809,70 @@ class SynthesisEngine:
             lengths_dev = jax.device_put(
                 lengths_dev, NamedSharding(self.mesh, P("data"))
             )
+        return ids_dev, lengths_dev, b_bucket
 
+    def encode_decode_launch_predicted(
+        self,
+        id_seqs: typing.Sequence[np.ndarray],
+        length_scale: typing.Union[float, typing.Sequence[float]] = 1.0,
+        speaker_ids: typing.Optional[typing.Sequence[int]] = None,
+        noise_scale: float = 0.667,
+        batch_index: int = 0,
+    ):
+        """ONE dispatch for encode + flow decode at the predicted mel
+        bucket, or None when the fused path does not apply (mesh mode,
+        cold frames-per-token estimator, or LARYNX_TPU_FUSED_ENCODE=0) —
+        callers then fall back to encode_launch + decode_launch_predicted.
+
+        Returns (mel, z_mask, key, y_lengths, g) with ``y_lengths``
+        resolved on host.  A bucket mispredict redispatches only the
+        decode at the exact bucket (the fused program also returns the
+        encoder outputs), counted in ``_bucket_mispredicts``.
+        """
+        ratio = self._frames_per_token
+        max_id_len = max((len(s) for s in id_seqs), default=0)
+        if (
+            self.mesh is not None
+            or ratio <= 0.0
+            or max_id_len <= 0
+            or not fused_encode_enabled()
+        ):
+            return None
+        try:
+            ls = float(max(length_scale))  # type: ignore[arg-type]
+        except TypeError:
+            ls = float(length_scale)
+        ls = max(ls, 1e-6)
+        pred_frames = int(math.ceil(max_id_len * ratio * ls * 1.15))
+        bucket = self.policy.mel_bucket(pred_frames)
+
+        ids_dev, lengths_dev, b_bucket = self._pad_id_batch(id_seqs)
         g = self._speaker_embedding(speaker_ids, b_bucket)
-        out = self._encode(
-            self.glow_params, ids_dev, lengths_dev,
-            self._row_param(length_scale, b_bucket, 2), g,
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(self.seed), batch_index
         )
-        _start_d2h(out[4])
-        return out, g
+        mel, z_mask, enc_out = self._encode_decode(
+            self.glow_params, ids_dev, lengths_dev,
+            self._row_param(length_scale, b_bucket, 2),
+            key, self._row_param(noise_scale, b_bucket, 3), bucket, g,
+        )
+        _start_d2h(enc_out[4])
+        y_lengths = np.asarray(enc_out[4])
+        n = len(id_seqs)
+        actual = int(y_lengths[:n].max())
+        obs = actual / (max_id_len * ls)
+        self._frames_per_token = (
+            obs
+            if obs > self._frames_per_token
+            else 0.99 * self._frames_per_token + 0.01 * obs
+        )
+        if actual > bucket:
+            self._bucket_mispredicts += 1
+            mel, z_mask, key = self.decode_launch(
+                enc_out, y_lengths, g, n,
+                noise_scale=noise_scale, batch_index=batch_index,
+            )
+        return mel, z_mask, key, y_lengths, g
 
     def _speaker_embedding(self, speaker_ids, b_bucket):
         """[B] speaker indices -> normalized [B, gin] embeddings (or None
@@ -1167,17 +1281,33 @@ class SynthesisEngine:
         n = len(id_seqs)
         trace = _LOGGER.isEnabledFor(logging.DEBUG)
         t0 = time.perf_counter() if trace else 0.0
-        enc_out, g = self.encode_launch(
-            id_seqs, length_scale, speaker_ids=speaker_ids
+        fused = (
+            self.encode_decode_launch_predicted(
+                id_seqs, length_scale, speaker_ids=speaker_ids,
+                noise_scale=noise_scale, batch_index=batch_index,
+            )
+            if seed is None
+            else None
         )
         t1 = time.perf_counter() if trace else 0.0
-        parts, b_rows, y_lengths = self.synthesize_launch_predicted(
-            enc_out, g, n,
-            max_id_len=max((len(s) for s in id_seqs), default=0),
-            noise_scale=noise_scale, length_scale=length_scale,
-            seed=seed, batch_index=batch_index,
-            denoiser_strength=denoiser_strength,
-        )
+        if fused is not None:
+            mel, z_mask, key, y_lengths, _g = fused
+            parts = self.vocode_launch(
+                mel, z_mask, n, denoiser_strength, key,
+                y_lengths=y_lengths,
+            )
+            b_rows = mel.shape[0]
+        else:
+            enc_out, g = self.encode_launch(
+                id_seqs, length_scale, speaker_ids=speaker_ids
+            )
+            parts, b_rows, y_lengths = self.synthesize_launch_predicted(
+                enc_out, g, n,
+                max_id_len=max((len(s) for s in id_seqs), default=0),
+                noise_scale=noise_scale, length_scale=length_scale,
+                seed=seed, batch_index=batch_index,
+                denoiser_strength=denoiser_strength,
+            )
         t2 = time.perf_counter() if trace else 0.0
         audio_rows = self.vocode_collect(parts, b_rows)
         out = self.crop_rows(audio_rows, y_lengths, n, denoiser_strength)

@@ -352,3 +352,104 @@ def test_ragged_group_plan_small_transfer_skips_ramp(engine, monkeypatch):
     finally:
         monkeypatch.delenv("LARYNX_TPU_RAMP_MIN_BYTES")
         engine_module.ramp_min_bytes.cache_clear()
+
+
+def test_fused_encode_decode_matches_two_step(engine, monkeypatch):
+    """encode_decode_launch_predicted (ONE dispatch for encode + flow
+    decode at the predicted bucket) must match the two-step predicted
+    path bit-for-bit: encode is deterministic and the decode key/bucket
+    are constructed identically (VERDICT round-4 item 8; kept as an
+    opt-in path after the A/B showed two-step pipelining wins — see
+    fused_encode_enabled)."""
+    import larynx_tpu.runtime.engine as engine_mod
+
+    monkeypatch.setenv("LARYNX_TPU_FUSED_ENCODE", "1")
+    engine_mod.fused_encode_enabled.cache_clear()
+    rng = np.random.default_rng(7)
+    ids = [rng.integers(1, 48, size=t).astype(np.int64) for t in (12, 16)]
+    n = len(ids)
+
+    # warm the estimator via the two-step path
+    engine._frames_per_token = 0.0
+    ref = engine.synthesize_batch(ids, batch_index=0)
+    assert engine._frames_per_token > 0.0
+
+    # two-step predicted reference
+    enc_out, g = engine.encode_launch(ids, 1.0)
+    parts, b_rows, y_ref = engine.synthesize_launch_predicted(
+        enc_out, g, n, max_id_len=max(len(s) for s in ids), batch_index=0,
+    )
+    ref = engine.crop_rows(
+        engine.vocode_collect(parts, b_rows), y_ref, n, 0.0
+    )
+
+    # fused path
+    fused = engine.encode_decode_launch_predicted(ids, 1.0, batch_index=0)
+    assert fused is not None
+    mel, z_mask, key, y_got, _g = fused
+    parts2 = engine.vocode_launch(mel, z_mask, n, 0.0, key, y_lengths=y_got)
+    got = engine.crop_rows(
+        engine.vocode_collect(parts2, mel.shape[0]), y_got, n, 0.0
+    )
+
+    np.testing.assert_array_equal(y_got, y_ref)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_fused_encode_decode_mispredict_falls_back(engine, monkeypatch):
+    """A mispredicted bucket redispatches only the decode (the fused
+    program also returns the encoder outputs) and still produces the
+    classic path's audio."""
+    import larynx_tpu.runtime.engine as engine_mod
+
+    monkeypatch.setenv("LARYNX_TPU_FUSED_ENCODE", "1")
+    engine_mod.fused_encode_enabled.cache_clear()
+    rng = np.random.default_rng(8)
+    ids = [rng.integers(1, 48, size=t).astype(np.int64) for t in (12, 16)]
+    n = len(ids)
+
+    enc_out, g = engine.encode_launch(ids, 12.0)
+    y_lengths = np.asarray(enc_out[4])
+    parts, b_rows = engine.synthesize_launch(
+        enc_out, y_lengths, g, n, batch_index=0
+    )
+    ref = engine.crop_rows(
+        engine.vocode_collect(parts, b_rows), y_lengths, n, 0.0
+    )
+
+    engine._frames_per_token = 1e-3  # guaranteed mispredict
+    before = engine._bucket_mispredicts
+    fused = engine.encode_decode_launch_predicted(ids, 12.0, batch_index=0)
+    assert fused is not None
+    assert engine._bucket_mispredicts == before + 1
+    mel, z_mask, key, y_got, _g = fused
+    parts2 = engine.vocode_launch(mel, z_mask, n, 0.0, key, y_lengths=y_got)
+    got = engine.crop_rows(
+        engine.vocode_collect(parts2, mel.shape[0]), y_got, n, 0.0
+    )
+    np.testing.assert_array_equal(y_got, y_lengths)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_fused_encode_decode_gates(engine, monkeypatch):
+    """The fused path is off by default (negative A/B result), declines
+    on a cold estimator even when enabled, and seeded batches never
+    reach it (synthesize_batch routes them to the exact-bucket path)."""
+    import larynx_tpu.runtime.engine as engine_mod
+
+    rng = np.random.default_rng(9)
+    ids = [rng.integers(1, 48, size=12).astype(np.int64)]
+
+    engine._frames_per_token = 10.0
+    engine_mod.fused_encode_enabled.cache_clear()
+    assert not engine_mod.fused_encode_enabled()  # default off
+    assert engine.encode_decode_launch_predicted(ids) is None
+
+    monkeypatch.setenv("LARYNX_TPU_FUSED_ENCODE", "1")
+    engine_mod.fused_encode_enabled.cache_clear()
+    engine._frames_per_token = 0.0  # cold estimator still declines
+    assert engine.encode_decode_launch_predicted(ids) is None
+    monkeypatch.delenv("LARYNX_TPU_FUSED_ENCODE")
+    engine_mod.fused_encode_enabled.cache_clear()
