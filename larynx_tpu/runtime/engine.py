@@ -128,6 +128,27 @@ def ramp_first_group() -> bool:
 
 
 @functools.lru_cache(maxsize=1)
+def waveglow_area() -> int:
+    """Per-dispatch (rows x mel-frames) budget for WaveGlow vocode.
+
+    A quarter of MAX_VOCODE_AREA (WN buffers are ~3-5x HiFi's worst
+    stage per frame), which at the pangram geometry (8 rows x 5120-frame
+    bucket) means 1-row groups — eight serial dispatches.  Negative
+    result (round 5, same-process alternating A/B, 6 pairs): raising it
+    to MAX_VOCODE_AREA (3-row groups, 3 dispatches) measured 34% SLOWER
+    (median RTF 0.004343 vs 0.003237) — the 1-row groups pipeline each
+    row's ~2.6 MB audio D2H behind the next row's compute, worth far
+    more than the saved ~24 ms dispatch round trips, and the 3-row
+    program's ~630 MB cond buffer adds HBM pressure.
+    LARYNX_TPU_WAVEGLOW_AREA overrides for re-measurement."""
+    return int(
+        os.environ.get(
+            "LARYNX_TPU_WAVEGLOW_AREA", str(MAX_VOCODE_AREA // 4)
+        )
+    )
+
+
+@functools.lru_cache(maxsize=1)
 def fused_encode_enabled() -> bool:
     """Fuse encode + flow decode into one jitted dispatch on the
     predicted mel bucket (single-device, unseeded batches).
@@ -1132,7 +1153,7 @@ class SynthesisEngine:
         """
         cfg = self.vocoder_cfg
         b, m = mel.shape[0], mel.shape[1]
-        area = max(64, MAX_VOCODE_AREA // 4)
+        area = max(64, waveglow_area())
 
         blocks_full = m * cfg.upsample_stride // cfg.groups
         blocks_per_frame = cfg.upsample_stride // cfg.groups
