@@ -127,9 +127,10 @@ def ramp_first_group() -> bool:
     ).lower() not in ("0", "false", "no")
 
 
-@functools.lru_cache(maxsize=1)
 def waveglow_area() -> int:
     """Per-dispatch (rows x mel-frames) budget for WaveGlow vocode.
+    Read per launch (not cached): it follows MAX_VOCODE_AREA, which
+    tests monkeypatch.
 
     A quarter of MAX_VOCODE_AREA (WN buffers are ~3-5x HiFi's worst
     stage per frame), which at the pangram geometry (8 rows x 5120-frame

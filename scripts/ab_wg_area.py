@@ -25,7 +25,7 @@ def main() -> None:
 
     def set_area(area: int) -> None:
         os.environ["LARYNX_TPU_WAVEGLOW_AREA"] = str(area)
-        engine_module.waveglow_area.cache_clear()
+        # waveglow_area() is uncached — env read per launch
 
     def run_once() -> float:
         t0 = time.perf_counter()
