@@ -851,22 +851,16 @@ class SynthesisEngine:
         decode at the exact bucket (the fused program also returns the
         encoder outputs), counted in ``_bucket_mispredicts``.
         """
-        ratio = self._frames_per_token
         max_id_len = max((len(s) for s in id_seqs), default=0)
         if (
             self.mesh is not None
-            or ratio <= 0.0
+            or self._frames_per_token <= 0.0
             or max_id_len <= 0
             or not fused_encode_enabled()
         ):
             return None
-        try:
-            ls = float(max(length_scale))  # type: ignore[arg-type]
-        except TypeError:
-            ls = float(length_scale)
-        ls = max(ls, 1e-6)
-        pred_frames = int(math.ceil(max_id_len * ratio * ls * 1.15))
-        bucket = self.policy.mel_bucket(pred_frames)
+        ls = self._length_scale_max(length_scale)
+        bucket = self._predict_mel_bucket(max_id_len, ls)
 
         ids_dev, lengths_dev, b_bucket = self._pad_id_batch(id_seqs)
         g = self._speaker_embedding(speaker_ids, b_bucket)
@@ -882,12 +876,7 @@ class SynthesisEngine:
         y_lengths = np.asarray(enc_out[4])
         n = len(id_seqs)
         actual = int(y_lengths[:n].max())
-        obs = actual / (max_id_len * ls)
-        self._frames_per_token = (
-            obs
-            if obs > self._frames_per_token
-            else 0.99 * self._frames_per_token + 0.01 * obs
-        )
+        self._observe_frames_per_token(actual, max_id_len, ls)
         if actual > bucket:
             self._bucket_mispredicts += 1
             mel, z_mask, key = self.decode_launch(
@@ -1022,6 +1011,47 @@ class SynthesisEngine:
         )
         return parts, mel.shape[0], y_lengths
 
+    @staticmethod
+    def _length_scale_max(
+        length_scale: typing.Union[float, typing.Sequence[float]]
+    ) -> float:
+        """Largest per-row length scale, floored away from zero.
+
+        The learned frames-per-token ratio is per TOKEN at length_scale
+        1.0: a request's length_scale multiplies durations linearly, so
+        it divides out of the observation and multiplies back into the
+        prediction — otherwise one lengthScale=2 request would poison
+        the estimator (oversized buckets + a fresh XLA compile) for ~70
+        batches."""
+        try:
+            ls = float(max(length_scale))  # type: ignore[arg-type]
+        except TypeError:
+            ls = float(length_scale)
+        return max(ls, 1e-6)
+
+    def _predict_mel_bucket(self, max_id_len: int, ls: float) -> int:
+        """Mel bucket from the learned frames-per-token upper bound
+        (+15% safety margin) — shared by the two-step and fused
+        predicted paths so their buckets never diverge."""
+        pred_frames = int(
+            math.ceil(max_id_len * self._frames_per_token * ls * 1.15)
+        )
+        return self.policy.mel_bucket(pred_frames)
+
+    def _observe_frames_per_token(
+        self, actual: int, max_id_len: int, ls: float
+    ) -> None:
+        """Update the estimator: jump to a new maximum immediately
+        (upper bound), decay toward smaller observations slowly."""
+        if max_id_len <= 0:
+            return
+        obs = actual / (max_id_len * ls)
+        self._frames_per_token = (
+            obs
+            if obs > self._frames_per_token
+            else 0.99 * self._frames_per_token + 0.01 * obs
+        )
+
     def decode_launch_predicted(
         self,
         enc_out,
@@ -1052,30 +1082,20 @@ class SynthesisEngine:
         Returns (mel, z_mask, key, y_lengths) with ``y_lengths`` already
         resolved on host (the copy overlapped the decode dispatch).
         """
-        # the learned ratio is per TOKEN at length_scale 1.0: a request's
-        # length_scale multiplies durations linearly, so it divides out
-        # of the observation and multiplies back into the prediction —
-        # otherwise one lengthScale=2 request would poison the estimator
-        # (oversized buckets + a fresh XLA compile) for ~70 batches.
-        try:
-            ls = float(max(length_scale))  # type: ignore[arg-type]
-        except TypeError:
-            ls = float(length_scale)
-        ls = max(ls, 1e-6)
-        ratio = self._frames_per_token
+        ls = self._length_scale_max(length_scale)
         decoded = None
+        bucket = 0
         # prediction changes the decode program's noise SHAPE, so a
         # wider-than-exact bucket yields a different (equally valid)
         # noise draw.  Explicitly seeded requests promise bit
         # reproducibility and take the exact-bucket path.
         if (
-            ratio > 0.0
+            self._frames_per_token > 0.0
             and max_id_len > 0
             and row_seeds is None
             and seed is None
         ):
-            pred_frames = int(math.ceil(max_id_len * ratio * ls * 1.15))
-            bucket = self.policy.mel_bucket(pred_frames)
+            bucket = self._predict_mel_bucket(max_id_len, ls)
             decoded = self.decode_launch(
                 enc_out, None, g, n,
                 noise_scale=noise_scale, seed=seed, batch_index=batch_index,
@@ -1084,13 +1104,7 @@ class SynthesisEngine:
         # resolves the copy started at encode_launch; overlaps the decode
         y_lengths = np.asarray(enc_out[4])
         actual = int(y_lengths[:n].max())
-        if max_id_len > 0:
-            obs = actual / (max_id_len * ls)
-            self._frames_per_token = (
-                obs
-                if obs > self._frames_per_token
-                else 0.99 * self._frames_per_token + 0.01 * obs
-            )
+        self._observe_frames_per_token(actual, max_id_len, ls)
         if decoded is not None and actual <= bucket:
             mel, z_mask, key = decoded
         else:

@@ -5490,16 +5490,24 @@ _PAST_HOMOGRAPHS: typing.Dict[str, typing.Tuple[typing.List[str], typing.List[st
 }
 
 # "bass" flips on topic words rather than syntax: the fish is [bæs],
-# the music sense (default) is [beɪs].  The clause-window set extends
-# the adjacent-word set with verbs/places of the fishing field
-# ("the bass swam near the dock").
+# the music sense (default) is [beɪs].  Adjacent-word cues may be weak
+# place words (lake/river); the CLAUSE-window set is restricted to
+# strongly-fish words so "the bass player fell off the boat" keeps the
+# music reading, while an adjacent music head noun wins outright.
 _BASS_FISH_CUES = {
     "fish", "fishing", "caught", "catch", "lake", "river", "sea",
     "fresh", "smallmouth", "largemouth", "striped",
 }
-_BASS_FISH_CLAUSE_CUES = _BASS_FISH_CUES | {
-    "swam", "swim", "swims", "swimming", "pond", "dock", "boat",
-    "hook", "hooked", "angler", "fisherman", "bait", "reel", "water",
+_BASS_FISH_CLAUSE_CUES = {
+    "swam", "swim", "swims", "swimming", "fishing", "fish", "caught",
+    "catch", "angler", "anglers", "fisherman", "bait", "hooked",
+    "smallmouth", "largemouth", "spawn", "spawning",
+}
+_BASS_MUSIC_CUES = {
+    "player", "players", "guitar", "guitars", "line", "lines", "drum",
+    "drums", "amp", "amps", "solo", "clef", "singer", "voice", "band",
+    "speaker", "speakers", "boost", "frequency", "frequencies",
+    "volume", "notes",
 }
 
 # Semantic-field pairs: bow/tear are noun/noun homographs a POS tagger
@@ -5536,13 +5544,27 @@ _PLURAL_SUBJECT_STOP = {
     "yours", "theirs", "always", "perhaps", "less", "unless", "plus",
     "thus", "as", "is", "was", "has", "does", "gas", "this",
 }
+# A homograph followed by one of these is in NOUN position even after a
+# plural noun ("The sports record WAS broken") — copulas, auxiliaries,
+# prepositions, and relative pronouns never follow a bare transitive verb
+_NOUN_POSITION_NEXT = {
+    "was", "is", "are", "were", "been", "be", "has", "have", "had",
+    "will", "would", "may", "might", "must", "can", "could", "shall",
+    "should", "of", "in", "on", "at", "by", "with", "from", "that",
+    "which", "who", "went", "came", "stood", "rose", "fell",
+}
 
 _VERB_CUES = {
     "to", "will", "would", "can", "could", "shall", "should", "may",
     "might", "must", "cannot", "don't", "doesn't", "didn't", "won't",
     "i", "we", "you", "they", "please", "not", "gonna", "let's",
-    # imperative-chaining adverbs: "then wind the crank", "just record it"
-    "then", "now", "just", "simply",
+}
+
+# clause-initial adverbs that may precede a chained imperative ("Stop,
+# then wind the crank") — consumed by _imperative_position, NOT generic
+# verb cues: "Then record rainfall hit the city" keeps the noun reading
+_IMPERATIVE_ADVERBS = {
+    "then", "now", "just", "simply", "please", "first", "next", "finally",
 }
 _NOUN_CUES = {
     "the", "a", "an", "this", "that", "these", "those", "my", "your",
@@ -5614,16 +5636,25 @@ def _clause_tokens(
     return [context[k].lower() for k in range(lo, hi + 1)]
 
 
-def _clause_initial(
+def _imperative_position(
     context: typing.Optional[typing.Sequence[str]],
     index: int,
     prev: str,
 ) -> bool:
-    """True when the word is the first of its clause ("Wind the rope",
-    "..., then wind the rope").  Falls back to prev=="" when no token
-    stream was provided (direct phonemize calls)."""
+    """True when the word opens its clause ("Wind the rope") or follows
+    ONE clause-initial imperative adverb ("..., then wind the crank") —
+    mid-clause adverbs do NOT count ("Then record rainfall hit" is a
+    noun phrase).  Falls back to prev=="" when no token stream was
+    provided (direct phonemize calls)."""
     if context and 0 <= index < len(context):
-        return index == 0 or _is_break_token(context[index - 1])
+        if index == 0 or _is_break_token(context[index - 1]):
+            return True
+        return (
+            context[index - 1].lower() in _IMPERATIVE_ADVERBS
+            and (
+                index - 1 == 0 or _is_break_token(context[index - 2])
+            )
+        )
     return not prev
 
 
@@ -5699,18 +5730,25 @@ def phonemize(
             return list(noun)
         if prev_l in _VERB_CUES:
             return list(verb)
-        # imperative-initial: the homograph opens its clause and takes a
-        # determined object — a command reads as the verb ("Wind the
-        # rope", "Record the meeting")
-        if nxt_l in _DETERMINERS and _clause_initial(context, index, prev):
+        # imperative-initial: the homograph opens its clause (possibly
+        # after one imperative adverb) and takes a determined object — a
+        # command reads as the verb ("Wind the rope", "then wind the
+        # crank")
+        if nxt_l in _DETERMINERS and _imperative_position(
+            context, index, prev
+        ):
             return list(verb)
         # plural-subject: a plural noun directly before the homograph is
         # its subject, so the homograph is the verb ("The farms produce
-        # wheat") — gruut's POS tagger got these via NNS+VBP
+        # wheat") — gruut's POS tagger got these via NNS+VBP.  A
+        # following copula/auxiliary/preposition marks NOUN position
+        # instead ("The sports record was broken", "a sales increase in
+        # revenue"): attributive plural nouns are compounds, not subjects.
         if (
             len(prev_l) >= 4
             and prev_l.endswith("s")
             and prev_l not in _PLURAL_SUBJECT_STOP
+            and nxt_l not in _NOUN_POSITION_NEXT
             and (
                 prev_l[:-1] in LEXICON
                 or (prev_l.endswith("es") and prev_l[:-2] in LEXICON)
@@ -5734,6 +5772,8 @@ def phonemize(
             return list(past)
         return list(base)
     if w == "bass":
+        if prev.lower() in _BASS_MUSIC_CUES or nxt.lower() in _BASS_MUSIC_CUES:
+            return ["b", "ˈeɪ", "s"]
         clause = set(_clause_tokens(context, index))
         if (
             prev.lower() in _BASS_FISH_CUES

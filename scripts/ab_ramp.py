@@ -1,60 +1,36 @@
 #!/usr/bin/env python3
-"""Same-process alternating A/B of the vocode first-group ramp.
-
-Tunnel congestion swings run-to-run RTF far more than the effect under
-test, so separate bench processes cannot compare fairly.  This driver
-builds ONE warm engine and alternates ramp-on / ramp-off runs of the
-pangram batch within the same process, so both modes sample the same
-congestion profile; report per-mode medians.
+"""Same-process alternating A/B of the vocode first-group ramp
+(LARYNX_TPU_RAMP_FIRST_GROUP) on the pangram batch.  Round-5 rerun
+(10 pairs): ramp-on 0.93x of off — the ramp helps.
 
   python scripts/ab_ramp.py [-n 6]
 """
 
 import os
-import statistics
 import sys
-import time
 
 sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
 
 import larynx_tpu.runtime.engine as engine_module  # noqa: E402
+from ab_common import run_ab  # noqa: E402
 from bench import LENGTH_SCALE, build_engine, text_ids  # noqa: E402
 
 
 def main() -> None:
     n_pairs = int(sys.argv[sys.argv.index("-n") + 1]) if "-n" in sys.argv else 6
-    engine = build_engine("high", half=False)
-    batch = (text_ids() * 8)[:8]
 
     def set_ramp(on: bool) -> None:
         os.environ["LARYNX_TPU_RAMP_FIRST_GROUP"] = "1" if on else "0"
         engine_module.ramp_first_group.cache_clear()
 
-    def run_once() -> float:
-        t0 = time.perf_counter()
-        audios = engine.synthesize_batch(batch, length_scale=LENGTH_SCALE)
-        wall = time.perf_counter() - t0
-        audio_s = sum(a.shape[-1] for a in audios) / 22050
-        return wall / audio_s
-
-    # warm BOTH modes' compiled shapes before timing
-    for on in (True, False, True, False):
-        set_ramp(on)
-        run_once()
-
-    results = {True: [], False: []}
-    for i in range(n_pairs):
-        for on in ((True, False) if i % 2 == 0 else (False, True)):
-            set_ramp(on)
-            rtf = run_once()
-            results[on].append(rtf)
-            print(f"ramp={'on ' if on else 'off'} rtf={rtf:.6f}", flush=True)
-
-    on_med = statistics.median(results[True])
-    off_med = statistics.median(results[False])
-    print(
-        f"median ramp-on {on_med:.6f}  ramp-off {off_med:.6f}  "
-        f"on/off {on_med / off_med:.3f}"
+    run_ab(
+        build_engine("high", half=False),
+        (text_ids() * 8)[:8],
+        set_ramp,
+        ("ramp=on ", "ramp=off"),
+        n_pairs,
+        LENGTH_SCALE,
     )
 
 

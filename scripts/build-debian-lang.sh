@@ -32,20 +32,7 @@ PY
 )"
 [ ${#LANGS[@]} -gt 0 ] || read -r -a LANGS <<< "$ALL_LANGS"
 
-lang_name() {
-  case "$1" in
-    de-de) echo German ;;
-    en-us) echo "U.S. English" ;;
-    es-es) echo Spanish ;;
-    fr-fr) echo French ;;
-    it-it) echo Italian ;;
-    nl) echo Dutch ;;
-    ru-ru) echo Russian ;;
-    sv-se) echo Swedish ;;
-    sw) echo Swahili ;;
-    *) echo "no language name for $1" >&2; return 1 ;;
-  esac
-}
+. scripts/lang-names.sh  # sourced after cd to the repo root
 
 for LANG_CODE in "${LANGS[@]}"; do
   NAME="$(lang_name "$LANG_CODE")"

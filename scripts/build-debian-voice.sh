@@ -34,20 +34,7 @@ want_lang() {
   return 1
 }
 
-lang_name() {
-  case "$1" in
-    de-de) echo German ;;
-    en-us) echo "U.S. English" ;;
-    es-es) echo Spanish ;;
-    fr-fr) echo French ;;
-    it-it) echo Italian ;;
-    nl) echo Dutch ;;
-    ru-ru) echo Russian ;;
-    sv-se) echo Swedish ;;
-    sw) echo Swahili ;;
-    *) echo "$1" ;;
-  esac
-}
+. scripts/lang-names.sh  # sourced after cd to the repo root
 
 BUILT=0
 for LANG_DIR in "$VOICES_DIR"/*/; do

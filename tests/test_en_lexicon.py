@@ -176,6 +176,14 @@ def test_homographs_in_context(word, prev, nxt, expected):
         ("The farms increase their output.", "increase", "ɪnkɹˈis"),
         ("Fresh produce is expensive.", "produce", "pɹˈoʊdus"),
         ("She bought him a present.", "present", "pɹˈɛzənt"),
+        # attributive plural nouns are compounds, not subjects
+        ("The sports record was broken.", "record", "ɹˈɛkɚd"),
+        ("A sales increase in revenue.", "increase", "ˈɪnkɹis"),
+        # mid-clause adverbs are not imperative markers
+        ("Then record rainfall hit the city.", "record", "ɹˈɛkɚd"),
+        ("He was just present at the time.", "present", "pɹˈɛzənt"),
+        # adjacent music head noun beats incidental water words
+        ("The bass player fell off the boat.", "bass", "bˈeɪs"),
     ],
 )
 def test_homographs_clause_context(text, word, expected):
