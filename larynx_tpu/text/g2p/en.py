@@ -5553,6 +5553,17 @@ _NOUN_POSITION_NEXT = {
     "should", "of", "in", "on", "at", "by", "with", "from", "that",
     "which", "who", "went", "came", "stood", "rose", "fell",
 }
+# noun/ADJECTIVE homographs whose second column is a predicative
+# adjective: a preceding copula selects it ("the password is invalid",
+# "she is content")
+_COPULAS = {
+    "is", "was", "are", "were", "been", "be", "am", "seems", "seemed",
+    "looks", "looked", "feels", "felt", "remains", "remained", "stays",
+    "stayed", "being",
+}
+# only pairs whose SECOND column is the predicative adjective — for
+# perfect/separate/present the adjective IS the first (default) column
+_ADJ_AFTER_COPULA = {"invalid", "content"}
 
 _VERB_CUES = {
     "to", "will", "would", "can", "could", "shall", "should", "may",
@@ -5725,6 +5736,10 @@ def phonemize(
         # attributive position beats the determiner cue: "a minute
         # amount" is the adjective even though "a" says noun
         if w == "minute" and nxt_l in _MINUTE_ADJ_NOUNS:
+            return list(verb)
+        # predicative adjective after a copula: "the password is
+        # invalid", "she is content" (second column = the adjective)
+        if w in _ADJ_AFTER_COPULA and prev_l in _COPULAS:
             return list(verb)
         if prev_l in _NOUN_CUES:
             return list(noun)

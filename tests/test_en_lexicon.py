@@ -184,6 +184,27 @@ def test_homographs_in_context(word, prev, nxt, expected):
         ("He was just present at the time.", "present", "pɹˈɛzənt"),
         # adjacent music head noun beats incidental water words
         ("The bass player fell off the boat.", "bass", "bˈeɪs"),
+        # predicative adjective after a copula (second-column adjectives)
+        ("The password is invalid.", "invalid", "ɪnvˈæləd"),
+        ("The invalid needs care.", "invalid", "ˈɪnvələd"),
+        ("She is content with the result.", "content", "kəntˈɛnt"),
+        ("The content of the box.", "content", "kˈɑntɛnt"),
+        # first-column adjectives stay the default after a copula
+        ("The answer is perfect.", "perfect", "pˈɚfɪkt"),
+        ("He was present at the meeting.", "present", "pɹˈɛzənt"),
+        # round-5 fresh-battery spot checks
+        ("She will record a new album.", "record", "ɹɪkˈɔɹd"),
+        ("They object to the plan.", "object", "əbd͡ʒˈɛkt"),
+        ("He wound the bandage around his arm.", "wound", "wˈaʊnd"),
+        ("Tie the ribbon in a bow.", "bow", "bˈoʊ"),
+        ("The violinist raised her bow.", "bow", "bˈoʊ"),
+        ("A single tear fell.", "tear", "tˈɪɹ"),
+        ("The muscle tear healed slowly.", "tear", "tˈɛɹ"),
+        ("The farmers harvest and the mills produce flour.", "produce",
+         "pɹədˈus"),
+        ("Bass thumped from the speakers.", "bass", "bˈeɪs"),
+        ("Smallmouth bass are common here.", "bass", "bˈæs"),
+        ("Don't desert your post.", "desert", "dɪzˈɚt"),
     ],
 )
 def test_homographs_clause_context(text, word, expected):
