@@ -255,3 +255,195 @@ def make_time_sharded_vocode(
         use_pallas=use_pallas,
         voc_dtype=voc_dtype,
     )
+
+
+def waveglow_halo_frames(voc_cfg) -> int:
+    """Mel-frame halo covering WaveGlow's full receptive field.
+
+    The 12 flows chain sequentially, each WN stack sees
+    sum(2^i, i<wn_layers) * (k-1)/2 blocks per side, so the total
+    block-space halo is flows * (2^layers - 1) for k=3; divided by
+    blocks-per-frame (stride/groups) and widened by the cond transposed
+    conv's kernel/stride (4 frames at NVIDIA 1024/256 geometry), this is
+    the window margin inside which a chunk's samples equal the batched
+    program's.  ~100 frames at wn_256 — an order of magnitude beyond
+    HiFi-GAN's 36, so the grid plan only fires at long mels.
+    """
+    per_flow = (voc_cfg.wn_kernel_size - 1) // 2 * (
+        2**voc_cfg.wn_layers - 1
+    )
+    blocks_per_frame = voc_cfg.upsample_stride // voc_cfg.groups
+    cond_margin = -(-voc_cfg.upsample_kernel // voc_cfg.upsample_stride)
+    return -(-voc_cfg.flows * per_flow // blocks_per_frame) + cond_margin
+
+
+def make_waveglow_grid_vocode(
+    voc_cfg,
+    settings: AudioSettings,
+    devices,
+    n_rows: int,
+    n_time: int,
+    halo: int,
+    voc_dtype=jnp.float32,
+):
+    """WaveGlow sibling of :func:`make_grid_sharded_vocode`.
+
+    Build ``fn(voc_params, mel [B,M,C], z_mask [B,M], z [B,blocks,g],
+    bias_spec, strength, denoise) -> int16 [B, M*stride]`` vocoding a
+    batch over an ``n_rows x n_time`` device grid.  ``z`` is the
+    engine's pre-drawn, valid-masked prior (replicated along time; each
+    window slices its haloed span), so chunk audio matches the batched
+    program wherever the halo covers the receptive field
+    (:func:`waveglow_halo_frames`).  All flow ops are block-local
+    (dilated WN convs, 1x1 convinv, elementwise coupling), so the same
+    haloed-window argument as HiFi-GAN applies; the cond upsample is
+    recomputed per window from the haloed mel slice.
+    """
+    from larynx_tpu.runtime.engine import SILENCE_LOG_MEL
+
+    import numpy as np
+
+    import larynx_tpu.dsp.mel as dspmel
+    from larynx_tpu.models.waveglow import model as wg_model
+
+    devices = list(devices)
+    if len(devices) != n_rows * n_time:
+        raise ValueError(
+            f"grid {n_rows}x{n_time} needs {n_rows * n_time} devices, "
+            f"got {len(devices)}"
+        )
+    mesh = Mesh(
+        np.asarray(devices).reshape(n_rows, n_time), ("rows", "time")
+    )
+    stride = voc_cfg.upsample_stride
+    groups = voc_cfg.groups
+    blocks_per_frame = stride // groups
+    fft = settings.filter_length
+    hop = settings.hop_length
+
+    def window_vocode(voc_params, mel, z_mask, z):
+        """Vocode my row shard's haloed mel window; return my chunk as
+        FLOAT audio + per-row global peaks + global valid counts."""
+        m = mel.shape[1]
+        chunk = m // n_time
+        window = min(chunk + 2 * halo, m)
+        d = jax.lax.axis_index("time")
+        w_start = jnp.clip(d * chunk - halo, 0, m - window)
+        mel_w = jax.lax.dynamic_slice_in_dim(mel, w_start, window, 1)
+        mask_w = jax.lax.dynamic_slice_in_dim(z_mask, w_start, window, 1)
+        z_w = jax.lax.dynamic_slice_in_dim(
+            z, w_start * blocks_per_frame, window * blocks_per_frame, 1
+        )
+
+        mel_cm = jnp.swapaxes(mel_w.astype(jnp.float32), 1, 2)
+        mel_pp = dspmel.mel_postprocess(mel_cm, settings)
+        mel_pp = jnp.where(mask_w[:, None, :] > 0, mel_pp, SILENCE_LOG_MEL)
+        audio_w = wg_model.infer(
+            voc_params,
+            voc_cfg,
+            jnp.swapaxes(mel_pp, 1, 2).astype(voc_dtype),
+            z=z_w.astype(voc_dtype),
+        ).astype(jnp.float32)
+        off = (d * chunk - w_start) * stride
+        audio_c = jax.lax.dynamic_slice_in_dim(
+            audio_w, off, chunk * stride, 1
+        )
+        # z_mask is the FULL row (replicated along time): global y_len
+        n_valid = jnp.sum(z_mask, axis=1, dtype=jnp.int32) * stride
+        global_idx = d * chunk * stride + jnp.arange(chunk * stride)
+        valid = global_idx[None, :] < n_valid[:, None]
+        local_peak = jnp.max(
+            jnp.where(valid, jnp.abs(audio_c), 0.0), axis=-1
+        )
+        peak = jax.lax.pmax(local_peak, "time")
+        return audio_c, peak[:, None], n_valid[:, None]
+
+    def int16_scale(audio, peak):
+        scaled = jnp.clip(
+            audio * (32767.0 / jnp.maximum(peak, 0.01)),
+            -32767.0,
+            32767.0,
+        )
+        return scaled.astype(jnp.int16)
+
+    def sharded_plain(voc_params, mel, z_mask, z):
+        audio_c, peak, _ = window_vocode(voc_params, mel, z_mask, z)
+        return int16_scale(audio_c, peak)
+
+    specs_in = (P(), P("rows"), P("rows"), P("rows"))
+    plain = jax.jit(
+        jax.shard_map(
+            sharded_plain,
+            mesh=mesh,
+            in_specs=specs_in,
+            out_specs=P("rows", "time"),
+            check_vma=False,
+        )
+    )
+    float_chunks = jax.jit(
+        jax.shard_map(
+            window_vocode,
+            mesh=mesh,
+            in_specs=specs_in,
+            out_specs=(
+                P("rows", "time"),
+                P("rows", "time"),
+                P("rows", "time"),
+            ),
+            check_vma=False,
+        )
+    )
+
+    @jax.jit
+    def denoise_int16(audio, bias_spec, strength, n_valid):
+        audio = hifi_denoiser.denoise(audio, bias_spec, strength, fft, hop)
+        nf = jnp.maximum(n_valid - fft, 0)
+        nf = -(-nf // hop)
+        n_valid = nf * hop + fft
+        t = audio.shape[-1]
+        valid = jnp.arange(t)[None, :] < n_valid
+        peak = jnp.max(jnp.where(valid, jnp.abs(audio), 0.0), axis=-1)
+        return int16_scale(audio, peak[:, None])
+
+    def run(
+        voc_params,
+        mel,
+        z_mask,
+        z,
+        bias_spec=None,
+        strength=None,
+        denoise: bool = False,
+    ):
+        b, m = mel.shape[0], mel.shape[1]
+        m_pad = _round_up(m, n_time)
+        if m_pad != m:
+            mel = jnp.pad(
+                mel, ((0, 0), (0, m_pad - m), (0, 0)),
+                constant_values=SILENCE_LOG_MEL,
+            )
+            z_mask = jnp.pad(z_mask, ((0, 0), (0, m_pad - m)))
+            z = jnp.pad(
+                z, ((0, 0), (0, (m_pad - m) * blocks_per_frame), (0, 0))
+            )
+        b_pad = _round_up(b, n_rows)
+        if b_pad != b:
+            mel = jnp.pad(
+                mel, ((0, b_pad - b), (0, 0), (0, 0)),
+                constant_values=SILENCE_LOG_MEL,
+            )
+            z_mask = jnp.pad(z_mask, ((0, b_pad - b), (0, 0)))
+            z = jnp.pad(z, ((0, b_pad - b), (0, 0), (0, 0)))
+        with mesh:
+            if not denoise:
+                out = plain(voc_params, mel, z_mask, z)
+            else:
+                audio, _, n_valid = float_chunks(voc_params, mel, z_mask, z)
+                out = denoise_int16(
+                    jax.lax.slice_in_dim(audio, 0, b, axis=0),
+                    bias_spec,
+                    strength,
+                    jax.lax.slice_in_dim(n_valid, 0, b, axis=0)[:, :1],
+                )
+        return out[:b, : m * stride]
+
+    return run

@@ -292,6 +292,7 @@ class SynthesisEngine:
         # route counter for the single-utterance time-sharded vocode
         # (tests pin that the length gate picks the right path)
         self._time_shard_hits = 0
+        self._grid_shard_hits = 0
 
         self.dtype = jnp.bfloat16 if half else jnp.float32
         self.voc_dtype = jnp.bfloat16 if self.vocoder_half else jnp.float32
@@ -553,7 +554,6 @@ class SynthesisEngine:
                 # lazily per (n_rows, n_time) and cached.
                 self._ts_halo = ts_halo
                 self._grid_fns = {}
-                self._grid_shard_hits = 0
 
                 def build_grid(n_rows: int, n_time: int):
                     from larynx_tpu.parallel.time_shard import (
@@ -696,6 +696,32 @@ class SynthesisEngine:
                 return to_int16(audio, n_valid)
 
             self._vocode_gl = vocode_wg  # shares the non-hifi vocode slot
+
+            if self.mesh is not None:
+                # rows x time grid for partial mesh batches, WaveGlow
+                # flavor: the halo must cover the flows' chained WN
+                # receptive field (~100 frames at wn_256 — an order
+                # beyond HiFi's 36), so the plan only fires at long mels
+                from larynx_tpu.parallel.time_shard import (
+                    make_waveglow_grid_vocode,
+                    waveglow_halo_frames,
+                )
+
+                self._wg_halo_frames = waveglow_halo_frames(voc_cfg)
+                self._wg_grid_fns = {}
+
+                def build_wg_grid(n_rows: int, n_time: int):
+                    return make_waveglow_grid_vocode(
+                        voc_cfg,
+                        settings,
+                        list(self.mesh.devices.flat),
+                        n_rows,
+                        n_time,
+                        halo=self._wg_halo_frames,
+                        voc_dtype=self.voc_dtype,
+                    )
+
+                self._build_wg_grid_vocode = build_wg_grid
 
             @jax.jit
             def wg_bias_audio_fn(voc_params):
@@ -1190,6 +1216,31 @@ class SynthesisEngine:
         str_rows = self._row_values(denoiser_strength, b)
 
         if self.mesh is not None:
+            if 1 <= n_valid < self._n_data:
+                # rows x time grid (n_valid == 1 degenerates to a pure
+                # time shard); the WaveGlow halo makes the plan decline
+                # at short mels where the receptive-field tax loses
+                plan = self._grid_vocode_plan(
+                    n_valid, m, halo=self._wg_halo_frames, area=area
+                )
+                if plan is not None:
+                    fn = self._wg_grid_fns.get(plan)
+                    if fn is None:
+                        fn = self._wg_grid_fns[plan] = (
+                            self._build_wg_grid_vocode(*plan)
+                        )
+                    self._grid_shard_hits += 1
+                    part = fn(
+                        self.vocoder_params,
+                        jax.lax.slice_in_dim(mel, 0, n_valid, axis=0),
+                        jax.lax.slice_in_dim(z_mask, 0, n_valid, axis=0),
+                        jax.lax.slice_in_dim(z_full, 0, n_valid, axis=0),
+                        bias,
+                        self._row_param(str_rows[:n_valid], n_valid, 3),
+                        denoise,
+                    )
+                    _start_d2h(part)
+                    return [(part, list(range(n_valid)))]
             # the vocode program is plain jit (pure XLA, so GSPMD
             # partitions it); same uniform grouping as the HiFi branch
             strength = self._row_param(str_rows, b, 3)
@@ -1443,7 +1494,11 @@ class SynthesisEngine:
 
 
     def _grid_vocode_plan(
-        self, n_valid: int, m: int
+        self,
+        n_valid: int,
+        m: int,
+        halo: typing.Optional[int] = None,
+        area: typing.Optional[int] = None,
     ) -> typing.Optional[typing.Tuple[int, int]]:
         """Pick the (n_rows, n_time) vocode grid minimizing per-device
         work ``ceil(n_valid/r) * (m/t + 2*halo)`` frames (the model in
@@ -1455,9 +1510,17 @@ class SynthesisEngine:
         where an entire row shard would hold only padding are excluded:
         every device must carry at least one real row (padded rows may
         ride along in a shard that also holds real ones).
+
+        ``halo``/``area`` default to the HiFi-GAN values; the WaveGlow
+        route passes its own (receptive field ~100 frames, quarter area
+        cap), which makes the plan decline except at long mels — the
+        correct physics, not a missing feature.
         """
         n = self._n_data
-        halo = self._ts_halo
+        if halo is None:
+            halo = self._ts_halo
+        if area is None:
+            area = MAX_VOCODE_AREA
         best: typing.Optional[typing.Tuple[int, int]] = None
         best_w = m  # plain row sharding's per-device work
         for n_rows in range(n, 0, -1):
@@ -1473,7 +1536,7 @@ class SynthesisEngine:
                 -(-m // n_time) + (2 * halo if n_time > 1 else 0), m
             )
             work = rows_per * window
-            if work >= best_w or work > MAX_VOCODE_AREA:
+            if work >= best_w or work > area:
                 continue
             best, best_w = (n_rows, n_time), work
         return best

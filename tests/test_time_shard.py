@@ -316,3 +316,114 @@ def test_mesh_engine_partial_batch_uses_grid(small_models, monkeypatch):
         assert o.shape == r.shape
         diff = np.abs(o.astype(np.int32) - r.astype(np.int32))
         assert np.max(diff) <= 2, np.max(diff)
+
+
+def test_waveglow_grid_vocode_matches_batched(small_models, monkeypatch):
+    """WaveGlow sibling of the grid parity test: a 3-row batch on the
+    2x4 rows-x-time grid (halo = the flows' chained WN receptive field,
+    parallel/time_shard.py::waveglow_halo_frames) matches the
+    single-device batched program within one int16 step."""
+    import jax.numpy as jnp
+
+    from larynx_tpu.models.waveglow import WaveGlowConfig
+    from larynx_tpu.models.waveglow import model as wg
+    from larynx_tpu.parallel.time_shard import (
+        make_waveglow_grid_vocode,
+        waveglow_halo_frames,
+    )
+
+    monkeypatch.setenv("LARYNX_TPU_MESH", "on")
+    mesh = serving_mesh()
+    glow_cfg, glow_params, _, _ = small_models
+    wg_cfg = WaveGlowConfig(
+        mel_channels=80,
+        flows=4,
+        groups=8,
+        early_every=2,
+        early_size=2,
+        wn_kernel_size=3,
+        wn_channels=32,
+        wn_layers=2,
+        upsample_kernel=128,
+        upsample_stride=64,
+    )
+
+    def perturbed(key, cfg):
+        params = wg.init_params(key, cfg)
+        for i, flow in enumerate(params["flows"]):
+            k = jax.random.fold_in(key, 100 + i)
+            flow["wn"]["end_w"] = 0.1 * jax.random.normal(
+                k, flow["wn"]["end_w"].shape
+            )
+        return params
+
+    wg_params = perturbed(jax.random.PRNGKey(3), wg_cfg)
+    single = SynthesisEngine(
+        glow_params, glow_cfg, SETTINGS,
+        vocoder_kind="waveglow",
+        vocoder_params=wg_params,
+        vocoder_cfg=wg_cfg,
+        seed=7,
+    )
+
+    rng = np.random.default_rng(11)
+    m = 128
+    mel = jnp.asarray(
+        rng.uniform(-1.0, 1.0, size=(3, m, 80)).astype(np.float32)
+    )
+    lens = np.array([100, 128, 57])
+    z_mask = jnp.asarray(
+        (np.arange(m)[None, :] < lens[:, None]).astype(np.float32)
+    )
+    blocks = m * wg_cfg.upsample_stride // wg_cfg.groups
+    z = 0.9 * jax.random.normal(jax.random.PRNGKey(5), (3, blocks, 8))
+    z = jnp.where(
+        (jnp.arange(blocks)[None, :]
+         < (lens * wg_cfg.upsample_stride // wg_cfg.groups)[:, None]
+         )[..., None],
+        z, 0.0,
+    )
+    zero = jnp.zeros((1, 1, 1))
+    strength = jnp.zeros((3, 1, 1))
+    ref = np.asarray(
+        single._vocode_gl(wg_params, mel, z_mask, z, zero, strength, False)
+    )
+
+    halo = waveglow_halo_frames(wg_cfg)
+    assert halo == 4  # 4 flows x 3 blocks / 8 blocks-per-frame, +2 cond
+    grid_fn = make_waveglow_grid_vocode(
+        wg_cfg, SETTINGS, list(mesh.devices.flat), 2, 4, halo=halo
+    )
+    got = np.asarray(grid_fn(wg_params, mel, z_mask, z))
+    assert got.shape == ref.shape
+    diff = np.abs(got.astype(np.int32) - ref.astype(np.int32))
+    assert np.max(diff) <= 1, np.max(diff)
+    assert np.mean(diff != 0) < 1e-3, np.mean(diff != 0)
+
+    # halo=0 control: the receptive field crosses chunk seams
+    no_halo = make_waveglow_grid_vocode(
+        wg_cfg, SETTINGS, list(mesh.devices.flat), 2, 4, halo=0
+    )
+    got0 = np.asarray(no_halo(wg_params, mel, z_mask, z))
+    assert not np.array_equal(got0, ref)
+
+
+def test_waveglow_grid_plan_respects_big_halo(small_models):
+    """The WaveGlow halo (~100 frames at wn_256) makes the grid decline
+    at short mels and fire at long ones — the plan is family-aware."""
+    from larynx_tpu.models.waveglow import WaveGlowConfig
+    from larynx_tpu.parallel.time_shard import waveglow_halo_frames
+
+    halo = waveglow_halo_frames(WaveGlowConfig())
+    assert 90 <= halo <= 110  # 12 flows x 255 blocks / 32, +4 cond
+
+    eng = _make_engine(small_models, mesh=None)
+    eng._n_data = 8
+    eng._ts_halo = 36
+    # short mel: receptive-field tax loses to plain row sharding
+    assert eng._grid_vocode_plan(3, 512, halo=halo) is None
+    # long mel: time sharding pays even with the big halo
+    plan = eng._grid_vocode_plan(3, 4096, halo=halo)
+    assert plan is not None
+    n_rows, n_time = plan
+    assert n_rows * n_time == 8 and n_time > 1
