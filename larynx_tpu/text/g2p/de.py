@@ -99,6 +99,17 @@ def _context(word: str, i: int):
     # hoffentlich, wesentlich, ordentlich)
     if word.startswith("entlich", i) and i > 0:
         return 7, ["ə", "n", "t", "l", "ɪ", "ç"]
+    # word-final -erung after a consonant is the unstressed -er(n)+ung
+    # nominalization with schwa (Änderung, Wanderung, Bevölkerung) — the
+    # open-syllable default would read it [eːʁʊŋ].  A vowel before keeps
+    # its own rule (Regierung: -ierung = [iːʁʊŋ]).
+    if (
+        word.startswith("erung", i)
+        and i + 5 == len(word)
+        and i > 0
+        and prev not in "aeiouäöüy"
+    ):
+        return 5, ["ə", "ʁ", "ʊ", "ŋ"]
     # Latin -tion- is [tsjoːn] (Lektion, funktionieren); never word-initial
     if word.startswith("tion", i) and i > 0:
         return 4, ["t͡s", "j", "oː", "n"]
@@ -550,4 +561,20 @@ def phonemize(word: str) -> typing.List[str]:
                 and _has_vowel(w[len(pre) + 2:])
             ):
                 return list(sounds) + phonemize(w[len(pre):])
+        # ver-/zer-/er- before a VOWEL-initial stem keep the short open
+        # prefix vowel (verein, verantwortlich, erinnern) — the general
+        # rules would read the open-syllable e long ([feːʁ...])
+        for pre, sounds in (
+            ("ver", ["f", "ɛ", "ʁ"]),
+            ("zer", ["t͡s", "ɛ", "ʁ"]),
+            ("er", ["ɛ", "ʁ"]),
+        ):
+            rest = w[len(pre):]
+            if (
+                w.startswith(pre)
+                and len(rest) >= 3
+                and rest[0] in "aeiouäöü"
+                and _has_vowel(rest[1:])
+            ):
+                return list(sounds) + phonemize(rest)
     return apply_rules(w, _RULES, _context)

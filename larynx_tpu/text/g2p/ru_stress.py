@@ -215,6 +215,8 @@ _STEM_RAW = """
 д+ел сд+ел д+ум под+ум сл+уш посл+уш спр+аш встр+ет
 прим+ер университ+ет господ+ин велосип+ед д+оллар +евр ф+унт ц+ент
 раб+от зн+а узн+а ч+увств в+ид ув+ид сл+ыш усл+ыш
+сл+едующ раб+отающ д+елающ зн+ающ б+удущ д+ействующ
+соотв+етствующ уч+ащ нач+инающ жел+ающ игр+ающ чит+ающ
 ст+ав пост+ав п+омн зап+омн в+ер пров+ер зн+ач гот+ов
 пр+ав ч+ист +ех +ед при+ех у+ех
 кн+иг маш+ин к+омнат дор+ог м+узык д+евочк б+абочк

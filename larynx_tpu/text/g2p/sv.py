@@ -197,9 +197,14 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     "återseende": ("²", "'oː", "t", "ɛ", "r", "s", "eː", "ɛ", "n", "d", "ɛ"),
     "långsammare": ("²", "l", "'ɔ", "ŋ", "s", "a", "m", "a", "r", "ɛ"),
     "procent": ("p", "r", "uː", "s", "'ɛ", "n", "t"),
-    "besök": ("b", "eː", "s", "'øː", "k"),
-    "besöker": ("b", "eː", "s", "'øː", "k", "ɛ", "r"),
-    "besöka": ("b", "eː", "s", "'øː", "k", "a"),
+    # 6-letter -ende participles miss the suffix guard (len > len+2)
+    "gående": ("²", "ɡ", "'oː", "ɛ", "n", "d", "ɛ"),
+    "stående": ("²", "s", "t", "'oː", "ɛ", "n", "d", "ɛ"),
+    "leende": ("²", "l", "'eː", "ɛ", "n", "d", "ɛ"),
+    "boende": ("²", "b", "'uː", "ɛ", "n", "d", "ɛ"),
+    "besök": ("b", "ɛ", "s", "'øː", "k"),
+    "besöker": ("b", "ɛ", "s", "'øː", "k", "ɛ", "r"),
+    "besöka": ("b", "ɛ", "s", "'øː", "k", "a"),
     "idag": ("iː", "d", "'ɑː", "ɡ"),
     "igår": ("iː", "ɡ", "'oː", "r"),
     "imorgon": ("iː", "m", "'ʊ", "r", "ɡ", "ʊ", "n"),
@@ -305,12 +310,25 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
 # stem (gästerna [ˈjɛsterna], slutade [ˈslʉːtadə], läkare [ˈlɛːkarə],
 # våningen [ˈvoːnɪŋen], nyttiga [ˈnʏtːɪɡa]).  Value = vowel count.
 _NEUTRAL_SUFFIXES = (
+    ("ande", 2), ("ende", 2),  # participles stress the stem (följande)
     ("ingen", 2), ("erna", 2), ("arna", 2), ("orna", 2), ("ades", 2),
     ("elser", 2), ("else", 2),
     ("ligheter", 3), ("igheter", 3), ("erheter", 3),
     ("lighet", 2), ("ighet", 2), ("erhet", 2),
     ("aren", 2), ("ade", 2), ("are", 2), ("ena", 2), ("iga", 2),
 )
+
+# be-ROOT words the prefix rule must not split (ben/beta/bebis
+# inflections pass the onset test but are roots with initial stress)
+_BE_ROOT = frozenset({
+    "benen", "benet", "bebis", "bebisar", "bedja", "betar", "betade",
+    "betat", "beten", "betet", "besten", "bestar",
+})
+_BE_STEM_CLUSTERS = frozenset({
+    "bl", "br", "dr", "fj", "fl", "fr", "gl", "gr", "gn", "kl", "kn",
+    "kr", "kv", "pl", "pr", "sk", "sl", "sm", "sn", "sp", "st", "sv",
+    "tr", "tv", "vr", "tj",
+})
 
 # Compound numbers stress the final element (fyrtiofem [fʏrtiʊˈfɛm])
 _NUM_TAILS = ("åtta", "fyra", "ett", "två", "tre", "fem", "sex", "sju",
@@ -378,6 +396,27 @@ def phonemize(word: str) -> typing.List[str]:
         if "²" in hit:
             return stressed
         return _with_accent2(w, stressed)
+    # unstressed be- prefix: [b ɛ] + the stem's own stress and no ²
+    # (betalar, befolkning, beundra).  Swedish vowel length marks
+    # stress in these voices — the inventory has no plain short e, and
+    # an unstressed LONG [beː-] is phonologically unrepresentable; the
+    # non-initial stress also suppresses the grave accent (matching the
+    # convention note in _with_accent2).  be-ROOT words are blocklisted
+    # (benen) or fail the stem-onset test (bensin, berget).
+    if (
+        w.startswith("be")
+        and len(w) > 4
+        and w not in _BE_ROOT
+        and any(c in "aeiouyåäö" for c in w[2:])
+    ):
+        stem = w[2:]
+        onset_ok = (
+            stem[0] in "aeiouyåäö"
+            or (len(stem) > 1 and stem[1] in "aeiouyåäö")
+            or stem[:2] in _BE_STEM_CLUSTERS
+        )
+        if onset_ok:
+            return ["b", "ɛ"] + [p for p in phonemize(stem) if p != "²"]
     # compound numbers: unstressed head + the final element's own
     # pronunciation (trehundrasextiofem -> ...sextio + 'fem)
     for tail in _NUM_TAILS:
