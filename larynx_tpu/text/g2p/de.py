@@ -119,6 +119,10 @@ def _context(word: str, i: int):
     # French -eur is [øːɐ] (Friseur, Amateur)
     if word.startswith("eur", i) and i > 0 and i + 3 == len(word):
         return 3, ["øː", "ɐ"]
+    # -äisch adjectives read the ä long with a separate ɪ
+    # (europäisch [ɔʏ̯ʁoːpɛːɪʃ])
+    if word.startswith("äisch", i):
+        return 2, ["ɛː", "ɪ"]
     # -igkeit keeps the ich-Laut (Schwierigkeit)
     if word.startswith("igkeit", i) and i > 0:
         return 6, ["ɪ", "ç", "k", "aɪ̯", "t"]
@@ -262,6 +266,9 @@ def _context(word: str, i: int):
 # ge-/be- prefixes (vs ge-/be- stems like "geben"), unpredictable vowel
 # length before ch, loanword stress shapes.  Hand-verified standard German.
 _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
+    # muta-cum-liquida open syllables the cluster heuristic misses
+    "übrig": ("yː", "b", "ʁ", "ɪ", "ç"),
+    "übrigens": ("yː", "b", "ʁ", "ɪ", "g", "ə", "n", "s"),
     # measurement vocabulary (Latin/English loans)
     "celsius": ("t͡s", "ɛ", "l", "z", "j", "ʊ", "s"),
     "fahrenheit": ("f", "aː", "ʁ", "ə", "n", "h", "aɪ̯", "t"),
@@ -561,6 +568,16 @@ def phonemize(word: str) -> typing.List[str]:
                 and _has_vowel(w[len(pre) + 2:])
             ):
                 return list(sounds) + phonemize(w[len(pre):])
+        # un- before g is a morpheme boundary (ungefähr, unglaublich,
+        # ungünstig): n|g must not merge into ŋ; Ungarn/ungarisch keep
+        # the word-internal ŋ
+        if (
+            w.startswith("ung")
+            and len(w) > 5
+            and not w.startswith("ungar")
+            and _has_vowel(w[3:])
+        ):
+            return ["ʊ", "n"] + phonemize(w[2:])
         # ver-/zer-/er- before a VOWEL-initial stem keep the short open
         # prefix vowel (verein, verantwortlich, erinnern) — the general
         # rules would read the open-syllable e long ([feːʁ...])

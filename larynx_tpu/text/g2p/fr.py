@@ -76,6 +76,29 @@ def _context(word: str, i: int):
     nxt = word[i + 1] if i + 1 < len(word) else ""
     nxt2 = word[i + 2] if i + 2 < len(word) else ""
 
+    # Greek clusters: psych- is [psik] even before a vowel (psychologue,
+    # psychiatre); ch before a consonant is [k] (technologie, chlore,
+    # chrétien, arachnide) — the default ch = [ʃ] only holds prevocalic
+    if i == 0 and word.startswith("psych"):
+        return 5, ["p", "s", "i", "k"]
+    if word.startswith("ch", i) and nxt2 in _CONSONANTS:
+        return 2, ["k"]
+    # -eilleux/-eilleuse adjectives: the eill glide + the -eux suffix
+    # (merveilleux [mɛʁvɛjø]) — longest-match "eille" would otherwise
+    # strand "ux" as [y].  After the gu/cu digraph the nucleus is œ
+    # (orgueilleux [ɔʁɡœjø], as in accueil/orgueil)
+    if word.startswith("eilleu", i) and word[i + 6 : i + 7] in ("x", "s"):
+        nucleus = "œ" if i > 0 and word[i - 1] == "u" else "ɛ"
+        return 6, [nucleus, "j", "ø"]
+    # e before the [k]-reading ch cluster sits in a closed syllable
+    # (technologie [tɛknɔlɔʒi]) — the open-syllable schwa must not fire
+    if (
+        ch == "e"
+        and word.startswith("ch", i + 1)
+        and word[i + 3 : i + 4] in _CONSONANTS
+    ):
+        return 1, ["ɛ"]
+
     # ain/aim/ein/oin/uin followed by a vowel are NOT nasal — the n/m
     # starts the next syllable (semaine, vraiment, moine, ruine): emit
     # the oral digraph reading and leave the n/m to its own rule.  The

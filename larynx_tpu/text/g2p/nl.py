@@ -98,12 +98,14 @@ def _context(word: str, i: int):
         _n_vowel_letters(word[:i]) >= 1 or (i == 1 and word[i:] == "e")
     ):
         tail = word[i:]
-        # unstressed -elijk(e/s) adjectives (hartelijk, vriendelijke)
-        if tail.startswith("elijk"):
-            rest = tail[5:]
-            if rest in ("", "e", "s", "er", "ers", "ste", "heid",
-                        "heden"):
-                return 5, ["ə", "l", "ə", "k"]
+        # unstressed -elijk(e/s) adjectives (hartelijk, vriendelijke);
+        # -ellijk spellings share the stem-final l (onmiddellijk)
+        for suf in ("ellijk", "elijk"):
+            if tail.startswith(suf):
+                rest = tail[len(suf):]
+                if rest in ("", "e", "s", "er", "ers", "ste", "heid",
+                            "heden"):
+                    return len(suf), ["ə", "l", "ə", "k"]
         if tail in ("e", "en", "el", "em", "es", "et", "er", "erd",
                     "ers", "erg", "eren", "elen", "els", "ens", "enen",
                     "emen", "end", "ends"):
@@ -165,6 +167,7 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     "arbeid": ("ɑ", "ɹ", "b", "ɛi", "t"),
     "vriendelijk": ("v", "ɹ", "i", "n", "d", "ə", "l", "ə", "k"),
     "moeilijk": ("m", "u", "j", "l", "ə", "k"),
+    "onmiddellijk": ("ɔ", "n", "ˈ", "m", "ɪ", "d", "ə", "l", "ə", "k"),
     "eigenlijk": ("ɛi", "ɣ", "ə", "l", "ə", "k"),
     "natuurlijk": ("n", "ɑ", "t", "yː", "ɹ", "l", "ə", "k"),
     "geschiedenis": ("ɣ", "ə", "s", "x", "i", "d", "ə", "n", "ɪ", "s"),

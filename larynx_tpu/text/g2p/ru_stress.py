@@ -145,6 +145,8 @@ _EXACT_RAW = """
 л+ошади лошад+ей лошадьм+и
 пл+ощади площад+ей площад+ям пл+ощадь
 н+овости новост+ей новост+ям н+овость
+по+этому д+еятельность д+еятельности д+еятельностью д+еятель
+д+еятели д+еятеля д+еятелей
 +области област+ей +область
 ч+асти част+ей част+ям
 +очереди очеред+ей +очередь
@@ -216,6 +218,7 @@ _STEM_RAW = """
 прим+ер университ+ет господ+ин велосип+ед д+оллар +евр ф+унт ц+ент
 раб+от зн+а узн+а ч+увств в+ид ув+ид сл+ыш усл+ыш
 сл+едующ раб+отающ д+елающ зн+ающ б+удущ д+ействующ
+сег+одняшн
 соотв+етствующ уч+ащ нач+инающ жел+ающ игр+ающ чит+ающ
 ст+ав пост+ав п+омн зап+омн в+ер пров+ер зн+ач гот+ов
 пр+ав ч+ист +ех +ед при+ех у+ех

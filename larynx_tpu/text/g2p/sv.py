@@ -202,6 +202,8 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     "stående": ("²", "s", "t", "'oː", "ɛ", "n", "d", "ɛ"),
     "leende": ("²", "l", "'eː", "ɛ", "n", "d", "ɛ"),
     "boende": ("²", "b", "'uː", "ɛ", "n", "d", "ɛ"),
+    "närvarande": ("²", "n", "'ɛː", "r", "v", "ɑː", "r", "a", "n",
+                   "d", "ɛ"),
     "besök": ("b", "ɛ", "s", "'øː", "k"),
     "besöker": ("b", "ɛ", "s", "'øː", "k", "ɛ", "r"),
     "besöka": ("b", "ɛ", "s", "'øː", "k", "a"),
