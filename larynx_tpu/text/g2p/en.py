@@ -4666,6 +4666,56 @@ megahertz m ˈɛ ɡ ə h ˌɚ t s
 gigahertz ɡ ˈɪ ɡ ə h ˌɚ t s
 fahrenheit f ˈɛ ɹ ə n h ˌaɪ t
 celsius s ˈɛ l s i ə s
+xylophone z ˈaɪ l ə f ˌoʊ n
+xenon z ˈi n ɑ n
+xerox z ˈɪ ɹ ɑ k s
+xavier z ˈeɪ v i ɚ
+charisma k ɚ ˈɪ z m ə
+charismatic k ˌɛ ɹ ɪ z m ˈæ t ɪ k
+chord k ˈɔ ɹ d
+bourgeois b ʊ ɹ ʒ w ˈɑ
+camouflage k ˈæ m ə f l ˌɑ ʒ
+lingerie l ˌɑ n ʒ ə ɹ ˈeɪ
+cue k j ˈu
+meringue m ə ɹ ˈæ ŋ
+jeopardy d͡ʒ ˈɛ p ɚ d i
+jeopardize d͡ʒ ˈɛ p ɚ d ˌaɪ z
+trough t ɹ ˈɔ f
+dough d ˈoʊ
+awry ə ɹ ˈaɪ
+anemone ə n ˈɛ m ə n i
+facade f ə s ˈɑ d
+fiance f ˌi ɑ n s ˈeɪ
+fiancee f ˌi ɑ n s ˈeɪ
+victual v ˈɪ t ə l
+quay k ˈi
+ewe j ˈu
+aye ˈaɪ
+ricochet ɹ ˈɪ k ə ʃ ˌeɪ
+womb w ˈu m
+psalm s ˈɑ m
+balm b ˈɑ m
+embalm ɪ m b ˈɑ m
+soften s ˈɔ f ə n
+wrestle ɹ ˈɛ s ə l
+wretched ɹ ˈɛ t͡ʃ ɪ d
+benign b ɪ n ˈaɪ n
+malign m ə l ˈaɪ n
+whom h ˈu m
+phoenix f ˈi n ɪ k s
+pharaoh f ˈɛ ɹ oʊ
+buffalo b ˈʌ f ə l ˌoʊ
+solder s ˈɑ d ɚ
+vineyard v ˈɪ n j ɚ d
+asthma ˈæ z m ə
+isthmus ˈɪ s m ə s
+xenophobia z ˌɛ n ə f ˈoʊ b i ə
+tornado t ɔ ɹ n ˈeɪ d oʊ
+utah j ˈu t ˌɑ
+elijah ɪ l ˈaɪ d͡ʒ ə
+savannah s ə v ˈæ n ə
+spa s p ˈɑ
+bra b ɹ ˈɑ
 """
 
 LEXICON: typing.Dict[str, typing.List[str]] = {}
@@ -4910,6 +4960,9 @@ def _apply_rules(word: str) -> typing.List[str]:
             word = sound + word[2:]
             n = len(word)
             break
+    # word-initial x is [z] (xylophone, xenon, xerox) — never [ks]
+    if word.startswith("x") and n > 1:
+        word = "z" + word[1:]
     body = _collapse_geminates(word[:-1] if magic_e else word)
     if magic_e:
         body_vowels = {"a": "ˈeɪ", "i": "ˈaɪ", "o": "ˈoʊ", "u": "ˈu", "e": "ˈi"}
@@ -4950,6 +5003,32 @@ def _apply_rules(word: str) -> typing.List[str]:
                 out.append("j")
             else:
                 out.append("i" if i == len(body) - 1 else "ɪ")
+            i += 1
+            continue
+        # word-final vowel-letter phonology (the default single-letter
+        # rules below describe CLOSED syllables): final unstressed -a is
+        # schwa (sofa, data, charisma — never [æ]), final -ah likewise
+        # with a silent h (sarah, hannah), final -o says its name
+        # (buffalo, piano, zero — never [ɑ]), and a final h after any
+        # vowel is mute (pharaoh, hurrah)
+        if ch == "a" and len(body) >= 4 and i == len(body) - 2 and body[i:] == "ah":
+            out.append("ə")
+            i += 2
+            continue
+        if ch == "a" and i == len(body) - 1 and len(body) >= 4:
+            out.append("ə")
+            i += 1
+            continue
+        if ch == "o" and i == len(body) - 1 and len(body) >= 3:
+            out.append("oʊ")
+            i += 1
+            continue
+        if (
+            ch == "h"
+            and i == len(body) - 1
+            and out
+            and out[-1].lstrip("ˈˌ") in _VOWEL_SYMBOLS
+        ):
             i += 1
             continue
         for pattern, phones in _RULES:
@@ -5314,7 +5393,12 @@ def _oov_phonemize(w: str, depth: int = 0) -> typing.List[str]:
         # consonant+le only (little, handle) — vowel+le is magic-e (mile)
         if suffix == "le" and prefix[-1] not in _CONSONANT_LETTERS:
             continue
-        if prefix in LEXICON:
+        # a 2-3 letter vowel-final lexicon word (spa, bra) is a false
+        # stem here — "spacious" is spa-cious the open syllable, not
+        # spa+cious the compound — so the name-saying branch wins
+        if prefix in LEXICON and not (
+            prefix[-1] in "aeiou" and len(prefix) <= 3
+        ):
             prefix_ph = list(LEXICON[prefix])
         elif prefix[-1] in "aeiou" and len(prefix) >= 2:
             # a prefix-final vowel sits in an open syllable before the
