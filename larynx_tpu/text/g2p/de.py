@@ -41,6 +41,7 @@ _RULES = [
     ("üh", "yː"),
     ("ng", "ŋ"),
     ("ß", "s"),
+    ("é", "eː"),  # French loans: Café, Attaché
     ("ä", "ɛ"),
     ("ö", "œ"),
     ("ü", "ʏ"),
@@ -59,6 +60,7 @@ _LONG = {"a": "aː", "e": "eː", "i": "iː", "o": "oː", "u": "uː", "ä": "ɛː
 _DOUBLE_MAP = {
     "b": "b", "d": "d", "f": "f", "g": "g", "l": "l", "m": "m",
     "n": "n", "p": "p", "r": "ʁ", "s": "s", "t": "t",
+    "z": "t͡s",  # Italian loans: Pizza, Skizze — one affricate, not two
 }
 
 _VOWEL_LETTERS = "aeiouäöüy"
@@ -92,6 +94,10 @@ def _context(word: str, i: int):
     # must not merge into the t͡ʃ affricate (Wirtschaft, Botschaft)
     if ch == "t" and word.startswith("tschaft", i) and i > 0:
         return 1, ["t"]
+    # ent- prefix before an sch- stem likewise (entscheiden,
+    # entschlossen): the prefix-final t never affricates
+    if ch == "t" and i == 2 and word.startswith("entsch"):
+        return 1, ["t"]
     # -en- linker before -schaft stays schwa (Wissenschaften)
     if word.startswith("enschaft", i) and i > 0:
         return 2, ["ə", "n"]
@@ -119,6 +125,17 @@ def _context(word: str, i: int):
     # French -eur is [øːɐ] (Friseur, Amateur)
     if word.startswith("eur", i) and i > 0 and i + 3 == len(word):
         return 3, ["øː", "ɐ"]
+    # word-final -ien in country/region names and Latin plurals is the
+    # unstressed glide syllable [jən] (Italien, Spanien, Familien,
+    # Ferien) — monosyllabic stems keep long i (Wien, knien)
+    if (
+        word.startswith("ien", i)
+        and i + 3 == len(word)
+        and i >= 2
+        and prev not in _VOWEL_LETTERS
+        and _n_vowel_letters(word) >= 3
+    ):
+        return 3, ["j", "ə", "n"]
     # -äisch adjectives read the ä long with a separate ɪ
     # (europäisch [ɔʏ̯ʁoːpɛːɪʃ])
     if word.startswith("äisch", i):
@@ -167,6 +184,16 @@ def _context(word: str, i: int):
     # unstressed er after a vowel is [ɐ] (dauer, feuer, bauer)
     if ch == "e" and nxt == "r" and prev and prev in _VOWEL_LETTERS:
         return 2, ["ɐ"]
+    # -er- inside the common unstressed prefixes reduces to [ɐ] when the
+    # word continues (unternehmen, hinterher, außerdem, wiederholen)
+    if (
+        ch == "e"
+        and nxt == "r"
+        and i + 2 < len(word)
+        and word[i + 2] not in _VOWEL_LETTERS
+        and word[: i + 2] in ("unter", "hinter", "außer", "wieder", "unser")
+    ):
+        return 2, ["ɐ"]
     # ß orthographically follows only long vowels/diphthongs (groß,
     # Straße, Großmutter)
     if ch in _LONG and nxt == "ß":
@@ -181,8 +208,11 @@ def _context(word: str, i: int):
         and not (ch == "d" and nxt == "t")
     ):
         return 1, [{"b": "p", "d": "t", "g": "k"}[ch]]
-    # s before vowel is voiced
+    # s before vowel is voiced — except after a plosive onset (Psychologie,
+    # Pseudonym keep voiceless [ps])
     if ch == "s" and nxt and nxt in _VOWEL_LETTERS:
+        if i == 1 and word[0] == "p":
+            return 1, ["s"]
         return 1, ["z"]
     # n assimilates before k (danke, trinken, links)
     if ch == "n" and nxt == "k":
@@ -294,6 +324,23 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     "hotel": ("h", "oː", "t", "ɛ", "l"),
     "kaffee": ("k", "a", "f", "eː"),
     "familie": ("f", "a", "m", "iː", "l", "j", "ə"),
+    # -ie finals that read [jə] instead of stressed [iː] (lexical class)
+    "linie": ("l", "iː", "n", "j", "ə"),
+    "serie": ("z", "eː", "ʁ", "j", "ə"),
+    "studie": ("ʃ", "t", "uː", "d", "j", "ə"),
+    "aktie": ("a", "k", "t͡s", "j", "ə"),
+    "folie": ("f", "oː", "l", "j", "ə"),
+    "bequem": ("b", "ə", "k", "v", "eː", "m"),
+    "handy": ("h", "ɛ", "n", "d", "iː"),
+    "restaurant": ("ʁ", "ɛ", "s", "t", "oː", "ʁ", "ãː"),
+    "internet": ("ɪ", "n", "t", "ɐ", "n", "ɛ", "t"),
+    "außerdem": ("aʊ̯", "s", "ɐ", "d", "eː", "m"),
+    "familien": ("f", "a", "m", "iː", "l", "j", "ə", "n"),
+    "hinterher": ("h", "ɪ", "n", "t", "ɐ", "h", "eː", "ɐ"),
+    "untere": ("ʊ", "n", "t", "ə", "ʁ", "ə"),
+    "unteren": ("ʊ", "n", "t", "ə", "ʁ", "ə", "n"),
+    "unterer": ("ʊ", "n", "t", "ə", "ʁ", "ɐ"),
+    "modern": ("m", "oː", "d", "ɛ", "ʁ", "n"),
     "gesicht": ("g", "ə", "z", "ɪ", "ç", "t"),
     "gesehen": ("g", "ə", "z", "eː", "ə", "n"),
     "gesagt": ("g", "ə", "z", "aː", "k", "t"),
