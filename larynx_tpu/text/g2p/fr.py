@@ -32,7 +32,7 @@ _RULES = [
     ("eilli", "ɛ j i"),
     ("eille", "ɛ j"), ("eil", "ɛ j"),
     ("aille", "a j"), ("ail", "a j"),
-    ("euille", "œ j"), ("euil", "œ j"), ("ueil", "œ j"),
+    ("euille", "œ j"), ("euil", "œ j"), ("ueill", "œ j"), ("ueil", "œ j"),
     ("ouille", "u j"), ("ouil", "u j"),
     ("ill", "i j"),
     ("ou", "u"), ("où", "u"), ("oû", "u"),
@@ -75,6 +75,7 @@ def _context(word: str, i: int):
     ch = word[i]
     nxt = word[i + 1] if i + 1 < len(word) else ""
     nxt2 = word[i + 2] if i + 2 < len(word) else ""
+    prev = word[i - 1] if i > 0 else ""
 
     # Greek clusters: psych- is [psik] even before a vowel (psychologue,
     # psychiatre); ch before a consonant is [k] (technologie, chlore,
@@ -150,6 +151,30 @@ def _context(word: str, i: int):
     # nasal handling yields [j ɑ̃] (patient, orient)
     if word.startswith("ien", i) and word[i + 3 :] in ("", "s"):
         return len(word) - i, ["j", "ɛ̃"]
+    # word-final -en after é/y is also [ɛ̃] (européen, moyen, citoyen)
+    if (
+        word.startswith("en", i)
+        and word[i + 2 :] in ("", "s")
+        and prev  # NB: '' is "in" every string
+        and prev in "éy"
+    ):
+        return len(word) - i, ["ɛ̃"]
+    # -emment adverbs say [a m ɑ̃] (évidemment, récemment, prudemment)
+    if word.startswith("emment", i) and i > 0 and i + 6 == len(word):
+        return 6, ["a", "m", "ɑ̃"]
+    # English loan digraph sh -> [ʃ] (short, flash) — not across the
+    # dés+h morpheme seam (déshabiller is [dez...])
+    if word.startswith("sh", i) and word[:i] not in ("dé", "de", "tran"):
+        return 2, ["ʃ"]
+    # English loan final -ing is [i ŋ] (parking, camping) — native
+    # vowel+ing finals are the nasal [ɛ̃] (poing, coing, shampooing)
+    if (
+        word.startswith("ing", i)
+        and i + 3 == len(word)
+        and i >= 3
+        and prev not in "aeiouyéè"
+    ):
+        return 3, ["i", "ŋ"]
 
     # nasal vowels: vowel + n/m in coda (followed by consonant or word
     # end; NOT by a vowel, h, or a doubled n/m).  "" would count as a
@@ -178,6 +203,10 @@ def _context(word: str, i: int):
         if nxt and nxt in "eiyéè":
             return 1, ["ʒ"]
         if nxt == "u" and nxt2 and nxt2 in "eiyéè":
+            # g + ueil: the u belongs to the [œ j] nucleus (orgueil),
+            # not to the silent-u digraph
+            if word.startswith("ueil", i + 1):
+                return 1, ["ɡ"]
             return 2, ["ɡ"]  # silent u
         return 1, ["ɡ"]
     if (
@@ -185,7 +214,7 @@ def _context(word: str, i: int):
         and i > 0
         and word[i - 1] in "aeiouyéè"
         and nxt
-        and nxt in "aeiouyéè"
+        and nxt in "aeiouyéèh"  # mute h keeps s intervocalic (déshabiller)
     ):
         return 1, ["z"]  # intervocalic s
     # doubled consonants collapse to one sound (c/g doubles are left to
@@ -267,6 +296,44 @@ def _context(word: str, i: int):
 _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     # Latin loan: final -us is [ys] with the s sounded
     "celsius": ("s", "ɛ", "l", "s", "j", "y", "s"),
+    # silent final consonant clusters the rules cannot know (lexical)
+    "franc": ("f", "ʁ", "ɑ̃"),
+    "francs": ("f", "ʁ", "ɑ̃"),
+    "flanc": ("f", "l", "ɑ̃"),
+    "flancs": ("f", "l", "ɑ̃"),
+    "porc": ("p", "ɔ", "ʁ"),
+    "porcs": ("p", "ɔ", "ʁ"),
+    "clerc": ("k", "l", "ɛ", "ʁ"),
+    "clercs": ("k", "l", "ɛ", "ʁ"),
+    "respect": ("ʁ", "ɛ", "s", "p", "ɛ"),
+    "respects": ("ʁ", "ɛ", "s", "p", "ɛ"),
+    "suspect": ("s", "y", "s", "p", "ɛ"),
+    "suspects": ("s", "y", "s", "p", "ɛ"),
+    "aspect": ("a", "s", "p", "ɛ"),
+    "aspects": ("a", "s", "p", "ɛ"),
+    "instinct": ("ɛ̃", "s", "t", "ɛ̃"),
+    "instincts": ("ɛ̃", "s", "t", "ɛ̃"),
+    "distinct": ("d", "i", "s", "t", "ɛ̃"),
+    "distincts": ("d", "i", "s", "t", "ɛ̃"),
+    "doigt": ("d", "w", "a"),
+    "doigts": ("d", "w", "a"),
+    # irregular plurals: the f of œuf/bœuf falls silent
+    "œufs": ("ø",),
+    "bœufs": ("b", "ø"),
+    "sculpter": ("s", "k", "y", "l", "t", "e"),
+    "sculpté": ("s", "k", "y", "l", "t", "e"),
+    "sculptée": ("s", "k", "y", "l", "t", "e"),
+    "paysan": ("p", "e", "i", "z", "ɑ̃"),
+    "paysanne": ("p", "e", "i", "z", "a", "n"),
+    "paysans": ("p", "e", "i", "z", "ɑ̃"),
+    # English loans
+    "clown": ("k", "l", "u", "n"),
+    "clowns": ("k", "l", "u", "n"),
+    "interview": ("ɛ̃", "t", "ɛ", "ʁ", "v", "j", "u"),
+    "interviews": ("ɛ̃", "t", "ɛ", "ʁ", "v", "j", "u"),
+    "puzzle": ("p", "œ", "z", "l"),
+    "shampooing": ("ʃ", "ɑ̃", "p", "w", "ɛ̃"),
+    "jazz": ("d", "ʒ", "a", "z"),
     "le": ("l", "ə"),
     "les": ("l", "e"),
     "des": ("d", "e"),
