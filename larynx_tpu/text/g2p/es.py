@@ -54,6 +54,12 @@ _RULES = [
 def _context(word: str, i: int):
     ch = word[i]
     nxt = word[i + 1] if i + 1 < len(word) else ""
+    # word-initial Greek/Latin clusters reduce (psicología [s],
+    # gnomo [n], mnemotécnica [n]) — RAE pronunciation
+    if i == 0:
+        for cluster, sound in (("ps", "s"), ("gn", "n"), ("mn", "n")):
+            if word.startswith(cluster) and len(word) > 3:
+                return 2, [sound]
     if word.startswith("ch", i):
         return 2, ["t͡ʃ"]
     # ay/ey/oy are diphthongs word-finally only (hoy); intervocalic y
@@ -70,12 +76,20 @@ def _context(word: str, i: int):
         if nxt in ("e", "i", "é", "í"):
             return 1, ["x"]
         if nxt == "ü":
-            return 2, ["g", "w"]  # güe/güi: u pronounced as glide
+            # güe/güi: u pronounced as glide — the inventory carries
+            # glide+vowel unit symbols (we, wi), never bare w
+            v = word[i + 2] if i + 2 < len(word) else ""
+            if v in ("a", "e", "i", "o"):
+                return 3, ["g", f"w{v}"]
+            return 2, ["g", "u"]
         if word.startswith("gue", i) or word.startswith("gui", i):
             return 2, ["g"]  # silent u
         return 1, ["g"]
     if ch == "r" and i == 0:
         return 1, ["r"]  # initial r is trilled
+    # r after n/l/s is also trilled (enrique, alrededor, israel)
+    if ch == "r" and i > 0 and word[i - 1] in "nls":
+        return 1, ["r"]
     if ch == "y" and i == len(word) - 1:
         return 1, ["i"]  # final y is vocalic ("hoy" handled by oy rule)
     # w (loanwords like "kiwi", "web"): glide+vowel unit symbols
@@ -115,6 +129,15 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     "mexicana": ("m", "e", "x", "i", "k", "a", "n", "a"),
     "texas": ("t", "e", "x", "a", "s"),
     "oaxaca": ("wa", "x", "a", "k", "a"),
+    # loanwords
+    "whisky": ("g", "wi", "s", "k", "i"),
+    "güisqui": ("g", "wi", "s", "k", "i"),
+    # gü + accented í: the accent-split would double the i
+    "lingüística": ("l", "i", "n", "g", "wi", "s", "t", "i", "k", "a"),
+    "lingüístico": ("l", "i", "n", "g", "wi", "s", "t", "i", "k", "o"),
+    # sub+rayar prefix seam keeps the trill
+    "subrayar": ("s", "u", "b", "r", "a", "ʝ", "a", "ɾ"),
+    "subrayado": ("s", "u", "b", "r", "a", "ʝ", "a", "d", "o"),
 }
 
 
