@@ -176,6 +176,15 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     # pre-stressed entries (stress_nth_vowel_from_end is a no-op when a
     # mark is already present)
     "autobus": ("ˈa", "u", "t", "o", "b", "u", "s"),
+    # interior falling au-diphthongs (vs the paura/baule hiatus default)
+    "pausa": ("p", "ˈa", "u", "z", "a"),
+    "causa": ("k", "ˈa", "u", "z", "a"),
+    "laurea": ("l", "ˈa", "u", "r", "e", "a"),
+    "oceano": ("o", "t͡ʃ", "ˈɛ", "a", "n", "o"),
+    # English loans
+    "jeans": ("d͡ʒ", "ˈi", "n", "s"),
+    "weekend": ("w", "ˈi", "k", "ɛ", "n", "d"),
+    "yogurt": ("j", "ˈɔ", "ɡ", "u", "r", "t"),
     "aereo": ("a", "ˈɛ", "r", "e", "o"),
     "aerei": ("a", "ˈɛ", "r", "e", "i"),
     "nord": ("n", "ˈɔ", "r", "d"),
@@ -340,7 +349,18 @@ def _phonemize_vowel_stress(word: str) -> typing.List[str]:
         # emitted the base vowel; its quality/stress is in `rest`
         return before + rest
     phonemes = apply_rules(w, _RULES, _context)
-    return stress_nth_vowel_from_end(phonemes, VOWELS, n=n)
+    # word-initial au- is a falling diphthong (auto, aumentare): its u
+    # is a vowel symbol but not a syllable nucleus for the penult count.
+    # Interior au stays two nuclei (paura, baule are hiatus); diphthong
+    # interiors (pausa, causa, laurea) are _EXCEPTIONS.
+    exclude = (
+        (1,)
+        if len(phonemes) >= 2 and phonemes[0] == "a" and phonemes[1] == "u"
+        else ()
+    )
+    return stress_nth_vowel_from_end(
+        phonemes, VOWELS, n=n, exclude_positions=exclude
+    )
 
 
 # Italian letter names (spell-out / ALL-CAPS initialisms), unstressed

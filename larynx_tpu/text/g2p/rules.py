@@ -26,6 +26,7 @@ def stress_nth_vowel_from_end(
     n: int = 2,
     marker: str = "ˈ",
     skippable: typing.Container[str] = (),
+    exclude_positions: typing.Container[int] = (),
 ) -> typing.List[str]:
     """Attach a stress marker to the n-th vowel symbol from the end
     (n=2 ~ penultimate syllable, n=1 ~ final); no-op if already stressed.
@@ -33,11 +34,17 @@ def stress_nth_vowel_from_end(
     ``skippable`` vowels (e.g. Dutch schwa) are never stressed and do not
     count toward n — "langzamer" (ɑ aː ə) stresses ɑ with n=2, skippable
     ə: the schwa syllable is invisible to the count.  If every vowel is
-    skippable, the plain count applies.
+    skippable, the plain count applies.  ``exclude_positions`` removes
+    specific indices from the count (e.g. the u of an Italian falling
+    au-diphthong, which is a vowel symbol but not a syllable nucleus).
     """
     if any(p.startswith(("ˈ", "ˌ", "'")) for p in phonemes):
         return phonemes
-    vowel_positions = [i for i, p in enumerate(phonemes) if p in vowels]
+    vowel_positions = [
+        i
+        for i, p in enumerate(phonemes)
+        if p in vowels and i not in exclude_positions
+    ]
     if not vowel_positions:
         return phonemes
     countable = [i for i in vowel_positions if phonemes[i] not in skippable]
