@@ -30,6 +30,7 @@ _RULES = [
     ("ou", "ɑu"), ("au", "ɑu"),
     ("oe", "u"),
     ("ieuw", "i w"), ("eeuw", "eː w"),  # before ee/ie (first match wins)
+    ("eau", "oː"),  # French loans: cadeau, bureau, niveau
     ("eu", "ø"),
     ("aa", "aː"), ("ee", "eː"), ("oo", "oː"), ("uu", "yː"),
     ("ie", "i"),
@@ -135,6 +136,20 @@ def _context(word: str, i: int):
     # verb-final -dt is a single [t] (houdt, wordt)
     if ch == "d" and nxt == "t" and i + 2 == len(word):
         return 2, ["t"]
+    # plural of -ee stems: the trema vowel is schwa (zeeën, ideeën)
+    if ch == "ë" and nxt == "n" and i + 2 == len(word):
+        return 2, ["ə", "n"]
+    # loan-final y after a consonant is [i] (hobby, baby, pony)
+    if ch == "y" and i + 1 == len(word) and prev and prev not in _VOWEL_LETTERS:
+        return 1, ["i"]
+    # diminutive -etje(s) is fully reduced (jongetje [jɔŋətjə])
+    if (
+        ch == "e"
+        and word.startswith("etje", i)
+        and word[i + 4 :] in ("", "s")
+        and i > 0
+    ):
+        return 4, ["ə", "t", "j", "ə"]
     # final devoicing (b/d/v stops+fricative, g -> x)
     if i + 1 == len(word):
         if ch in "bdv":
@@ -192,6 +207,38 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     # loanword / compound stress the penult default cannot know
     # (pre-stressed entries: stress_nth is a no-op when a mark exists)
     "station": ("s", "t", "ɑ", "ʃ", "ˈɔ", "n"),
+    # French loans with [ʒ]/[ʃ] the letter rules cannot see
+    "horloge": ("h", "ɔ", "ɹ", "l", "ˈoː", "ʒ", "ə"),
+    "garage": ("ɣ", "ɑ", "ɹ", "ˈaː", "ʒ", "ə"),
+    "etage": ("eː", "t", "ˈaː", "ʒ", "ə"),
+    "bagage": ("b", "ɑ", "ɣ", "ˈaː", "ʒ", "ə"),
+    "massage": ("m", "ɑ", "s", "ˈaː", "ʒ", "ə"),
+    "stage": ("s", "t", "ˈaː", "ʒ", "ə"),
+    "percentage": ("p", "ɛ", "ɹ", "s", "ɛ", "n", "t", "ˈaː", "ʒ", "ə"),
+    "college": ("k", "ɔ", "l", "ˈeː", "ʒ", "ə"),
+    "restaurant": ("ɹ", "ɛ", "s", "t", "oː", "ɹ", "ˈɑ", "n", "t"),
+    "journalist": ("ʒ", "u", "ɹ", "n", "aː", "l", "ˈɪ", "s", "t"),
+    "journaal": ("ʒ", "u", "ɹ", "n", "ˈaː", "l"),
+    "jury": ("ʒ", "ˈyː", "ɹ", "i"),
+    "chocolade": ("ʃ", "oː", "k", "oː", "l", "ˈaː", "d", "ə"),
+    "chocola": ("ʃ", "oː", "k", "oː", "l", "ˈaː"),
+    # other loans / silent letters
+    "baby": ("b", "ˈeː", "b", "i"),
+    "pizza": ("p", "ˈi", "t", "s", "ɑ"),
+    "weekend": ("w", "ˈi", "k", "ɛ", "n", "t"),
+    "cowboy": ("k", "ˈɑu", "b", "ɔ", "j"),
+    "cacao": ("k", "ɑ", "k", "ˈɑu"),
+    "erwt": ("ɛ", "ɹ", "t"),
+    "erwten": ("ɛ", "ɹ", "t", "ə", "n"),
+    "bijzonder": ("b", "i", "z", "ˈɔ", "n", "d", "ə", "ɹ"),
+    "taxi": ("t", "ˈɑ", "k", "s", "i"),
+    "pony": ("p", "ˈoː", "n", "i"),
+    "banaan": ("b", "ɑ", "n", "ˈaː", "n"),
+    "officieel": ("ɔ", "f", "i", "ʃ", "ˈeː", "l"),
+    "officiële": ("ɔ", "f", "i", "ʃ", "ˈeː", "l", "ə"),
+    "financieel": ("f", "i", "n", "ɑ", "n", "ʃ", "ˈeː", "l"),
+    "financiële": ("f", "i", "n", "ɑ", "n", "ʃ", "ˈeː", "l", "ə"),
+    "olifant": ("ˈoː", "l", "i", "f", "ɑ", "n", "t"),
     "procent": ("p", "ɹ", "oː", "s", "ˈɛ", "n", "t"),
     "amsterdam": ("ɑ", "m", "s", "t", "ə", "ɹ", "d", "ˈɑ", "m"),
     "rotterdam": ("ɹ", "ɔ", "t", "ə", "ɹ", "d", "ˈɑ", "m"),
@@ -294,6 +341,22 @@ def _phonemize_vowel_stress(word: str) -> typing.List[str]:
     # a written acute é marks the stressed (final) syllable in loanwords
     # (café, privé / idé, armé, kommitté) — override the penult default
     n = 1 if "é" in w else 2
+    # Romance suffixes carry final stress (schilderij, natuur, toneel,
+    # directeur, journalist, kwaliteit, miljoen, formulier, student,
+    # diamant, banaan); native compound tails that share the spelling
+    # are excluded (voordeel, haarkleur, zeemist-style -mist, the
+    # baan/maan/laan/kraan/traan/zwaan roots, olifant)
+    if n == 2 and len(w) > 4 and w.endswith(
+        # -uur only in its Romance shapes -tuur/-guur (natuur, figuur);
+        # bare -uur compounds keep the head stress (spreekuur, lesuur)
+        ("ij", "tuur", "guur", "eel", "eur", "ist", "teit", "oen", "ier",
+         "ent", "ant", "aan")
+    ) and not w.endswith(
+        ("deel", "deur", "kleur", "geur", "scheur", "sleur", "zeur",
+         "fleur", "keur", "mist", "baan", "maan", "haan", "laan",
+         "kraan", "traan", "vaan", "spaan", "zwaan", "olifant")
+    ):
+        n = 1
     hit = _EXCEPTIONS.get(w)
     if hit is not None:
         return stress_nth_vowel_from_end(list(hit), VOWELS, n=n, skippable=("ə",))
