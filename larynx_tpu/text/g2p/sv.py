@@ -85,11 +85,29 @@ def _context(word: str, i: int):
     # word-initial silent-letter clusters: hjärta, djur, ljus, gjort
     if i == 0 and word[:2] in ("hj", "dj", "lj", "gj"):
         return 2, ["j"]
+    # word-initial ch in French loans is the sj-sound (chef, choklad,
+    # chans, chock); "och" is a lexicon entry
+    if i == 0 and word.startswith("ch") and len(word) > 3:
+        return 2, ["ɧ"]
     # Latin -tion(en/er) = [ɧuːn] (station, lektionen) — NOT the native
     # tio of tionde/nationde counting words.  The sv inventory has no ʃ;
     # the sj-sound ɧ is the voices' id for this suffix.
     if word.startswith("tion", i) and i > 0 and word[i + 4 :] in (
         "", "s", "en", "er", "ens", "erna"
+    ):
+        return 4, ["ɧ", "uː", "n"]
+    # -sion/-gion read the same sj-sound (mission, pension, religion);
+    # -ssion must beat the doubled-consonant rule (mission, diskussion)
+    if (
+        word.startswith("ssion", i)
+        and i > 0
+        and word[i + 5 :] in ("", "s", "en", "er", "ens", "erna")
+    ):
+        return 5, ["ɧ", "uː", "n"]
+    if (
+        (word.startswith("sion", i) or word.startswith("gion", i))
+        and i > 0
+        and word[i + 4 :] in ("", "s", "en", "er", "ens", "erna")
     ):
         return 4, ["ɧ", "uː", "n"]
     # abstract -het suffix keeps its full vowel (nyhet [²nˈyːheːt],
@@ -305,6 +323,42 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     "värld": ("v", "ɛː", "r", "d"),
     "världen": ("²", "v", "'ɛː", "r", "d", "ɛ", "n"),
     "världar": ("²", "v", "'ɛː", "r", "d", "a", "r"),
+    # French loans: j/g/ch as the sj-sound where the rules cannot see
+    "journalist": ("ɧ", "ʊ", "r", "n", "a", "l", "'ɪ", "s", "t"),
+    "journalisten": ("ɧ", "ʊ", "r", "n", "a", "l", "'ɪ", "s", "t",
+                     "ɛ", "n"),
+    "journalister": ("ɧ", "ʊ", "r", "n", "a", "l", "'ɪ", "s", "t",
+                     "ɛ", "r"),
+    "jury": ("²", "ɧ", "'ʉː", "r", "ʏ"),
+    "genre": ("²", "ɧ", "'a", "ŋ", "ɛ", "r"),
+    "garage": ("ɡ", "a", "r", "'ɑː", "ɧ"),
+    "garaget": ("ɡ", "a", "r", "'ɑː", "ɧ", "ɛ", "t"),
+    "restaurang": ("r", "ɛ", "s", "t", "ʊ", "r", "'a", "ŋ"),
+    "restaurangen": ("r", "ɛ", "s", "t", "ʊ", "r", "'a", "ŋ", "ɛ", "n"),
+    "choklad": ("ɧ", "ʊ", "k", "l", "'ɑː", "d"),
+    "chokladen": ("ɧ", "ʊ", "k", "l", "'ɑː", "d", "ɛ", "n"),
+    # loanwords with stress/segments the rules cannot derive
+    "miljon": ("m", "ɪ", "l", "j", "'uː", "n"),
+    "miljoner": ("m", "ɪ", "l", "j", "'uː", "n", "ɛ", "r"),
+    "aktie": ("²", "'a", "k", "t", "s", "ɪ", "ɛ"),
+    "aktier": ("²", "'a", "k", "t", "s", "ɪ", "ɛ", "r"),
+    "weekend": ("v", "'iː", "k", "ɛ", "n", "d"),
+    "pizza": ("²", "p", "'ɪ", "t", "s", "a"),
+    "pizzor": ("²", "p", "'ɪ", "t", "s", "ʊ", "r"),
+    "zoo": ("s", "'uː"),
+    "juice": ("j", "'uː", "s"),
+    "exakt": ("ɛ", "k", "s", "'a", "k", "t"),
+    "paraply": ("p", "a", "r", "a", "p", "l", "'yː"),
+    "kemi": ("ɕ", "eː", "m", "'iː"),
+    "kemin": ("ɕ", "eː", "m", "'iː", "n"),
+    "domstol": ("²", "d", "'ʊ", "m", "s", "t", "uː", "l"),
+    # compound/derived initial stress (er+faren, upp+märksam)
+    "erfarenhet": ("²", "'eː", "r", "f", "ɑː", "r", "ɛ", "n", "h",
+                   "eː", "t"),
+    "erfarenheten": ("²", "'eː", "r", "f", "ɑː", "r", "ɛ", "n", "h",
+                     "eː", "t", "ɛ", "n"),
+    "uppmärksamhet": ("²", "'ɵ", "p", "m", "ɛ", "r", "k", "s", "a",
+                      "m", "h", "eː", "t"),
 }
 
 
@@ -390,6 +444,14 @@ def phonemize(word: str) -> typing.List[str]:
     # bare -tion loans likewise stress the suffix (lektion [lɛkˈɧuːn])
     n = 1 if ("é" in w or (w.endswith(("tion", "tions")) and len(w) > 4)) \
         else 2
+    # more final-stress loan suffixes: -sion/-gion (mission, religion),
+    # -ös (religiös, nervös), -in (bensin, kanin — native -vin compounds
+    # like rödvin keep head stress), Greek -ologi/-ografi/-ergi/-emi/-ofi
+    if n == 2 and len(w) > 4 and w.endswith(
+        ("sion", "sions", "gion", "gions", "ös", "öst", "ösa",
+         "in", "ologi", "ografi", "ergi", "emi", "ofi")
+    ) and not w.endswith("vin"):
+        n = 1
     hit = _EXCEPTIONS.get(w)
     if hit is not None:
         stressed = stress_nth_vowel_from_end(
