@@ -76,12 +76,12 @@ def _segments(w: str) -> typing.List[str]:
                 out.append("ɨ")
                 i += 1
                 continue
-            # word-initial / post-vowel / post-sign soft vowels get a glide
-            if ch != "и" and (
-                i == 0
-                or prev in "аэоуыеёюяи"
-                or prev in "ьъ"
-            ):
+            # word-initial / post-vowel / post-sign soft vowels get a
+            # glide; и only after the soft sign (семьи [sʲemʲji])
+            if (
+                ch != "и"
+                and (i == 0 or prev in "аэоуыеёюяи" or prev in "ьъ")
+            ) or (ch == "и" and prev == "ь"):
                 out.append("j")
             out.append(vowel)
             i += 1
@@ -111,6 +111,22 @@ _SEGMENT_EXCEPTIONS: typing.Dict[str, typing.List[str]] = {
     "счастье": ["ɕː", "aː", "s", "tʲ", "j", "e"],
     "счастлив": ["ɕː", "aː", "s", "lʲ", "i", "f"],
     "счастлива": ["ɕː", "aː", "s", "lʲ", "i", "v", "a"],
+    # сч/жч = [ɕː] (счёт, считать, мужчина)
+    "счёт": ["ɕː", "oː", "t"],
+    "счёта": ["ɕː", "oː", "t", "a"],
+    "считать": ["ɕː", "i", "t", "aː", "tʲ"],
+    "считает": ["ɕː", "i", "t", "aː", "j", "e", "t"],
+    "считаю": ["ɕː", "i", "t", "aː", "j", "u"],
+    "мужчина": ["m", "u", "ɕː", "iː", "n", "a"],
+    "мужчины": ["m", "u", "ɕː", "iː", "n", "ɨ"],
+    # silent clusters стн/здн (лестница, поздно)
+    "лестница": ["lʲ", "eː", "s", "nʲ", "i", "t͡s", "a"],
+    "лестницы": ["lʲ", "eː", "s", "nʲ", "i", "t͡s", "ɨ"],
+    "лестнице": ["lʲ", "eː", "s", "nʲ", "i", "t͡s", "e"],
+    "поздно": ["p", "oː", "z", "n", "o"],
+    "известно": ["i", "z", "vʲ", "eː", "s", "n", "o"],
+    "грустно": ["ɡ", "r", "uː", "s", "n", "o"],
+    "честно": ["t͡ɕ", "eː", "s", "n", "o"],
 }
 
 

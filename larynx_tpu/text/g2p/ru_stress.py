@@ -196,6 +196,9 @@ _EXACT_RAW = """
 провер+яет провер+яю провер+яют провер+ять провер+ял провер+яла
 провер+яли
 обор+удование обор+удования обор+удованию обор+удованием
+каф+е метр+о пальт+о такс+и р+адио жюр+и параш+ют параш+юта
+объ+ект объ+екта объ+екту объ+екте объ+екты объ+ектов
+субъ+ект субъ+екта субъ+екту субъ+екте субъ+екты субъ+ектов
 """
 
 # ---------------------------------------------------------------------------
