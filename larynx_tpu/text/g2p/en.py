@@ -4716,6 +4716,16 @@ elijah ɪ l ˈaɪ d͡ʒ ə
 savannah s ə v ˈæ n ə
 spa s p ˈɑ
 bra b ɹ ˈɑ
+actual ˈæ k t͡ʃ u ə l
+actually ˈæ k t͡ʃ u ə l i
+economical ˌɛ k ə n ˈɑ m ɪ k ə l
+persuasion p ɚ s w ˈeɪ ʒ ə n
+persuade p ɚ s w ˈeɪ d
+ma'am m ˈæ m
+y'all j ˈɔ l
+won't w ˈoʊ n t
+i'd ˈaɪ d
+i'm ˈaɪ m
 """
 
 LEXICON: typing.Dict[str, typing.List[str]] = {}
@@ -5260,6 +5270,28 @@ def _oov_phonemize(w: str, depth: int = 0) -> typing.List[str]:
         if depth >= 2:
             return _ensure_stress(_apply_rules(stem), stem)
         return _oov_phonemize(stem, depth + 1)
+
+    # contractions: base word + clitic ('re 've 'll 'd 's n't).  The
+    # frozen forms (don't, won't, can't, i've, it's, …) are lexicon
+    # entries and never reach here.
+    if "'" in w and len(w) >= 4:
+        if w.endswith("n't"):
+            base = inner(w[:-3])
+            last = base[-1].lstrip("ˈˌ") if base else ""
+            if last in _VOWEL_SYMBOLS or last == "ɹ":
+                return base + ["n", "t"]
+            return base + ["ə", "n", "t"]
+        for sfx, tail in (("'re", ["ɹ"]), ("'ve", ["v"]), ("'d", ["d"])):
+            if w.endswith(sfx):
+                return inner(w[: -len(sfx)]) + tail
+        if w.endswith("'ll"):
+            base = inner(w[:-3])
+            last = base[-1].lstrip("ˈˌ") if base else ""
+            if last in {"t", "d"}:
+                return base + ["ə", "l"]
+            return base + ["l"]
+        if w.endswith("'s"):
+            return _plural_phones(inner(w[:-2]))
 
     # -ies/-ied ride the -y stem (berries, carried)
     if w.endswith("ies") and len(w) >= 5:
