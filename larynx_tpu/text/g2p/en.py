@@ -5527,6 +5527,18 @@ _HOMOGRAPHS_TAIL = {
              ["d", "ˈu", "p", "l", "ə", "k", "ˌeɪ", "t"]),
     "moderate": (["m", "ˈɑ", "d", "ɚ", "ə", "t"],
              ["m", "ˈɑ", "d", "ɚ", "ˌeɪ", "t"]),
+    "appropriate": (["ə", "p", "ɹ", "ˈoʊ", "p", "ɹ", "i", "ə", "t"],
+             ["ə", "p", "ɹ", "ˈoʊ", "p", "ɹ", "i", "ˌeɪ", "t"]),
+    "deliberate": (["d", "ɪ", "l", "ˈɪ", "b", "ɚ", "ə", "t"],
+             ["d", "ɪ", "l", "ˈɪ", "b", "ɚ", "ˌeɪ", "t"]),
+    "elaborate": (["ɪ", "l", "ˈæ", "b", "ɚ", "ə", "t"],
+             ["ɪ", "l", "ˈæ", "b", "ɚ", "ˌeɪ", "t"]),
+    "intimate": (["ˈɪ", "n", "t", "ə", "m", "ə", "t"],
+             ["ˈɪ", "n", "t", "ə", "m", "ˌeɪ", "t"]),
+    "advocate": (["ˈæ", "d", "v", "ə", "k", "ə", "t"],
+             ["ˈæ", "d", "v", "ə", "k", "ˌeɪ", "t"]),
+    "articulate": (["ɑ", "ɹ", "t", "ˈɪ", "k", "j", "ə", "l", "ə", "t"],
+             ["ɑ", "ɹ", "t", "ˈɪ", "k", "j", "ə", "l", "ˌeɪ", "t"]),
     "invalid": (["ˈɪ", "n", "v", "ə", "l", "ə", "d"],
              ["ɪ", "n", "v", "ˈæ", "l", "ə", "d"]),
     "perfect": (["p", "ˈɚ", "f", "ɪ", "k", "t"],
