@@ -4726,6 +4726,52 @@ y'all j ˈɔ l
 won't w ˈoʊ n t
 i'd ˈaɪ d
 i'm ˈaɪ m
+dealt d ˈɛ l t
+dreamt d ɹ ˈɛ m t
+leapt l ˈɛ p t
+forgave f ɚ ɡ ˈeɪ v
+forgiven f ɚ ɡ ˈɪ v ə n
+forgive f ɚ ɡ ˈɪ v
+stolen s t ˈoʊ l ə n
+geese ɡ ˈi s
+wolves w ˈʊ l v z
+wolf w ˈʊ l f
+thousandth θ ˈaʊ z ə n d θ
+millionth m ˈɪ l j ə n θ
+billionth b ˈɪ l j ə n θ
+twentieth t w ˈɛ n t i ə θ
+thirtieth θ ˈɚ t i ə θ
+fortieth f ˈɔ ɹ t i ə θ
+fiftieth f ˈɪ f t i ə θ
+sixtieth s ˈɪ k s t i ə θ
+seventieth s ˈɛ v ə n t i ə θ
+eightieth ˈeɪ t i ə θ
+ninetieth n ˈaɪ n t i ə θ
+criteria k ɹ aɪ t ˈɪ ɹ i ə
+criterion k ɹ aɪ t ˈɪ ɹ i ə n
+phenomena f ə n ˈɑ m ə n ə
+phenomenon f ə n ˈɑ m ə n ˌɑ n
+analyses ə n ˈæ l ə s ˌi z
+analysis ə n ˈæ l ə s ə s
+crises k ɹ ˈaɪ s i z
+crisis k ɹ ˈaɪ s ə s
+theses θ ˈi s i z
+thesis θ ˈi s ə s
+indices ˈɪ n d ə s ˌi z
+appendices ə p ˈɛ n d ə s ˌi z
+matrices m ˈeɪ t ɹ ə s ˌi z
+matrix m ˈeɪ t ɹ ɪ k s
+cacti k ˈæ k t aɪ
+cactus k ˈæ k t ə s
+fungi f ˈʌ n d͡ʒ aɪ
+fungus f ˈʌ ŋ ɡ ə s
+alumni ə l ˈʌ m n aɪ
+alumnus ə l ˈʌ m n ə s
+formulae f ˈɔ ɹ m j ə l ˌi
+algae ˈæ l d͡ʒ i
+larvae l ˈɑ ɹ v i
+larva l ˈɑ ɹ v ə
+vertebrae v ˈɚ t ə b ɹ ˌeɪ
 """
 
 LEXICON: typing.Dict[str, typing.List[str]] = {}
