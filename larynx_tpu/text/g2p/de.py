@@ -26,6 +26,7 @@ _RULES = [
     ("ph", "f"),
     ("th", "t"),
     ("qu", "k v"),
+    ("rh", "ʁ"),  # Greek loans: Rhein, Rhythmus, Rhetorik
     ("pf", "p͡f"),
     ("tz", "t͡s"),
     ("ei", "aɪ̯"), ("ai", "aɪ̯"), ("ey", "aɪ̯"), ("ay", "aɪ̯"),
@@ -190,10 +191,19 @@ def _context(word: str, i: int):
         ch == "e"
         and nxt == "r"
         and i + 2 < len(word)
-        and word[i + 2] not in _VOWEL_LETTERS
-        and word[: i + 2] in ("unter", "hinter", "außer", "wieder", "unser")
+        # a compound/derivation follows (unterNEHMEN, überALL) — but not
+        # a bare inflection ending (untere, unserem)
+        and word[i + 2 :] not in ("e", "en", "er", "em", "es", "n", "m", "s")
+        and word[: i + 2] in ("unter", "hinter", "außer", "wieder",
+                              "unser", "über", "aller")
     ):
         return 2, ["ɐ"]
+    # -erweise adverb suffix (möglicherweise, glücklicherweise)
+    if word.startswith("erweise", i) and i > 0 and i + 7 == len(word):
+        return 7, ["ɐ", "v", "aɪ̯", "z", "ə"]
+    # irgend- compounds keep the reduced [ɪʁgənt] (irgendwo, irgendwann)
+    if i == 0 and word.startswith("irgend") and len(word) > 6:
+        return 6, ["ɪ", "ʁ", "g", "ə", "n", "t"]
     # ß orthographically follows only long vowels/diphthongs (groß,
     # Straße, Großmutter)
     if ch in _LONG and nxt == "ß":
@@ -218,8 +228,11 @@ def _context(word: str, i: int):
     if ch == "n" and nxt == "k":
         return 1, ["ŋ"]
     # doubled consonants are single sounds (the preceding vowel is
-    # already short by default)
+    # already short by default) — but s|sch compound seams keep both
+    # sibilants (ausschließlich [s ʃ], not the ch fragment)
     if nxt == ch and ch in _DOUBLE_MAP:
+        if ch == "s" and word.startswith("sch", i + 1):
+            return 1, ["s"]
         return 2, [_DOUBLE_MAP[ch]]
     # word-final -ig says [ɪ ç] (standard pronunciation)
     if word.startswith("ig", i) and i + 2 == len(word) and len(word) > 3:
@@ -341,6 +354,22 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     "unteren": ("ʊ", "n", "t", "ə", "ʁ", "ə", "n"),
     "unterer": ("ʊ", "n", "t", "ə", "ʁ", "ɐ"),
     "modern": ("m", "oː", "d", "ɛ", "ʁ", "n"),
+    # superlatives of -ch adjectives keep the ich-Laut across the +st
+    # seam (the chs -> [ks] digraph is for wachsen/sechs-class stems)
+    "höchste": ("h", "øː", "ç", "s", "t", "ə"),
+    "höchsten": ("h", "øː", "ç", "s", "t", "ə", "n"),
+    "höchster": ("h", "øː", "ç", "s", "t", "ɐ"),
+    "höchstens": ("h", "øː", "ç", "s", "t", "ə", "n", "s"),
+    "nächste": ("n", "ɛː", "ç", "s", "t", "ə"),
+    "nächsten": ("n", "ɛː", "ç", "s", "t", "ə", "n"),
+    "nächster": ("n", "ɛː", "ç", "s", "t", "ɐ"),
+    "nächstes": ("n", "ɛː", "ç", "s", "t", "ə", "s"),
+    "schwächste": ("ʃ", "v", "ɛ", "ç", "s", "t", "ə"),
+    "schwächsten": ("ʃ", "v", "ɛ", "ç", "s", "t", "ə", "n"),
+    "österreich": ("øː", "s", "t", "ɐ", "ʁ", "aɪ̯", "ç"),
+    "österreichs": ("øː", "s", "t", "ɐ", "ʁ", "aɪ̯", "ç", "s"),
+    "geordnet": ("g", "ə", "ɔ", "ʁ", "d", "n", "ə", "t"),
+    "rhythmus": ("ʁ", "ʏ", "t", "m", "ʊ", "s"),
     "gesicht": ("g", "ə", "z", "ɪ", "ç", "t"),
     "gesehen": ("g", "ə", "z", "eː", "ə", "n"),
     "gesagt": ("g", "ə", "z", "aː", "k", "t"),
@@ -532,8 +561,12 @@ def _valid_stem_start(rest: str) -> bool:
     """Could ``rest`` begin a German stem after an unstressed prefix?"""
     if rest[0] in "äöü":
         return True  # geöffnet, geändert, geübt
+    if rest[0] == "a":
+        return True  # ge-arbeitet, be-antwortet (no native gea-/bea- stems)
     if rest[0] in _VOWEL_LETTERS:
-        return False  # plain-vowel starts handled case by case
+        # other plain vowels collide with diphthong/Greek stems
+        # (beute, geist, geografie) — handled case by case
+        return False
     if len(rest) >= 2 and rest[1] in _VOWEL_LETTERS:
         return True  # single consonant + vowel (gesund, bekam)
     return rest.startswith("sch") or rest[:2] in _VALID_ONSET_2
@@ -594,6 +627,7 @@ def phonemize(word: str) -> typing.List[str]:
         if head in ("ge", "be") and _has_vowel(rest) and (
             _valid_stem_start(rest)
             or (head == "be" and rest[0] == "e")
+            or (head == "ge" and rest[0] == "u")  # ge-urteilt, ge-übt
         ):
             return [head[0], "ə"] + phonemize(rest)
         for pre, sounds in _SEP_GE_PREFIXES.items():
