@@ -26,7 +26,6 @@ _RULES = [
     ("ph", "f"),
     ("th", "t"),
     ("qu", "k v"),
-    ("rh", "ʁ"),  # Greek loans: Rhein, Rhythmus, Rhetorik
     ("pf", "p͡f"),
     ("tz", "t͡s"),
     ("ei", "aɪ̯"), ("ai", "aɪ̯"), ("ey", "aɪ̯"), ("ay", "aɪ̯"),
@@ -77,6 +76,10 @@ def _context(word: str, i: int):
     nxt2 = word[i + 2] if i + 2 < len(word) else ""
     prev = word[i - 1] if i > 0 else ""
 
+    # word-initial Greek rh (Rhein, Rhythmus) — NOT compound seams
+    # like Jahr+hundert, where the h belongs to the next morpheme
+    if i == 0 and word.startswith("rh") and len(word) > 3:
+        return 2, ["ʁ"]
     if word.startswith("chs", i):
         return 3, ["k", "s"]
     if word.startswith("ch", i):
