@@ -14,6 +14,7 @@ carries the function words and irregulars whose spelling lies
 pins 100+ hand-verified words.
 """
 
+import re
 import typing
 
 from larynx_tpu.text.g2p.rules import apply_rules, spell_letters
@@ -28,6 +29,9 @@ _RULES = [
     ("ien", "j ɛ̃"),
     ("tion", "s j ɔ̃"),
     ("ailler", "a j e"), ("eiller", "ɛ j e"), ("ouiller", "u j e"),
+    ("aillez", "a j e"), ("eillez", "ɛ j e"), ("ouillez", "u j e"),
+    ("aillons", "a j ɔ̃"), ("eillons", "ɛ j ɔ̃"), ("ouillons", "u j ɔ̃"),
+    ("aillais", "a j ɛ"), ("aillait", "a j ɛ"),
     ("euiller", "œ j e"), ("iller", "i j e"),
     ("eilli", "ɛ j i"),
     ("eille", "ɛ j"), ("eil", "ɛ j"),
@@ -200,6 +204,10 @@ def _context(word: str, i: int):
             return 2, ["k"]
         return 1, ["k"]
     if ch == "g":
+        # softener e: ge before a back vowel is [ʒ] with the e mute
+        # (mangeons, mangeait, pigeon, Georges)
+        if nxt == "e" and nxt2 and nxt2 in "aou":
+            return 2, ["ʒ"]
         if nxt and nxt in "eiyéè":
             return 1, ["ʒ"]
         if nxt == "u" and nxt2 and nxt2 in "eiyéè":
@@ -296,6 +304,9 @@ def _context(word: str, i: int):
 _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     # Latin loan: final -us is [ys] with the s sounded
     "celsius": ("s", "ɛ", "l", "s", "j", "y", "s"),
+    # past participle of avoir: feminine eue/eues stay [y]
+    "eue": ("y",),
+    "eues": ("y",),
     # silent final consonant clusters the rules cannot know (lexical)
     "franc": ("f", "ʁ", "ɑ̃"),
     "francs": ("f", "ʁ", "ɑ̃"),
@@ -562,6 +573,9 @@ _ENT_VERB_FORMS = frozenset(
         "perd", "descend", "viv", "suiv", "écriv", "lis", "dis",
         "part", "sort", "dorm", "serv", "ouvr", "offr", "souffr",
         "croi", "voi", "reçoiv", "sav", "boiv", "ri",
+        "naiss", "renaiss", "paraiss", "apparaiss", "disparaiss",
+        "cré", "fui", "nettoi", "pay", "essuy", "appui", "ennui",
+        "détest", "ador", "remarqu", "expliqu", "indiqu", "critiqu",
     )
 )
 
@@ -761,6 +775,19 @@ def phonemize(
             return out
     if w in _ENT_VERB_FORMS:
         # silent verbal -ent: pronounce the stem with a mute final e
+        return phonemize(w[:-3] + "e")
+    # -aient is ALWAYS the imparfait/conditional 3pl (étaient,
+    # pourraient) — no French noun ends in -aient; read it as -ait
+    if w.endswith("aient") and len(w) > 5:
+        return phonemize(w[:-5] + "ait")
+    # è + 1-2 consonants + -ent is the 3pl of an è-alternating verb
+    # (achètent, espèrent, mènent); -ent NOUNS never carry è there
+    # (règlement/élément end in the -ment suffix, excluded)
+    if (
+        w.endswith("ent")
+        and not w.endswith("ment")
+        and re.search("è[bcdfghjklmnpqrstvz]{1,2}ent$", w)
+    ):
         return phonemize(w[:-3] + "e")
     return apply_rules(w, _RULES, _context)
 
