@@ -324,7 +324,17 @@ def _phonemize_vowel_stress(word: str) -> typing.List[str]:
         return head + ["ˈi", "a"]
     n = 3 if (w in _SDRUCCIOLE or w in _VERB_ANO or (
         w.endswith("ono") and len(w) > 3
-    )) else 2
+    ) or (
+        # imperfetto/passato-remoto/conditional 3pl are sdrucciole:
+        # parlAvano, prendEvano, parlArono, prenderEbbero — length ≥7
+        # keeps the divano-class nouns on the penult default; the short
+        # dare/stare imperfetti are listed exceptions
+        len(w) >= 7
+        and w.endswith(("avano", "evano", "ivano", "arono", "erono",
+                        "irono"))
+    ) or (
+        len(w) >= 6 and w.endswith("ebbero")
+    ) or w in ("davano", "erano")) else 2
     hit = _EXCEPTIONS.get(w)
     if hit is not None:
         return stress_nth_vowel_from_end(list(hit), VOWELS, n=n)

@@ -136,6 +136,15 @@ def _context(word: str, i: int):
     # verb-final -dt is a single [t] (houdt, wordt)
     if ch == "d" and nxt == "t" and i + 2 == len(word):
         return 2, ["t"]
+    # obstruents devoice before voiceless s/t inside a cluster
+    # (gezegd [xt], hoogst [xst], oudste [tst], raadsel [tsəl])
+    if ch == "g" and nxt and nxt in "st":
+        return 1, ["x"]
+    if ch == "d" and nxt == "s":
+        return 1, ["t"]
+    # participle-final -gd is fully devoiced (gezegd, gevraagd [xt])
+    if ch == "g" and nxt == "d" and i + 2 == len(word):
+        return 2, ["x", "t"]
     # plural of -ee stems: the trema vowel is schwa (zeeën, ideeën)
     if ch == "ë" and nxt == "n" and i + 2 == len(word):
         return 2, ["ə", "n"]
