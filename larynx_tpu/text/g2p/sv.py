@@ -139,6 +139,9 @@ def _context(word: str, i: int):
     # c softens before front vowels (cykel -> s)
     if ch == "c" and nxt and nxt in _FRONT:
         return 1, ["s"]
+    # g devoices before voiceless s/t (sagt [sakt], högst [hœkst])
+    if ch == "g" and nxt and nxt in "st":
+        return 1, ["k"]
     # g after r/l at word end is [j] (berg, färg, torg)
     if ch == "g" and i + 1 == len(word) and prev in "rl":
         return 1, ["j"]
@@ -351,6 +354,12 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     "paraply": ("p", "a", "r", "a", "p", "l", "'yː"),
     "kemi": ("ɕ", "eː", "m", "'iː"),
     "kemin": ("ɕ", "eː", "m", "'iː", "n"),
+    # short-vowel monosyllables the single-final-consonant heuristic
+    # would lengthen
+    "kom": ("k", "'ʊ", "m"),
+    "män": ("m", "'ɛ", "n"),
+    # bättre would otherwise match the ...tre number-compound tail
+    "bättre": ("²", "b", "'ɛ", "t", "r", "ɛ"),
     "domstol": ("²", "d", "'ʊ", "m", "s", "t", "uː", "l"),
     # compound/derived initial stress (er+faren, upp+märksam)
     "erfarenhet": ("²", "'eː", "r", "f", "ɑː", "r", "ɛ", "n", "h",
