@@ -319,7 +319,15 @@ def words_of(
                 and tokens[k - 1][-1:].isdigit()
                 and tokens[k + 1][:1].isdigit()
             ):
+                # h:mm:ss durations ("1:23:45" lexes as time + ":" + ss):
+                # read the groups in sequence, not as a score
+                if re.fullmatch(
+                    r"\d{1,2}:\d{2}", tokens[k - 1]
+                ) and re.fullmatch(r"[0-5]\d", tokens[k + 1]):
+                    tokens[k] = ""
+                    continue
                 tokens[k] = score
+        tokens = [t for t in tokens if t]
     # standalone currency symbols attach to the neighboring number
     # ("5 €" / "€ 5" -> one 5€ token for normalize)
     if any(t in ("$", "€", "£", "%") for t in tokens):
@@ -398,7 +406,7 @@ def words_of(
         "°" in t
         or t == "/"
         or t.lower() in UNIT_ABBREVIATIONS
-        or (lang == "fr-fr" and t == "h")
+        or (lang == "fr-fr" and (t == "h" or re.fullmatch(r"h[0-5]\d", t)))
         for t in tokens
     ):
         measured: typing.List[str] = []
@@ -442,6 +450,17 @@ def words_of(
             ):
                 rep = kmh_tokens(t, lang)
                 step = 4
+            elif (
+                # French compact clock "18h30" (lexes as "18" + "h30")
+                lang == "fr-fr"
+                and re.fullmatch(r"\d{1,2}", t)
+                and re.fullmatch(r"h[0-5]\d", nxt)
+                and 0 <= int(t) <= 23
+            ):
+                spoken = time_words(int(t), int(nxt[1:]), lang)
+                if spoken:
+                    rep = spoken.split()
+                step = 2
             elif (
                 # French written clock "21 h 30" / "8 h"
                 lang == "fr-fr"
