@@ -328,6 +328,45 @@ def words_of(
                     continue
                 tokens[k] = score
         tokens = [t for t in tokens if t]
+    # Russian money with the currency NOUN (25,50 рублей): the decimal
+    # reads as whole + noun + kopecks, never digit-wise запятая
+    if lang == "ru-ru":
+        rubled: typing.List[str] = []
+        k = 0
+        while k < len(tokens):
+            t = tokens[k]
+            nxt_tok = tokens[k + 1] if k + 1 < len(tokens) else ""
+            dm = re.fullmatch(r"(\d+),(\d{1,2})", t)
+            if dm and nxt_tok.lower() in (
+                "рубль", "рубля", "рублей", "руб",
+                "доллар", "доллара", "долларов", "евро",
+            ):
+                from larynx_tpu.text.normalize import ru_number_to_words
+                kop = int(dm.group(2))
+                last, teens = kop % 10, 11 <= kop % 100 <= 14
+                dollar = nxt_tok.lower().startswith("доллар")
+                sub = (
+                    ("цент", "цента", "центов") if dollar
+                    else ("копейка", "копейки", "копеек")
+                )
+                kop_word = (
+                    sub[0] if last == 1 and not teens
+                    else sub[1] if 2 <= last <= 4 and not teens
+                    else sub[2]
+                )
+                kop_words = ru_number_to_words(kop)
+                if not dollar:  # копейка is feminine: одна, две
+                    kop_words = re.sub(r"один$", "одна", kop_words)
+                    kop_words = re.sub(r"два$", "две", kop_words)
+                rubled.append(ru_number_to_words(int(dm.group(1))))
+                rubled.append(nxt_tok)
+                rubled.append(kop_words)
+                rubled.append(kop_word)
+                k += 2
+                continue
+            rubled.append(t)
+            k += 1
+        tokens = rubled
     # standalone currency symbols attach to the neighboring number
     # ("5 €" / "€ 5" -> one 5€ token for normalize)
     if any(t in ("$", "€", "£", "%") for t in tokens):
