@@ -207,26 +207,66 @@ _ABBREV_EXPANSIONS: typing.Dict[str, typing.Dict[str, str]] = {
     "de-de": {
         "dr": "Doktor", "prof": "Professor", "nr": "Nummer",
         "ca": "zirka", "usw": "und so weiter",
-        "bzw": "beziehungsweise",
+        "bzw": "beziehungsweise", "abs": "Absatz",
+        "ggf": "gegebenenfalls", "evtl": "eventuell",
+        "inkl": "inklusive", "zzgl": "zuzüglich",
     },
     "fr-fr": {
         "mme": "madame", "mlle": "mademoiselle", "dr": "docteur",
+        "etc": "et cétéra",
     },
     "es-es": {
         "sr": "señor", "sra": "señora", "srta": "señorita",
         "dr": "doctor", "dra": "doctora", "ud": "usted",
-        "uds": "ustedes",
+        "uds": "ustedes", "cap": "capítulo", "pág": "página",
+        "núm": "número", "etc": "etcétera",
     },
     "it-it": {
         "sig": "signor", "dott": "dottor", "prof": "professor",
+        "ecc": "eccetera", "cap": "capitolo", "pag": "pagina",
     },
     "nl": {
         "dhr": "de heer", "mevr": "mevrouw", "dr": "dokter",
-        "prof": "professor", "nr": "nummer",
+        "prof": "professor", "nr": "nummer", "bijv": "bijvoorbeeld",
+        "enz": "enzovoort", "blz": "bladzijde",
     },
     "sv-se": {
         "dr": "doktor", "nr": "nummer", "kr": "kronor",
-        "kl": "klockan",
+        "kl": "klockan", "osv": "och så vidare",
+        "dvs": "det vill säga",
+    },
+    "ru-ru": {
+        "см": "смотри", "стр": "страница",
+    },
+}
+
+# Multi-part dotted abbreviations ("z.B.", "t.ex.", "и т.д."): each part
+# lexes as its own token followed by a "." token.
+_MULTI_ABBREVS: typing.Dict[str, typing.Dict[typing.Tuple[str, ...], str]] = {
+    "en-us": {("e", "g"): "for example", ("i", "e"): "that is"},
+    "de-de": {
+        ("z", "b"): "zum Beispiel",
+        ("d", "h"): "das heißt",
+        ("u", "a"): "unter anderem",
+    },
+    "sv-se": {
+        ("t", "ex"): "till exempel",
+        ("bl", "a"): "bland annat",
+        ("m", "m"): "med mera",
+        ("d", "v", "s"): "det vill säga",
+        ("o", "s", "v"): "och så vidare",
+    },
+    "ru-ru": {
+        ("т", "д"): "так далее",
+        ("т", "е"): "то есть",
+        ("т", "п"): "тому подобное",
+    },
+    "fr-fr": {("p", "ex"): "par exemple"},
+    "es-es": {("p", "ej"): "por ejemplo"},
+    "nl": {
+        ("d", "w", "z"): "dat wil zeggen",
+        ("o", "a"): "onder andere",
+        ("m", "a", "w"): "met andere woorden",
     },
 }
 
@@ -235,6 +275,11 @@ _ABBREVIATIONS |= {
     key + "."
     for lang_map in _ABBREV_EXPANSIONS.values()
     for key in lang_map
+}
+_ABBREVIATIONS |= {
+    ".".join(parts) + "."
+    for lang_map in _MULTI_ABBREVS.values()
+    for parts in lang_map
 }
 
 
@@ -385,6 +430,32 @@ def words_of(
                 merged.append(t)
                 k += 1
         tokens = merged
+    multi = _MULTI_ABBREVS.get(lang)
+    if multi and "." in tokens:
+        multi_out: typing.List[str] = []
+        k = 0
+        while k < len(tokens):
+            matched = None
+            for parts, spoken in multi.items():
+                need = len(parts) * 2  # tok "." tok "." ...
+                seq = tokens[k : k + need]
+                if len(seq) == need and all(
+                    seq[2 * j].lower() == parts[j] and seq[2 * j + 1] == "."
+                    for j in range(len(parts))
+                ):
+                    matched = (spoken, need)
+                    break
+            if matched:
+                spoken, need = matched
+                multi_out.extend(spoken.split())
+                # swallow inner periods; keep a sentence-final one
+                if k + need >= len(tokens):
+                    multi_out.append(".")
+                k += need
+            else:
+                multi_out.append(tokens[k])
+                k += 1
+        tokens = multi_out
     abbrevs = _ABBREV_EXPANSIONS.get(lang)
     if abbrevs:
         expanded_tokens: typing.List[str] = []
