@@ -4772,6 +4772,53 @@ algae ˈæ l d͡ʒ i
 larvae l ˈɑ ɹ v i
 larva l ˈɑ ɹ v ə
 vertebrae v ˈɚ t ə b ɹ ˌeɪ
+england ˈɪ ŋ ɡ l ə n d
+britain b ɹ ˈɪ t ə n
+japan d͡ʒ ə p ˈæ n
+japanese d͡ʒ ˌæ p ə n ˈi z
+chinese t͡ʃ aɪ n ˈi z
+italy ˈɪ t ə l i
+italian ɪ t ˈæ l j ə n
+canada k ˈæ n ə d ə
+canadian k ə n ˈeɪ d i ə n
+texas t ˈɛ k s ə s
+dallas d ˈæ l ə s
+moscow m ˈɑ s k aʊ
+tokyo t ˈoʊ k i ˌoʊ
+beijing b eɪ d͡ʒ ˈɪ ŋ
+chicago ʃ ɪ k ˈɑ ɡ oʊ
+seattle s i ˈæ t ə l
+miami m aɪ ˈæ m i
+houston h j ˈu s t ə n
+philadelphia f ˌɪ l ə d ˈɛ l f i ə
+atlanta æ t l ˈæ n t ə
+georgia d͡ʒ ˈɔ ɹ d͡ʒ ə
+ohio oʊ h ˈaɪ oʊ
+michigan m ˈɪ ʃ ɪ ɡ ə n
+illinois ˌɪ l ə n ˈɔɪ
+oregon ˈɔ ɹ ɪ ɡ ə n
+arizona ˌɛ ɹ ɪ z ˈoʊ n ə
+montana m ɑ n t ˈæ n ə
+nevada n ə v ˈæ d ə
+colorado k ˌɑ l ə ɹ ˈæ d oʊ
+jesus d͡ʒ ˈi z ə s
+muhammad m oʊ h ˈɑ m ə d
+buddha b ˈʊ d ə
+shakespeare ʃ ˈeɪ k s p ɪ ɹ
+einstein ˈaɪ n s t aɪ n
+beethoven b ˈeɪ t oʊ v ə n
+mozart m ˈoʊ t s ɑ ɹ t
+oxford ˈɑ k s f ɚ d
+stanford s t ˈæ n f ɚ d
+harvard h ˈɑ ɹ v ɚ d
+princeton p ɹ ˈɪ n s t ə n
+thames t ˈɛ m z
+mississippi m ˌɪ s ə s ˈɪ p i
+danube d ˈæ n j u b
+mediterranean m ˌɛ d ə t ɚ ˈeɪ n i ə n
+caribbean k ˌɛ ɹ ə b ˈi ə n
+pacific p ə s ˈɪ f ɪ k
+himalayas h ˌɪ m ə l ˈeɪ ə z
 """
 
 LEXICON: typing.Dict[str, typing.List[str]] = {}
