@@ -4819,6 +4819,23 @@ mediterranean m ˌɛ d ə t ɚ ˈeɪ n i ə n
 caribbean k ˌɛ ɹ ə b ˈi ə n
 pacific p ə s ˈɪ f ɪ k
 himalayas h ˌɪ m ə l ˈeɪ ə z
+spotify s p ˈɑ t ɪ f ˌaɪ
+iphone ˈaɪ f ˌoʊ n
+wifi w ˈaɪ f ˌaɪ
+login l ˈɔ ɡ ɪ n
+javascript d͡ʒ ˈɑ v ə s k ɹ ˌɪ p t
+selfie s ˈɛ l f i
+emoji ɪ m ˈoʊ d͡ʒ i
+cyber s ˈaɪ b ɚ
+virtual v ˈɚ t͡ʃ u ə l
+virtually v ˈɚ t͡ʃ u ə l i
+sonar s ˈoʊ n ɑ ɹ
+hybrid h ˈaɪ b ɹ ɪ d
+enzyme ˈɛ n z aɪ m
+caffeine k æ f ˈi n
+nicotine n ˈɪ k ə t ˌi n
+upload ˈʌ p l ˌoʊ d
+pixel p ˈɪ k s ə l
 """
 
 LEXICON: typing.Dict[str, typing.List[str]] = {}
