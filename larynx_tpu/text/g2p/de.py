@@ -348,6 +348,28 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     "folie": ("f", "oː", "l", "j", "ə"),
     "bequem": ("b", "ə", "k", "v", "eː", "m"),
     "handy": ("h", "ɛ", "n", "d", "iː"),
+    # English tech loans (Duden-style eindeutschung)
+    "email": ("iː", "m", "eː", "l"),
+    "e-mail": ("iː", "m", "eː", "l"),
+    "website": ("v", "ɛ", "p", "s", "aɪ̯", "t"),
+    "online": ("ɔ", "n", "l", "aɪ̯", "n"),
+    "offline": ("ɔ", "f", "l", "aɪ̯", "n"),
+    "software": ("z", "ɔ", "f", "t", "v", "ɛː", "ɐ"),
+    "hardware": ("h", "a", "ʁ", "t", "v", "ɛː", "ɐ"),
+    "smartphone": ("s", "m", "a", "ʁ", "t", "f", "oː", "n"),
+    "app": ("ɛ", "p"),
+    "apps": ("ɛ", "p", "s"),
+    "laptop": ("l", "ɛ", "p", "t", "ɔ", "p"),
+    "google": ("g", "uː", "g", "ə", "l"),
+    "youtube": ("j", "uː", "t", "uː", "p"),
+    "download": ("d", "aʊ̯", "n", "l", "oː", "t"),
+    "downloads": ("d", "aʊ̯", "n", "l", "oː", "t", "s"),
+    "browser": ("b", "ʁ", "aʊ̯", "z", "ɐ"),
+    "server": ("s", "ɛ", "ʁ", "v", "ɐ"),
+    "update": ("a", "p", "d", "eː", "t"),
+    "updates": ("a", "p", "d", "eː", "t", "s"),
+    "wifi": ("v", "aɪ̯", "f", "aɪ̯"),
+    "wlan": ("v", "eː", "l", "aː", "n"),
     "restaurant": ("ʁ", "ɛ", "s", "t", "oː", "ʁ", "ãː"),
     "internet": ("ɪ", "n", "t", "ɐ", "n", "ɛ", "t"),
     "außerdem": ("aʊ̯", "s", "ɐ", "d", "eː", "m"),

@@ -135,6 +135,13 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     # gü + accented í: the accent-split would double the i
     "lingüística": ("l", "i", "n", "g", "wi", "s", "t", "i", "k", "a"),
     "lingüístico": ("l", "i", "n", "g", "wi", "s", "t", "i", "k", "o"),
+    # English tech loans
+    "email": ("i", "m", "ei", "l"),
+    "software": ("s", "o", "f", "t", "we", "ɾ"),
+    "google": ("g", "u", "g", "e", "l"),
+    "youtube": ("ʝ", "u", "t", "u", "b"),
+    "smartphone": ("e", "s", "m", "a", "ɾ", "f", "o", "n"),
+    "online": ("o", "n", "l", "ai", "n"),
     # sub+rayar prefix seam keeps the trill
     "subrayar": ("s", "u", "b", "r", "a", "ʝ", "a", "ɾ"),
     "subrayado": ("s", "u", "b", "r", "a", "ʝ", "a", "d", "o"),

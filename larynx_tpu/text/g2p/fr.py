@@ -345,6 +345,11 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     "puzzle": ("p", "œ", "z", "l"),
     "shampooing": ("ʃ", "ɑ̃", "p", "w", "ɛ̃"),
     "jazz": ("d", "ʒ", "a", "z"),
+    "google": ("ɡ", "u", "ɡ", "œ", "l"),
+    "youtube": ("j", "u", "t", "y", "b"),
+    "podcast": ("p", "ɔ", "d", "k", "a", "s", "t"),
+    "smartphone": ("s", "m", "a", "ʁ", "t", "f", "ɔ", "n"),
+    "online": ("ɔ", "n", "l", "a", "j", "n"),
     "le": ("l", "ə"),
     "les": ("l", "e"),
     "des": ("d", "e"),

@@ -185,6 +185,13 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     "jeans": ("d͡ʒ", "ˈi", "n", "s"),
     "weekend": ("w", "ˈi", "k", "ɛ", "n", "d"),
     "yogurt": ("j", "ˈɔ", "ɡ", "u", "r", "t"),
+    "email": ("i", "m", "ˈɛ", "i", "l"),
+    "software": ("s", "ˈɔ", "f", "t", "w", "e", "r"),
+    "smartphone": ("s", "m", "a", "r", "t", "f", "ˈo", "n"),
+    "google": ("ɡ", "ˈu", "ɡ", "o", "l"),
+    "youtube": ("j", "u", "t", "ˈu", "b"),
+    "computer": ("k", "o", "m", "p", "j", "ˈu", "t", "e", "r"),
+    "online": ("o", "n", "l", "ˈa", "j", "n"),
     "aereo": ("a", "ˈɛ", "r", "e", "o"),
     "aerei": ("a", "ˈɛ", "r", "e", "i"),
     "nord": ("n", "ˈɔ", "r", "d"),

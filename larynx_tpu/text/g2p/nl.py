@@ -248,6 +248,17 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     "financieel": ("f", "i", "n", "ɑ", "n", "ʃ", "ˈeː", "l"),
     "financiële": ("f", "i", "n", "ɑ", "n", "ʃ", "ˈeː", "l", "ə"),
     "olifant": ("ˈoː", "l", "i", "f", "ɑ", "n", "t"),
+    # English tech loans
+    "email": ("ˈi", "m", "eː", "l"),
+    "e-mail": ("ˈi", "m", "eː", "l"),
+    "website": ("w", "ˈɛ", "p", "s", "ɑ", "j", "t"),
+    "online": ("ɔ", "n", "l", "ˈɑ", "j", "n"),
+    "software": ("s", "ˈɔ", "f", "t", "w", "ɛː", "ɹ"),
+    "smartphone": ("s", "m", "ˈɑ", "ɹ", "t", "f", "oː", "n"),
+    "google": ("ɡ", "ˈu", "ɡ", "ə", "l"),
+    "youtube": ("j", "ˈu", "t", "j", "u", "p"),
+    "wifi": ("w", "ˈi", "f", "i"),
+    "downloaden": ("d", "ˈɑu", "n", "l", "oː", "d", "ə", "n"),
     "procent": ("p", "ɹ", "oː", "s", "ˈɛ", "n", "t"),
     "amsterdam": ("ɑ", "m", "s", "t", "ə", "ɹ", "d", "ˈɑ", "m"),
     "rotterdam": ("ɹ", "ɔ", "t", "ə", "ɹ", "d", "ˈɑ", "m"),

@@ -199,6 +199,8 @@ _EXACT_RAW = """
 каф+е метр+о пальт+о такс+и р+адио жюр+и параш+ют параш+юта
 объ+ект объ+екта объ+екту объ+екте объ+екты объ+ектов
 субъ+ект субъ+екта субъ+екту субъ+екте субъ+екты субъ+ектов
+онл+айн им+ейл вайф+ай смартф+он смартф+она ют+уб подк+аст
+подк+аста бр+аузер бр+аузера
 """
 
 # ---------------------------------------------------------------------------

@@ -354,6 +354,14 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     "paraply": ("p", "a", "r", "a", "p", "l", "'yː"),
     "kemi": ("ɕ", "eː", "m", "'iː"),
     "kemin": ("ɕ", "eː", "m", "'iː", "n"),
+    # English tech loans
+    "email": ("'iː", "m", "ɛ", "j", "l"),
+    "e-mail": ("'iː", "m", "ɛ", "j", "l"),
+    "online": ("ʊ", "n", "l", "'a", "j", "n"),
+    "smartphone": ("s", "m", "'a", "r", "t", "f", "oː", "n"),
+    "google": ("ɡ", "'uː", "ɡ", "ɛ", "l"),
+    "youtube": ("j", "'ʉː", "t", "ʉː", "b"),
+    "wifi": ("v", "'a", "j", "f", "a", "j"),
     # short-vowel monosyllables the single-final-consonant heuristic
     # would lengthen
     "kom": ("k", "'ʊ", "m"),
