@@ -151,6 +151,10 @@ def _context(word: str, i: int):
     # s + tion keeps the [t] (question)
     if word.startswith("tion", i) and i > 0 and word[i - 1] == "s":
         return 4, ["t", "j", "ɔ̃"]
+    # place-name suffix -bourg keeps its g silent (Strasbourg,
+    # Luxembourg, Cherbourg)
+    if word.startswith("bourg", i) and i > 0 and i + 5 == len(word):
+        return 5, ["b", "u", "ʁ"]
     # word-final -ien(s) is [j ɛ̃] (bien, ancien); elsewhere i-glide +
     # nasal handling yields [j ɑ̃] (patient, orient)
     if word.startswith("ien", i) and word[i + 3 :] in ("", "s"):
@@ -198,6 +202,8 @@ def _context(word: str, i: int):
         return 2, ["œ̃"]
 
     if ch == "c":
+        if nxt == "q":
+            return 1, []  # cq is one [k] (Jacques, acquérir)
         if nxt and nxt in "eiyéè":
             return 1, ["s"]
         if nxt == "c" and not (nxt2 and nxt2 in "eiyéè"):
@@ -346,6 +352,10 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     "shampooing": ("ʃ", "ɑ̃", "p", "w", "ɛ̃"),
     "jazz": ("d", "ʒ", "a", "z"),
     "google": ("ɡ", "u", "ɡ", "œ", "l"),
+    # place names the rules cannot see
+    "lille": ("l", "i", "l"),
+    "strasbourg": ("s", "t", "ʁ", "a", "z", "b", "u", "ʁ"),
+    "états-unis": ("e", "t", "a", "z", "y", "n", "i"),
     "youtube": ("j", "u", "t", "y", "b"),
     "podcast": ("p", "ɔ", "d", "k", "a", "s", "t"),
     "smartphone": ("s", "m", "a", "ʁ", "t", "f", "ɔ", "n"),
