@@ -242,6 +242,7 @@ essere prendere vendere scrivere vivere leggere credere chiudere
 correre decidere dividere mettere nascere perdere piangere ridere
 rompere scendere spendere vincere chiedere rispondere conoscere
 crescere
+genova esposito mediterraneo adriatico
 """.split())
 
 # 3rd-plural present -ano is unstressed (sdrucciola verb forms); listed
@@ -276,6 +277,7 @@ allegria energia malattia magia bugia follia gelosia nostalgia
 fantasia poesia cortesia pizzeria birreria libreria galleria lotteria
 batteria segreteria periferia osteria gelateria pasticceria
 biancheria cartoleria macelleria salumeria trattoria
+maria lombardia
 """.split())
 
 

@@ -248,6 +248,10 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     "financieel": ("f", "i", "n", "ɑ", "n", "ʃ", "ˈeː", "l"),
     "financiële": ("f", "i", "n", "ɑ", "n", "ʃ", "ˈeː", "l", "ə"),
     "olifant": ("ˈoː", "l", "i", "f", "ɑ", "n", "t"),
+    # place names / proper nouns
+    "belgië": ("b", "ˈɛ", "l", "ɣ", "i", "j", "ə"),
+    "engeland": ("ˈɛ", "ŋ", "ə", "l", "ɑ", "n", "t"),
+    "johannes": ("j", "oː", "h", "ˈɑ", "n", "ə", "s"),
     # English tech loans
     "email": ("ˈi", "m", "eː", "l"),
     "e-mail": ("ˈi", "m", "eː", "l"),

@@ -354,6 +354,15 @@ _EXCEPTIONS: typing.Dict[str, typing.Tuple[str, ...]] = {
     "paraply": ("p", "a", "r", "a", "p", "l", "'yː"),
     "kemi": ("ɕ", "eː", "m", "'iː"),
     "kemin": ("ɕ", "eː", "m", "'iː", "n"),
+    # place names / proper nouns the penult default mis-stresses
+    "uppsala": ("²", "'ɵ", "p", "s", "ɑː", "l", "a"),
+    "västerås": ("v", "ɛ", "s", "t", "ɛ", "r", "'oː", "s"),
+    "örebro": ("²", "'øː", "r", "ɛ", "b", "r", "uː"),
+    "linköping": ("²", "l", "'ɪ", "n", "ɕ", "øː", "p", "ɪ", "ŋ"),
+    "frankrike": ("²", "f", "r", "'a", "ŋ", "k", "r", "iː", "k", "ɛ"),
+    "andersson": ("²", "'a", "n", "d", "ɛ", "r", "s", "ʊ", "n"),
+    "midsommar": ("²", "m", "'ɪ", "d", "s", "ʊ", "m", "a", "r"),
+    "island": ("²", "'iː", "s", "l", "a", "n", "d"),
     # English tech loans
     "email": ("'iː", "m", "ɛ", "j", "l"),
     "e-mail": ("'iː", "m", "ɛ", "j", "l"),
