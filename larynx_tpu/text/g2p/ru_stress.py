@@ -201,6 +201,12 @@ _EXACT_RAW = """
 субъ+ект субъ+екта субъ+екту субъ+екте субъ+екты субъ+ектов
 онл+айн им+ейл вайф+ай смартф+он смартф+она ют+уб подк+аст
 подк+аста бр+аузер бр+аузера
+новосиб+ирск новосиб+ирске екатеринб+ург екатеринб+урге
+каз+ань каз+ани серг+ей серг+ея андр+ей андр+ея алекс+ей алекс+ея
+алекс+андр алекс+андра нев+а нев+е ур+ал ур+але байк+ал байк+але
+толст+ой толст+ого иван+ов иван+ова петр+ов петр+ова с+идоров
+смирн+ов смирн+ова кузнец+ов кузнец+ова
+рождеств+о рождеств+а сред+а ср+еду
 """
 
 # ---------------------------------------------------------------------------
