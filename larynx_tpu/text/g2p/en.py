@@ -4836,6 +4836,16 @@ caffeine k æ f ˈi n
 nicotine n ˈɪ k ə t ˌi n
 upload ˈʌ p l ˌoʊ d
 pixel p ˈɪ k s ə l
+crooked k ɹ ˈʊ k ɪ d
+ragged ɹ ˈæ ɡ ɪ d
+rugged ɹ ˈʌ ɡ ɪ d
+jagged d͡ʒ ˈæ ɡ ɪ d
+dogged d ˈɔ ɡ ɪ d
+beloved b ɪ l ˈʌ v ɪ d
+kindred k ˈɪ n d ɹ ɪ d
+alleged ə l ˈɛ d͡ʒ d
+allegedly ə l ˈɛ d͡ʒ ɪ d l i
+allege ə l ˈɛ d͡ʒ
 """
 
 LEXICON: typing.Dict[str, typing.List[str]] = {}
