@@ -4846,6 +4846,17 @@ kindred k ˈɪ n d ɹ ɪ d
 alleged ə l ˈɛ d͡ʒ d
 allegedly ə l ˈɛ d͡ʒ ɪ d l i
 allege ə l ˈɛ d͡ʒ
+bough b ˈaʊ
+plough p l ˈaʊ
+drought d ɹ ˈaʊ t
+hiccough h ˈɪ k ʌ p
+slough s l ˈʌ f
+numb n ˈʌ m
+solemn s ˈɑ l ə m
+crumb k ɹ ˈʌ m
+jamb d͡ʒ ˈæ m
+succumb s ə k ˈʌ m
+aplomb ə p l ˈɑ m
 """
 
 LEXICON: typing.Dict[str, typing.List[str]] = {}
@@ -5093,6 +5104,12 @@ def _apply_rules(word: str) -> typing.List[str]:
     # word-initial x is [z] (xylophone, xenon, xerox) — never [ks]
     if word.startswith("x") and n > 1:
         word = "z" + word[1:]
+    # word-final silent clusters: -mb drops the b (crumb, succumb,
+    # aplomb), -mn drops the n (solemn, autumn) — only at the word end;
+    # medial clusters keep both (number, amnesty, columnist)
+    if n > 3 and (word.endswith("mb") or word.endswith("mn")):
+        word = word[:-1]
+        n = len(word)
     body = _collapse_geminates(word[:-1] if magic_e else word)
     if magic_e:
         body_vowels = {"a": "ˈeɪ", "i": "ˈaɪ", "o": "ˈoʊ", "u": "ˈu", "e": "ˈi"}
