@@ -4857,6 +4857,21 @@ crumb k ɹ ˈʌ m
 jamb d͡ʒ ˈæ m
 succumb s ə k ˈʌ m
 aplomb ə p l ˈɑ m
+wow w ˈaʊ
+hey h ˈeɪ
+ah ˈɑ
+aha ɑ h ˈɑ
+yeah j ˈæ
+hmm h ˈʌ m
+hurrah h ʊ ɹ ˈɑ
+hooray h ʊ ɹ ˈeɪ
+alas ə l ˈæ s
+draught d ɹ ˈæ f t
+redo ɹ i d ˈu
+redid ɹ i d ˈɪ d
+redone ɹ i d ˈʌ n
+ok ˈoʊ k ˈeɪ
+wanna w ˈɑ n ə
 """
 
 LEXICON: typing.Dict[str, typing.List[str]] = {}
@@ -4936,6 +4951,19 @@ def _derive_inflections() -> None:
         derived.setdefault(ing_stem + "er", phones + ["ɚ"])
         # superlative -est
         derived.setdefault(ing_stem + "est", phones + ["ə", "s", "t"])
+
+        # consonant+y adjectives spell comparatives/nominalizations with
+        # i (happy -> happier/happiest/happiness, lazy -> laziness); the
+        # final [i] stays and the suffix attaches after it
+        if (
+            word.endswith("y")
+            and len(word) > 2
+            and word[-2] not in "aeiou"
+            and last == "i"
+        ):
+            derived.setdefault(word[:-1] + "ier", phones + ["ɚ"])
+            derived.setdefault(word[:-1] + "iest", phones + ["ə", "s", "t"])
+            derived.setdefault(word[:-1] + "iness", phones + ["n", "ə", "s"])
 
         # adverbial -ly
         if not word.endswith("ly"):
