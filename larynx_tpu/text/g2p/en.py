@@ -4872,6 +4872,17 @@ redid ɹ i d ˈɪ d
 redone ɹ i d ˈʌ n
 ok ˈoʊ k ˈeɪ
 wanna w ˈɑ n ə
+ram ɹ ˈæ m
+rom ɹ ˈɑ m
+gif ɡ ˈɪ f
+json d͡ʒ ˈeɪ s ˌɑ n
+terrace t ˈɛ ɹ ə s
+transfer t ɹ ˈæ n s f ɚ
+deter d ɪ t ˈɚ
+confer k ə n f ˈɚ
+blur b l ˈɚ
+equip ɪ k w ˈɪ p
+herring h ˈɛ ɹ ɪ ŋ
 """
 
 LEXICON: typing.Dict[str, typing.List[str]] = {}
@@ -4964,6 +4975,22 @@ def _derive_inflections() -> None:
             derived.setdefault(word[:-1] + "ier", phones + ["ɚ"])
             derived.setdefault(word[:-1] + "iest", phones + ["ə", "s", "t"])
             derived.setdefault(word[:-1] + "iness", phones + ["n", "ə", "s"])
+
+        # CVC words double the final consonant before vowel-initial
+        # suffixes (stop -> stopped/stopping, prefer -> preferred,
+        # transfer -> transferred, big -> bigger/biggest): derive the
+        # doubled spellings with the same stem phones
+        if (
+            len(word) >= 3
+            and word[-1] in "bdfglmnprstz"
+            and word[-2] in "aeiou"
+            and word[-3] not in "aeiou"
+        ):
+            dbl = word + word[-1]
+            derived.setdefault(dbl + "ed", _past_phones(phones))
+            derived.setdefault(dbl + "ing", phones + ["ɪ", "ŋ"])
+            derived.setdefault(dbl + "er", phones + ["ɚ"])
+            derived.setdefault(dbl + "est", phones + ["ə", "s", "t"])
 
         # adverbial -ly
         if not word.endswith("ly"):
@@ -5205,6 +5232,20 @@ def _apply_rules(word: str) -> typing.List[str]:
             and out[-1].lstrip("ˈˌ") in _VOWEL_SYMBOLS
         ):
             i += 1
+            continue
+        # "er" early in the word before a vowel is a checked [ɛ] + onset
+        # r (merit, sheriff, peril, herald; ferry/errand arrive here via
+        # geminate collapse) — not the ɚ of "er"+consonant.  "over-"
+        # compounds keep ɚ (overall, overeat).
+        if (
+            body.startswith("er", i)
+            and i <= 2
+            and i + 2 < len(body)
+            and body[i + 2] in "aeiouy"
+            and not body.startswith("ov")
+        ):
+            out.extend(["ɛ", "ɹ"])
+            i += 2
             continue
         for pattern, phones in _RULES:
             if body.startswith(pattern, i):
