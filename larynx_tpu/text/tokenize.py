@@ -590,6 +590,18 @@ def words_of(
             elif is_num and nxt:
                 rep = measure_tokens(t, nxt, lang)
                 step = 2
+            elif (
+                lang == "sw"
+                and t.isalpha()
+                and nxt
+                and re.fullmatch(r"\d+(?:[.,]\d+)?", nxt)
+            ):
+                # Swahili writes the unit before the number ("km 5" ->
+                # kilomita tano); keep that order in the spoken form
+                m = measure_tokens(nxt, t, lang)
+                if m is not None:
+                    rep = m[1:] + [nxt]
+                    step = 2
             if rep is None and (
                 re.fullmatch(r"\d{1,2}", t)
                 and nxt == "/"

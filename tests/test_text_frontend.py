@@ -1008,6 +1008,13 @@ def test_measurement_units():
     ]
     # unit words NOT expanded without a preceding number
     assert w("The km marker.", "en-us") == ["The", "km", "marker"]
+    # Swahili writes the unit BEFORE the number; keep that order spoken
+    assert w("Ni km 5 hadi mjini.", "sw") == [
+        "Ni", "kilomita", "tano", "hadi", "mjini",
+    ]
+    assert w("Uzito ni kg 10.", "sw") == [
+        "Uzito", "ni", "kilogramu", "kumi",
+    ]
 
 
 def test_fractions():
