@@ -801,15 +801,20 @@ MONTH_NAMES = {
 def _ru_decline_ordinal(words: str, case: str) -> str:
     """Decline the FINAL word of a masculine Russian ordinal phrase.
 
-    case: 'nom' (первый), 'gen' (первого), 'prep' (первом).
+    case: 'nom' (первый), 'gen' (первого), 'prep' (первом),
+    'dat' (первому), 'instr' (первым).
     """
     if case == "nom":
         return words
     head, _, last = words.rpartition(" ")
-    if last.endswith("ий"):       # третий -> третьего / третьем / третьему
-        last = last[:-2] + {"gen": "ьего", "prep": "ьем", "dat": "ьему"}[case]
+    if last.endswith("ий"):       # третий -> третьего / третьем / ...
+        last = last[:-2] + {
+            "gen": "ьего", "prep": "ьем", "dat": "ьему", "instr": "ьим",
+        }[case]
     elif last.endswith(("ый", "ой")):
-        last = last[:-2] + {"gen": "ого", "prep": "ом", "dat": "ому"}[case]
+        last = last[:-2] + {
+            "gen": "ого", "prep": "ом", "dat": "ому", "instr": "ым",
+        }[case]
     return f"{head} {last}".strip()
 
 
@@ -1710,6 +1715,75 @@ def _regnal_words(value: int, fem: bool, lang: str) -> typing.Optional[str]:
     return None
 
 
+# Declined (oblique-case) forms of the Russian regnal names: "о Петре I"
+# must read "о Петре Первом" — the case of the matched name form carries
+# to the regnal ordinal.  Value: (case key, feminine).  Feminine oblique
+# adjectives share one form (первой), so ы/е/ой all map to 'obl'.
+_RU_REGNAL_DECLINED: typing.Dict[str, typing.Tuple[str, bool]] = {}
+
+
+def _build_ru_regnal_declensions() -> None:
+    masc = [
+        "пётр", "петр", "николай", "александр", "иван", "павел",
+        "алексей", "михаил", "фёдор", "федор", "борис", "людовик",
+        "карл", "генрих", "георг", "вильгельм", "наполеон", "филипп",
+        "царь", "король", "император", "лев",
+    ]
+    fem = [
+        "екатерина", "мария", "анна", "виктория", "елизавета",
+        "царица", "королева", "императрица",
+    ]
+    for name in masc:
+        if name == "павел":        # fleeting vowel
+            stem = "павл"
+        elif name == "лев":
+            stem = "льв"
+        elif name.endswith(("й", "ь")):
+            stem = name[:-1]
+        else:
+            stem = name
+        soft = name.endswith(("й", "ь"))   # лев is hard: льва, львом
+        endings = (
+            {"я": "gen", "ю": "dat", "ем": "instr", "ём": "instr",
+             "е": "prep"}
+            if soft
+            else {"а": "gen", "у": "dat", "ом": "instr", "е": "prep"}
+        )
+        for end, case in endings.items():
+            _RU_REGNAL_DECLINED.setdefault(stem + end, (case, False))
+    for name in fem:
+        stem = name[:-1]
+        if name.endswith("ия"):            # мария -> марии/марией/марию
+            pairs = (("и", "obl"), ("ей", "obl"), ("ю", "acc"))
+        elif stem.endswith(("ц", "ж", "ч", "ш", "щ")):
+            # sibilant/ц stems: unstressed instr -ей (царицей), gen -ы
+            pairs = (
+                ("ы", "obl"), ("е", "obl"), ("ей", "obl"), ("у", "acc"),
+            )
+        else:
+            pairs = (
+                ("ы", "obl"), ("е", "obl"), ("ой", "obl"), ("у", "acc"),
+            )
+        for end, case in pairs:
+            _RU_REGNAL_DECLINED.setdefault(stem + end, (case, True))
+
+
+_build_ru_regnal_declensions()
+
+
+def _ru_regnal_declined_words(value: int, case: str, fem: bool) -> str:
+    """Regnal ordinal agreeing with a declined Russian name form."""
+    word = ru_ordinal_to_words(value)
+    if not fem:
+        return _ru_decline_ordinal(word, case)
+    # feminine: build the nominative (первая/третья), then decline
+    if word.endswith("ий"):
+        nom, obl, acc = word[:-2] + "ья", word[:-2] + "ьей", word[:-2] + "ью"
+    else:
+        nom, obl, acc = word[:-2] + "ая", word[:-2] + "ой", word[:-2] + "ую"
+    return {"obl": obl, "acc": acc}.get(case, nom)
+
+
 # roman numeral BEFORE a century noun reads as an ordinal, declined to
 # the noun's case in Russian ("в XIX веке" -> девятнадцатом)
 _ROMAN_CENTURY_NEXT = {
@@ -1766,13 +1840,20 @@ def roman_words(
         return to_words(value) if to_words else None
     if 1 <= value <= 30:
         fem = prev in _REGNAL_F
-        if not (fem or prev in _REGNAL_M):
+        declined = (
+            _RU_REGNAL_DECLINED.get(prev)
+            if lang == "ru-ru" and not (fem or prev in _REGNAL_M)
+            else None
+        )
+        if not (fem or prev in _REGNAL_M or declined):
             return None
         if len(token) == 1 and (
             token not in ("I", "V", "X")
             or (lang == "en-us" and token == "I")
         ):
             return None
+        if declined is not None:
+            return _ru_regnal_declined_words(value, *declined)
         return _regnal_words(value, fem, lang)
     return None
 

@@ -1128,6 +1128,42 @@ def test_regnal_readings_all_languages():
     ]
 
 
+def test_ru_regnal_case_agreement():
+    """Declined Russian name carries its case onto the regnal ordinal."""
+    from larynx_tpu.text.tokenize import words_of
+
+    def w(text):
+        return [t for k, t in words_of(text, "ru-ru") if k == "word"]
+
+    # prepositional: о Петре Первом
+    assert w("Рассказ о Петре I.") == ["Рассказ", "о", "Петре", "первом"]
+    # genitive: эпоха Екатерины Второй / при Николае Втором
+    assert w("Эпоха Екатерины II.") == ["Эпоха", "Екатерины", "второй"]
+    assert w("При Николае II шла война.") == [
+        "При", "Николае", "втором", "шла", "война",
+    ]
+    # dative and instrumental
+    assert w("Памятник Петру I стоит.") == [
+        "Памятник", "Петру", "первому", "стоит",
+    ]
+    assert w("Встреча с Петром I.") == ["Встреча", "с", "Петром", "первым"]
+    # accusative feminine: про Екатерину Вторую
+    assert w("Про Екатерину II писали.") == [
+        "Про", "Екатерину", "вторую", "писали",
+    ]
+    # fleeting vowels: Павла Первого, Льва Тринадцатого
+    assert w("Правление Павла I.") == ["Правление", "Павла", "первого"]
+    assert w("Энциклика Льва XIII.") == [
+        "Энциклика", "Льва", "тринадцатого",
+    ]
+    # soft-stem title: с царём Иваном IV -> четвёртым
+    assert w("Беседа с царём Иваном IV.") == [
+        "Беседа", "с", "царём", "Иваном", "четвёртым",
+    ]
+    # -ия feminine: орден Марии I
+    assert w("Орден Марии I.") == ["Орден", "Марии", "первой"]
+
+
 def test_de_ordinal_case_agreement():
     """am/vom/zum/dem/den force the weak -n ordinal (am 3. Mai)."""
     from larynx_tpu.text.tokenize import words_of
