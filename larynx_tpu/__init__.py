@@ -796,6 +796,13 @@ def load_tts_model(
 
         return GlowTextToSpeech(config)
 
+    if model_type == TextToSpeechType.TACOTRON2:
+        # declared-only in the reference (larynx/__init__.py:379-407 has
+        # no branch for it); fully implemented here
+        from larynx_tpu.tacotron2 import Tacotron2TextToSpeech
+
+        return Tacotron2TextToSpeech(config)
+
     raise ValueError(f"Unknown text to speech model type: {model_type}")
 
 

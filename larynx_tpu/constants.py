@@ -21,7 +21,7 @@ import numpy as np
 class TextToSpeechType(str, Enum):
     """Available acoustic model families (parity: larynx/constants.py:19-23)."""
 
-    TACOTRON2 = "tacotron2"  # vestigial in the reference; kept for API parity
+    TACOTRON2 = "tacotron2"  # declared-only in the reference; implemented here
     GLOW_TTS = "glow_tts"
 
 

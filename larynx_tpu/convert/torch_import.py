@@ -363,3 +363,100 @@ def waveglow_params_from_state_dict(
             }
         )
     return params
+
+
+# -----------------------------------------------------------------------------
+# Tacotron2 (NVIDIA checkpoint naming; the reference declares the family —
+# larynx/constants.py:22 — but has no loader: larynx/__init__.py:379-407)
+
+
+def _linear(sd: StateDict, prefix: str) -> typing.Dict[str, Array]:
+    """torch Linear [out, in] -> {"w": [in, out], "b"?: [out]}."""
+    p: typing.Dict[str, Array] = {"w": np.transpose(sd[f"{prefix}.weight"])}
+    if f"{prefix}.bias" in sd:
+        p["b"] = sd[f"{prefix}.bias"]
+    return p
+
+
+def _lstm(sd: StateDict, prefix: str, suffix: str = "") -> typing.Dict[str, Array]:
+    """torch LSTM(Cell) gates [4H, in] -> fused {"w_ih","w_hh","b"}."""
+    return {
+        "w_ih": np.transpose(sd[f"{prefix}.weight_ih{suffix}"]),
+        "w_hh": np.transpose(sd[f"{prefix}.weight_hh{suffix}"]),
+        "b": sd[f"{prefix}.bias_ih{suffix}"] + sd[f"{prefix}.bias_hh{suffix}"],
+    }
+
+
+def _conv_bn(sd: StateDict, prefix: str) -> typing.Dict[str, typing.Any]:
+    """NVIDIA ConvNorm+BatchNorm1d pair (Sequential indices .0/.1)."""
+    w, b = _conv(sd, f"{prefix}.0.conv")
+    return {
+        "w": w,
+        "b": b,
+        "bn": {
+            "gamma": sd[f"{prefix}.1.weight"],
+            "beta": sd[f"{prefix}.1.bias"],
+            "mean": sd[f"{prefix}.1.running_mean"],
+            "var": sd[f"{prefix}.1.running_var"],
+        },
+    }
+
+
+def tacotron2_params_from_state_dict(
+    sd: StateDict, cfg
+) -> typing.Dict[str, typing.Any]:
+    """Map an NVIDIA Tacotron2 state dict into our pytree.
+
+    Linear/LSTM weights transpose to channels-last; LSTM bias pairs fuse
+    (the cell adds one bias); BatchNorm running stats come along for
+    inference-mode normalization.
+    """
+    att_prefix = "decoder.attention_layer"
+    params: typing.Dict[str, typing.Any] = {
+        "embedding": sd["embedding.weight"],
+        "encoder": {
+            "convs": [
+                _conv_bn(sd, f"encoder.convolutions.{i}")
+                for i in range(cfg.encoder_n_convolutions)
+            ],
+            "lstm_fw": _lstm(sd, "encoder.lstm", "_l0"),
+            "lstm_bw": _lstm(sd, "encoder.lstm", "_l0_reverse"),
+        },
+        "decoder": {
+            "prenet": [
+                _linear(sd, f"decoder.prenet.layers.{i}.linear_layer")
+                for i in range(2)
+            ],
+            "attention_rnn": _lstm(sd, "decoder.attention_rnn"),
+            "attention": {
+                "query": _linear(sd, f"{att_prefix}.query_layer.linear_layer"),
+                "memory": _linear(
+                    sd, f"{att_prefix}.memory_layer.linear_layer"
+                ),
+                "v": _linear(sd, f"{att_prefix}.v.linear_layer"),
+                "location_conv": np.transpose(
+                    sd[f"{att_prefix}.location_layer.location_conv.conv.weight"],
+                    (2, 1, 0),
+                ),
+                "location_dense": _linear(
+                    sd, f"{att_prefix}.location_layer.location_dense.linear_layer"
+                ),
+            },
+            "decoder_rnn": _lstm(sd, "decoder.decoder_rnn"),
+            "projection": _linear(sd, "decoder.linear_projection.linear_layer"),
+            "gate": _linear(sd, "decoder.gate_layer.linear_layer"),
+        },
+        "postnet": {
+            "convs": [
+                _conv_bn(sd, f"postnet.convolutions.{i}")
+                for i in range(cfg.postnet_n_convolutions)
+            ]
+        },
+    }
+    emb_symbols = params["embedding"].shape[0]
+    if emb_symbols != cfg.num_symbols:
+        raise ValueError(
+            f"checkpoint num_symbols={emb_symbols} != config "
+            f"num_symbols={cfg.num_symbols}"
+        )
+    return params
