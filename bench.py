@@ -15,7 +15,7 @@ vs_baseline = reference_RTF / our_RTF against the published i7-8750H
 numbers (BASELINE.md: high 0.25, medium 0.06, low 0.05).
 
 Flags: --half (bfloat16), --quality {high,medium,low,griffin_lim,waveglow},
---batch N, --workload {pangram,server,book,ssml,stream}, --profile
+--batch N, --workload {pangram,server,book,ssml,stream,tacotron2}, --profile
 (jax.profiler trace).  The stream workload also reports
 time-to-first-audio p50/p95 (reference TTFA logging:
 larynx/__main__.py:287,318-326).
@@ -284,6 +284,80 @@ def _make_voice_dirs(quality: str):
     return root
 
 
+def _add_tacotron2_voice(root):
+    """Stage an NVIDIA-dim tacotron2 voice into a bench voices dir.
+
+    gate_threshold > 1 forces the decode to its step cap so random
+    weights give a deterministic frame count (the gate of an untrained
+    model is noise); 800 steps ≈ 9.3 s of audio per sentence."""
+    import json
+    from pathlib import Path
+
+    from larynx_tpu.convert.native import save_params
+    from larynx_tpu.models.tacotron2 import (
+        init_params as t2_init,
+        tacotron2_config_from_voice_json,
+    )
+
+    table = Path(root) / "en-us" / "bench_en-glow_tts" / "phonemes.txt"
+    n_symbols = (
+        max(
+            int(line.split()[0])
+            for line in table.read_text(encoding="utf-8").splitlines()
+            if line.strip()
+        )
+        + 1
+    )
+    voice_config = {
+        "audio": {
+            "sample_rate": 22050, "mel_channels": 80, "filter_length": 1024,
+            "hop_length": 256, "win_length": 1024, "mel_fmin": 0.0,
+            "mel_fmax": 8000.0,
+        },
+        "model": {
+            "num_symbols": n_symbols,
+            "max_decoder_steps": 800,
+            "gate_threshold": 1.01,
+        },
+    }
+    voice_dir = Path(root) / "en-us" / "bench_t2-tacotron2"
+    voice_dir.mkdir(parents=True)
+    json.dump(voice_config, open(voice_dir / "config.json", "w"))
+    (voice_dir / "phonemes.txt").write_text(
+        table.read_text(encoding="utf-8"), encoding="utf-8"
+    )
+    save_params(
+        voice_dir / "generator.npz",
+        t2_init(
+            jax.random.PRNGKey(2),
+            tacotron2_config_from_voice_json(voice_config),
+        ),
+    )
+
+
+def run_tacotron2(voices_dir, quality, denoiser):
+    """Second acoustic family (sequential attention decode) through the
+    full pipeline.  The reference declares TACOTRON2 but never shipped
+    it (larynx/constants.py:22), so vs_baseline uses the high-quality
+    reference RTF."""
+    import larynx_tpu
+
+    def run_once():
+        total = 0
+        for result in larynx_tpu.text_to_speech(
+            PANGRAM,
+            voice_or_lang="en-us_bench_t2-tacotron2",
+            vocoder_or_quality=quality,
+            custom_voices_dir=voices_dir,
+            denoiser_strength=denoiser,
+            half="--half" in sys.argv,
+        ):
+            total += result.audio.shape[-1]
+        return total / 22050
+
+    return run_once
+
+
 def run_book(voices_dir, quality, denoiser):
     """Long-text chapter with sentence splitting (BASELINE config 3)."""
     import larynx_tpu
@@ -351,9 +425,13 @@ def main() -> None:
     denoiser = 0.0 if quality == "griffin_lim" else 0.005
 
     latencies: list = []
-    if workload in ("book", "ssml"):
+    if workload in ("book", "ssml", "tacotron2"):
         voices_dir = _make_voice_dirs(quality)
-        runner = run_book if workload == "book" else run_ssml
+        if workload == "tacotron2":
+            _add_tacotron2_voice(voices_dir)
+            runner = run_tacotron2
+        else:
+            runner = run_book if workload == "book" else run_ssml
         run_once = runner(voices_dir, quality, denoiser)
         metric = f"rtf_{quality}_{workload}"
         engine = None

@@ -34,4 +34,5 @@ run --workload book
 run --workload ssml
 run --workload server
 run --workload stream
+run --workload tacotron2
 echo "sweep done" >&2

@@ -163,6 +163,73 @@ def test_train_vocoder_cli_waveglow(tiny_dataset, tmp_path):
     larynx_tpu._VOCODER_MODEL_CACHE.clear()
 
 
+def test_train_cli_tacotron2(tiny_dataset, tmp_path):
+    """--family tacotron2: a few teacher-forced steps -> voice dir the
+    standard inference path loads (num_symbols auto-sized from
+    phonemes.txt and persisted into the written config.json)."""
+    from larynx_tpu.train import main as train_main
+
+    cfg_path = tmp_path / "t2.json"
+    cfg_path.write_text(
+        json.dumps(
+            {
+                "audio": {},
+                "model": {
+                    "symbols_embedding_dim": 32,
+                    "encoder_embedding_dim": 32,
+                    "encoder_n_convolutions": 1,
+                    "prenet_dim": 16,
+                    "attention_rnn_dim": 48,
+                    "decoder_rnn_dim": 48,
+                    "attention_dim": 24,
+                    "attention_location_n_filters": 8,
+                    "attention_location_kernel_size": 15,
+                    "postnet_embedding_dim": 32,
+                    "postnet_n_convolutions": 2,
+                    "max_decoder_steps": 60,
+                },
+            }
+        ),
+        encoding="utf-8",
+    )
+    voice_dir = tmp_path / "voices" / "en-us" / "trained_t2-tacotron2"
+    train_main(
+        [
+            "--family", "tacotron2",
+            "--metadata", str(tiny_dataset / "metadata.csv"),
+            "--wav-dir", str(tiny_dataset / "wavs"),
+            "--output-dir", str(voice_dir),
+            "--config", str(cfg_path),
+            "--phonemes", str(tiny_dataset / "phonemes.txt"),
+            "--batch-size", "4",
+            "--epochs", "1",
+            "--max-id-len", "64",
+            "--max-mel-len", "128",
+            "--checkpoint-every", "100",
+        ]
+    )
+    assert (voice_dir / "generator.npz").is_file()
+    written = json.loads((voice_dir / "config.json").read_text())
+    assert written["model"]["num_symbols"] > 0  # auto-sized + persisted
+
+    import larynx_tpu
+
+    larynx_tpu._TTS_MODEL_CACHE.clear()
+    model = larynx_tpu.get_tts_model(
+        "en-us_trained_t2-tacotron2",
+        custom_voices_dir=tmp_path / "voices",
+        no_download=True,
+    )
+    try:
+        mels = model.phonemes_to_mels(
+            np.asarray([3, 5, 9, 3, 2], dtype=np.int64)
+        )
+        assert mels.shape[1] == 80
+        assert np.isfinite(mels).all()
+    finally:
+        larynx_tpu._TTS_MODEL_CACHE.clear()
+
+
 def test_train_cli_end_to_end(tiny_dataset, tmp_path):
     from larynx_tpu.train import main as train_main
 
